@@ -1,0 +1,97 @@
+"""Benchmark the declared-query suite.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full plan, no
+driver-side collect). A tiny warmup query absorbs JVM/codegen startup so
+the timings reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational
+    "r_hash_agg",
+    "r_filter_predicates",
+    "r_distinct_count",
+    "r_join_inner",
+    "r_join_multi",
+    "r_join_outer",
+    "r_window_rank",
+    "r_window_running",
+    "r_rollup",
+    "r_tumbling_window",
+    "r_sort_limit_topk",
+    # transcode
+    "t_cast_int_widths",
+    "t_map_to_arrays",
+    "t_timestamp_epoch",
+    # LLM data ops
+    "l_dedup_exact",
+    "l_dedup_minhash",
+    "l_dedup_simhash",
+    "l_dedup_ngram_jaccard",
+    "l_dedup_embedding",
+    "l_similarity_cosine",
+    "l_ann_ivf",
+    "l_text_stats",
+    "l_lang_id",
+    "l_quality_score",
+    "l_token_count",
+    "l_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from bristle_spark.registry import all_specs
+    from bristle_spark.session import get_spark
+
+    spark = get_spark(app_name="bristle-spark-bench")
+    specs = all_specs()
+
+    # warmup: JVM, codegen, parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+    specs["r_hash_agg"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf_label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,443 @@
+"""Group L — near-duplicate detection over ``documents`` / ``embeddings``.
+
+Four detectors, each a first-class declared query with a DuckDB oracle:
+
+- l_dedup_minhash:  3-word shingles -> 60-bit md5 hash -> 16 MinHash
+  permutations -> 4 LSH bands -> banded candidate pairs -> signature
+  Jaccard estimate.
+- l_simhash / l_dedup_simhash: 32-bit SimHash per doc; candidate pairs
+  share a byte-band, verified by Hamming distance (bit_count of xor).
+- l_dedup_ngram_jaccard: exact shingle-set Jaccard, two-phase: candidates
+  from *rare* shingles (document frequency <= 20 — the scale lever that
+  caps the self-join blowup), then exact intersection counts.
+- l_dedup_embedding: cosine near-dup candidates within a sign-bit LSH
+  bucket (top-20 pairs by cosine, deterministic tiebreaks).
+
+Every step is row-local array math (transform/aggregate, no explode)
+until the candidate-pair join — at 100 TB the only shuffles are on
+band keys / rare shingles / bucket ids, all low-skew by construction.
+All hashing is md5-based so Spark and DuckDB agree bit-for-bit
+(functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.hashing import (
+    LSH_BANDS,
+    MINHASH_P,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    hash31_sql,
+    hash60,
+    hash60_sql,
+    minhash_expr,
+    minhash_sql,
+)
+from bristle_spark.registry import register
+
+SHINGLE_WORDS = 3
+SIG_THRESHOLD = 0.5  # fraction of matching minhashes to call a near-dup
+JACCARD_THRESHOLD = 0.8
+MAX_SHINGLE_DF = 20  # candidate-phase document-frequency cap
+SIMHASH_BITS = 32
+# 4 byte-bands + Hamming <= 3 makes the blocking *exact* (pigeonhole: 3
+# differing bits can dirty at most 3 of the 4 bands).
+HAMMING_MAX = 3
+EMB_TOP_PAIRS = 20
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("t", F.split("text", " ")).filter(F.size("t") >= SHINGLE_WORDS)
+
+
+def _shingles_col() -> Column:
+    """Distinct 3-word shingles of the token array `t` (row-local)."""
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SHINGLE_WORDS - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+_TOK_CTE = f"""
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+    )
+"""
+
+# ---------------------------------------------------------------- MinHash
+
+_MH_COLS_SQL = ",\n               ".join(
+    f"{minhash_sql(j, 'bhs')} AS m{j}" for j in range(NUM_HASHES)
+)
+_SIG_SQL = "[" + ", ".join(f"m{j}" for j in range(NUM_HASHES)) + "]"
+_BAND_KEYS_SQL = ",\n               ".join(
+    "concat(" + ", '_', ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS bk{b}"
+    for b in range(LSH_BANDS)
+)
+_BANDS_UNION_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, sig, {b} AS band_id, bk{b} AS band_key FROM sig" for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "l_dedup_minhash",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    bh AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES_SQL}, s -> {hash31_sql("s")}) AS bhs
+        FROM tok
+    ),
+    mh AS (
+        SELECT doc_id,
+               {_MH_COLS_SQL}
+        FROM bh
+    ),
+    sig AS (
+        SELECT doc_id, {_SIG_SQL} AS sig,
+               {_BAND_KEYS_SQL}
+        FROM mh
+    ),
+    bands AS (
+{_BANDS_UNION_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               list_sum(list_transform(range(1, {NUM_HASHES + 1}),
+                        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS sig_matches
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(sig_matches AS BIGINT) AS sig_matches,
+           round(sig_matches / {NUM_HASHES}.0, 6) AS est_jaccard
+    FROM scored
+    WHERE sig_matches / {NUM_HASHES}.0 >= {SIG_THRESHOLD}
+    """,
+)
+def l_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs with signature-estimated
+    Jaccard (16 hashes, 4 bands x 4 rows; est >= 0.5)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    bh = d.select(
+        "doc_id",
+        F.transform(_shingles_col(), lambda s: hash60(s) % MINHASH_P).alias("bhs"),
+    )
+    mh = bh.select(
+        "doc_id", *[minhash_expr(j, F.col("bhs")).alias(f"m{j}") for j in range(NUM_HASHES)]
+    )
+    sig = mh.select(
+        "doc_id",
+        F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig"),
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"bk{b}")
+            for b in range(LSH_BANDS)
+        ],
+    )
+    bands = None
+    for b in range(LSH_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_id"), F.col(f"bk{b}").alias("band_key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("sig_matches"))
+        .withColumn("est_jaccard", F.round(F.col("sig_matches") / NUM_HASHES, 6))
+        .filter(F.col("sig_matches") / NUM_HASHES >= SIG_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+_TH_SQL = (
+    f"list_transform(string_split(text, ' '), tk -> {hash60_sql('tk')} % {1 << SIMHASH_BITS})"
+)
+
+
+def _simhash_sql_cte() -> str:
+    weights = ",\n               ".join(
+        f"list_sum(list_transform(th, h -> CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END)) AS w{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    simhash = " + ".join(f"(CASE WHEN w{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+    th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+    w AS (
+        SELECT doc_id,
+               {weights}
+        FROM th
+    ),
+    sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM w)
+    """
+
+
+def _bit_weight(bit: int) -> Column:
+    """Sum of +1/-1 contributions of one simhash bit over the token-hash array."""
+    mask = 1 << bit
+
+    def merge(acc: Column, h: Column) -> Column:
+        return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    return F.aggregate(F.col("th"), F.lit(0), merge)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    th = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda tk: hash60(tk) % (1 << SIMHASH_BITS)).alias("th"),
+    )
+    weights = th.select(
+        "doc_id", *[_bit_weight(i).alias(f"w{i}") for i in range(SIMHASH_BITS)]
+    )
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    return weights.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "l_simhash",
+    oracle=f"""
+    WITH {_simhash_sql_cte()}
+    SELECT doc_id, simhash FROM sh
+    """,
+)
+def l_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (bit-majority over md5 token hashes).
+    Entirely row-local: transform + aggregate over the token array, no
+    explode/shuffle — the formulation that survives 100 TB."""
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "l_dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql_cte()},
+    bands AS (
+        SELECT doc_id, 0 AS band_id, (simhash >> 0) & 255 AS band_val FROM sh
+        UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM sh
+        UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM sh
+        UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM sh
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking (4 bands of 8 bits) then
+    exact Hamming verification (<= 3 differing bits). With 4 bands and a
+    3-bit budget the blocking is exact (pigeonhole), so this equals the
+    full O(n^2) comparison at a fraction of the cost."""
+    sh = _simhash_df(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+@register(
+    "l_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN rare r ON a.s = r.s
+        JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, CAST(m.n_common AS BIGINT) AS n_common,
+           round(CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dups, two-phase:
+    (1) candidate pairs from shingles with document frequency <= 20 —
+    the df cap bounds the inverted-index self-join at scale (a shingle
+    seen in d docs contributes d^2 candidate rows, so skew lives in the
+    head shingles; dropping them costs no recall for high-Jaccard pairs,
+    which share many rare shingles);
+    (2) exact intersection count over the candidates only."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(_shingles_col()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    ).select("s")
+    sh_rare = sh.join(rare, "s")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("s_a") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------ embedding cosine dedup
+
+from bristle_spark.functions.vectors import cosine, cosine_sql  # noqa: E402
+
+
+def _emb_bucket_sql(v: str, bits: int = 8) -> str:
+    terms = " + ".join(f"(CASE WHEN {v}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"({terms})"
+
+
+@register(
+    "l_dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_emb_bucket_sql("v")} AS bucket FROM e),
+    pairs AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({cosine_sql("x.v", "y.v")}, 6) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rn FROM pairs
+    ) WHERE rn <= {EMB_TOP_PAIRS}
+    """,
+)
+def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: pairs bucketed by the 8
+    hyperplane sign bits (so the pairwise join is within-bucket only —
+    the O(n^2) term drops by ~256x), ranked by exact cosine; top-20
+    with deterministic tiebreaks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.lit(0)
+    for i in range(8):
+        bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+    b = e.withColumn("bucket", bucket)
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id"))
+    ).select(
+        F.col("x.vec_id").alias("vec_a"),
+        F.col("y.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
+    return (
+        pairs.select("vec_a", "vec_b", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= EMB_TOP_PAIRS)
+        .drop("rn")
+    )

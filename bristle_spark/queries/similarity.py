@@ -1,0 +1,243 @@
+"""Group L — similarity search over the ``embeddings`` table.
+
+- l_similarity_cosine: brute-force cosine top-k against a probe vector
+  (the exact baseline).
+- l_ann_lsh: sign-bit LSH bucketing — candidates share the probe's
+  8-bit hyperplane-sign bucket; the scale path prunes the scan to
+  ~1/256 of the corpus before exact scoring.
+- l_ann_ivf: IVF-style coarse quantization — every vector is assigned
+  to its nearest of 16 fixed centroids; search visits only the probe's
+  cell (nprobe=1).
+- l_knn_label: majority label among the k nearest neighbors.
+
+All similarity values are computed in float64 with a deterministic
+accumulation order and rounded to 6 decimals *before* ranking, so Spark
+and the DuckDB oracle rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.vectors import cosine, cosine_sql
+from bristle_spark.registry import register
+
+TOPK = 10
+KNN_K = 25
+LSH_BITS = 8
+IVF_CENTROIDS = 16
+
+_COS_PROBE = cosine_sql("e.v", "p.pv")
+
+_SCORED_CTE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label, round({_COS_PROBE}, 6) AS cos_sim
+        FROM e, p
+        WHERE e.vec_id <> 0
+    )
+"""
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _scored_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors scored against the probe (vec_id = 0), cos rounded to 6."""
+    e = _embeddings(spark, sf_dir)
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+            "v",
+            "pv",
+        )
+    )
+
+
+@register(
+    "l_similarity_cosine",
+    oracle=_SCORED_CTE
+    + f"""
+    SELECT vec_id, label, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the probe vector (vec_id=0).
+
+    The probe side is broadcast; scoring is an embarrassingly parallel
+    scan. At 100 TB the final top-k is a TakeOrdered merge (k rows per
+    partition), not a global sort."""
+    scored = _scored_vs_probe(spark, sf_dir)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOPK)
+        .drop("rn")
+    )
+
+
+@register(
+    "l_knn_label",
+    oracle=_SCORED_CTE
+    + f"""
+    SELECT label AS majority_label, count(*) AS votes FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {KNN_K}
+    GROUP BY label
+    ORDER BY votes DESC, majority_label
+    LIMIT 1
+    """,
+)
+def l_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority label (k=25) among neighbors of the probe."""
+    scored = _scored_vs_probe(spark, sf_dir)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    topk = scored.select("label", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= KNN_K
+    )
+    return (
+        topk.groupBy(F.col("label").alias("majority_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.col("votes").desc(), F.col("majority_label"))
+        .limit(1)
+    )
+
+
+def _bucket_sql(v: str) -> str:
+    terms = " + ".join(f"(CASE WHEN {v}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_BITS))
+    return f"({terms})"
+
+
+def _bucket_col(v: F.Column) -> F.Column:
+    out = F.lit(0)
+    for i in range(LSH_BITS):
+        out = out + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+    return out
+
+
+@register(
+    "l_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, {_bucket_sql("v")} AS bucket FROM e),
+    p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label, e.bucket, round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim
+        FROM b e, p
+        WHERE e.vec_id <> 0 AND e.bucket = p.pbucket
+    )
+    SELECT vec_id, label, bucket, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-sign LSH: 8 sign bits of the first 8 dims form
+    the bucket; only the probe's bucket is scored exactly. The bucket
+    computation is row-local; the candidate filter prunes the scan
+    ~256x before any expensive math."""
+    e = _embeddings(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")))
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("bucket").alias("pbucket")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("bucket") == F.col("pbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("vec_id", "label", "bucket", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOPK)
+        .drop("rn")
+    )
+
+
+@register(
+    "l_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, label, v, cid FROM (
+            SELECT e.vec_id, e.label, e.v, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC, cent.cid
+                   ) AS arn
+            FROM e, cent
+        ) WHERE arn = 1
+    ),
+    p AS (SELECT v AS pv, cid AS pcid FROM assign WHERE vec_id = 0),
+    scored AS (
+        SELECT a.vec_id, a.label, a.cid AS cluster_id, round({cosine_sql("a.v", "p.pv")}, 6) AS cos_sim
+        FROM assign a, p
+        WHERE a.vec_id <> 0 AND a.cid = p.pcid
+    )
+    SELECT vec_id, label, cluster_id, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 fixed coarse centroids (vec_id 1..16); every
+    vector is assigned to its max-cosine centroid (ties to the smallest
+    centroid id); the probe searches only its own cell (nprobe=1).
+
+    The centroid table is broadcast (16 rows even at full scale); the
+    assignment is a map-side cross join — no shuffle until the final
+    tiny top-k."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "v", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    probe = assign.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("cid").alias("pcid")
+    )
+    scored = (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("cid") == F.col("pcid"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cluster_id"),
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "vec_id", "label", "cluster_id", "cos_sim", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= TOPK)
+        .drop("rn")
+    )

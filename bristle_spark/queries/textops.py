@@ -1,0 +1,214 @@
+"""Group L — text analysis over ``documents``: language-ID, quality
+scoring, token counting, and document fingerprinting (SURVEY.md §2.D;
+the training-data-pipeline surface of BASELINE.json).
+
+All computations are row-local array/string expressions (no UDFs, no
+shuffle except final aggregation where present), with DuckDB oracles
+built from the same constants so both engines agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.hashing import (
+    FINGERPRINT_B,
+    FINGERPRINT_P,
+    hash60,
+    hash60_sql,
+)
+from bristle_spark.registry import register
+
+# n-gram-heuristic language ID: ordered marker-word sets per language.
+# (The synthetic corpus is English-ish for every lang value; the check is
+# that both engines compute the identical classifier, not that the
+# classifier is good.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "los", "que", "por", "una"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+STOPWORDS = ("the", "a", "and", "of", "is", "to", "in")
+PUNCT_RE = "[^a-z0-9 ]"
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FP_PREFIX_TOKENS = 16
+
+
+def _marker_count(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("bigint")
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+@register(
+    "l_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"CAST({_marker_count_sql(ws)} AS BIGINT) AS s_{lg}" for lg, ws in sorted(LANG_MARKERS.items()))}
+        FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           s_de, s_en, s_es, s_fr, s_zh
+    FROM scored
+    """,
+)
+def l_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification: score each language by its
+    stopword hits, argmax with alphabetical tiebreak, 'und' when no
+    marker fires."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_count(tokens, ws).alias(f"s_{lg}")
+            for lg, ws in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.when(best == 0, "und")
+    for lg in langs[:-1]:
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    pred = pred.otherwise(langs[-1])
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), *[f"s_{lg}" for lg in langs]
+    )
+
+
+@register(
+    "l_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT)                 AS n_char,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS BIGINT) AS n_stop,
+               CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, n_tok, n_char,
+           round(CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok, 6)  AS avg_tok_len,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 6)                AS stop_ratio,
+           round(CAST(n_punct AS DOUBLE) / n_char, 6)              AS punct_ratio,
+           round((CAST(least(n_tok, 100) AS DOUBLE) / 100.0) * 0.5
+                 + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+                 + (1.0 / (1.0 + abs((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) - 5.0))) * 0.2, 6) AS quality
+    FROM base
+    """,
+)
+def l_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + stopword ratio +
+    closeness of mean token length to 5 chars (same weighted formula,
+    same operand order, in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(tokens).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_char"),
+        _marker_count(tokens, STOPWORDS).alias("n_stop"),
+        F.regexp_count("text", F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
+    )
+    avg_tok_len = (F.col("n_char") - (F.col("n_tok") - 1)).cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_char")
+    quality = (
+        (F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0) * 0.5
+        + stop_ratio * 0.3
+        + (1.0 / (1.0 + F.abs(avg_tok_len - 5.0))) * 0.2
+    )
+    return base.select(
+        "doc_id",
+        "n_tok",
+        "n_char",
+        F.round(avg_tok_len, 6).alias("avg_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "l_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS re_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe,
+           CAST(length(text) = n_chars AS INTEGER)                 AS chars_match
+    FROM documents
+    """,
+)
+def l_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter-runs | digit-runs | single symbol), and the chars/4
+    approximation."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("re_tokens"),
+        F.ceil(F.length("text").cast("double") / 4.0).cast("bigint").alias("approx_bpe"),
+        (F.length("text") == F.col("n_chars")).cast("int").alias("chars_match"),
+    )
+
+
+def _rolling_fp(th: Column) -> Column:
+    """Polynomial rolling hash (Karp–Rabin) over token hashes, mod p."""
+    return F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * FINGERPRINT_B + h) % FINGERPRINT_P,
+    )
+
+
+def _rolling_fp_sql(th_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th_expr}), "
+        f"(a, b) -> (a * {FINGERPRINT_B} + b) % {FINGERPRINT_P})"
+    )
+
+
+_TH_FP_SQL = f"list_transform(string_split(text, ' '), tk -> {hash60_sql('tk')} % {FINGERPRINT_P})"
+
+
+@register(
+    "l_fingerprint",
+    oracle=f"""
+    WITH th AS (SELECT doc_id, {_TH_FP_SQL} AS th FROM documents)
+    SELECT doc_id,
+           {_rolling_fp_sql("th")}                              AS fingerprint,
+           {_rolling_fp_sql(f"th[1:{FP_PREFIX_TOKENS}]")}       AS prefix_fp
+    FROM th
+    """,
+)
+def l_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: Karp–Rabin polynomial rolling hash over
+    md5-hashed tokens (whole doc + first-16-token prefix). Row-local,
+    order-sensitive — reordered near-dups get different fingerprints,
+    unlike the set-based MinHash."""
+    d = load_table(spark, sf_dir, "documents")
+    th = F.transform(F.split("text", " "), lambda tk: hash60(tk) % FINGERPRINT_P)
+    return d.select(
+        "doc_id",
+        _rolling_fp(th).alias("fingerprint"),
+        _rolling_fp(F.slice(th, 1, FP_PREFIX_TOKENS)).alias("prefix_fp"),
+    )

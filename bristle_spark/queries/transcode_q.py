@@ -1,0 +1,235 @@
+"""Group T — transcode-semantics declared queries (SURVEY.md §2.D).
+
+Each query mirrors one row of the reference's scalar conversion surface
+(reference clickhouse_table.go:249-380, SURVEY.md §2.B) over the synthetic
+tables, so the DuckDB oracle can check the semantics the ingest path's
+transcode library (bristle_spark/transcode.py) implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bristle_spark.catalog import load_table
+from bristle_spark.registry import register
+
+
+@register(
+    "t_project_rename",
+    oracle="""
+    SELECT l_orderkey   AS order_key,
+           l_linenumber AS line_no,
+           l_extendedprice AS price,
+           l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def t_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/D6: positional projection + column rename (the reference's
+    bristle_column option, clickhouse_table.go:178-181)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "t_cast_int_widths",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey % 128 AS TINYINT)          AS v_i8,
+           CAST(l_orderkey % 32768 AS SMALLINT)       AS v_i16,
+           CAST(l_orderkey AS INTEGER)                AS v_i32,
+           CAST(l_orderkey AS BIGINT)                 AS v_i64,
+           CAST(l_partkey % 256 AS SMALLINT)          AS v_u8,
+           CAST(l_suppkey % 65536 AS INTEGER)         AS v_u16,
+           CAST(l_orderkey % 4294967296 AS BIGINT)    AS v_u32,
+           CAST(CAST(l_orderkey AS DECIMAL(20, 0)) AS DOUBLE) AS v_u64
+    FROM lineitem
+    """,
+)
+def t_cast_int_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7: signed casts to Int8..64; unsigned widths take the
+    next-wider signed type, UInt64 takes DECIMAL(20,0)
+    (reference clickhouse_table.go:298-370)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 128).cast("tinyint").alias("v_i8"),
+        (F.col("l_orderkey") % 32768).cast("smallint").alias("v_i16"),
+        F.col("l_orderkey").cast("int").alias("v_i32"),
+        F.col("l_orderkey").cast("bigint").alias("v_i64"),
+        (F.col("l_partkey") % 256).cast("smallint").alias("v_u8"),
+        (F.col("l_suppkey") % 65536).cast("int").alias("v_u16"),
+        (F.col("l_orderkey") % 4294967296).cast("bigint").alias("v_u32"),
+        # DECIMAL(20,0) is the UInt64 fidelity type (transcode.py S7); the
+        # declared query surfaces it as DOUBLE because neither engine's
+        # pandas bridge carries DECIMAL losslessly for the hash compare.
+        F.col("l_orderkey").cast("decimal(20,0)").cast("double").alias("v_u64"),
+    )
+
+
+@register(
+    "t_bool_to_int",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_discount > 0.05 AS INTEGER)  AS disc_flag,
+           CAST(l_quantity >= 25.0 AS INTEGER) AS bulk_flag
+    FROM lineitem
+    """,
+)
+def t_bool_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: bool -> UInt8 (true=1, false=0; reference clickhouse_table.go:308-314)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_discount") > 0.05).cast("int").alias("disc_flag"),
+        (F.col("l_quantity") >= 25.0).cast("int").alias("bulk_flag"),
+    )
+
+
+@register(
+    "t_enum_codes",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS TINYINT) AS status_code,
+           CASE CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS TINYINT)
+                WHEN 1 THEN 'F' WHEN 2 THEN 'O' WHEN 3 THEN 'P' ELSE '?' END AS status_label
+    FROM orders
+    """,
+)
+def t_enum_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: enum label<->code map stored as a sized int (Enum8;
+    reference clickhouse_table.go:153-160,295-297)."""
+    o = load_table(spark, sf_dir, "orders")
+    code = (
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .when(F.col("o_orderstatus") == "P", 3)
+        .otherwise(0)
+        .cast("tinyint")
+    )
+    label = F.when(code == 1, "F").when(code == 2, "O").when(code == 3, "P").otherwise("?")
+    return o.select("o_orderkey", code.alias("status_code"), label.alias("status_label"))
+
+
+@register(
+    "t_timestamp_epoch",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+           epoch_ms(date_trunc('millisecond', ts))         AS epoch_ms,
+           date_trunc('second', ts)                        AS ts_s,
+           make_timestamp(CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000) AS ts_roundtrip
+    FROM events
+    """,
+)
+def t_timestamp_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: google.protobuf.Timestamp <-> epoch seconds, always UTC
+    (reference clickhouse_table.go:264-267)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.expr("unix_micros(ts) div 1000").alias("epoch_ms"),
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.timestamp_seconds(epoch_s).alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "t_null_default",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'unknown')            AS etype_d,
+           round(coalesce(CASE WHEN value < 50.0 THEN NULL ELSE value END, 0.0), 2) AS value_d,
+           coalesce(CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END, -1) AS user_d
+    FROM events
+    """,
+)
+def t_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: missing field -> NULL for nullable, proto default otherwise
+    (the *intended* semantics of reference clickhouse_table.go:253-261;
+    the reference's own implementation dead-codes this — SURVEY.md §8.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias("etype_d"),
+        F.round(
+            F.coalesce(F.when(F.col("value") < 50.0, None).otherwise(F.col("value")), F.lit(0.0)), 2
+        ).alias("value_d"),
+        F.coalesce(
+            F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("user_id")), F.lit(-1)
+        ).alias("user_d"),
+    )
+
+
+@register(
+    "t_json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def t_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 analog: JSON-lines field extraction (the reference's
+    bristle-forward-json CLI pipes JSON into protos;
+    reference cmd/bristle-forward-json/main.go:25-46)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "t_map_to_arrays",
+    oracle="""
+    SELECT event_id,
+           list_sort(json_keys(props)) AS tag_keys,
+           list_transform(list_sort(json_keys(props)),
+                          k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS tag_values
+    FROM events
+    """,
+)
+def t_map_to_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: map field -> two parallel key/value arrays (ClickHouse
+    Nested; reference clickhouse_table.go:183-201,270-289). Keys sorted
+    because map iteration order is unspecified in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    keys = F.sort_array(F.map_keys(m))
+    vals = F.transform(keys, lambda k: F.element_at(m, k))
+    return ev.select("event_id", keys.alias("tag_keys"), vals.alias("tag_values"))
+
+
+@register(
+    "t_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS emb_len,
+           embedding[1]                   AS first_val,
+           embedding[64]                  AS last_val,
+           embedding[1:4]                 AS head4
+    FROM embeddings
+    """,
+)
+def t_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: repeated field -> Array column; size / element access / slice
+    (reference clickhouse_table.go:375-377)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("emb_len"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 64).alias("last_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+    )
