@@ -1,0 +1,48 @@
+"""Group L (multimodal) — rows-only queries exercising the binary-column
+plumbing: deterministic fake payloads, Arrow-batched feature extraction,
+frame sampling. No SQL oracle (binary feature extraction is not
+SQL-expressible); the driver records the rows-only check and the unit
+tests assert determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bristle_spark import multimodal
+from bristle_spark.catalog import load_table
+from bristle_spark.registry import register
+
+
+@register("m_binary_features", oracle=None)
+def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload -> mapInPandas feature extraction (byte stats +
+    histogram), joined back to doc metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(d)
+    feats = multimodal.extract_features(payloads, decode_backend="fake")
+    return (
+        feats.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bytes",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            "byte_hist",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("m_frame_sample", oracle=None)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling inside a binary payload (every 4th 16-byte frame)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(d)
+    sampled = multimodal.sample_frames(payloads, every_nth=4)
+    return sampled.select(
+        "doc_id",
+        F.size("sampled_frames").cast("bigint").alias("n_frames"),
+        F.md5(F.col("sampled_frames").getItem(0)).alias("first_frame_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,197 @@
+"""Group S — streaming semantics (rows-only; no SQL oracle, per
+SURVEY.md §2.D). Each query runs a real Structured Streaming job
+(file-stream micro-batches, availableNow) and returns its accounting /
+result as a batch DataFrame.
+
+- s_microbatch_flush: D9 — one micro-batch per trigger, sizes bounded
+  by the source rate limit (maxFilesPerTrigger), foreachBatch sink.
+- s_drop_policies:    D8 — bounded-buffer overflow accounting for
+  drop-oldest / drop-newest / block around a lossless sink.
+- s_late_data:        watermarked tumbling window; late rows dropped —
+  the event-time analog of buffer overflow.
+- s_proto_roundtrip:  D4/D6 — encode fixture rows to protobuf wire
+  bytes, stream-decode + transcode, verify equality with the source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bristle_spark.catalog import load_table
+from bristle_spark.registry import register
+from bristle_spark.streaming.buffer import POLICIES, BoundedBuffer
+from bristle_spark.streaming.source import events_file_stream, split_events_files
+
+MAX_BATCH_SIZE = 5000  # reference MaxBatchSize analog (config.go:88)
+
+
+def _workdir(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tempfile.gettempdir(), "bristle_spark_stream", sf, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _run_available_now(writer, checkpoint: str) -> None:
+    q = (
+        writer.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("s_microbatch_flush", oracle=None)
+def s_microbatch_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 timed-flush analog: the stream lands in micro-batches of at most
+    MaxBatchSize rows each (source rate limit = maxFilesPerTrigger),
+    foreachBatch = the bulk INSERT (clickhouse_table_writer.go:91-113)."""
+    work = _workdir(sf_dir, "flush")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    batches: list[tuple[int, int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, df.count()))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(stream.writeStream.foreachBatch(sink), ckpt)
+
+    total = load_table(spark, sf_dir, "events").count()
+    out = [
+        (int(bid), int(n), int(n <= MAX_BATCH_SIZE)) for bid, n in sorted(batches)
+    ]
+    df = spark.createDataFrame(
+        out, schema="batch_id bigint, n_rows bigint, within_limit int"
+    )
+    return df.withColumn("total_rows_ok", F.lit(int(sum(n for _, n in batches) == total)))
+
+
+@register("s_drop_policies", oracle=None)
+def s_drop_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 overflow accounting: replay the stream into one BoundedBuffer
+    per policy (capacity 600, flush 400/tick — small enough that the
+    sf0.01 chunks overflow) and report written/dropped/rejected/flushed
+    per policy, plus a TOO_BIG probe."""
+    work = _workdir(sf_dir, "drop")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema).select("event_id")
+
+    buffers = {p: BoundedBuffer(max_size=600, on_full=p) for p in POLICIES}
+    results: dict[str, list[str]] = {p: [] for p in POLICIES}
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        ids = [r.event_id for r in df.orderBy("event_id").collect()]
+        for p, buf in buffers.items():
+            # sub-batch to stay under TOO_BIG, like the reference client
+            # batcher splitting large writes (client/batcher.go:51-113)
+            for i in range(0, len(ids), 500):
+                results[p].append(buf.write_batch(ids[i : i + 500]).value)
+            buf.flush_batch(400)  # one flush tick per micro-batch (D9)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(stream.writeStream.foreachBatch(sink), ckpt)
+
+    rows = []
+    for p, buf in sorted(buffers.items()):
+        too_big = buf.write_batch(list(range(1000)))  # TOO_BIG probe
+        s = buf.stats
+        rows.append(
+            (
+                p,
+                s.written,
+                s.dropped_oldest,
+                s.dropped_newest,
+                s.rejected_full,
+                s.rejected_too_big,
+                s.flushed,
+                len(buf),
+                too_big.value,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "policy string, written bigint, dropped_oldest bigint, "
+            "dropped_newest bigint, rejected_full bigint, rejected_too_big bigint, "
+            "flushed bigint, remaining bigint, too_big_result string"
+        ),
+    )
+
+
+@register("s_late_data", oracle=None)
+def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts in append mode: rows arriving
+    behind the 1-hour watermark are dropped — the event-time analog of
+    the reference's lossy buffer (SURVEY.md §2.D Group S)."""
+    work = _workdir(sf_dir, "late")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "n_events")
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        collected.extend(df.collect())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(agg.writeStream.outputMode("append").foreachBatch(sink), ckpt)
+
+    if not collected:
+        return spark.createDataFrame([], schema="hour_start timestamp, n_events bigint")
+    return spark.createDataFrame(collected).orderBy("hour_start")
+
+
+@register("s_proto_roundtrip", oracle=None)
+def s_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D6 round-trip: fixture rows -> protobuf wire bytes (client
+    side, client/client.go:148-156) -> varint-framed batch -> stream
+    decode + transcode -> compare against the directly-built frame."""
+    from bristle_spark.ingest import pipeline, wire
+    from bristle_spark.ingest.fixtures import encode_example_row, example_binding
+
+    binding = example_binding()
+    n = 100
+    bodies = [
+        encode_example_row(
+            name=f"doc{i}",
+            type_code=i % 3,
+            ts=(1_700_000_000 + i * 60, (i * 1000) % 1_000_000_000),
+            value=None if i % 5 == 0 else i * 11,
+            tags={f"k{j}": str(i + j) for j in range(i % 3)},
+            labels=[f"l{j}" for j in range(i % 4)],
+        )
+        for i in range(n)
+    ]
+    framed = wire.join_frames(bodies)
+    batches = spark.createDataFrame(
+        [(binding.message_name, bytearray(framed))],
+        schema=T.StructType(
+            [T.StructField("type", T.StringType()), T.StructField("data", T.BinaryType())]
+        ),
+    )
+    decoded = pipeline.ingest(pipeline.explode_frames(batches), binding)
+    ok = decoded.select(
+        "name",
+        "type",
+        "timestamp",
+        "value",
+        F.col("`tags.key`").alias("tag_keys"),
+        F.col("`tags.value`").alias("tag_values"),
+        "labels",
+    ).orderBy("name")
+    return ok

@@ -1,0 +1,123 @@
+"""Streaming semantics: bounded-buffer policies (unit), micro-batch
+flush, late data, proto round-trip (via the Group S queries)."""
+
+from __future__ import annotations
+
+import datetime
+
+from bristle_spark.registry import all_specs
+from bristle_spark.streaming.buffer import BatchResult, BoundedBuffer
+
+SPECS = all_specs()
+
+
+# ---------------------------------------------- BoundedBuffer unit tests
+
+
+def test_buffer_too_big():
+    buf = BoundedBuffer(max_size=10)
+    assert buf.write_batch(list(range(11))) == BatchResult.TOO_BIG
+    assert len(buf) == 0 and buf.stats.rejected_too_big == 11
+
+
+def test_buffer_block_policy():
+    buf = BoundedBuffer(max_size=10, on_full="block")
+    assert buf.write_batch(list(range(8))) == BatchResult.OK
+    assert buf.write_batch(list(range(5))) == BatchResult.FULL
+    assert len(buf) == 8 and buf.stats.rejected_full == 5
+
+
+def test_buffer_drop_oldest():
+    buf = BoundedBuffer(max_size=10, on_full="drop-oldest")
+    buf.write_batch(list(range(8)))
+    assert buf.write_batch([100, 101, 102, 103]) == BatchResult.OK
+    # 2 oldest evicted; buffer = [2..7, 100..103]
+    assert buf.rows == [2, 3, 4, 5, 6, 7, 100, 101, 102, 103]
+    assert buf.stats.dropped_oldest == 2
+
+
+def test_buffer_drop_newest_keeps_incoming_head():
+    """Intended semantics: the *newest* rows of the incoming batch are
+    dropped (the reference instead drops the batch's oldest rows —
+    SURVEY.md §8.6, memory_row_buffer.go:78-80 — a bug we don't copy)."""
+    buf = BoundedBuffer(max_size=10, on_full="drop-newest")
+    buf.write_batch(list(range(8)))
+    assert buf.write_batch([100, 101, 102, 103]) == BatchResult.OK
+    assert buf.rows == [0, 1, 2, 3, 4, 5, 6, 7, 100, 101]
+    assert buf.stats.dropped_newest == 2
+
+
+def test_buffer_fifo_flush():
+    buf = BoundedBuffer(max_size=10)
+    buf.write_batch(list(range(7)))
+    assert buf.flush_batch(3) == [0, 1, 2]
+    assert buf.flush_batch(100) == [3, 4, 5, 6]
+    assert buf.flush_batch(5) == []
+    assert buf.stats.flushed == 7
+
+
+# ----------------------------------------------- Group S query behavior
+
+
+def test_s_microbatch_flush(spark, sf_dir):
+    out = SPECS["s_microbatch_flush"].fn(spark, sf_dir).collect()
+    assert len(out) >= 2  # multiple micro-batches happened
+    assert all(r["within_limit"] == 1 for r in out)
+    assert all(r["total_rows_ok"] == 1 for r in out)  # lossless: all rows landed
+
+
+def test_s_drop_policies(spark, sf_dir):
+    rows = {r["policy"]: r for r in SPECS["s_drop_policies"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"drop-oldest", "drop-newest", "block"}
+    for r in rows.values():
+        assert r["too_big_result"] == "TOO_BIG"
+        assert r["written"] + r["rejected_full"] + r["dropped_oldest"] + r["dropped_newest"] > 0
+    assert rows["block"]["dropped_oldest"] == 0 and rows["block"]["dropped_newest"] == 0
+    assert rows["drop-oldest"]["rejected_full"] == 0
+    assert rows["drop-newest"]["rejected_full"] == 0
+
+
+def test_s_late_data_drops_behind_watermark(spark, sf_dir):
+    out = SPECS["s_late_data"].fn(spark, sf_dir)
+    rows = out.collect()
+    # append-mode emission: only windows finalized by the watermark appear
+    assert out.columns == ["hour_start", "n_events"]
+    assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_s_proto_roundtrip_matches_source(spark, sf_dir):
+    rows = SPECS["s_proto_roundtrip"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    by_name = {r["name"]: r for r in rows}
+    r7 = by_name["doc7"]
+    assert r7["type"] == 1  # 7 % 3
+    assert r7["value"] == 77
+    assert r7["tag_keys"] == ["k0"]
+    assert r7["labels"] == ["l0", "l1", "l2"]
+    r0 = by_name["doc0"]
+    assert r0["value"] is None  # i % 5 == 0 -> unset -> NULL (S1)
+    assert r0["timestamp"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    df1 = SPECS["m_binary_features"].fn(spark, sf_dir).limit(5).collect()
+    df2 = SPECS["m_binary_features"].fn(spark, sf_dir).limit(5).collect()
+    assert df1 == df2
+    r = df1[0]
+    assert r["n_bytes"] == 256
+    assert sum(r["byte_hist"]) == 256 and len(r["byte_hist"]) == 16
+
+
+def test_multimodal_pil_stub_raises(spark, sf_dir):
+    import pytest
+
+    from bristle_spark import multimodal
+    from bristle_spark.catalog import load_table
+
+    d = multimodal.attach_fake_payload(load_table(spark, sf_dir, "documents").limit(2))
+    feats = multimodal.extract_features(d, decode_backend="pil")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        feats.collect()
