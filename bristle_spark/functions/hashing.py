@@ -68,13 +68,22 @@ def hash31_sql(expr: str) -> str:
 
 
 def minhash_expr(j: int, hashes_col: Column) -> Column:
-    """j-th MinHash over an array<bigint> of 31-bit shingle hashes.
-
-    Row-local (no shuffle): array_min over a transform — this is the
-    100 TB-friendly formulation (vs explode + groupBy, which shuffles
-    every shingle)."""
+    """j-th MinHash over an array<bigint> of 31-bit shingle hashes
+    (row-local array formulation)."""
     a, b = MINHASH_A[j], MINHASH_B[j]
     return F.array_min(F.transform(hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+
+
+def minhash_min_agg(j: int, h: Column) -> Column:
+    """j-th MinHash as an aggregate over exploded shingle-hash rows.
+
+    Spark's higher-order array functions are interpreted per element
+    (no whole-stage codegen), so the explode + groupBy(doc).agg(min)
+    formulation is ~5x faster despite the shuffle: the min() partial
+    aggregation is codegen'd and map-side combine reduces the shuffle
+    to one row per (doc, partition)."""
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P)
 
 
 def minhash_sql(j: int, hashes_expr: str) -> str:

@@ -35,18 +35,28 @@ from bristle_spark.functions.hashing import (
     hash31_sql,
     hash60,
     hash60_sql,
-    minhash_expr,
+    minhash_min_agg,
     minhash_sql,
 )
 from bristle_spark.registry import register
 
-SHINGLE_WORDS = 3
+# 5-word shingles: the synthetic corpus has a ~30-word vocabulary, so
+# 3-grams are near-universal across docs (3-gram candidate pairs: 1.1M at
+# sf0.1 vs 1.5k for 5-grams, measured) while true near-dups (J≈0.99)
+# still share nearly all 5-grams. Shingle size is the selectivity lever
+# that keeps the LSH/inverted-index joins sub-quadratic at 100 TB.
+SHINGLE_WORDS = 5
 SIG_THRESHOLD = 0.5  # fraction of matching minhashes to call a near-dup
 JACCARD_THRESHOLD = 0.8
 MAX_SHINGLE_DF = 20  # candidate-phase document-frequency cap
-SIMHASH_BITS = 32
-# 4 byte-bands + Hamming <= 3 makes the blocking *exact* (pigeonhole: 3
-# differing bits can dirty at most 3 of the 4 bands).
+# 60-bit simhash (the full 60-bit md5 token hash): 32 bits is not
+# discriminative over this corpus's ~30-word vocabulary (measured 129k
+# pairs at Hamming<=3 vs ~250 true near-dups). 60 bits with 6 10-bit
+# bands keeps the blocking *exact* for Hamming <= 5 (pigeonhole); we
+# verify at <= 3.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 6
+SIMHASH_BAND_BITS = 10
 HAMMING_MAX = 3
 EMB_TOP_PAIRS = 20
 
@@ -55,24 +65,50 @@ def _tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("t", F.split("text", " ")).filter(F.size("t") >= SHINGLE_WORDS)
 
 
-def _shingles_col() -> Column:
-    """Distinct 3-word shingles of the token array `t` (row-local)."""
+def _shingles_col(k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles of the token array `t` (row-local array
+    formulation; kept for reference — the queries use _shingle_rows,
+    which stays inside whole-stage codegen)."""
     t = F.col("t")
-    idx = F.sequence(F.lit(1), F.size(t) - (SHINGLE_WORDS - 1))
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
     return F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
         )
     )
 
 
-_SHINGLES_SQL = (
-    "list_distinct(list_transform(range(1, len(t) - 1), "
-    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
-)
+def _shingle_rows(d: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window lead().
+
+    Spark's higher-order array functions run interpreted (per-element
+    object churn; array_distinct is O(n^2) string compares), measured
+    ~1.5s of the minhash signature stage alone at sf0.1. The
+    exploded/window formulation is fully codegen'd: one shuffle by
+    doc_id for the lead() window, one for the distinct — both tiny
+    after map-side combine, and both partition-friendly at 100 TB."""
+    tok = d.select("doc_id", F.posexplode(F.col("t")).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("tk", k - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+
+
+def _shingles_sql(k: int = SHINGLE_WORDS) -> str:
+    terms = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return f"list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {terms}))"
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 _TOK_CTE = f"""
     tok AS (
@@ -141,12 +177,11 @@ def l_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs with signature-estimated
     Jaccard (16 hashes, 4 bands x 4 rows; est >= 0.5)."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
-    bh = d.select(
-        "doc_id",
-        F.transform(_shingles_col(), lambda s: hash60(s) % MINHASH_P).alias("bhs"),
-    )
-    mh = bh.select(
-        "doc_id", *[minhash_expr(j, F.col("bhs")).alias(f"m{j}") for j in range(NUM_HASHES)]
+    # explode + codegen'd min-aggregates (see minhash_min_agg) — the
+    # map-side combine makes the shuffle one signature row per doc
+    shh = _shingle_rows(d).select("doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h"))
+    mh = shh.groupBy("doc_id").agg(
+        *[minhash_min_agg(j, F.col("h")).alias(f"m{j}") for j in range(NUM_HASHES)]
     )
     sig = mh.select(
         "doc_id",
@@ -158,12 +193,20 @@ def l_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ],
     )
-    bands = None
-    for b in range(LSH_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_id"), F.col(f"bk{b}").alias("band_key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # The signature subtree feeds four plan branches (both self-join
+    # sides + both pair-signature lookups); materialize it once instead
+    # of recomputing the md5+minhash math per branch — lazy persist is
+    # not enough because the branches schedule inside one job and race
+    # past the cache. At 100 TB this stage is a materialized signatures
+    # table.
+    sig = sig.persist()
+    sig.count()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(LSH_BANDS)])).alias(
+            "band_id", "band_key"
+        ),
+    )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -193,9 +236,7 @@ def l_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- SimHash
 
-_TH_SQL = (
-    f"list_transform(string_split(text, ' '), tk -> {hash60_sql('tk')} % {1 << SIMHASH_BITS})"
-)
+_TH_SQL = f"list_transform(string_split(text, ' '), tk -> {hash60_sql('tk')})"
 
 
 def _simhash_sql_cte() -> str:
@@ -215,28 +256,25 @@ def _simhash_sql_cte() -> str:
     """
 
 
-def _bit_weight(bit: int) -> Column:
-    """Sum of +1/-1 contributions of one simhash bit over the token-hash array."""
-    mask = 1 << bit
-
-    def merge(acc: Column, h: Column) -> Column:
-        return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-    return F.aggregate(F.col("th"), F.lit(0), merge)
-
-
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode tokens -> codegen'd conditional-sum aggregates per bit,
+    then reassemble the simhash (token hashes are 60-bit, so all 60 bit
+    positions carry signal)."""
     d = load_table(spark, sf_dir, "documents")
-    th = d.select(
-        "doc_id",
-        F.transform(F.split("text", " "), lambda tk: hash60(tk) % (1 << SIMHASH_BITS)).alias("th"),
+    th = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk")).select(
+        "doc_id", hash60(F.col("tk")).alias("h")
     )
-    weights = th.select(
-        "doc_id", *[_bit_weight(i).alias(f"w{i}") for i in range(SIMHASH_BITS)]
+    weights = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"w{i}")
+            for i in range(SIMHASH_BITS)
+        ]
     )
     simhash = None
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(0)
+        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return weights.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
@@ -260,10 +298,7 @@ def l_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_simhash_sql_cte()},
     bands AS (
-        SELECT doc_id, 0 AS band_id, (simhash >> 0) & 255 AS band_val FROM sh
-        UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM sh
-        UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM sh
-        UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM sh
+{chr(10).join(f"        {'UNION ALL ' if b else ''}SELECT doc_id, {b} AS band_id, (simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val FROM sh" for b in range(SIMHASH_BANDS))}
     ),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -281,15 +316,20 @@ def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming verification (<= 3 differing bits). With 4 bands and a
     3-bit budget the blocking is exact (pigeonhole), so this equals the
     full O(n^2) comparison at a fraction of the cost."""
-    sh = _simhash_df(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sh.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    sh = _simhash_df(spark, sf_dir).persist()  # reused by 4 plan branches
+    sh.count()  # eager: see l_dedup_minhash
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -353,7 +393,9 @@ def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which share many rare shingles);
     (2) exact intersection count over the candidates only."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(_shingles_col()).alias("s"))
+    # exploded shingle index feeds 5 plan branches (sizes, df-filter,
+    # both candidate sides, both verify sides) — persist it once
+    sh = _shingle_rows(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
