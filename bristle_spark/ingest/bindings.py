@@ -34,10 +34,15 @@ class FieldSpec:
     kind: str  # wire.py kind, or "map:<kk>:<vk>"
     repeated: bool = False
     column: str | None = None  # bristle_column rename; default: field name
+    json_name: str | None = None  # protojson alias (reference examples/binance.proto)
 
     @property
     def column_name(self) -> str:
         return self.column or self.name
+
+    @property
+    def json_key(self) -> str:
+        return self.json_name or self.name
 
     @property
     def is_map(self) -> bool:

@@ -1,0 +1,53 @@
+"""Physical-plan introspection helpers: the tooling behind the
+"explain and iterate" discipline — pushed filters, join strategies,
+exchange counts — used by tests/test_plans.py to pin the plan shapes
+that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters bodies, one string per scan (filters like
+    ``In(col, [a,b])`` contain nested brackets/commas, so no splitting)."""
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PushedFilters: \[(.*)\]", plan_string(df))
+        if m.group(1).strip()
+    ]
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^\n]*>)", plan_string(df))
+
+
+def node_count(df: DataFrame, node: str) -> int:
+    return len(re.findall(rf"\b{re.escape(node)}\b", plan_string(df, "simple")))
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    return node_count(df, node) > 0
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
+    simple = plan_string(df, "simple")
+    return len(re.findall(r"\bExchange (?!SinglePartition)", simple)) - len(
+        re.findall(r"\bBroadcastExchange\b", simple)
+    )
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))

@@ -8,6 +8,7 @@ from importlib import import_module
 
 _MODULES = (
     "relational",
+    "analytic",
     "transcode_q",
     "llm",
     "dedup",

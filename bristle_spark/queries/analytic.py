@@ -1,0 +1,285 @@
+"""Group R extensions — the remaining ClickHouse-side analytic surface:
+CUBE / GROUPING SETS, lag/lead/first/ntile windows, exact percentiles,
+scalar subqueries, as-of join (ClickHouse ASOF JOIN analog), gap-based
+sessionization, full-outer and cross joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table, register_views
+from bristle_spark.registry import register
+
+
+@register(
+    "r_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*)                   AS n,
+           round(sum(l_quantity), 2)  AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def r_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping with grouping_id disambiguation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "r_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*)                        AS n,
+           round(sum(l_extendedprice), 2)  AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def r_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via the SQL API over registered views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*)                       AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "r_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def r_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/ntile over a fully-ordered per-customer window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "r_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)   AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6)   AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6)  AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics in both
+    engines). At 100 TB the approx_percentile sketch replaces this; the
+    exact form is the correctness baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "r_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+    """,
+)
+def r_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (threshold rounded to 2 decimals so
+    the fp-order-sensitive avg can't flip boundary rows across engines)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+        """
+    )
+
+
+@register(
+    "r_asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, event_type
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               max(CASE WHEN event_type = 'purchase' THEN ts_s END) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_purchase_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts_s, last_purchase_ts
+    FROM w WHERE event_type = 'click'
+    """,
+)
+def r_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ClickHouse ASOF JOIN analog): each click is joined to
+    the most recent *prior* purchase of the same user. Expressed as a
+    running conditional max over an ordered window — a single shuffle on
+    user_id, no range-join blowup, which is exactly how an as-of join
+    should scale."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase_ts",
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts_s"))).over(w),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_s", "last_purchase_ts")
+    )
+
+
+@register(
+    "l_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                         OR epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    s AS (
+        SELECT *,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM d
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(ts_s) AS session_start,
+           max(ts_s) AS session_end,
+           CAST(epoch(max(ts_s)) - epoch(min(ts_s)) AS BIGINT) AS duration_s
+    FROM s
+    GROUP BY user_id, session_idx
+    """,
+)
+def l_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): new-session
+    flags via lag, session ids via running sum — the batch twin of
+    Structured Streaming's session_window, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    ow = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(ow)
+    d = e.withColumn(
+        "is_new",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("ts_s") - F.unix_timestamp(prev) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    run = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = d.withColumn("session_idx", F.sum("is_new").over(run).cast("bigint"))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        (F.unix_timestamp(F.max("ts_s")) - F.unix_timestamp(F.min("ts_s")))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "r_join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0)  AS n_cust,
+           coalesce(n_supp, 0)  AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def r_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "r_cross_join",
+    oracle="""
+    SELECT r.r_name, seg.c_mktsegment
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def r_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small sides (broadcast NLJ)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(F.broadcast(seg))

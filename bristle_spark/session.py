@@ -45,6 +45,10 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        # protojson field aliases are case-distinct (e/E, t/T, m/M in the
+        # binance feed, reference examples/binance.proto:6-18); default
+        # case-insensitive resolution cannot address them
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

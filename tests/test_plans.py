@@ -1,0 +1,66 @@
+"""Plan-shape pins: the physical properties that matter at 100 TB,
+asserted so a regression (lost pushdown, surprise shuffle, dropped
+broadcast) fails CI rather than an at-scale run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bristle_spark import plans
+from bristle_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_filter_predicates_pushed_to_scan(spark, sf_dir):
+    df = SPECS["r_filter_predicates"].fn(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("In(o_orderstatus" in p for p in pushed)
+    assert any("GreaterThanOrEqual(o_totalprice" in p for p in pushed)
+    assert any("StringStartsWith(o_orderpriority" in p for p in pushed)
+
+
+def test_hash_agg_prunes_columns_and_pushes_filter(spark, sf_dir):
+    df = SPECS["r_hash_agg"].fn(spark, sf_dir)
+    assert any("LessThanOrEqual(l_shipdate" in p for p in plans.pushed_filters(df))
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    # 7 needed columns, not all 11
+    assert schemas[0].count(":") == 7 and "l_orderkey" not in schemas[0]
+    # partial (map-side) + final aggregation
+    assert plans.node_count(df, "HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("r_join_broadcast", "r_join_inner", "r_join_multi"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert plans.has_node(df, "BroadcastHashJoin"), name
+        assert not plans.has_node(df, "SortMergeJoin"), name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = SPECS["r_sort_limit_topk"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+
+
+def test_project_rename_is_scan_only(spark, sf_dir):
+    df = SPECS["t_project_rename"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    from bristle_spark.plans.bucketing import bucketed_join_demo
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed, unbucketed = bucketed_join_demo(spark, sf_dir)
+        assert plans.has_node(bucketed, "SortMergeJoin")
+        assert plans.exchange_count(bucketed) == 0  # bucket-local merge join
+        assert plans.exchange_count(unbucketed) >= 2  # both sides shuffle
+        assert bucketed.count() == unbucketed.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
