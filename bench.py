@@ -28,8 +28,12 @@ HEADLINE = [
     "r_window_rank",
     "r_window_running",
     "r_rollup",
+    "r_cube",
     "r_tumbling_window",
     "r_sort_limit_topk",
+    "r_percentiles",
+    "r_asof_join",
+    "l_sessionize",
     # transcode
     "t_cast_int_widths",
     "t_map_to_arrays",
@@ -69,9 +73,15 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two runs: the first pays one-time codegen/JIT compilation
+        # of the plan's generated classes (irrelevant at real scale and
+        # very noisy locally); the min reflects steady-state execution
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf_label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")

@@ -156,6 +156,40 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected).orderBy("hour_start")
 
 
+@register("s_stateful_totals", oracle=None)
+def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, value-total) state across micro-batches; the final
+    emission per user equals the batch aggregate (tested)."""
+    from bristle_spark.streaming.stateful import running_user_totals
+
+    work = _workdir(sf_dir, "stateful")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    totals = running_user_totals(stream)
+
+    emissions: list = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        for r in df.collect():
+            emissions.append((batch_id, r["user_id"], r["n_events"], r["total_value"]))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(totals.writeStream.outputMode("update").foreachBatch(sink), ckpt)
+
+    latest: dict[int, tuple] = {}
+    for batch_id, user_id, n, total in sorted(emissions):
+        latest[user_id] = (user_id, n, float(total))
+    if not latest:
+        return spark.createDataFrame(
+            [], schema="user_id bigint, n_events bigint, total_value double"
+        )
+    return spark.createDataFrame(
+        sorted(latest.values()), schema="user_id bigint, n_events bigint, total_value double"
+    ).orderBy("user_id")
+
+
 @register("s_proto_roundtrip", oracle=None)
 def s_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4/D6 round-trip: fixture rows -> protobuf wire bytes (client
