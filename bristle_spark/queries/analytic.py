@@ -238,6 +238,94 @@ def l_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "r_pivot",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           {", ".join(f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s}" for s in ("F", "O", "P"))},
+           {", ".join(f"round(sum(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0 END), 2) AS total_{s}" for s in ("F", "O", "P"))}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def r_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with a fixed value list — fixed values
+    keep the output schema static, which is also what lets Spark skip
+    the extra distinct-values job at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("y"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total"),
+        )
+    )
+    # spark names pivot columns "<value>_<agg>"; align with the oracle
+    out = pivoted.select(
+        "y",
+        *[F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s}") for s in ("F", "O", "P")],
+        *[
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"total_{s}")
+            for s in ("F", "O", "P")
+        ],
+    )
+    return out
+
+
+@register(
+    "r_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                    AS n,
+           CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           round(sum(CASE WHEN value > 100.0 THEN value ELSE 0 END), 2)   AS sum_large,
+           round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 6)        AS avg_even_users,
+           CAST(count(DISTINCT CASE WHEN value > 100.0 THEN user_id END) AS BIGINT) AS users_large
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — the ClickHouse -If combinator family
+    (countIf/sumIf/avgIf/uniqExactIf) as filtered expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    large = F.col("value") > 100.0
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(large, 1).otherwise(0)).cast("bigint").alias("n_large"),
+        F.round(F.sum(F.when(large, F.col("value")).otherwise(0.0)), 2).alias("sum_large"),
+        F.round(
+            F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 6
+        ).alias("avg_even_users"),
+        F.countDistinct(F.when(large, F.col("user_id"))).cast("bigint").alias("users_large"),
+    )
+
+
+@register(
+    "r_agg_collect",
+    oracle="""
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id % 50)) AS user_buckets,
+           CAST(len(list(DISTINCT user_id % 50)) AS BIGINT) AS n_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collecting aggregate (groupArray/groupUniqArray analog),
+    sorted for deterministic comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 50).alias("b")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set(bucket)).alias("user_buckets"),
+        F.size(F.collect_set(bucket)).cast("bigint").alias("n_buckets"),
+    )
+
+
 @register(
     "r_join_full",
     oracle="""
