@@ -1,0 +1,68 @@
+"""Ingest-path throughput: decode (wire codec, Arrow-batched) +
+transcode (Catalyst) over synthetic finnhub trades.
+
+The reference's implied design point is ~100k rows/s/table sustained
+(MaxBatchSize 100k x 1 Hz flush — BASELINE.md). This measures the
+engine's equivalent hot path. Prints one JSON line.
+
+Run: python bench_ingest.py  [N_ROWS]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+
+    from pyspark.sql import types as T
+
+    from bristle_spark.ingest import pipeline, wire
+    from bristle_spark.ingest.fixtures import finnhub_binding
+    from bristle_spark.session import get_spark
+
+    spark = get_spark(app_name="bristle-spark-bench-ingest")
+    binding = finnhub_binding()
+    bodies = [
+        wire.encode_message(
+            [
+                (1, "string", f"SYM{i % 100}", False),
+                (2, "double", float(i) * 0.01, False),
+                (3, "uint64", 1_700_000_000_000 + i, False),
+                (4, "double", float(i % 1000), False),
+                (5, "string", ["1", "2"], True),
+            ]
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(binding.message_name, b) for b in bodies],
+        schema=T.StructType(
+            [T.StructField("type", T.StringType()), T.StructField("body", T.BinaryType())]
+        ),
+    ).repartition(32).cache()
+    df.count()
+
+    best = 0.0
+    for _ in range(3):  # first run pays Python-worker startup
+        t0 = time.perf_counter()
+        assert pipeline.ingest(df, binding).count() == n
+        best = max(best, n / (time.perf_counter() - t0))
+    print(
+        json.dumps(
+            {
+                "metric": "ingest_decode_transcode_throughput",
+                "value": round(best),
+                "unit": "rows/s",
+                "rows": n,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,46 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected).orderBy("hour_start")
 
 
+@register("s_stream_dedup", oracle=None)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup: every source file is duplicated, so
+    each event arrives twice in different micro-batches;
+    dropDuplicates("event_id") holds seen-keys in the state store and
+    emits each event exactly once. (At 100 TB use
+    dropDuplicatesWithinWatermark so state is bounded by the lateness
+    horizon instead of growing forever.)"""
+    import glob
+    import shutil
+
+    work = _workdir(sf_dir, "dedup")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    base_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    dup_dir = os.path.join(work, "dup_chunks")
+    if not os.path.exists(os.path.join(dup_dir, "_done")):
+        os.makedirs(dup_dir, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet"))):
+            stem = os.path.basename(f).removesuffix(".parquet")
+            shutil.copy(f, os.path.join(dup_dir, f"{stem}_a.parquet"))
+            shutil.copy(f, os.path.join(dup_dir, f"{stem}_b.parquet"))
+        open(os.path.join(dup_dir, "_done"), "w").close()
+
+    stream = events_file_stream(spark, dup_dir, ev_schema).dropDuplicates(["event_id"])
+    batches: list[tuple[int, int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, df.count()))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(stream.writeStream.outputMode("update").foreachBatch(sink), ckpt)
+
+    total_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    kept = sum(n for _, n in batches)
+    return spark.createDataFrame(
+        [(len(batches), kept, total_distinct, int(kept == total_distinct))],
+        schema="n_batches bigint, rows_kept bigint, distinct_events bigint, exactly_once int",
+    )
+
+
 @register("s_stateful_totals", oracle=None)
 def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
