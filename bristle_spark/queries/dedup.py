@@ -134,10 +134,9 @@ _BANDS_UNION_SQL = "\n        UNION ALL\n".join(
 )
 
 
-@register(
-    "l_dedup_minhash",
-    oracle=f"""
-    WITH {_TOK_CTE},
+# the full minhash pipeline as composable CTE text: reused by the
+# l_dedup_minhash oracle and by l_dedup_clusters' recursive oracle
+_MINHASH_CTES = f"""{_TOK_CTE},
     bh AS (
         SELECT doc_id,
                list_transform({_SHINGLES_SQL}, s -> {hash31_sql("s")}) AS bhs
@@ -168,11 +167,20 @@ _BANDS_UNION_SQL = "\n        UNION ALL\n".join(
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.doc_a
         JOIN sig sb ON sb.doc_id = c.doc_b
-    )
+    ),
+    near_pairs AS (
+        SELECT doc_a, doc_b, sig_matches FROM scored
+        WHERE sig_matches / {NUM_HASHES}.0 >= {SIG_THRESHOLD}
+    )"""
+
+
+@register(
+    "l_dedup_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT doc_a, doc_b, CAST(sig_matches AS BIGINT) AS sig_matches,
            round(sig_matches / {NUM_HASHES}.0, 6) AS est_jaccard
-    FROM scored
-    WHERE sig_matches / {NUM_HASHES}.0 >= {SIG_THRESHOLD}
+    FROM near_pairs
     """,
 )
 def l_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,4 +492,76 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", "cos_sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= EMB_TOP_PAIRS)
         .drop("rn")
+    )
+
+
+# ------------------------------------------- dedup clusters (iterative)
+
+
+@register(
+    "l_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM nodes
+        UNION
+        SELECT e.dst AS doc, r.root
+        FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY doc
+    """,
+)
+def l_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    near-pair graph via iterative min-label propagation — the canonical
+    non-SQL-expressible *iterative* algorithm, done Spark-first: a
+    driver loop of joins with localCheckpoint() each round to truncate
+    lineage (without it the plan doubles per iteration), converging in
+    O(component diameter) rounds. cluster_id = min doc_id reachable.
+    The DuckDB oracle is a recursive transitive-closure CTE — feasible
+    at oracle scale, not at 100 TB, which is exactly why the engine
+    side iterates."""
+    pairs = l_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    edges.count()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "doc", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )

@@ -212,6 +212,74 @@ def t_map_to_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_decimal_math",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38, 8))) AS VARCHAR) AS sum_exact,
+           CAST(sum(CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(38, 8))) AS VARCHAR)      AS sum_disc_exact,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def t_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal(38,8) exact aggregation — the binance sink's money type
+    (reference examples/binance.sql:6-7). Doubles are routed through
+    their shortest decimal string before the DECIMAL cast (both engines
+    print doubles shortest-roundtrip, so the decimals are identical),
+    then summed exactly; output as strings because neither engine's
+    pandas bridge carries DECIMAL losslessly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("string").cast("decimal(38,8)")
+    disc_dec = F.col("l_discount").cast("string").cast("decimal(38,8)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price_dec).cast("string").alias("sum_exact"),
+        F.sum(disc_dec).cast("string").alias("sum_disc_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "t_null_semantics",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               nullif(event_type, 'error') AS etype_n,
+               CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS uid_n
+        FROM events
+    )
+    SELECT count(*)          AS n_rows,
+           count(etype_n)    AS n_etype,          -- count(col) skips NULLs
+           count(uid_n)      AS n_uid,
+           CAST(sum(CASE WHEN etype_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_etype,
+           CAST(sum(CASE WHEN uid_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+           count(DISTINCT etype_n) AS n_distinct_etype  -- NULL excluded
+    FROM e
+    """,
+)
+def t_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics: count(col) vs count(*), null-safe
+    equality (<=> / IS NOT DISTINCT FROM), NULL exclusion from
+    count(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.nullif("event_type", F.lit("error")).alias("etype_n"),
+        F.when(F.col("user_id") % 5 == 0, None).otherwise(F.col("user_id")).alias("uid_n"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("etype_n").alias("n_etype"),
+        F.count("uid_n").alias("n_uid"),
+        F.sum(F.when(F.col("etype_n").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_etype"),
+        F.sum(F.when(F.col("uid_n").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe"),
+        F.countDistinct("etype_n").alias("n_distinct_etype"),
+    )
+
+
+@register(
     "t_array_ops",
     oracle="""
     SELECT vec_id,
