@@ -156,6 +156,43 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected).orderBy("hour_start")
 
 
+@register("s_session_window", oracle=None)
+def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) with watermark —
+    the streaming twin of the batch l_sessionize query. Sessions close
+    when the watermark passes their gap; append mode emits only
+    finalized sessions."""
+    work = _workdir(sf_dir, "sessionw")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        collected.extend(df.collect())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(agg.writeStream.outputMode("append").foreachBatch(sink), ckpt)
+
+    if not collected:
+        return spark.createDataFrame(
+            [],
+            schema="user_id bigint, session_start timestamp, session_end timestamp, n_events bigint",
+        )
+    return spark.createDataFrame(collected).orderBy("user_id", "session_start")
+
+
 @register("s_stream_dedup", oracle=None)
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch streaming dedup: every source file is duplicated, so

@@ -182,6 +182,46 @@ def l_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "l_chunk_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT)         AS chunk_idx,
+           array_to_string(t[s : s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           CAST(len(t[s : s + {CHUNK_TOKENS - 1}]) AS BIGINT)  AS n_tokens
+    FROM starts
+    """,
+)
+def l_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24 —
+    the overlap-chunking a training pipeline feeds to tokenizers).
+    Row-local: chunk starts come from sequence(), chunks from slice();
+    output rows ≈ tokens/stride per doc, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    chunks = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_STRIDE))).alias("s"),
+    )
+    sliced = F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+        F.size(sliced).cast("bigint").alias("n_tokens"),
+    )
+
+
 def _rolling_fp(th: Column) -> Column:
     """Polynomial rolling hash (Karp–Rabin) over token hashes, mod p."""
     return F.aggregate(

@@ -49,6 +49,29 @@ def test_project_rename_is_scan_only(spark, sf_dir):
     assert plans.exchange_count(df) == 0
 
 
+def test_day_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    """The sink's partition-by-day layout (reference MergeTree
+    PARTITION BY parity) must turn date predicates into partition
+    pruning — at 100 TB this is the difference between scanning one
+    day and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from bristle_spark.catalog import load_table
+    from bristle_spark.ingest.pipeline import write_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "events_sink")
+    write_sink(ev, dest, ts_column="ts", order_by=["ts"], mode="overwrite")
+    back = spark.read.parquet(dest)
+    n_days = back.select("_day").distinct().count()
+    assert n_days > 1
+    one_day = back.filter(F.col("_day") == back.select(F.min("_day")).collect()[0][0])
+    plan = plans.plan_string(one_day)
+    # partition filter present and scan limited to one partition dir
+    assert "PartitionFilters: [isnotnull(_day" in plan
+    assert one_day.count() > 0
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     from bristle_spark.plans.bucketing import bucketed_join_demo
