@@ -44,8 +44,12 @@ HEADLINE = [
     "l_dedup_simhash",
     "l_dedup_ngram_jaccard",
     "l_dedup_embedding",
+    "l_dedup_clusters",
     "l_similarity_cosine",
     "l_ann_ivf",
+    "l_chunk_documents",
+    "r_pivot",
+    "r_conditional_agg",
     "l_text_stats",
     "l_lang_id",
     "l_quality_score",

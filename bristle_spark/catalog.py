@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from bristle_spark.session import ensure_session_confs
+
 TABLES = (
     "region",
     "nation",
@@ -31,6 +33,7 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)  # the driver's session may lack them
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # int64 nanoseconds -> µs-precision timestamp (floor; ts > 0)

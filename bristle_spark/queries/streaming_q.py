@@ -30,9 +30,12 @@ from bristle_spark.streaming.source import events_file_stream, split_events_file
 MAX_BATCH_SIZE = 5000  # reference MaxBatchSize analog (config.go:88)
 
 
+_LAYOUT_VERSION = "v2"  # bump to invalidate cached chunk dirs in /tmp
+
+
 def _workdir(sf_dir: str, tag: str) -> str:
     sf = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(tempfile.gettempdir(), "bristle_spark_stream", sf, tag)
+    d = os.path.join(tempfile.gettempdir(), "bristle_spark_stream", _LAYOUT_VERSION, sf, tag)
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -210,10 +213,13 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_dir = os.path.join(work, "dup_chunks")
     if not os.path.exists(os.path.join(dup_dir, "_done")):
         os.makedirs(dup_dir, exist_ok=True)
-        for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet"))):
+        base = 1_700_000_000
+        for j, f in enumerate(sorted(glob.glob(os.path.join(base_dir, "*.parquet")))):
             stem = os.path.basename(f).removesuffix(".parquet")
-            shutil.copy(f, os.path.join(dup_dir, f"{stem}_a.parquet"))
-            shutil.copy(f, os.path.join(dup_dir, f"{stem}_b.parquet"))
+            for k, suffix in enumerate(("a", "b")):
+                dst = os.path.join(dup_dir, f"{stem}_{suffix}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (base + 2 * j + k, base + 2 * j + k))
         open(os.path.join(dup_dir, "_done"), "w").close()
 
     stream = events_file_stream(spark, dup_dir, ev_schema).dropDuplicates(["event_id"])

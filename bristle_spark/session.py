@@ -27,6 +27,35 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Semantics-bearing confs that are runtime-settable on any SparkSession.
+# The driver harness supplies its OWN session to entry()/queries(); these
+# must hold there too, or ns-timestamp reads fail and cast/timezone/case
+# semantics drift from the oracle. ensure_session_confs() applies them
+# idempotently wherever the engine touches a session it didn't build.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.caseSensitive": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+_ensured_sessions: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _ensured_sessions:
+        return
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build — best effort
+    _ensured_sessions.add(key)
+
 
 def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -41,9 +41,15 @@ def split_events_files(
     import glob
     import shutil
 
+    base = 1_700_000_000
     for i in range(n_chunks):
         src = glob.glob(os.path.join(data_dir, f"c{i}", "part-*.parquet"))[0]
-        shutil.copy(src, os.path.join(data_dir, f"{i:04d}.parquet"))
+        dst = os.path.join(data_dir, f"{i:04d}.parquet")
+        shutil.copy(src, dst)
+        # strictly increasing mtimes: the file stream source orders by
+        # modification time, and same-ms writes would make micro-batch
+        # composition nondeterministic
+        os.utime(dst, (base + i, base + i))
         shutil.rmtree(os.path.join(data_dir, f"c{i}"))
     open(os.path.join(data_dir, "_done"), "w").close()
     return data_dir
