@@ -1,0 +1,135 @@
+"""Command-line entry points — the operational surface a bristle user
+switches to (reference: the bristle server binary + the
+bristle-forward-json CLI, cmd/bristle-forward-json/main.go:184-219).
+
+    python -m bristle_spark ingest         --config CONFIG --type MSG --input DIR --sink DIR
+    python -m bristle_spark ingest-stream  --config CONFIG --type MSG --input DIR --sink DIR --checkpoint DIR
+    python -m bristle_spark forward-json   --config CONFIG --type MSG --input FILE --sink DIR
+    python -m bristle_spark query          --name r_hash_agg [--sf-dir DIR] [--limit N]
+    python -m bristle_spark list-queries
+
+ingest reads parquet payload files with columns (type string,
+body binary); forward-json reads JSON-lines text (protojson field
+names). Sinks are parquet, day-partitioned when --ts-column is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    from bristle_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from bristle_spark.ingest import pipeline
+    from bristle_spark.ingest.config import registry_from_json
+
+    spark = _spark("bristle-ingest")
+    binding = registry_from_json(args.config).for_type(args.type)
+    payloads = spark.read.parquet(args.input)
+    out = pipeline.ingest(payloads, binding)
+    pipeline.write_sink(out, args.sink, ts_column=args.ts_column, mode="append")
+    n = spark.read.parquet(args.sink).count()
+    print(f"ingested; sink now holds {n} rows", file=sys.stderr)
+    return 0
+
+
+def cmd_ingest_stream(args: argparse.Namespace) -> int:
+    from bristle_spark.ingest.config import registry_from_json
+    from bristle_spark.streaming.ingest_stream import run_stream_ingest
+
+    spark = _spark("bristle-ingest-stream")
+    binding = registry_from_json(args.config).for_type(args.type)
+    n = run_stream_ingest(
+        spark,
+        args.input,
+        binding,
+        args.sink,
+        args.checkpoint,
+        ts_column=args.ts_column,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    print(f"processed {n} micro-batches", file=sys.stderr)
+    return 0
+
+
+def cmd_forward_json(args: argparse.Namespace) -> int:
+    from bristle_spark.ingest.config import registry_from_json
+    from bristle_spark.ingest.json_source import ingest_json_lines
+
+    spark = _spark("bristle-forward-json")
+    binding = registry_from_json(args.config).for_type(args.type)
+    lines = spark.read.text(args.input)
+    out = ingest_json_lines(lines, binding)
+    out.write.mode("append").parquet(args.sink)
+    print(f"forwarded {out.count()} rows", file=sys.stderr)
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from bristle_spark.registry import all_specs
+
+    spark = _spark("bristle-query")
+    spec = all_specs().get(args.name)
+    if spec is None:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    df = spec.fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list_queries(args: argparse.Namespace) -> int:
+    from bristle_spark.registry import all_specs
+
+    for name, spec in sorted(all_specs().items()):
+        kind = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:28s} [{spec.group}/{kind}] {spec.doc.strip().splitlines()[0] if spec.doc else ''}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bristle_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_ingest_common(sp):
+        sp.add_argument("--config", required=True)
+        sp.add_argument("--type", required=True, help="message full name")
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--sink", required=True)
+        sp.add_argument("--ts-column", default=None)
+
+    sp = sub.add_parser("ingest", help="batch payload parquet -> sink")
+    add_ingest_common(sp)
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("ingest-stream", help="checkpointed streaming ingest")
+    add_ingest_common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--max-files-per-trigger", type=int, default=1)
+    sp.set_defaults(fn=cmd_ingest_stream)
+
+    sp = sub.add_parser("forward-json", help="JSON-lines -> sink (D16)")
+    add_ingest_common(sp)
+    sp.set_defaults(fn=cmd_forward_json)
+
+    sp = sub.add_parser("query", help="run a declared query")
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("list-queries", help="list the declared-query registry")
+    sp.set_defaults(fn=cmd_list_queries)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,57 @@
+"""Drive the CLI as a user would (subprocess — the real surface)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+CONFIG = f"{REPO}/examples/config.json"
+
+
+def _run(*args: str, timeout: int = 300) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "bristle_spark", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_list_queries():
+    r = _run("list-queries", timeout=120)
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    assert "r_hash_agg" in out and "l_dedup_minhash" in out and "s_proto_roundtrip" in out
+    assert out.count("\n") >= 60
+
+
+def test_forward_json_end_to_end(tmp_path, spark):
+    lines = [
+        json.dumps(
+            {"s": f"SYM{i}", "p": 1.5 + i, "t": 1_700_000_000_000 + i, "v": 10.0, "c": ["1"]}
+        )
+        for i in range(25)
+    ]
+    src = tmp_path / "trades.jsonl"
+    src.write_text("\n".join(lines))
+    sink = tmp_path / "sink"
+    r = _run(
+        "forward-json",
+        "--config", CONFIG,
+        "--type", "bristle.examples.finnhub.FinnhubTrade",
+        "--input", str(src),
+        "--sink", str(sink),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    back = spark.read.parquet(str(sink))
+    assert back.count() == 25
+    assert back.columns == ["symbol", "price", "trade_time", "volume", "trade_conditions"]
+
+
+def test_cli_unknown_query():
+    r = _run("query", "--name", "nope_not_real", timeout=200)
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
