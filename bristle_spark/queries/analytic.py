@@ -110,6 +110,56 @@ def r_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("r_approx_percentiles", oracle=None)
+def r_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (rows-only: sketch values are
+    engine-specific). This is the 100 TB path — constant memory per
+    group vs the exact percentile's full sort — with r_percentiles as
+    its exact correctness baseline. The QuantileSummaries merge is not
+    layout-invariant, so the input is pinned to one deterministically
+    ordered partition here; at real scale one accepts epsilon-level
+    run-to-run sketch drift instead."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(1).sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "l_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, count(*) AS cnt,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frequency
+    FROM tok
+    GROUP BY token
+    HAVING count(*) * 1.0 / (SELECT n FROM tot) >= 0.05
+    """,
+)
+def l_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with >= 5% corpus frequency. At
+    100 TB a Misra–Gries pass (DataFrame.freqItems) would pre-filter
+    candidates first — but its output is capacity-padded with false
+    positives and layout-sensitive, so the *answer* is always this
+    exact count + threshold, which is also what the oracle checks."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    total = tok.count()
+    freq = F.col("cnt") * 1.0 / total
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(freq >= 0.05)
+        .select("token", "cnt", F.round(freq, 6).alias("frequency"))
+    )
+
+
 @register(
     "r_scalar_subquery",
     oracle="""
