@@ -110,53 +110,63 @@ def r_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("r_approx_percentiles", oracle=None)
-def r_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (rows-only: sketch values are
-    engine-specific). This is the 100 TB path — constant memory per
-    group vs the exact percentile's full sort — with r_percentiles as
-    its exact correctness baseline. The QuantileSummaries merge is not
-    layout-invariant, so the input is pinned to one deterministically
-    ordered partition here; at real scale one accepts epsilon-level
-    run-to-run sketch drift instead."""
-    li = load_table(spark, sf_dir, "lineitem").repartition(1).sortWithinPartitions(
-        "l_orderkey", "l_linenumber"
-    )
-    return li.groupBy("l_returnflag").agg(
+def approx_percentiles(df: DataFrame) -> DataFrame:
+    """The scalable approximate-percentile formulation: constant memory
+    per group, parallel partial sketches. Sketch merges are not
+    layout-invariant, so results carry epsilon-level run-to-run drift —
+    acceptable at 100 TB, not under a hash-comparing correctness gate."""
+    return df.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
+@register("r_approx_percentiles", oracle=None)
+def r_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic declared-query wrapper around approx_percentiles:
+    the input is pinned to one deterministically ordered partition so
+    the QuantileSummaries sketch is reproducible under the driver's
+    hash compare. The pin is gate plumbing, not the scale design — use
+    ``approx_percentiles`` directly for the parallel formulation
+    (r_percentiles is the exact baseline)."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(1).sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )
+    return approx_percentiles(li)
+
+
+HEAVY_HITTER_THRESHOLD = 0.03  # fixture max token frequency is ~3.5%
+
+
 @register(
     "l_heavy_hitters",
-    oracle="""
-    WITH tok AS (
-        SELECT unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    tot AS (SELECT count(*) AS n FROM tok)
-    SELECT token, count(*) AS cnt,
-           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frequency
-    FROM tok
-    GROUP BY token
-    HAVING count(*) * 1.0 / (SELECT n FROM tot) >= 0.05
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+    )
+    SELECT token, cnt, round(frequency, 6) AS frequency FROM (
+        SELECT token, cnt, cnt * 1.0 / sum(cnt) OVER () AS frequency FROM counts
+    ) WHERE frequency >= {HEAVY_HITTER_THRESHOLD}
     """,
 )
 def l_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters: tokens with >= 5% corpus frequency. At
+    """Exact heavy hitters: tokens with >= 3% corpus frequency (the
+    fixture's hottest token sits at ~3.5%, so the gate compares real
+    rows). Single scan: group to (token, cnt), total via a window over
+    the small grouped table — fully lazy, no double corpus pass. At
     100 TB a Misra–Gries pass (DataFrame.freqItems) would pre-filter
-    candidates first — but its output is capacity-padded with false
-    positives and layout-sensitive, so the *answer* is always this
-    exact count + threshold, which is also what the oracle checks."""
+    candidates, but its output is capacity-padded and layout-sensitive,
+    so the *answer* is always this exact count + threshold."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
-    total = tok.count()
-    freq = F.col("cnt") * 1.0 / total
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy())
     return (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(freq >= 0.05)
-        .select("token", "cnt", F.round(freq, 6).alias("frequency"))
+        counts.select("token", "cnt", freq.alias("frequency"))
+        .filter(F.col("frequency") >= HEAVY_HITTER_THRESHOLD)
+        .select("token", "cnt", F.round("frequency", 6).alias("frequency"))
     )
 
 

@@ -20,6 +20,8 @@ SAMPLE = [
     "l_dedup_embedding",
     "l_similarity_cosine",
     "r_percentiles",
+    "r_approx_percentiles",  # sketch pinned to deterministic layout
+    "l_heavy_hitters",
     "l_sessionize",
 ]
 
