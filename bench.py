@@ -33,6 +33,7 @@ HEADLINE = [
     "r_sort_limit_topk",
     "r_percentiles",
     "r_asof_join",
+    "r_range_join",
     "l_sessionize",
     # transcode
     "t_cast_int_widths",
@@ -55,6 +56,7 @@ HEADLINE = [
     "l_quality_score",
     "l_token_count",
     "l_fingerprint",
+    "l_tfidf_top_terms",
 ]
 
 

@@ -431,3 +431,119 @@ def r_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     seg = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
     return r.crossJoin(F.broadcast(seg))
+
+
+@register(
+    "r_range_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts_s
+        FROM events
+    ),
+    p AS (SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts_s,
+           count(c.event_id) AS n_clicks_10m
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts_s >= p.ts_s - INTERVAL 10 MINUTE
+     AND c.ts_s <  p.ts_s
+    GROUP BY p.event_id, p.user_id, p.ts_s
+    """,
+)
+def r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within the 10 minutes before each
+    purchase by the same user. The equi-key (user_id) makes this a hash
+    join with the time range as a residual predicate — no interval-join
+    blowup; at 100 TB both sides additionally prune by day partition
+    since the range spans at most two 10-minute-adjacent partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_s"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts_s").alias("c_ts_s"),
+    )
+    joined = p.join(
+        c,
+        (c["c_user_id"] == p["user_id"])
+        & (c["c_ts_s"] >= p["ts_s"] - F.expr("INTERVAL 10 MINUTES"))
+        & (c["c_ts_s"] < p["ts_s"]),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id", "ts_s").agg(
+        F.count("click_id").alias("n_clicks_10m")
+    )
+
+
+@register(
+    "r_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           last_value(c_custkey) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def r_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) plus
+    last_value over an explicit unbounded frame. Fully ordered via the
+    c_custkey tiebreak so both engines rank identically; one shuffle on
+    the partition key."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.last("c_custkey").over(w_full).alias("richest_custkey"),
+    )
+
+
+@register(
+    "r_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '1-URGENT'
+          )
+    """,
+)
+def r_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates these into
+    left-semi and left-anti hash joins (verify via explain), the same
+    shape r_join_semi_anti pins, so the subquery form costs nothing
+    extra at scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '1-URGENT'
+              )
+        """
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
 from bristle_spark.functions.hashing import (
@@ -262,4 +263,66 @@ def l_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _rolling_fp(th).alias("fingerprint"),
         _rolling_fp(F.slice(th, 1, FP_PREFIX_TOKENS)).alias("prefix_fp"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "l_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n  AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def l_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 distinguishing terms per document.
+
+    explode + two codegen'd groupBy branches (term frequency per doc,
+    document frequency per term); the df side is vocabulary-sized, so at
+    100 TB it broadcasts while the tf side stays partitioned by term for
+    the join and re-shuffles once by doc_id for the top-k window.
+    Ranking is on the ROUNDED score with the term as tiebreak so both
+    engines pick identical rows at score ties."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
     )
