@@ -115,3 +115,53 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
     )
     sampled = F.filter(frames, lambda f, i: i % every_nth == 0)
     return df.select("doc_id", sampled.alias("sampled_frames"))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
+           decode_backend: str = "fake") -> DataFrame:
+    """Image resize via average pooling over the decoded pixel buffer.
+
+    The decode step is the same stub as extract_features; the pooling
+    itself is real numpy over Arrow batches (vectorized, partition-local,
+    no shuffle) — exactly the shape a PIL/libjpeg-backed resize takes at
+    100 TB: binary in, binary out, fixed output size, mapInPandas."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                pixels = np.frombuffer(decode(bytes(r["payload"])), dtype=np.uint8)
+                w = int(r["meta"]["width"])
+                h = int(r["meta"]["height"])
+                img = pixels[: w * h].reshape(h, w)
+                bh, bw = h // out_height, w // out_width
+                pooled = (
+                    img[: out_height * bh, : out_width * bw]
+                    .reshape(out_height, bh, out_width, bw)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "out_width": out_width,
+                        "out_height": out_height,
+                        "resized": pooled.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -46,3 +46,19 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sampled_frames").cast("bigint").alias("n_frames"),
         F.md5(F.col("sampled_frames").getItem(0)).alias("first_frame_md5"),
     ).orderBy("doc_id")
+
+
+@register("m_resize", oracle=None)
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16x16 fake image -> 8x8 average-pooled resize (the mapInPandas
+    binary->binary shape of a real image-resize stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(d)
+    resized = multimodal.resize(payloads, out_width=8, out_height=8)
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.length("resized").cast("bigint").alias("n_bytes"),
+        F.md5("resized").alias("resized_md5"),
+    ).orderBy("doc_id")

@@ -312,3 +312,63 @@ def s_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labels",
     ).orderBy("name")
     return ok
+
+
+@register("s_stream_join", oracle=None)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides — the
+    streaming twin of the batch r_range_join (clicks within the 10
+    minutes before each purchase, same user). The watermark + time-range
+    condition bounds the join state Spark must retain, which is what
+    makes a stream-stream join viable at 100 TB; append mode emits each
+    matched pair exactly once, so the result is batching-invariant."""
+    work = _workdir(sf_dir, "sjoin")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+
+    p = (
+        events_file_stream(spark, data_dir, ev_schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        events_file_stream(spark, data_dir, ev_schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "c_user_id = user_id AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
+        ),
+        "inner",
+    )
+
+    collected: list = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        collected.extend(df.select("purchase_id", "user_id", "click_id").collect())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(joined.writeStream.outputMode("append").foreachBatch(sink), ckpt)
+
+    if not collected:
+        return spark.createDataFrame(
+            [], schema="purchase_id bigint, user_id bigint, n_clicks_10m bigint"
+        )
+    pairs = spark.createDataFrame(collected)
+    return (
+        pairs.groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_10m"))
+        .orderBy("purchase_id")
+    )

@@ -38,3 +38,24 @@ def test_stream_dedup_exactly_once(spark, sf_dir):
     assert r["exactly_once"] == 1
     assert r["n_batches"] >= 4  # duplicates arrived in separate batches
     assert r["rows_kept"] == r["distinct_events"]
+
+
+def test_stream_join_matches_batch_range_join(spark, sf_dir):
+    """The stream-stream join must produce exactly the inner rows of the
+    batch range join (append mode emits each matched pair once)."""
+    stream = canon_frame(
+        SPECS["s_stream_join"].fn(spark, sf_dir).toPandas()
+    )
+    batch_df = SPECS["r_range_join"].fn(spark, sf_dir)
+    batch = canon_frame(
+        batch_df.filter("n_clicks_10m > 0")
+        .select("purchase_id", "user_id", "n_clicks_10m")
+        .toPandas()
+    )
+    assert stream == batch
+
+
+def test_m_resize_deterministic(spark, sf_dir):
+    a = canon_frame(SPECS["m_resize"].fn(spark, sf_dir).toPandas())
+    b = canon_frame(SPECS["m_resize"].fn(spark, sf_dir).toPandas())
+    assert a == b
