@@ -29,6 +29,7 @@ HEADLINE = [
     "r_window_running",
     "r_rollup",
     "r_cube",
+    "r_rollup_cascade",
     "r_tumbling_window",
     "r_sort_limit_topk",
     "r_percentiles",

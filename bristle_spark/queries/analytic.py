@@ -547,3 +547,63 @@ def r_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
               )
         """
     )
+
+
+@register(
+    "r_rollup_cascade",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', ts)  AS h,
+               date_trunc('day', ts)   AS d,
+               date_trunc('month', ts) AS m,
+               event_type, value
+        FROM events
+    )
+    SELECT 'hour' AS grain, h AS bucket, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM e GROUP BY h, event_type
+    UNION ALL
+    SELECT 'day', d, event_type, count(*), round(sum(value), 2)
+    FROM e GROUP BY d, event_type
+    UNION ALL
+    SELECT 'month', m, event_type, count(*), round(sum(value), 2)
+    FROM e GROUP BY m, event_type
+    """,
+)
+def r_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup cascade (ClickHouse materialized-view / hyper-
+    table continuous-aggregate analog): hour buckets aggregate the raw
+    events; day reaggregates the hour output; month reaggregates day.
+    One scan of the fact table total — at 100 TB the coarser grains read
+    inputs that are orders of magnitude smaller than the raw events,
+    which is the entire point of the pattern. Sums round only at the
+    final output so the cascade stays exact (modulo fp ~1e-7, below the
+    2-decimal grain)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type", "value"
+    )
+    hourly = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    hourly_c = hourly.persist()
+    daily = (
+        hourly_c.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+        .persist()
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("bucket"), F.col("event_type")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+    return out(hourly_c, "hour").unionAll(out(daily, "day")).unionAll(out(monthly, "month"))
