@@ -87,3 +87,33 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_range_join_uses_equi_hash_join(spark, sf_dir):
+    """The interval join must key on user_id (hash join + residual range
+    filter), never degrade to a nested-loop/cartesian plan."""
+    df = all_specs()["r_range_join"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+    assert plans.has_node(df, "BroadcastHashJoin") or plans.has_node(
+        df, "SortMergeJoin"
+    ) or plans.has_node(df, "ShuffledHashJoin")
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """The vocabulary-sized df side joins by broadcast; only the 1-row
+    n_docs aggregate may appear as a (trivial) broadcast NLJ."""
+    df = all_specs()["l_tfidf_top_terms"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_exists_subquery_decorrelates_to_hash_joins(spark, sf_dir):
+    """Catalyst must rewrite EXISTS / NOT EXISTS into semi/anti hash
+    joins — no nested-loop execution of the correlated subqueries."""
+    df = all_specs()["r_exists_subquery"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.node_count(df, "BroadcastHashJoin") + plans.node_count(
+        df, "SortMergeJoin"
+    ) >= 2
