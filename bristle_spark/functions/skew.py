@@ -30,15 +30,18 @@ def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
-    agg_exprs: dict[str, str],
+    agg_exprs: "dict[str, str] | list[tuple[str, str]]",
     buckets: int = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation for algebraic aggregates
-    (sum/count/min/max: partials combine exactly)."""
+    (sum/count/min/max: partials combine exactly). ``agg_exprs`` is a
+    {col: fn} dict or, when one column needs several aggregates, a list
+    of (col, fn) pairs."""
+    items = list(agg_exprs.items()) if isinstance(agg_exprs, dict) else list(agg_exprs)
     partial_exprs = []
     final_exprs = []
-    for col, fn in agg_exprs.items():
-        partial_name = f"_p_{fn}_{col}"
+    for col, fn in items:
+        partial_name = f"_p_{fn}_{col}"  # unique per (col, fn) pair
         if fn == "count":
             partial_exprs.append(F.count(F.lit(1)).alias(partial_name))
             final_exprs.append(F.sum(partial_name).alias(f"count_{col}"))

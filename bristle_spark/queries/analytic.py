@@ -607,3 +607,39 @@ def r_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(hourly_c, "hour").unionAll(out(daily, "day")).unionAll(out(monthly, "month"))
+
+
+@register(
+    "r_skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)                   AS n_events,
+           round(sum(value), 2)       AS sum_value,
+           round(min(value), 6)       AS min_value,
+           round(max(value), 6)       AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely skewed key space
+    (event_type has 5 values, so a plain groupBy reduces on 5 straggler
+    tasks). Salting fans each hot key into `buckets` exact partial
+    groups that reduce in parallel; the final per-key merge is exact for
+    algebraic aggregates, so the oracle is the plain GROUP BY."""
+    from bristle_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    agg = salted_agg(
+        ev,
+        ["event_type"],
+        [("event_id", "count"), ("value", "sum"), ("value", "min"), ("value", "max")],
+        buckets=16,
+    )
+    return agg.select(
+        "event_type",
+        F.col("count_event_id").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

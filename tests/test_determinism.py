@@ -23,6 +23,9 @@ SAMPLE = [
     "r_approx_percentiles",  # sketch pinned to deterministic layout
     "l_heavy_hitters",
     "l_sessionize",
+    "l_tfidf_top_terms",
+    "r_rollup_cascade",
+    "r_skew_salted_agg",
 ]
 
 
