@@ -546,6 +546,9 @@ def l_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # checkpoint FIRST (eager), then count from the materialized
+        # frame — counting the lazy join and checkpointing it afterwards
+        # would run the join job twice per round
         updated = (
             labels.join(neighbor_min, "doc", "left")
             .select(
@@ -555,11 +558,10 @@ def l_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "label",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select(
-            "doc", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        labels = updated.select("doc", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(
