@@ -30,6 +30,7 @@ HEADLINE = [
     "r_rollup",
     "r_cube",
     "r_rollup_cascade",
+    "r_skew_salted_agg",
     "r_tumbling_window",
     "r_sort_limit_topk",
     "r_percentiles",
