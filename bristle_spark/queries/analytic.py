@@ -652,3 +652,44 @@ def r_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@register(
+    "r_window_range_frame",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               epoch(o_orderdate) AS ord_epoch
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(ord_epoch AS BIGINT) AS ord_epoch,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY ord_epoch
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS sum_30d
+    FROM o
+    """,
+)
+def r_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame: per-customer rolling 30-day order
+    total (peers by order-key value, not row position — rows sharing an
+    order date aggregate symmetrically, so ties need no tiebreak). One
+    shuffle on the partition key; the frame is evaluated with a sliding
+    pointer over the in-partition sort, O(n) per partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("ord_epoch"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ord_epoch")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("ord_epoch").cast("bigint").alias("ord_epoch"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
