@@ -693,3 +693,42 @@ def r_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ord_epoch").cast("bigint").alias("ord_epoch"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
     )
+
+
+@register(
+    "r_arg_max",
+    oracle="""
+    WITH packed AS (
+        SELECT event_type,
+               max(struct_pack(v := value, e := event_id, u := user_id)) AS hi,
+               min(struct_pack(v := value, e := event_id, u := user_id)) AS lo
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           (hi).v AS max_value, (hi).e AS max_event_id, (hi).u AS max_user_id,
+           (lo).v AS min_value, (lo).e AS min_event_id, (lo).u AS min_user_id
+    FROM packed
+    """,
+)
+def r_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax/argMin (the ClickHouse staple): which event/user carried
+    the extreme value per event_type. Expressed as max/min over a
+    struct (value, tiebreak id, payload) — lexicographic struct order
+    makes ties deterministic in both engines, where a bare max_by/
+    arg_max would be free to pick any tied row. Still a plain hash
+    aggregate: partial map-side combine, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    packed = F.struct(F.col("value"), F.col("event_id"), F.col("user_id"))
+    agg = ev.groupBy("event_type").agg(
+        F.max(packed).alias("hi"), F.min(packed).alias("lo")
+    )
+    return agg.select(
+        "event_type",
+        F.col("hi.value").alias("max_value"),
+        F.col("hi.event_id").alias("max_event_id"),
+        F.col("hi.user_id").alias("max_user_id"),
+        F.col("lo.value").alias("min_value"),
+        F.col("lo.event_id").alias("min_event_id"),
+        F.col("lo.user_id").alias("min_user_id"),
+    )
