@@ -732,3 +732,76 @@ def r_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo.event_id").alias("min_event_id"),
         F.col("lo.user_id").alias("min_user_id"),
     )
+
+
+@register(
+    "r_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS ts_s
+        FROM events
+    ),
+    v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT v.user_id, min(e.ts_s) AS t_click
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts_s > v.t_view
+          GROUP BY v.user_id),
+    p AS (SELECT c.user_id, min(e.ts_s) AS t_purchase
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_s > c.t_click
+          GROUP BY c.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + CAST(c.user_id IS NOT NULL AS INTEGER)
+                    + CAST(p.user_id IS NOT NULL AS INTEGER) AS BIGINT)
+               AS funnel_level
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def r_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (ClickHouse windowFunnel analog): the earliest
+    strictly-ordered view -> click -> purchase chain per user, with the
+    depth reached. Each stage is a groupBy-min over the events of one
+    type filtered against the previous stage's timestamp — three hash
+    aggregates + equi-joins on user_id, all partitioned the same way,
+    so at 100 TB the stages pipeline over one user_id shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_s") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("bigint")
+            .alias("funnel_level"),
+        )
+    )
