@@ -805,3 +805,28 @@ def r_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_level"),
         )
     )
+
+
+@register(
+    "r_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 50.0) * 50 AS DOUBLE) AS bucket_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, bucket, bucket_lo
+    """,
+)
+def r_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (the deterministic
+    form of ClickHouse histogram()): bucket = floor(value/50). A plain
+    two-key hash aggregate — output is bucket-count sized regardless of
+    input volume, so it scales to any row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0)
+    return ev.groupBy(
+        "event_type",
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * 50).cast("double").alias("bucket_lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
