@@ -830,3 +830,55 @@ def r_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("bigint").alias("bucket"),
         (bucket * 50).cast("double").alias("bucket_lo"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "r_retention",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+    r AS (
+        SELECT c.user_id, c.cohort_day,
+               max(CASE WHEN d.day > c.cohort_day
+                         AND d.day <= c.cohort_day + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS retained
+        FROM c JOIN d ON d.user_id = c.user_id
+        GROUP BY c.user_id, c.cohort_day
+    )
+    SELECT cohort_day,
+           count(*)                                        AS n_users,
+           CAST(sum(retained) AS BIGINT)                   AS n_retained,
+           round(CAST(sum(retained) AS DOUBLE) / count(*), 6) AS retention_rate
+    FROM r GROUP BY cohort_day
+    """,
+)
+def r_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse retention() analog): users grouped
+    by first-active day; retained = any activity in the following 7
+    days. Distinct user-days first (collapses the fact table to at most
+    users x days rows), then two user_id-partitioned aggregates — the
+    shuffles all share one key, and the final output is cohort-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    r = (
+        d.join(c, "user_id")
+        .groupBy("user_id", "cohort_day")
+        .agg(
+            F.max(
+                (
+                    (F.col("day") > F.col("cohort_day"))
+                    & (F.col("day") <= F.col("cohort_day") + F.expr("INTERVAL 7 DAYS"))
+                ).cast("int")
+            ).alias("retained")
+        )
+    )
+    return r.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("retained").cast("bigint").alias("n_retained"),
+        F.round(F.sum("retained").cast("double") / F.count(F.lit(1)), 6).alias(
+            "retention_rate"
+        ),
+    )
