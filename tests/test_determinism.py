@@ -26,6 +26,11 @@ SAMPLE = [
     "l_tfidf_top_terms",
     "r_rollup_cascade",
     "r_skew_salted_agg",
+    "r_arg_max",
+    "r_funnel",
+    "r_retention",
+    "r_histogram",
+    "r_window_range_frame",
 ]
 
 
