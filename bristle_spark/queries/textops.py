@@ -326,3 +326,64 @@ def l_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+SAMPLE_PCT = 10  # deterministic 10% sample
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # hash-bucket boundaries of 100
+
+
+@register(
+    "l_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+    FROM documents
+    WHERE {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+    """,
+)
+def l_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (the training-pipeline replacement
+    for TABLESAMPLE, which no two engines — or two runs — agree on):
+    keep documents whose md5-derived bucket falls under the sample
+    percentage. Row-local, no shuffle, stable under re-partitioning,
+    and the same rows are selected on any engine or cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (hash60(F.col("doc_id").cast("string")) % 100).cast("bigint")
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < SAMPLE_PCT)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@register(
+    "l_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_VAL}   THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def l_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash bucket —
+    the split is a pure function of the document key, so it is
+    reproducible across engines, runs, and cluster layouts (and any
+    document keeps its split when the corpus grows)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
