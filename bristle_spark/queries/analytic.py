@@ -882,3 +882,30 @@ def r_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@register(
+    "r_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_pop(l_extendedprice), 4)                 AS sd_price,
+           round(var_pop(l_discount), 8)                         AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 2)      AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev / variance / correlation /
+    covariance — the ClickHouse stats family). All are algebraic
+    (single pass, mergeable partials), so they scale like any hash
+    aggregate; rounding absorbs the ~1e-10-relative drift between the
+    engines' merge orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_pop("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
