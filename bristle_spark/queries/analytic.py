@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table, register_views
+from bristle_spark.functions.skew import salted_agg
 from bristle_spark.registry import register
 
 
@@ -636,8 +637,6 @@ def r_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks). Salting fans each hot key into `buckets` exact partial
     groups that reduce in parallel; the final per-key merge is exact for
     algebraic aggregates, so the oracle is the plain GROUP BY."""
-    from bristle_spark.functions.skew import salted_agg
-
     ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     agg = salted_agg(
         ev,
