@@ -55,3 +55,17 @@ def test_cli_unknown_query():
     r = _run("query", "--name", "nope_not_real", timeout=200)
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_query_docs_fresh():
+    """QUERIES.md must be regenerated whenever the registry changes."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/gen_query_docs.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
