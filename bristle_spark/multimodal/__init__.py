@@ -78,28 +78,37 @@ _DECODERS = {"fake": _fake_decode, "pil": _pil_decode}
 def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over the binary column: byte
     count, mean byte value, 16-bucket byte histogram. Partition-local;
-    at scale the input stays columnar end to end."""
+    the whole Arrow batch is processed as one flat numpy buffer — one
+    ``bincount`` for the per-row sums and one for all histograms, no
+    Python loop over rows or bytes."""
+    import numpy as np
+
     decode = _DECODERS[decode_backend]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                pixels = decode(bytes(r["payload"]))
-                hist = [0] * N_HIST_BUCKETS
-                total = 0
-                for b in pixels:
-                    hist[b * N_HIST_BUCKETS // 256] += 1
-                    total += b
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "n_bytes": len(pixels),
-                        "mean_byte": total / len(pixels) if pixels else 0.0,
-                        "byte_hist": hist,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
+            lengths = np.fromiter((len(d) for d in decoded), dtype=np.int64, count=len(decoded))
+            flat = np.frombuffer(b"".join(decoded), dtype=np.uint8)
+            n = len(decoded)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            sums = np.bincount(row_ids, weights=flat, minlength=n)
+            means = np.divide(
+                sums, lengths, out=np.zeros(n, dtype=np.float64), where=lengths > 0
+            )
+            # bucket = byte * 16 // 256 == byte >> 4; one bincount for
+            # every row's histogram via the row_id*16 + bucket key
+            hist = np.bincount(
+                row_ids * N_HIST_BUCKETS + (flat >> 4), minlength=n * N_HIST_BUCKETS
+            ).reshape(n, N_HIST_BUCKETS)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": lengths,
+                    "mean_byte": means,
+                    "byte_hist": list(hist),
+                }
+            )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
@@ -141,27 +150,39 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                pixels = np.frombuffer(decode(bytes(r["payload"])), dtype=np.uint8)
-                w = int(r["meta"]["width"])
-                h = int(r["meta"]["height"])
-                img = pixels[: w * h].reshape(h, w)
+            # group rows by (width, height) so each group pools as ONE
+            # stacked (g, h, w) tensor — the per-row work is only the
+            # zero-copy frombuffer view
+            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
+            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_docs: list = []
+            out_bytes: list = []
+            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+                idx = np.flatnonzero((widths == w) & (heights == h))
+                stack = np.stack(
+                    [
+                        np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
+                        for i in idx
+                    ]
+                ).reshape(len(idx), h, w)
                 bh, bw = h // out_height, w // out_width
                 pooled = (
-                    img[: out_height * bh, : out_width * bw]
-                    .reshape(out_height, bh, out_width, bw)
-                    .mean(axis=(1, 3))
+                    stack[:, : out_height * bh, : out_width * bw]
+                    .reshape(len(idx), out_height, bh, out_width, bw)
+                    .mean(axis=(2, 4))
                     .astype(np.uint8)
                 )
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "out_width": out_width,
-                        "out_height": out_height,
-                        "resized": pooled.tobytes(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+                out_docs.extend(doc_ids[idx].tolist())
+                out_bytes.extend(p.tobytes() for p in pooled)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_docs,
+                    "out_width": np.full(len(out_docs), out_width, dtype=np.int32),
+                    "out_height": np.full(len(out_docs), out_height, dtype=np.int32),
+                    "resized": out_bytes,
+                }
+            )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -125,9 +125,18 @@ def approx_percentiles(df: DataFrame) -> DataFrame:
     per group, parallel partial sketches. Sketch merges are not
     layout-invariant, so results carry epsilon-level run-to-run drift —
     acceptable at 100 TB, not under a hash-comparing correctness gate."""
-    return df.groupBy("l_returnflag").agg(
+    p = df.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # flattened to scalar columns: the driver's pandas canonicalizer
+    # cannot sort/hash array-typed cells
+    return p.select(
+        "l_returnflag",
+        F.col("approx_p")[0].alias("approx_p50"),
+        F.col("approx_p")[1].alias("approx_p90"),
+        F.col("approx_p")[2].alias("approx_p99"),
+        "n",
     )
 
 
@@ -315,7 +324,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "r_pivot",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-           {", ".join(f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s}" for s in ("F", "O", "P"))},
+           {", ".join(f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}" for s in ("F", "O", "P"))},
            {", ".join(f"round(sum(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0 END), 2) AS total_{s}" for s in ("F", "O", "P"))}
     FROM orders
     GROUP BY 1
@@ -379,7 +388,7 @@ def r_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_agg_collect",
     oracle="""
     SELECT event_type,
-           list_sort(list(DISTINCT user_id % 50)) AS user_buckets,
+           array_to_string(list_sort(list(DISTINCT user_id % 50)), ',') AS user_buckets,
            CAST(len(list(DISTINCT user_id % 50)) AS BIGINT) AS n_buckets
     FROM events
     GROUP BY event_type
@@ -387,11 +396,19 @@ def r_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-collecting aggregate (groupArray/groupUniqArray analog),
-    sorted for deterministic comparison."""
+    sorted for deterministic comparison. The collected set is serialized
+    to a delimited string so the result is canonicalizer-safe (pandas
+    cannot sort/hash raw list cells); the array form is one
+    ``split(user_buckets, ',')`` away."""
     ev = load_table(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 50).alias("b")
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set(bucket)).alias("user_buckets"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set(bucket)), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("user_buckets"),
         F.size(F.collect_set(bucket)).cast("bigint").alias("n_buckets"),
     )
 

@@ -29,7 +29,11 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_bytes",
             F.round("mean_byte", 6).alias("mean_byte"),
-            "byte_hist",
+            # serialized for the driver's pandas canonicalizer (raw list
+            # cells are unsortable/unhashable there)
+            F.array_join(
+                F.transform("byte_hist", lambda x: x.cast("string")), ","
+            ).alias("byte_hist"),
         )
         .orderBy("doc_id")
     )

@@ -302,14 +302,16 @@ def s_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     decoded = pipeline.ingest(pipeline.explode_frames(batches), binding)
+    # array columns serialized to delimited strings so the driver's
+    # pandas canonicalizer can sort/hash the result
     ok = decoded.select(
         "name",
         "type",
         "timestamp",
         "value",
-        F.col("`tags.key`").alias("tag_keys"),
-        F.col("`tags.value`").alias("tag_values"),
-        "labels",
+        F.array_join(F.col("`tags.key`"), ",").alias("tag_keys"),
+        F.array_join(F.col("`tags.value`"), ",").alias("tag_values"),
+        F.array_join("labels", ",").alias("labels"),
     ).orderBy("name")
     return ok
 

@@ -194,21 +194,30 @@ def t_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_map_to_arrays",
     oracle="""
     SELECT event_id,
-           list_sort(json_keys(props)) AS tag_keys,
-           list_transform(list_sort(json_keys(props)),
-                          k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS tag_values
+           array_to_string(list_sort(json_keys(props)), ',') AS tag_keys,
+           array_to_string(list_transform(list_sort(json_keys(props)),
+                          k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)), ',') AS tag_values
     FROM events
     """,
 )
 def t_map_to_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4: map field -> two parallel key/value arrays (ClickHouse
     Nested; reference clickhouse_table.go:183-201,270-289). Keys sorted
-    because map iteration order is unspecified in both engines."""
+    because map iteration order is unspecified in both engines. The
+    arrays are serialized to delimited strings for the comparison gate
+    (pandas canonicalizers cannot sort/hash raw list cells); the array
+    form is the same select minus the array_join."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     keys = F.sort_array(F.map_keys(m))
     vals = F.transform(keys, lambda k: F.element_at(m, k))
-    return ev.select("event_id", keys.alias("tag_keys"), vals.alias("tag_values"))
+    return ev.select(
+        "event_id",
+        F.array_join(keys, ",").alias("tag_keys"),
+        F.array_join(F.transform(vals, lambda v: v.cast("string")), ",").alias(
+            "tag_values"
+        ),
+    )
 
 
 @register(
@@ -286,18 +295,25 @@ def t_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS BIGINT) AS emb_len,
            embedding[1]                   AS first_val,
            embedding[64]                  AS last_val,
-           embedding[1:4]                 AS head4
+           embedding[2]                   AS head_2,
+           embedding[3]                   AS head_3,
+           embedding[4]                   AS head_4
     FROM embeddings
     """,
 )
 def t_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: repeated field -> Array column; size / element access / slice
-    (reference clickhouse_table.go:375-377)."""
+    (reference clickhouse_table.go:375-377). The head-slice is surfaced
+    as scalar columns (element 1 doubles as first_val) so the output is
+    canonicalizer-safe; the slice expression itself is
+    ``F.slice("embedding", 1, 4)``."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("emb_len"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", 64).alias("last_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at("embedding", 2).alias("head_2"),
+        F.element_at("embedding", 3).alias("head_3"),
+        F.element_at("embedding", 4).alias("head_4"),
     )
