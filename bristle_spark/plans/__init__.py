@@ -51,3 +51,35 @@ def exchange_count(df: DataFrame) -> int:
 
 def codegen_span_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split ``[a, [b]], [c]`` into top-level ``[...]`` groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with no PARTITION BY — every input row funnels into
+    a single WindowExec partition (Spark logs "No Partition Defined for
+    Window operation"), the classic 100 TB scale-killer.
+
+    A partitioned Window prints three top-level bracket groups
+    ``[functions], [partition spec], [order spec]``; an unpartitioned
+    one prints two. (WindowGroupLimit nodes are skipped — they use a
+    different argument shape and always mirror their parent Window.)"""
+    out = []
+    for line in plan_string(df, "simple").splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if m and len(_top_level_bracket_groups(m.group(1))) < 3:
+            out.append(line.strip())
+    return out

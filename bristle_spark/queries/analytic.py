@@ -181,9 +181,14 @@ def l_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    freq = F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy())
+    # corpus total as a broadcast 1-row join, not a partition-less
+    # window: the grouped table is vocab-sized, which at 100 TB is
+    # still too big to funnel through one WindowExec partition
+    total = counts.agg(F.sum("cnt").alias("total_cnt"))
+    freq = F.col("cnt") * 1.0 / F.col("total_cnt")
     return (
-        counts.select("token", "cnt", freq.alias("frequency"))
+        counts.crossJoin(F.broadcast(total))
+        .select("token", "cnt", freq.alias("frequency"))
         .filter(F.col("frequency") >= HEAVY_HITTER_THRESHOLD)
         .select("token", "cnt", F.round("frequency", 6).alias("frequency"))
     )

@@ -487,11 +487,12 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.vec_id").alias("vec_b"),
         F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
+    # TakeOrderedAndProject (per-partition top-k + k-row driver merge),
+    # not a single-partition global window
     return (
-        pairs.select("vec_a", "vec_b", "cos_sim", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= EMB_TOP_PAIRS)
-        .drop("rn")
+        pairs.select("vec_a", "vec_b", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
+        .limit(EMB_TOP_PAIRS)
     )
 
 

@@ -79,14 +79,14 @@ def l_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the probe vector (vec_id=0).
 
     The probe side is broadcast; scoring is an embarrassingly parallel
-    scan. At 100 TB the final top-k is a TakeOrdered merge (k rows per
-    partition), not a global sort."""
+    scan. The final top-k is orderBy().limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    driver), never a single-partition global sort."""
     scored = _scored_vs_probe(spark, sf_dir)
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= TOPK)
-        .drop("rn")
+        scored.select("vec_id", "label", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
     )
 
 
@@ -103,11 +103,14 @@ def l_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN majority label (k=25) among neighbors of the probe."""
+    """k-NN majority label (k=25) among neighbors of the probe. The
+    k-neighbor cut is a TakeOrderedAndProject (orderBy + limit), not a
+    global window."""
     scored = _scored_vs_probe(spark, sf_dir)
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    topk = scored.select("label", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= KNN_K
+    topk = (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(KNN_K)
+        .select("label")
     )
     return (
         topk.groupBy(F.col("label").alias("majority_label"))
@@ -165,11 +168,10 @@ def l_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.select("vec_id", "label", "bucket", "cos_sim", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= TOPK)
-        .drop("rn")
+        scored.select("vec_id", "label", "bucket", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
     )
 
 
@@ -233,11 +235,8 @@ def l_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.select(
-            "vec_id", "label", "cluster_id", "cos_sim", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.col("rn") <= TOPK)
-        .drop("rn")
+        scored.select("vec_id", "label", "cluster_id", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
     )
