@@ -25,16 +25,28 @@ from bristle_spark.registry import register
 def l_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup, keep-first by doc_id.
 
-    Implemented as a window row_number over the full text. At 100 TB one
-    would partition on a hash/fingerprint of the text instead of the raw
-    text bytes (same shuffle key cardinality, tiny shuffle payload) —
-    see l_fingerprint for the fingerprint primitive."""
+    Scale form: the shuffle key is a fixed-width 64-bit fingerprint of
+    the text (repartition on fp), never the raw text bytes — hash
+    collisions are harmless because equal fingerprints land in the same
+    partition and the aggregate still groups on the exact text (the
+    secondary exact compare). HashPartitioning(fp) satisfies the
+    clustered distribution of groupBy(fp, text) (fp is a function of
+    text), so Catalyst plans NO second exchange; the keep-first row is
+    a hash aggregate (min / min_by), not a window sort over long
+    strings."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    keyed = d.select(
+        "doc_id", "text", "lang", "source", F.xxhash64("text").alias("fp")
+    )
     return (
-        d.select("doc_id", "text", "lang", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        keyed.repartition("fp")
+        .groupBy("fp", "text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+        .select("doc_id", "text", "lang", "source")
     )
 
 
