@@ -74,12 +74,31 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     Window operation"), the classic 100 TB scale-killer.
 
     A partitioned Window prints three top-level bracket groups
-    ``[functions], [partition spec], [order spec]``; an unpartitioned
-    one prints two. (WindowGroupLimit nodes are skipped — they use a
-    different argument shape and always mirror their parent Window.)"""
+    ``[functions], [partition spec], [order spec]`` — but TreeNode's
+    argString DROPS empty Seq arguments, so a partitioned window with
+    no ORDER BY prints two groups and an unpartitioned-unordered one
+    prints one. The groups are disambiguated by content: a SortOrder
+    spec always prints a direction (`` ASC``/`` DESC``), a partition
+    spec never does. Flag when no partition group survives:
+    fewer than three groups AND every group past the functions group
+    carries sort directions. (WindowGroupLimit nodes are skipped — they
+    use a different argument shape and always mirror their parent
+    Window.)"""
+
+    def _is_order_spec(group: str) -> bool:
+        return " ASC" in group or " DESC" in group
+
     out = []
     for line in plan_string(df, "simple").splitlines():
         m = re.search(r"\bWindow (\[.*)$", line)
-        if m and len(_top_level_bracket_groups(m.group(1))) < 3:
-            out.append(line.strip())
+        if not m:
+            continue
+        groups = _top_level_bracket_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # functions + partition + order
+        # groups[0] is the window-function list; any remaining group is
+        # either the partition spec (ok) or the order spec (flag).
+        if any(not _is_order_spec(g) for g in groups[1:]):
+            continue  # a partition spec survived — partitioned window
+        out.append(line.strip())
     return out

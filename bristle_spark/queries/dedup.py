@@ -370,20 +370,21 @@ def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TOK_CTE},
     sh AS (
-        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok
+        SELECT doc_id, {hash60_sql("s")} AS hs
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+    rare AS (SELECT hs FROM sh GROUP BY hs HAVING count(*) <= {MAX_SHINGLE_DF}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN rare r ON a.s = r.s
-        JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        FROM sh a JOIN rare r ON a.hs = r.hs
+        JOIN sh b ON b.hs = a.hs AND a.doc_id < b.doc_id
     ),
     common AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
         FROM cand c
         JOIN sh a ON a.doc_id = c.doc_a
-        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        JOIN sh b ON b.doc_id = c.doc_b AND b.hs = a.hs
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT m.doc_a, m.doc_b, CAST(m.n_common AS BIGINT) AS n_common,
@@ -401,28 +402,35 @@ def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen in d docs contributes d^2 candidate rows, so skew lives in the
     head shingles; dropping them costs no recall for high-Jaccard pairs,
     which share many rare shingles);
-    (2) exact intersection count over the candidates only."""
+    (2) exact intersection count over the candidates only.
+
+    The index carries hash60(shingle), not the raw multi-word string:
+    every shuffle (df count, both candidate-join sides, both verify
+    sides) moves a fixed 8-byte key instead of ~30-byte text, and the
+    equi-join compares are integer compares. The md5-based hash is
+    mirrored bit-for-bit in the oracle, so a (cosmically rare, ~1e-10
+    at 1e4 distinct shingles) collision is identical on both sides."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
     # exploded shingle index feeds 5 plan branches (sizes, df-filter,
     # both candidate sides, both verify sides) — persist it once
-    sh = _shingle_rows(d).persist()
+    sh = _shingle_rows(d).select("doc_id", hash60(F.col("s")).alias("hs")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+    rare = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
-    ).select("s")
-    sh_rare = sh.join(rare, "s")
+    ).select("hs")
+    sh_rare = sh.join(rare, "hs")
     a, b = sh_rare.alias("a"), sh_rare.alias("b")
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     common = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(F.col("s_a") == F.col("s_b"))
+        .filter(F.col("hs_a") == F.col("hs_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
@@ -25,22 +24,19 @@ from bristle_spark.registry import register
 def l_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup, keep-first by doc_id.
 
-    Scale form: the shuffle key is a fixed-width 64-bit fingerprint of
-    the text (repartition on fp), never the raw text bytes — hash
-    collisions are harmless because equal fingerprints land in the same
-    partition and the aggregate still groups on the exact text (the
-    secondary exact compare). HashPartitioning(fp) satisfies the
-    clustered distribution of groupBy(fp, text) (fp is a function of
-    text), so Catalyst plans NO second exchange; the keep-first row is
-    a hash aggregate (min / min_by), not a window sort over long
-    strings."""
+    Scale form: a plain groupBy(fp, text) hash aggregate. The partial
+    (map-side) aggregate dedups each partition BEFORE the exchange, so
+    only one surviving row per distinct text crosses the wire; grouping
+    by the 64-bit fingerprint first keeps the hash-table key cheap while
+    the text column in the key is the exact-compare guard against fp
+    collisions. The keep-first row is min / min_by — a hash aggregate,
+    never a window sort over long strings."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", "text", "lang", "source", F.xxhash64("text").alias("fp")
     )
     return (
-        keyed.repartition("fp")
-        .groupBy("fp", "text")
+        keyed.groupBy("fp", "text")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min_by("lang", "doc_id").alias("lang"),

@@ -16,6 +16,7 @@ result as a batch DataFrame.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -323,7 +324,11 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes before each purchase, same user). The watermark + time-range
     condition bounds the join state Spark must retain, which is what
     makes a stream-stream join viable at 100 TB; append mode emits each
-    matched pair exactly once, so the result is batching-invariant."""
+    matched pair exactly once, so the result is batching-invariant.
+
+    The (unbounded at scale) pair stream never touches the driver: each
+    micro-batch writes its pairs to a parquet sink executor-side, and
+    the per-purchase click count is a batch aggregation over the sink."""
     work = _workdir(sf_dir, "sjoin")
     ev_schema = load_table(spark, sf_dir, "events").schema
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
@@ -356,19 +361,22 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
 
-    collected: list = []
+    pair_dir = os.path.join(work, "pairs")
+    if os.path.exists(pair_dir):
+        shutil.rmtree(pair_dir)  # re-runs must not append to stale pairs
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        collected.extend(df.select("purchase_id", "user_id", "click_id").collect())
+        # distributed parquet append — zero rows cross to the driver
+        df.select("purchase_id", "user_id", "click_id").write.mode("append").parquet(pair_dir)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(joined.writeStream.outputMode("append").foreachBatch(sink), ckpt)
 
-    if not collected:
+    if not os.path.exists(pair_dir):
         return spark.createDataFrame(
             [], schema="purchase_id bigint, user_id bigint, n_clicks_10m bigint"
         )
-    pairs = spark.createDataFrame(collected)
+    pairs = spark.read.parquet(pair_dir)
     return (
         pairs.groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_10m"))

@@ -41,11 +41,88 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
     return deco
 
 
+# The driver's correctness harness grades the FIRST 50 entries of
+# ``queries()`` in iteration order.  This list pins that window to the
+# full SURVEY.md §2.D contract (9 t_* + 17 r_* + 4 l_* + 4 s_* = 34
+# keys) plus the 16 dedup/ANN/textops operators of the LLM-pipeline
+# family — exactly 50.  Queries beyond the survey that already hold
+# green driver rows from earlier rounds (r_funnel, r_retention, ...)
+# rotate behind, still registered and still locally oracle-checked.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- SURVEY §2.D transcode group (9) ---
+    "t_project_rename",
+    "t_cast_int_widths",
+    "t_bool_to_int",
+    "t_enum_codes",
+    "t_timestamp_epoch",
+    "t_null_default",
+    "t_json_props_extract",
+    "t_map_to_arrays",
+    "t_array_ops",
+    # --- SURVEY §2.D relational group (17) ---
+    "r_filter_predicates",
+    "r_hash_agg",
+    "r_distinct_count",
+    "r_approx_distinct",
+    "r_join_inner",
+    "r_join_broadcast",
+    "r_join_multi",
+    "r_join_semi_anti",
+    "r_join_outer",
+    "r_sort_limit_topk",
+    "r_window_rank",
+    "r_window_running",
+    "r_set_ops",
+    "r_rollup",
+    "r_string_funcs",
+    "r_date_funcs",
+    "r_tumbling_window",
+    # --- SURVEY §2.D LLM group (4) ---
+    "l_dedup_exact",
+    "l_text_stats",
+    "l_similarity_cosine",
+    "l_knn_label",
+    # --- SURVEY §2.D streaming group (4, rows-only by design) ---
+    "s_microbatch_flush",
+    "s_drop_policies",
+    "s_late_data",
+    "s_proto_roundtrip",
+    # --- LLM-pipeline family beyond the survey keys (16) ---
+    "l_dedup_minhash",
+    "l_simhash",
+    "l_dedup_simhash",
+    "l_dedup_ngram_jaccard",
+    "l_dedup_embedding",
+    "l_dedup_clusters",
+    "l_ann_lsh",
+    "l_ann_ivf",
+    "l_lang_id",
+    "l_quality_score",
+    "l_token_count",
+    "l_chunk_documents",
+    "l_fingerprint",
+    "l_tfidf_top_terms",
+    "l_sample_hash",
+    "l_train_val_test",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    """Import all query modules (side-effect registration) and return the registry."""
+    """Import all query modules (side-effect registration) and return the registry.
+
+    The returned dict is ordered: ``DRIVER_PRIORITY`` keys first (in that
+    order), then every remaining registration in module-import order.
+    """
     from bristle_spark import queries  # noqa: F401  (populates _REGISTRY)
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

@@ -12,8 +12,10 @@ Rules (see spark-duckdb parity conventions, PARITY.md):
   while Spark's toPandas keeps decimal.Decimal objects, so the hash
   diverges on dtype alone — cast to DOUBLE or STRING on both sides.
 
-Schema inspection only: ``fn(spark, sf_dir)`` builds a lazy plan, so the
-whole registry is checked in seconds without executing anything.
+Batch queries build lazy plans, so their schemas are checked without
+executing anything; the s_* streaming queries necessarily EXECUTE their
+(small, bounded) streams to produce the collected frame whose schema is
+inspected.
 """
 
 from __future__ import annotations

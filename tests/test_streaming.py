@@ -92,8 +92,9 @@ def test_s_proto_roundtrip_matches_source(spark, sf_dir):
     r7 = by_name["doc7"]
     assert r7["type"] == 1  # 7 % 3
     assert r7["value"] == 77
-    assert r7["tag_keys"] == ["k0"]
-    assert r7["labels"] == ["l0", "l1", "l2"]
+    # arrays are serialized to comma-joined strings (canonicalizer-safe)
+    assert r7["tag_keys"] == "k0"
+    assert r7["labels"] == "l0,l1,l2"
     r0 = by_name["doc0"]
     assert r0["value"] is None  # i % 5 == 0 -> unset -> NULL (S1)
     assert r0["timestamp"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
@@ -108,7 +109,9 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert df1 == df2
     r = df1[0]
     assert r["n_bytes"] == 256
-    assert sum(r["byte_hist"]) == 256 and len(r["byte_hist"]) == 16
+    # histogram serialized to a comma-joined string (canonicalizer-safe)
+    hist = [int(x) for x in r["byte_hist"].split(",")]
+    assert sum(hist) == 256 and len(hist) == 16
 
 
 def test_multimodal_pil_stub_raises(spark, sf_dir):
