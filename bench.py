@@ -77,6 +77,7 @@ def main() -> None:
     specs["r_hash_agg"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
@@ -85,10 +86,15 @@ def main() -> None:
         # of the plan's generated classes (irrelevant at real scale and
         # very noisy locally); the min reflects steady-state execution
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # one broken query must not zero the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -105,6 +111,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

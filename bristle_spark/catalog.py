@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from bristle_spark.session import ensure_session_confs
 
@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # int64 nanoseconds -> µs-precision timestamp (floor; ts > 0)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defense for sessions where inferTimestampNTZ could not be disabled
+    # before an earlier read cached the NTZ schema: stored wall-clock is
+    # UTC, and the session tz is pinned UTC, so the cast is value-exact.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

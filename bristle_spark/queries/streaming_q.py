@@ -31,7 +31,7 @@ from bristle_spark.streaming.source import events_file_stream, split_events_file
 MAX_BATCH_SIZE = 5000  # reference MaxBatchSize analog (config.go:88)
 
 
-_LAYOUT_VERSION = "v2"  # bump to invalidate cached chunk dirs in /tmp
+_LAYOUT_VERSION = "v3"  # bump to invalidate cached chunk dirs in /tmp (v3: TIMESTAMP not NTZ)
 
 
 def _workdir(sf_dir: str, tag: str) -> str:

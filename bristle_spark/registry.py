@@ -89,7 +89,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_proto_roundtrip",
     # --- LLM-pipeline family beyond the survey keys (16) ---
     "l_dedup_minhash",
-    "l_simhash",
     "l_dedup_simhash",
     "l_dedup_ngram_jaccard",
     "l_dedup_embedding",
@@ -102,8 +101,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_chunk_documents",
     "l_fingerprint",
     "l_tfidf_top_terms",
-    "l_sample_hash",
     "l_train_val_test",
+    # --- round-5 rotation (round-3 advice #5): t_decimal_math and
+    # t_null_semantics are oracle-backed and locally green but had never
+    # received a driver correctness row; l_sample_hash and l_simhash
+    # hold multiple green rows from earlier rounds and rotate behind ---
+    "t_decimal_math",
+    "t_null_semantics",
 )
 
 

@@ -117,3 +117,73 @@ def test_exists_subquery_decorrelates_to_hash_joins(spark, sf_dir):
     assert plans.node_count(df, "BroadcastHashJoin") + plans.node_count(
         df, "SortMergeJoin"
     ) >= 2
+
+
+def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
+    """Every candidate-generation join in the dedup/ANN family must key
+    on a band/bucket/shingle — a CartesianProduct or non-trivial
+    BroadcastNestedLoopJoin means the blocking scheme fell out of the
+    plan and the operator is O(n^2) at scale."""
+    for name in (
+        "l_dedup_exact",
+        "l_dedup_minhash",
+        "l_dedup_simhash",
+        "l_dedup_ngram_jaccard",
+        "l_dedup_embedding",
+        "l_ann_lsh",
+        "l_ann_ivf",
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert not plans.has_node(df, "CartesianProduct"), name
+        if name == "l_ann_ivf":
+            # the one sanctioned NLJ: every vector x 16 broadcast
+            # centroids (map-side assignment, O(16n), no shuffle)
+            continue
+        assert not plans.has_node(df, "BroadcastNestedLoopJoin"), name
+
+
+def test_embedding_dedup_candidates_are_band_bounded(spark, tmp_path):
+    """Skew case from the round-3 verdict: vectors whose first 8 dims are
+    all positive collapsed the old single-8-bit-bucket scheme into ONE
+    bucket (all n^2/2 pairs). The banded scheme must keep candidate
+    pairs under 1% of n^2 because each 16-bit band still splits on the
+    dims the skew leaves free."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bristle_spark.queries.dedup import EMB_BAND_BITS, EMB_BANDS, _emb_band_key
+
+    rng = np.random.default_rng(7)
+    n, dim = 1000, EMB_BANDS * EMB_BAND_BITS
+    vecs = rng.standard_normal((n, dim))
+    vecs[:, :8] = np.abs(vecs[:, :8])  # adversarial: 8 dims always positive
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], "vec_id bigint, v array<double>"
+    )
+    bands = df.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        _emb_band_key(F.col("v"), j).alias("band_key"),
+                    )
+                    for j in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    n_candidates = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_candidates < 0.01 * n * n, n_candidates
