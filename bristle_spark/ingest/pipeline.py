@@ -146,11 +146,24 @@ def write_sink(
     ts_column: str | None = None,
     order_by: list[str] | None = None,
     mode: str = "append",
+    clickhouse_url: str | None = None,
+    binding: MessageBinding | None = None,
 ) -> None:
     """D10 sink with the physical layout the reference's example DDL
     prescribes: partition by day, order within partitions
     (reference examples/binance.sql:15-16 PARTITION BY toYYYYMMDD /
-    ORDER BY). At 100 TB this is what makes time-range queries prune."""
+    ORDER BY). At 100 TB this is what makes time-range queries prune.
+
+    With ``clickhouse_url`` (and its ``binding``), routes to the live
+    ClickHouse JDBC branch instead of parquet — the reference's
+    prepared batch INSERT path (clickhouse_table_writer.go:115-149)."""
+    if clickhouse_url is not None:
+        if binding is None:
+            raise ValueError("clickhouse_url requires the table binding")
+        from bristle_spark.ingest import clickhouse
+
+        clickhouse.write_jdbc(df, binding, clickhouse_url)
+        return
     writer = df
     partition_cols: list[str] = []
     if ts_column is not None:
