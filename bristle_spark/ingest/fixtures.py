@@ -117,3 +117,193 @@ def encode_example_row(
             (6, "string", labels, True),
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Compiled descriptor-set fixtures: the bytes `protoc --descriptor_set_out`
+# would emit for the three example protos (reference examples/*.proto),
+# built with the wire codec. These drive the descriptors.py autobind tests
+# (reference proto_registry.go:45-103, message_binding_registry.go:38-70).
+
+def _field_descriptor(
+    name: str,
+    number: int,
+    type_code: int,
+    label: int = 1,
+    type_name: str | None = None,
+    json_name: str | None = None,
+    column: str | None = None,
+    ch_type: str | None = None,
+) -> bytes:
+    from bristle_spark.ingest import wire
+
+    options = (
+        wire.encode_message(
+            [(50001, "string", column, False), (50002, "string", ch_type, False)]
+        )
+        if column is not None or ch_type is not None
+        else None
+    )
+    return wire.encode_message(
+        [
+            (1, "string", name, False),
+            (3, "int32", number, False),
+            (4, "enum", label, False),
+            (5, "enum", type_code, False),
+            (6, "string", type_name, False),
+            (8, "bytes", options, False),
+            (10, "string", json_name, False),
+        ]
+    )
+
+
+def _message_descriptor(
+    name: str,
+    fields: list[bytes],
+    nested: list[bytes] | None = None,
+    table: str | None = None,
+    map_entry: bool = False,
+) -> bytes:
+    from bristle_spark.ingest import wire
+
+    options = (
+        wire.encode_message(
+            [(7, "bool", map_entry or None, False), (50001, "string", table, False)]
+        )
+        if table is not None or map_entry
+        else None
+    )
+    return wire.encode_message(
+        [
+            (1, "string", name, False),
+            (2, "bytes", fields, True),
+            (3, "bytes", nested or None, True),
+            (7, "bytes", options, False),
+        ]
+    )
+
+
+def _file_descriptor_set(
+    filename: str, messages: list[bytes], package: str | None = None
+) -> bytes:
+    from bristle_spark.ingest import wire
+
+    file_proto = wire.encode_message(
+        [
+            (1, "string", filename, False),
+            (2, "string", package, False),
+            (4, "bytes", messages, True),
+        ]
+    )
+    return wire.encode_message([(1, "bytes", [file_proto], True)])
+
+
+# FieldDescriptorProto.Type codes used below (public descriptor.proto)
+_T_DOUBLE, _T_UINT64, _T_BOOL, _T_STRING, _T_MESSAGE, _T_ENUM, _T_INT64 = (
+    1, 4, 8, 9, 11, 14, 3,
+)
+_REPEATED = 3
+
+
+def example_descriptor_set() -> bytes:
+    """examples/example.proto compiled: ExampleMessage with the
+    bristle_table option, a Timestamp field, a map field (nested
+    TagsEntry, map_entry=true) and a repeated string."""
+    tags_entry = _message_descriptor(
+        "TagsEntry",
+        [
+            _field_descriptor("key", 1, _T_STRING),
+            _field_descriptor("value", 2, _T_STRING),
+        ],
+        map_entry=True,
+    )
+    msg = _message_descriptor(
+        "ExampleMessage",
+        [
+            _field_descriptor("name", 1, _T_STRING),
+            _field_descriptor("type", 2, _T_ENUM, type_name=".MessageType"),
+            _field_descriptor(
+                "timestamp", 3, _T_MESSAGE, type_name=".google.protobuf.Timestamp"
+            ),
+            _field_descriptor("value", 4, _T_INT64),
+            _field_descriptor(
+                "tags", 5, _T_MESSAGE, label=_REPEATED,
+                type_name=".ExampleMessage.TagsEntry",
+            ),
+            _field_descriptor("labels", 6, _T_STRING, label=_REPEATED),
+        ],
+        nested=[tags_entry],
+        table="default.example_table",
+    )
+    return _file_descriptor_set("example.proto", [msg])
+
+
+def binance_descriptor_set() -> bytes:
+    """examples/binance.proto compiled: single-letter json_name aliases
+    (the protojson wire names), no package, camelCase columns."""
+    jn = [
+        ("eventType", 1, _T_STRING, "e"),
+        ("eventTime", 2, _T_UINT64, "E"),
+        ("symbol", 3, _T_STRING, "s"),
+        ("tradeID", 4, _T_UINT64, "t"),
+        ("price", 5, _T_DOUBLE, "p"),
+        ("quantity", 6, _T_DOUBLE, "q"),
+        ("buyOrderID", 7, _T_UINT64, "b"),
+        ("sellOrderID", 8, _T_UINT64, "a"),
+        ("tradeTime", 9, _T_UINT64, "T"),
+        ("marketMaker", 10, _T_BOOL, "m"),
+        ("M", 11, _T_BOOL, "M"),
+    ]
+    msg = _message_descriptor(
+        "Trade",
+        [_field_descriptor(n, num, t, json_name=j) for n, num, t, j in jn],
+        table="binance.trade_events",
+    )
+    return _file_descriptor_set("binance.proto", [msg])
+
+
+def finnhub_descriptor_set() -> bytes:
+    """examples/finnhub.proto compiled."""
+    msg = _message_descriptor(
+        "FinnhubTrade",
+        [
+            _field_descriptor("symbol", 1, _T_STRING, json_name="s"),
+            _field_descriptor("price", 2, _T_DOUBLE, json_name="p"),
+            _field_descriptor("tradeTime", 3, _T_UINT64, json_name="t"),
+            _field_descriptor("volume", 4, _T_DOUBLE, json_name="v"),
+            _field_descriptor(
+                "tradeConditions", 5, _T_STRING, label=_REPEATED, json_name="c"
+            ),
+        ],
+        table="finnhub.trades",
+    )
+    return _file_descriptor_set("finnhub.proto", [msg])
+
+
+def binance_ddl_columns() -> list[SinkColumn]:
+    """binance.trade_events exactly as examples/binance.sql declares it
+    (camelCase names — the proto binds by field name, no renames)."""
+    return [
+        SinkColumn("eventType", 1, "LowCardinality(String)"),
+        SinkColumn("eventTime", 2, "DateTime64(3)"),
+        SinkColumn("symbol", 3, "LowCardinality(String)"),
+        SinkColumn("tradeID", 4, "UInt64"),
+        SinkColumn("price", 5, "Decimal(38, 8)"),
+        SinkColumn("quantity", 6, "Decimal(38, 8)"),
+        SinkColumn("buyOrderID", 7, "UInt64"),
+        SinkColumn("sellOrderID", 8, "UInt64"),
+        SinkColumn("tradeTime", 9, "DateTime64(3)"),
+        SinkColumn("marketMaker", 10, "Nullable(UInt8)"),
+        SinkColumn("M", 11, "UInt8"),
+    ]
+
+
+def finnhub_ddl_columns() -> list[SinkColumn]:
+    """finnhub.trades exactly as examples/finnhub.sql declares it."""
+    return [
+        SinkColumn("symbol", 1, "LowCardinality(String)"),
+        SinkColumn("price", 2, "Float64"),
+        SinkColumn("tradeTime", 3, "DateTime64(3)"),
+        SinkColumn("volume", 4, "Float64"),
+        SinkColumn("tradeConditions", 5, "Array(String)", default="[]"),
+    ]
