@@ -122,3 +122,6 @@ class BindingRegistry:
 
     def message_types(self) -> list[str]:
         return sorted(self._by_type)
+
+    def bindings(self) -> list[MessageBinding]:
+        return [self._by_type[name] for name in self.message_types()]

@@ -1,0 +1,166 @@
+"""Config hot reload with writer-group swap (D17; reference
+server.go:51-126).
+
+The reference's SIGHUP path rebuilds the whole ingest state — proto
+registry, bindings, clusters, writer group — from the config file,
+swaps it under a lock, and closes the OLD writer group asynchronously
+after the new one starts (server.go:117-122), draining its buffers.
+A failed load or apply keeps the old state serving ("no action taken",
+server.go:144-156).
+
+Engine equivalents:
+
+- proto registry       -> DescriptorPool over ``proto_descriptor_paths``
+- BindFromClusters     -> explicit config bindings (config.py)
+- BindFromProtos       -> descriptor autobind (descriptors.py), applied
+                          after explicit bindings, first-table-wins
+- writer group         -> one checkpointed streaming-ingest writer per
+                          bound table; checkpoints are keyed by table
+                          name and SURVIVE the swap, so the handoff is
+                          exactly-once where the reference only drains
+                          best-effort
+- drain-on-swap        -> ``WriterGroup.close`` processes everything
+                          already visible before release
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from bristle_spark.ingest.bindings import BindingRegistry, MessageBinding, SinkColumn
+from bristle_spark.ingest.config import registry_from_config
+from bristle_spark.ingest.descriptors import DescriptorPool, autobind
+from bristle_spark.streaming.ingest_stream import run_stream_ingest
+
+
+def _sink_columns(table_cfg: dict) -> list[SinkColumn]:
+    return [
+        SinkColumn(
+            name=c["name"],
+            position=int(c.get("position", i + 1)),
+            ch_type=c["type"],
+            default=c.get("default"),
+        )
+        for i, c in enumerate(table_cfg.get("columns", []))
+    ]
+
+
+@dataclass
+class TableWriter:
+    """One table's ingest writer (ClickhouseTableWriter analog). The
+    checkpoint location is keyed by table name, not by config
+    generation — a reloaded writer resumes its predecessor's offsets."""
+
+    binding: MessageBinding
+    payload_dir: str
+    sink_dir: str
+    checkpoint_dir: str
+    ts_column: str | None = None
+
+    def pump(self, spark: SparkSession) -> int:
+        """One drain cycle (flush-ticker analog): process every payload
+        file not yet covered by the checkpoint, exactly-once."""
+        if not os.path.isdir(self.payload_dir):
+            return 0
+        return run_stream_ingest(
+            spark,
+            self.payload_dir,
+            self.binding,
+            self.sink_dir,
+            self.checkpoint_dir,
+            ts_column=self.ts_column,
+        )
+
+
+class WriterGroup:
+    """writerGroup analog (clickhouse_table_writer.go:12-82): writers
+    managed as one swappable unit."""
+
+    def __init__(self) -> None:
+        self.writers: list[TableWriter] = []
+        self.closed = False
+
+    def add(self, writer: TableWriter) -> None:
+        self.writers.append(writer)
+
+    def pump(self, spark: SparkSession) -> dict[str, int]:
+        return {w.binding.sink_table: w.pump(spark) for w in self.writers}
+
+    def close(self, spark: SparkSession) -> None:
+        """Drain everything already visible, then release (the
+        reference's async writer shutdown, server.go:117-122)."""
+        if not self.closed:
+            self.pump(spark)
+            self.closed = True
+
+
+class IngestServer:
+    """Server analog: owns the reloadable state. Construction fails
+    hard on a bad config (NewServer, server.go:28-48); ``reload`` keeps
+    the old state on any error (the SIGHUP handler's 'no action
+    taken')."""
+
+    def __init__(self, spark: SparkSession, config_path: str, data_root: str) -> None:
+        self.spark = spark
+        self.config_path = config_path
+        self.data_root = data_root
+        self.config: dict | None = None
+        self.registry: BindingRegistry | None = None
+        self.writer_group: WriterGroup | None = None
+        self._apply(self._load())
+
+    def _load(self) -> dict:
+        with open(self.config_path) as fh:
+            return json.load(fh)
+
+    def _build_registry(self, cfg: dict) -> BindingRegistry:
+        registry = registry_from_config(cfg)  # explicit bindings first
+        if cfg.get("autobind"):
+            pool = DescriptorPool()
+            for path in cfg.get("proto_descriptor_paths", []):
+                pool.add_path(path)
+            tables = {t["name"]: _sink_columns(t) for t in cfg.get("tables", [])}
+            autobind(pool, tables, registry)  # first-table-wins
+        return registry
+
+    def _apply(self, cfg: dict) -> None:
+        registry = self._build_registry(cfg)
+        group = WriterGroup()
+        for binding in registry.bindings():
+            safe = binding.sink_table.replace(".", "__")
+            group.add(
+                TableWriter(
+                    binding=binding,
+                    payload_dir=os.path.join(self.data_root, "payloads", safe),
+                    sink_dir=os.path.join(self.data_root, "sink", safe),
+                    checkpoint_dir=os.path.join(self.data_root, "ckpt", safe),
+                )
+            )
+        # swap order mirrors reloadConfig: new state live, then the old
+        # writer group drains and releases
+        old = self.writer_group
+        self.config, self.registry, self.writer_group = cfg, registry, group
+        if old is not None:
+            old.close(self.spark)
+
+    def reload(self) -> bool:
+        """SIGHUP analog. Returns True if the new config was applied;
+        False leaves the previous state serving."""
+        try:
+            cfg = self._load()
+        except Exception:
+            return False  # "error on load, no action taken"
+        try:
+            self._apply(cfg)
+        except Exception:
+            return False  # "error applying, no action taken"
+        return True
+
+    def pump(self) -> dict[str, int]:
+        """Run one flush cycle on every writer (micro-batch drain)."""
+        assert self.writer_group is not None
+        return self.writer_group.pump(self.spark)

@@ -13,6 +13,7 @@ _MODULES = (
     "llm",
     "dedup",
     "textops",
+    "corpus",
     "similarity",
     "streaming_q",
     "multimodal_q",

@@ -1,0 +1,227 @@
+"""Group L — corpus hygiene for training-data pipelines: intra-document
+repetition scoring, benchmark-contamination checks, dedup-cluster
+representative selection, and per-source corpus profiling.
+
+These extend the reference's query surface the same way the dedup/ANN
+family does (BASELINE.json training-data ops): each is a first-class
+declared query with a DuckDB oracle over the synthetic ``documents``
+table, built Spark-first:
+
+- l_repetition_score is pure row-local array math — zero shuffles, the
+  per-document quality-signal shape (Gopher-style repeated n-gram
+  fraction) that scales linearly;
+- l_contamination_ngram joins train/eval shingle sets on 60-bit md5
+  hashes (8-byte shuffle keys, same lever as l_dedup_ngram_jaccard);
+- l_cluster_representatives is keep-one-per-cluster on top of the
+  l_dedup_clusters connected components (partitioned window, never
+  global);
+- l_corpus_stats is a single map-side-combinable aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.hashing import hash60, hash60_sql
+from bristle_spark.queries.dedup import (
+    _MINHASH_CTES,
+    _TOK_CTE,
+    _SHINGLES_SQL,
+    _shingle_rows,
+    _tokens,
+    l_dedup_clusters,
+)
+from bristle_spark.registry import register
+
+REP_SHINGLE_WORDS = 3  # repetition scoring n-gram size
+REP_THRESHOLD = 0.2  # dup-shingle fraction above which a doc is "repetitive"
+CONTAM_EVAL_PCT = 10  # deterministic hash bucket share held out as eval set
+CONTAM_MIN_SHARED = 3  # shared distinct shingles to flag contamination
+
+
+@register(
+    "l_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {REP_SHINGLE_WORDS}
+    ),
+    sh AS (
+        SELECT doc_id,
+               len(t) - {REP_SHINGLE_WORDS - 1} AS n_shingles,
+               len(list_distinct(list_transform(
+                   range(1, len(t) - {REP_SHINGLE_WORDS - 2}),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(1.0 - n_distinct / n_shingles, 6) AS dup_ratio,
+           CAST(1.0 - n_distinct / n_shingles > {REP_THRESHOLD} AS INT) AS repetitive
+    FROM sh
+    """,
+)
+def l_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of 3-word shingles that are duplicates of an earlier
+    shingle in the same document. Entirely row-local array math — no
+    explode, no shuffle, no state — so it costs one linear scan at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d = d.withColumn("t", t).filter(F.size("t") >= REP_SHINGLE_WORDS)
+    tc = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(tc) - (REP_SHINGLE_WORDS - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tc, i + j) for j in range(REP_SHINGLE_WORDS)]
+        ),
+    )
+    n_shingles = (F.size(tc) - (REP_SHINGLE_WORDS - 1)).cast("bigint")
+    n_distinct = F.size(F.array_distinct(shingles)).cast("bigint")
+    dup = F.lit(1.0) - n_distinct / n_shingles
+    return d.select(
+        "doc_id",
+        n_shingles.alias("n_shingles"),
+        n_distinct.alias("n_distinct"),
+        F.round(dup, 6).alias("dup_ratio"),
+        (dup > REP_THRESHOLD).cast("int").alias("repetitive"),
+    )
+
+
+@register(
+    "l_contamination_ngram",
+    oracle=f"""
+    WITH {_TOK_CTE.strip()},
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok),
+    h AS (
+        SELECT doc_id, {hash60_sql("s")} AS sh,
+               {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM sh
+    ),
+    e AS (SELECT doc_id AS eval_doc, sh FROM h WHERE bucket >= {100 - CONTAM_EVAL_PCT}),
+    tr AS (SELECT doc_id AS train_doc, sh FROM h WHERE bucket < {100 - CONTAM_EVAL_PCT})
+    SELECT train_doc,
+           COUNT(DISTINCT tr.sh) AS n_shared_shingles,
+           COUNT(DISTINCT eval_doc) AS n_eval_docs
+    FROM tr JOIN e ON tr.sh = e.sh
+    GROUP BY train_doc
+    HAVING COUNT(DISTINCT tr.sh) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def l_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: which training documents share >=3
+    distinct 5-gram shingles with the held-out eval slice (deterministic
+    10%-by-hash of the corpus — the engine- and layout-invariant split,
+    same as l_train_val_test). The join keys
+    are 60-bit md5 shingle hashes — 8-byte shuffle keys, the same scale
+    lever as l_dedup_ngram_jaccard; the eval side is a small fixed
+    fraction by construction, so the shuffle is train-side-linear."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_rows(d).select(
+        "doc_id",
+        hash60(F.col("s")).alias("sh"),
+        (hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+    )
+    ev = sh.filter(F.col("bucket") >= 100 - CONTAM_EVAL_PCT).select(
+        F.col("doc_id").alias("eval_doc"), F.col("sh")
+    )
+    tr = sh.filter(F.col("bucket") < 100 - CONTAM_EVAL_PCT).select(
+        F.col("doc_id").alias("train_doc"), F.col("sh")
+    )
+    return (
+        tr.join(ev, "sh")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+
+@register(
+    "l_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM nodes
+        UNION
+        SELECT e.dst AS doc, r.root
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    members AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, rep_doc, n_members FROM (
+        SELECT cluster_id, doc_id AS rep_doc,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM members
+    ) WHERE rn = 1
+    """,
+)
+def l_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: for every near-duplicate cluster from
+    l_dedup_clusters, elect the longest member (ties to the smallest
+    doc_id) as the representative to retain in the training set. The
+    window is partitioned by cluster_id — per-cluster work, never a
+    global sort — and the documents join adds one hash join on
+    doc_id."""
+    clusters = l_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = clusters.join(docs, "doc_id")
+    pw = Window.partitionBy("cluster_id")
+    w = pw.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        m.select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).over(pw).alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "rep_doc", "n_members")
+    )
+
+
+@register(
+    "l_corpus_stats",
+    oracle="""
+    SELECT source,
+           count(*)                                   AS n_docs,
+           SUM(len(string_split(text, ' ')))          AS n_tokens,
+           round(avg(n_chars), 4)                     AS avg_chars,
+           count(DISTINCT lang)                       AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (docs / tokens / mean length / language
+    spread) — the one-shuffle map-side-combinable aggregation a pipeline
+    runs before and after every filtering stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
