@@ -87,27 +87,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_drop_policies",
     "s_late_data",
     "s_proto_roundtrip",
-    # --- LLM-pipeline family beyond the survey keys (16) ---
+    # --- LLM-pipeline family beyond the survey keys ---
+    # Keys with multiple confirmed green driver rows (r2+r3) rotate
+    # behind so changed/new/never-checked queries get driver evidence;
+    # everything rotated out stays registered and locally oracle-checked
+    # (test_oracle_parity.py). Rotated out in round 5: l_simhash,
+    # l_sample_hash, l_lang_id, l_quality_score, l_token_count,
+    # l_chunk_documents, l_fingerprint, l_tfidf_top_terms,
+    # l_train_val_test.
     "l_dedup_minhash",
     "l_dedup_simhash",
     "l_dedup_ngram_jaccard",
-    "l_dedup_embedding",
+    "l_dedup_embedding",  # banded-LSH rewrite this round — needs a fresh row
     "l_dedup_clusters",
     "l_ann_lsh",
     "l_ann_ivf",
-    "l_lang_id",
-    "l_quality_score",
-    "l_token_count",
-    "l_chunk_documents",
-    "l_fingerprint",
-    "l_tfidf_top_terms",
-    "l_train_val_test",
-    # --- round-5 rotation (round-3 advice #5): t_decimal_math and
-    # t_null_semantics are oracle-backed and locally green but had never
-    # received a driver correctness row; l_sample_hash and l_simhash
-    # hold multiple green rows from earlier rounds and rotate behind ---
+    # --- round-5 rotation: never-driver-checked survey-adjacent keys ---
     "t_decimal_math",
     "t_null_semantics",
+    # --- round-5 rotation: Group S queries refactored this round
+    # (driver-collect removal) plus the never-checked stream join —
+    # rows-only, but the run itself is the evidence they execute ---
+    "s_session_window",
+    "s_stateful_totals",
+    "s_stream_join",
+    # --- round-5 rotation: new corpus-hygiene family, oracle-backed ---
+    "l_repetition_score",
+    "l_contamination_ngram",
+    "l_cluster_representatives",
+    "l_corpus_stats",
 )
 
 

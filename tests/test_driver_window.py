@@ -30,15 +30,18 @@ SURVEY_2D_KEYS = {
 LLM_FAMILY_KEYS = {
     "l_dedup_minhash", "l_dedup_simhash",
     "l_dedup_ngram_jaccard", "l_dedup_embedding", "l_dedup_clusters",
-    "l_ann_lsh", "l_ann_ivf", "l_lang_id", "l_quality_score",
-    "l_token_count", "l_chunk_documents", "l_fingerprint",
-    "l_tfidf_top_terms", "l_train_val_test",
+    "l_ann_lsh", "l_ann_ivf",
 }
 
-# Round-5 rotation (round-3 advice #5): these two survey-adjacent keys
-# had zero driver rows in any round; they take the window slots of
-# l_sample_hash / l_simhash, which hold multiple confirmed green rows.
-ROTATED_IN_KEYS = {"t_decimal_math", "t_null_semantics"}
+# Round-5 rotation: never-driver-checked keys and queries changed or
+# added this round take the slots of multiply-confirmed unchanged keys
+# (which stay registered and locally oracle-checked behind the window).
+ROTATED_IN_KEYS = {
+    "t_decimal_math", "t_null_semantics",
+    "s_session_window", "s_stateful_totals", "s_stream_join",
+    "l_repetition_score", "l_contamination_ngram",
+    "l_cluster_representatives", "l_corpus_stats",
+}
 
 
 def test_priority_list_is_exactly_fifty():
@@ -64,6 +67,9 @@ def test_beyond_window_queries_still_registered():
     for key in ("r_funnel", "r_retention", "r_histogram", "r_stats_agg",
                 "r_arg_max", "l_sample_hash", "l_simhash",
                 "m_binary_features", "m_frame_sample", "m_resize",
-                "l_heavy_hitters", "l_sessionize", "s_stream_join"):
+                "l_heavy_hitters", "l_sessionize", "s_stream_dedup",
+                "l_lang_id", "l_quality_score", "l_token_count",
+                "l_chunk_documents", "l_fingerprint", "l_tfidf_top_terms",
+                "l_train_val_test"):
         assert key in specs
         assert specs.index(key) >= 50
