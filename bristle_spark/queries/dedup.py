@@ -521,9 +521,11 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # candidate generation shuffles only (vec_id, band_id, band_key) —
+    # 16-byte rows — never the 512-byte vectors; the vectors join back
+    # once per side after the pair set is distinct
     bands = e.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -535,27 +537,29 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "v", F.col("bk.band_id"), F.col("bk.band_key"))
+    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
     x, y = bands.alias("x"), bands.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.band_id") == F.col("y.band_id"))
-        & (F.col("x.band_key") == F.col("y.band_key"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).select(
-        F.col("x.vec_id").alias("vec_a"),
-        F.col("y.vec_id").alias("vec_b"),
-        F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()  # pair colliding in k bands appears k times; map-side combinable
     )
-    # a pair colliding in multiple bands appears once per collision;
-    # collapse on the 16-byte pair key (map-side combinable), then
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b").select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+    )
     # TakeOrderedAndProject (per-partition top-k + k-row driver merge)
-    return (
-        pairs.groupBy("vec_a", "vec_b")
-        .agg(F.max("cos_sim").alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
-        .limit(EMB_TOP_PAIRS)
-    )
+    return pairs.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b")
+    ).limit(EMB_TOP_PAIRS)
 
 
 # ------------------------------------------- dedup clusters (iterative)
