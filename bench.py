@@ -59,6 +59,12 @@ HEADLINE = [
     "l_token_count",
     "l_fingerprint",
     "l_tfidf_top_terms",
+    # round-5 additions: corpus hygiene + batch kNN join
+    "l_repetition_score",
+    "l_contamination_ngram",
+    "l_cluster_representatives",
+    "l_corpus_stats",
+    "l_ann_knn_join",
 ]
 
 

@@ -240,3 +240,100 @@ def l_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+# ------------------------------------------------- batch kNN self-join
+
+from bristle_spark.queries.dedup import (  # noqa: E402
+    EMB_BANDS,
+    _emb_band_key,
+    _emb_band_key_sql,
+)
+
+KNN_JOIN_K = 3
+
+_KNN_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, v, {j} AS band_id, {_emb_band_key_sql('v', j)} AS band_key FROM e"
+    for j in range(EMB_BANDS)
+)
+
+
+@register(
+    "l_ann_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        {_KNN_BANDS_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+        FROM b x JOIN b y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.vec_id <> y.vec_id
+    ),
+    scored AS (
+        SELECT c.vec_id, c.neighbor_id,
+               round({cosine_sql("a.v", "n.v")}, 6) AS cos_sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_id
+        JOIN e n ON n.vec_id = c.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {KNN_JOIN_K}
+    """,
+)
+def l_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN self-join: for EVERY vector, its top-3 approximate
+    nearest neighbors — the all-pairs retrieval primitive behind
+    embedding dedup and hard-negative mining. Candidates come from the
+    same 4x16-bit banded hyperplane LSH as l_dedup_embedding (collision
+    in any band), so candidate generation shuffles 16-byte id/band rows
+    with 2^16 keys per band; exact cosine scoring re-joins vectors once
+    per side; ranking is a per-vector window (partitioned, never
+    global)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        _emb_band_key(F.col("v"), j).alias("band_key"),
+                    )
+                    for j in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_id"), F.col("y.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("v_a"))
+    vn = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_n"))
+    scored = cand.join(va, "vec_id").join(vn, "neighbor_id").select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine(F.col("v_a"), F.col("v_n")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_JOIN_K)
+        .select("vec_id", "neighbor_id", "rank", "cos_sim")
+    )

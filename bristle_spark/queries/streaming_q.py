@@ -151,7 +151,7 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("hour_start"), "n_events")
     )
-    out_dir = os.path.join(work, "windows")
+    out_dir = os.path.join(work, f"windows_{os.getpid()}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # re-runs must not append to stale windows
 
@@ -189,7 +189,7 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    out_dir = os.path.join(work, "sessions")
+    out_dir = os.path.join(work, f"sessions_{os.getpid()}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # re-runs must not append to stale sessions
 
@@ -265,7 +265,7 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, data_dir, ev_schema)
     totals = running_user_totals(stream)
 
-    out_dir = os.path.join(work, "emissions")
+    out_dir = os.path.join(work, f"emissions_{os.getpid()}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # re-runs must not append to stale emissions
 
@@ -381,7 +381,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
 
-    pair_dir = os.path.join(work, "pairs")
+    pair_dir = os.path.join(work, f"pairs_{os.getpid()}")
     if os.path.exists(pair_dir):
         shutil.rmtree(pair_dir)  # re-runs must not append to stale pairs
 
@@ -401,4 +401,51 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_10m"))
         .orderBy("purchase_id")
+    )
+
+
+@register("s_stream_dedup_watermark", oracle=None)
+def s_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of s_stream_dedup: dropDuplicatesWithinWatermark
+    expires seen-keys once the event-time watermark passes them, so the
+    dedup state is bounded by the lateness horizon instead of growing
+    with the corpus — the only viable shape at 100 TB. Every duplicate
+    file here arrives in the next micro-batch (well inside the 2-hour
+    horizon), so the result is still exactly-once."""
+    import glob
+    import shutil as _shutil
+
+    work = _workdir(sf_dir, "dedup_wm")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    base_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    dup_dir = os.path.join(work, "dup_chunks")
+    if not os.path.exists(os.path.join(dup_dir, "_done")):
+        os.makedirs(dup_dir, exist_ok=True)
+        base = 1_700_000_000
+        for j, f in enumerate(sorted(glob.glob(os.path.join(base_dir, "*.parquet")))):
+            stem = os.path.basename(f).removesuffix(".parquet")
+            for k, suffix in enumerate(("a", "b")):
+                dst = os.path.join(dup_dir, f"{stem}_{suffix}.parquet")
+                _shutil.copy(f, dst)
+                os.utime(dst, (base + 2 * j + k, base + 2 * j + k))
+        open(os.path.join(dup_dir, "_done"), "w").close()
+
+    stream = (
+        events_file_stream(spark, dup_dir, ev_schema)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    batches: list[tuple[int, int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, df.count()))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(stream.writeStream.outputMode("update").foreachBatch(sink), ckpt)
+
+    total_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    kept = sum(n for _, n in batches)
+    return spark.createDataFrame(
+        [(len(batches), kept, total_distinct, int(kept == total_distinct))],
+        schema="n_batches bigint, rows_kept bigint, distinct_events bigint, exactly_once int",
     )

@@ -70,6 +70,7 @@ def test_beyond_window_queries_still_registered():
                 "l_heavy_hitters", "l_sessionize", "s_stream_dedup",
                 "l_lang_id", "l_quality_score", "l_token_count",
                 "l_chunk_documents", "l_fingerprint", "l_tfidf_top_terms",
-                "l_train_val_test"):
+                "l_train_val_test", "l_ann_knn_join",
+                "s_stream_dedup_watermark"):
         assert key in specs
         assert specs.index(key) >= 50
