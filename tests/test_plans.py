@@ -132,6 +132,9 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
         "l_dedup_embedding",
         "l_ann_lsh",
         "l_ann_ivf",
+        "l_ann_knn_join",
+        "l_contamination_ngram",
+        "l_cluster_representatives",
     ):
         df = SPECS[name].fn(spark, sf_dir)
         assert not plans.has_node(df, "CartesianProduct"), name
