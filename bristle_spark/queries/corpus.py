@@ -40,6 +40,7 @@ REP_SHINGLE_WORDS = 3  # repetition scoring n-gram size
 REP_THRESHOLD = 0.2  # dup-shingle fraction above which a doc is "repetitive"
 CONTAM_EVAL_PCT = 10  # deterministic hash bucket share held out as eval set
 CONTAM_MIN_SHARED = 3  # shared distinct shingles to flag contamination
+CONTAM_MAX_DF = 20  # df-cap: drop shingles in more docs (skew + signal lever)
 
 
 @register(
@@ -103,8 +104,12 @@ def l_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
         FROM sh
     ),
-    e AS (SELECT doc_id AS eval_doc, sh FROM h WHERE bucket >= {100 - CONTAM_EVAL_PCT}),
-    tr AS (SELECT doc_id AS train_doc, sh FROM h WHERE bucket < {100 - CONTAM_EVAL_PCT})
+    rare AS (
+        SELECT sh FROM h GROUP BY sh HAVING count(*) <= {CONTAM_MAX_DF}
+    ),
+    hr AS (SELECT h.* FROM h JOIN rare USING (sh)),
+    e AS (SELECT doc_id AS eval_doc, sh FROM hr WHERE bucket >= {100 - CONTAM_EVAL_PCT}),
+    tr AS (SELECT doc_id AS train_doc, sh FROM hr WHERE bucket < {100 - CONTAM_EVAL_PCT})
     SELECT train_doc,
            COUNT(DISTINCT tr.sh) AS n_shared_shingles,
            COUNT(DISTINCT eval_doc) AS n_eval_docs
@@ -115,18 +120,27 @@ def l_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: which training documents share >=3
-    distinct 5-gram shingles with the held-out eval slice (deterministic
-    10%-by-hash of the corpus — the engine- and layout-invariant split,
-    same as l_train_val_test). The join keys
-    are 60-bit md5 shingle hashes — 8-byte shuffle keys, the same scale
-    lever as l_dedup_ngram_jaccard; the eval side is a small fixed
-    fraction by construction, so the shuffle is train-side-linear."""
+    distinct rare 5-gram shingles with the held-out eval slice
+    (deterministic 10%-by-hash of the corpus — the engine- and
+    layout-invariant split, same as l_train_val_test). The join keys
+    are 60-bit md5 shingle hashes — 8-byte shuffle keys — and shingles
+    occurring in more than CONTAM_MAX_DF documents are dropped before
+    the join (the l_dedup_ngram_jaccard df-cap): ubiquitous n-grams are
+    not contamination signal, and the cap bounds any join key's fan-out
+    at df^2, which is what keeps the shuffle skew-proof at 100 TB."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
     sh = _shingle_rows(d).select(
         "doc_id",
         hash60(F.col("s")).alias("sh"),
         (hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
     )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAM_MAX_DF)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
     ev = sh.filter(F.col("bucket") >= 100 - CONTAM_EVAL_PCT).select(
         F.col("doc_id").alias("eval_doc"), F.col("sh")
     )
