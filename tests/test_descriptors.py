@@ -180,3 +180,66 @@ def test_autobound_binding_decodes_end_to_end(spark):
     assert row["value"] == 42
     assert sorted(zip(row["tags.key"], row["tags.value"])) == [("a", "1"), ("b", "2")]
     assert list(row["labels"]) == ["x", "y"]
+
+
+# ------------------------------------------------- property round-trip
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SCALAR_TYPES = sorted([1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 14, 15, 16, 17, 18])
+_IDENT = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12)
+
+_field_strategy = st.builds(
+    dict,
+    name=_IDENT,
+    type_code=st.sampled_from(_SCALAR_TYPES),
+    repeated=st.booleans(),
+    json_name=st.one_of(st.none(), _IDENT),
+    column=st.one_of(st.none(), _IDENT),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    msg_name=_IDENT,
+    package=st.one_of(st.none(), _IDENT),
+    table=st.one_of(st.none(), _IDENT.map(lambda s: f"db.{s}")),
+    fields=st.lists(_field_strategy, min_size=0, max_size=8),
+)
+def test_descriptor_roundtrip_property(msg_name, package, table, fields):
+    """Any scalar-field message encoded as a descriptor set parses back
+    with identical names, numbers, labels, type codes, and options."""
+    fds_bytes = _file_descriptor_set(
+        "gen.proto",
+        [
+            _message_descriptor(
+                msg_name.capitalize(),
+                [
+                    _field_descriptor(
+                        f["name"],
+                        i + 1,
+                        f["type_code"],
+                        label=3 if f["repeated"] else 1,
+                        json_name=f["json_name"],
+                        column=f["column"],
+                    )
+                    for i, f in enumerate(fields)
+                ],
+                table=table,
+            )
+        ],
+        package=package,
+    )
+    pool = DescriptorPool()
+    pool.add_descriptor_set(fds_bytes)
+    full = (f"{package}." if package else "") + msg_name.capitalize()
+    desc = pool.messages[full]
+    assert desc.bristle_table == table
+    assert [
+        (f.name, f.number, f.repeated, f.type_code, f.json_name, f.column)
+        for f in desc.fields
+    ] == [
+        (f["name"], i + 1, f["repeated"], f["type_code"], f["json_name"], f["column"])
+        for i, f in enumerate(fields)
+    ]
