@@ -51,6 +51,26 @@ def main() -> None:
         t0 = time.perf_counter()
         assert pipeline.ingest(df, binding).count() == n
         best = max(best, n / (time.perf_counter() - t0))
+
+    # D2 framing path: varint frame split throughput (frames/s), measured
+    # on batches of 250 concatenated frames
+    per_batch = 250
+    framed = wire.join_frames(bodies[:per_batch])
+    n_batches = max(1, n // per_batch)
+    fdf = spark.createDataFrame(
+        [(binding.message_name, framed) for _ in range(n_batches)],
+        schema=T.StructType(
+            [T.StructField("type", T.StringType()), T.StructField("data", T.BinaryType())]
+        ),
+    ).repartition(32).cache()
+    fdf.count()
+    n_frames = n_batches * per_batch
+    best_framing = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        assert pipeline.explode_frames(fdf).count() == n_frames
+        best_framing = max(best_framing, n_frames / (time.perf_counter() - t0))
+
     print(
         json.dumps(
             {
@@ -58,6 +78,7 @@ def main() -> None:
                 "value": round(best),
                 "unit": "rows/s",
                 "rows": n,
+                "framing_frames_per_s": round(best_framing),
             }
         )
     )
