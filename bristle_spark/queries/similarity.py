@@ -337,3 +337,92 @@ def l_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_JOIN_K)
         .select("vec_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ------------------------------------------- IVF multi-probe variant
+
+NPROBE = 2
+
+
+@register(
+    "l_ann_ivf_nprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, label, v, cid FROM (
+            SELECT e.vec_id, e.label, e.v, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC, cent.cid
+                   ) AS arn
+            FROM e, cent
+        ) WHERE arn = 1
+    ),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    probe_cells AS (
+        SELECT cid FROM (
+            SELECT cent.cid,
+                   row_number() OVER (
+                       ORDER BY round({cosine_sql("p.pv", "cent.cv")}, 6) DESC, cent.cid
+                   ) AS crn
+            FROM cent, p
+        ) WHERE crn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT a.vec_id, a.label, a.cid AS cluster_id,
+               round({cosine_sql("a.v", "p.pv")}, 6) AS cos_sim
+        FROM assign a, p
+        WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM probe_cells)
+    )
+    SELECT vec_id, label, cluster_id, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe=2): the probe searches its 2
+    nearest centroid cells instead of 1 — the standard recall knob when
+    the true neighbor sits just across a cell boundary. Same scale
+    shape as l_ann_ivf: 16-row broadcast centroid table, map-side
+    assignment, and the scan still prunes to nprobe/16 of the corpus
+    before any exact scoring."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "v", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    # rank ALL centroids against the probe and keep the top-nprobe cells:
+    # orderBy().limit() over the 16-row frame plans TakeOrderedAndProject
+    # (never a data-sized global window), and the tiny whitelist is
+    # broadcast into the cell filter
+    probe_cells = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "cid", F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("c_sim")
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("cid"))
+        .limit(NPROBE)
+        .select("cid")
+    )
+    scored = (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe_cells), "cid")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cluster_id"),
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOPK)
