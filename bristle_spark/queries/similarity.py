@@ -8,6 +8,9 @@
 - l_ann_ivf: IVF-style coarse quantization — every vector is assigned
   to its nearest of 16 fixed centroids; search visits only the probe's
   cell (nprobe=1).
+- l_ann_ivf_nprobe: the multi-probe recall knob (nprobe=2 cells).
+- l_ann_knn_join: per-vector top-3 neighbors over banded hyperplane
+  LSH candidates (the all-pairs retrieval primitive).
 - l_knn_label: majority label among the k nearest neighbors.
 
 All similarity values are computed in float64 with a deterministic
