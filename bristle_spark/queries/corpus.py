@@ -239,3 +239,50 @@ def l_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+NGRAM_TOP = 50
+
+
+@register(
+    "l_ngram_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {REP_SHINGLE_WORDS}
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+            range(1, len(t) - {REP_SHINGLE_WORDS - 2}),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        FROM tok
+    ),
+    counted AS (SELECT gram, count(*) AS n FROM grams GROUP BY gram)
+    SELECT gram, n FROM (
+        SELECT *, row_number() OVER (ORDER BY n DESC, gram) AS rn FROM counted
+    ) WHERE rn <= {NGRAM_TOP}
+    """,
+)
+def l_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 3-gram frequency table, top-50 — the C4/Gopher-style
+    corpus analysis pass (boilerplate and template discovery). All
+    occurrences count (not per-doc distinct). One aggregation shuffle
+    with map-side combine on the gram string; the top-50 cut is
+    orderBy().limit() — TakeOrderedAndProject, never a global window."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d = d.withColumn("t", t).filter(F.size("t") >= REP_SHINGLE_WORDS)
+    tc = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(tc) - (REP_SHINGLE_WORDS - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tc, i + j) for j in range(REP_SHINGLE_WORDS)]
+        ),
+    )
+    return (
+        d.select(F.explode(shingles).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(NGRAM_TOP)
+    )
