@@ -34,6 +34,7 @@ from bristle_spark.queries.dedup import (
     _tokens,
     l_dedup_clusters,
 )
+from bristle_spark.queries.textops import STOPWORDS
 from bristle_spark.registry import register
 
 REP_SHINGLE_WORDS = 3  # repetition scoring n-gram size
@@ -285,4 +286,105 @@ def l_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram"))
         .limit(NGRAM_TOP)
+    )
+
+
+QUALITY_MIN = 0.4  # funnel quality cut (median-ish on the synthetic corpus)
+
+
+@register(
+    "l_clean_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM nodes
+        UNION
+        SELECT e.dst AS doc, r.root
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    members AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    reps AS (
+        SELECT rep_doc FROM (
+            SELECT doc_id AS rep_doc,
+                   row_number() OVER (
+                       PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM members
+        ) WHERE rn = 1
+    ),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    stage3 AS (
+        SELECT k.doc_id FROM exact_keep k
+        LEFT JOIN clusters c ON c.doc_id = k.doc_id
+        LEFT JOIN reps r ON r.rep_doc = k.doc_id
+        WHERE c.doc_id IS NULL OR r.rep_doc IS NOT NULL
+    ),
+    qual AS (
+        SELECT doc_id,
+               round((CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0) * 0.5
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
+                        / len(string_split(text, ' '))) * 0.3
+                     + (1.0 / (1.0 + abs((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / len(string_split(text, ' '))) - 5.0))) * 0.2, 6) AS quality
+        FROM documents
+    ),
+    stage4 AS (
+        SELECT s.doc_id FROM stage3 s JOIN qual q ON q.doc_id = s.doc_id
+        WHERE q.quality >= {QUALITY_MIN}
+    )
+    SELECT 1 AS stage_idx, 'total' AS stage, (SELECT count(*) FROM documents) AS n_docs
+    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM exact_keep)
+    UNION ALL SELECT 3, 'near_dedup', (SELECT count(*) FROM stage3)
+    UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM stage4)
+    """,
+)
+def l_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning funnel, one row per stage: raw ->
+    exact dedup (keep-first by text) -> near-dup cluster pruning (keep
+    each cluster's representative) -> quality cut. Composes the
+    registered operators (cluster propagation, representatives, quality
+    scoring) rather than re-deriving them; every stage is a join or
+    aggregation on doc_id — 8-byte keys, no new shuffle shapes."""
+    from bristle_spark.queries.textops import l_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    exact_keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    clusters = l_dedup_clusters(spark, sf_dir).select("doc_id")
+    reps = l_cluster_representatives(spark, sf_dir).select(
+        F.col("rep_doc").alias("doc_id")
+    )
+    non_clustered = exact_keep.join(clusters, "doc_id", "left_anti")
+    rep_survivors = exact_keep.join(reps, "doc_id", "left_semi")
+    stage3 = non_clustered.union(rep_survivors)
+    qual_ok = (
+        l_quality_score(spark, sf_dir)
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id")
+    )
+    stage4 = stage3.join(qual_ok, "doc_id", "left_semi")
+
+    def stage_count(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage_count(d, 1, "total")
+        .union(stage_count(exact_keep, 2, "exact_dedup"))
+        .union(stage_count(stage3, 3, "near_dedup"))
+        .union(stage_count(stage4, 4, "quality"))
     )
