@@ -31,11 +31,13 @@ SAMPLE = [
     "r_retention",
     "r_histogram",
     "r_window_range_frame",
-    # round-5 newcomers: join-heavy / window-heavy shapes
+    # round-5 newcomers: join-heavy / window-heavy / composite shapes
     "l_repetition_score",
     "l_contamination_ngram",
     "l_cluster_representatives",
     "l_ann_knn_join",
+    "l_ngram_counts",
+    "l_clean_funnel",
 ]
 
 
