@@ -298,9 +298,10 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash (bit-majority over md5 token hashes).
-    Entirely row-local: transform + aggregate over the token array, no
-    explode/shuffle — the formulation that survives 100 TB."""
+    """Per-document 60-bit SimHash (bit-majority over md5 token hashes):
+    explode + 60 codegen'd conditional-sum aggregates with map-side
+    combine — one doc_id-keyed shuffle of partial sums, the formulation
+    that survives 100 TB (the array-lambda version runs interpreted)."""
     return _simhash_df(spark, sf_dir)
 
 
