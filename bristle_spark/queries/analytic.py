@@ -516,30 +516,44 @@ def r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_window_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
+           CAST(round(percent_rank() OVER w
+                      * (count(*) OVER p - 1)) AS BIGINT) AS pct_rank_num,
+           CAST(round(cume_dist() OVER w
+                      * count(*) OVER p) AS BIGINT)       AS cume_count,
+           count(*) OVER p                                AS n_part,
            last_value(c_custkey) OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS richest_custkey
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     """,
 )
 def r_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank / cume_dist) plus
     last_value over an explicit unbounded frame. Fully ordered via the
     c_custkey tiebreak so both engines rank identically; one shuffle on
-    the partition key."""
+    the partition key.
+
+    The fractions are rescaled to integers (x partition size) before
+    comparison: cume_dist emits k/n, and when n is 2^a*5^b (e.g. the
+    640-customer nation at sf0.1) k/n terminates at exactly 7 decimal
+    digits, where Spark's BigDecimal HALF_UP and DuckDB's raw-double
+    rounding disagree on the ...5 boundary. k and n themselves are
+    exact in both engines at any scale; the ratio is not."""
     cu = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    p = Window.partitionBy("c_nationkey")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_part = F.count(F.lit(1)).over(p)
     return cu.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w) * (n_part - 1)).cast("bigint").alias("pct_rank_num"),
+        F.round(F.cume_dist().over(w) * n_part).cast("bigint").alias("cume_count"),
+        n_part.alias("n_part"),
         F.last("c_custkey").over(w_full).alias("richest_custkey"),
     )
 
