@@ -1,0 +1,30 @@
+"""Cross-engine-exact rounding for ratio-valued outputs.
+
+``round(x, 6)`` is NOT portable for ratios of integers: Spark rounds the
+shortest decimal representation (BigDecimal HALF_UP) while DuckDB rounds
+the raw double, and when a ratio k/n terminates at exactly 7 decimal
+digits (n = 2^a*5^b with max(a,b) = 7 — e.g. n = 128 tokens, n = 640
+customers) the two disagree on the trailing-5 boundary. Found by the
+sf0.1 oracle-parity sweep on cume_dist (640-customer nation).
+
+``r6`` implements half-up rounding purely in IEEE double arithmetic —
+floor(x * 1e6 + 0.5) / 1e6 — the same bit-for-bit computation in both
+engines, so equality is guaranteed by construction instead of by luck of
+the data. (For negative inputs this rounds toward +inf; the engine uses
+it only for non-negative ratios.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def r6(col: Column) -> Column:
+    return F.floor(col * _SCALE + F.lit(0.5)) / _SCALE
+
+
+def r6_sql(expr: str) -> str:
+    return f"(floor(({expr}) * {_SCALE} + 0.5) / {_SCALE})"

@@ -34,6 +34,7 @@ from bristle_spark.queries.dedup import (
     _tokens,
     l_dedup_clusters,
 )
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.queries.textops import STOPWORDS
 from bristle_spark.registry import register
 
@@ -62,7 +63,7 @@ CONTAM_MAX_DF = 20  # df-cap: drop shingles in more docs (skew + signal lever)
     SELECT doc_id,
            CAST(n_shingles AS BIGINT) AS n_shingles,
            CAST(n_distinct AS BIGINT) AS n_distinct,
-           round(1.0 - n_distinct / n_shingles, 6) AS dup_ratio,
+           (floor((1.0 - n_distinct / n_shingles) * 1000000 + 0.5) / 1000000) AS dup_ratio,
            CAST(1.0 - n_distinct / n_shingles > {REP_THRESHOLD} AS INT) AS repetitive
     FROM sh
     """,
@@ -90,7 +91,7 @@ def l_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_shingles.alias("n_shingles"),
         n_distinct.alias("n_distinct"),
-        F.round(dup, 6).alias("dup_ratio"),
+        r6(dup).alias("dup_ratio"),
         (dup > REP_THRESHOLD).cast("int").alias("repetitive"),
     )
 
@@ -334,12 +335,12 @@ QUALITY_MIN = 0.4  # funnel quality cut (median-ish on the synthetic corpus)
     ),
     qual AS (
         SELECT doc_id,
-               round((CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0) * 0.5
+               (floor(((CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0) * 0.5
                      + (CAST(len(list_filter(string_split(text, ' '),
                           x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
                         / len(string_split(text, ' '))) * 0.3
                      + (1.0 / (1.0 + abs((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                        / len(string_split(text, ' '))) - 5.0))) * 0.2, 6) AS quality
+                        / len(string_split(text, ' '))) - 5.0))) * 0.2) * 1000000 + 0.5) / 1000000) AS quality
         FROM documents
     ),
     stage4 AS (

@@ -39,6 +39,7 @@ from bristle_spark.functions.hashing import (
     minhash_min_agg,
     minhash_sql,
 )
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.registry import register
 
 # 5-word shingles: the synthetic corpus has a ~30-word vocabulary, so
@@ -390,7 +391,7 @@ def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT m.doc_a, m.doc_b, CAST(m.n_common AS BIGINT) AS n_common,
-           round(CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common), 6) AS jaccard
+           (floor((CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common)) * 1000000 + 0.5) / 1000000) AS jaccard
     FROM common m
     JOIN sizes sa ON sa.doc_id = m.doc_a
     JOIN sizes sb ON sb.doc_id = m.doc_b
@@ -447,7 +448,7 @@ def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.col("n_common").cast("bigint").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
+            r6(jac).alias("jaccard"),
         )
     )
 

@@ -20,6 +20,7 @@ from bristle_spark.functions.hashing import (
     hash60,
     hash60_sql,
 )
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.registry import register
 
 # n-gram-heuristic language ID: ordered marker-word sets per language.
@@ -111,12 +112,12 @@ def l_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tok, n_char,
-           round(CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok, 6)  AS avg_tok_len,
-           round(CAST(n_stop AS DOUBLE) / n_tok, 6)                AS stop_ratio,
-           round(CAST(n_punct AS DOUBLE) / n_char, 6)              AS punct_ratio,
-           round((CAST(least(n_tok, 100) AS DOUBLE) / 100.0) * 0.5
+           {r6_sql("CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok")}  AS avg_tok_len,
+           {r6_sql("CAST(n_stop AS DOUBLE) / n_tok")}                AS stop_ratio,
+           {r6_sql("CAST(n_punct AS DOUBLE) / n_char")}              AS punct_ratio,
+           {r6_sql('''(CAST(least(n_tok, 100) AS DOUBLE) / 100.0) * 0.5
                  + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
-                 + (1.0 / (1.0 + abs((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) - 5.0))) * 0.2, 6) AS quality
+                 + (1.0 / (1.0 + abs((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) - 5.0))) * 0.2''')} AS quality
     FROM base
     """,
 )
@@ -151,10 +152,10 @@ def l_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         "n_char",
-        F.round(avg_tok_len, 6).alias("avg_tok_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality"),
+        r6(avg_tok_len).alias("avg_tok_len"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(punct_ratio).alias("punct_ratio"),
+        r6(quality).alias("quality"),
     )
 
 
