@@ -71,6 +71,25 @@ def cmd_forward_json(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Run the reload-capable ingest server (reference server binary:
+    config -> registries -> writer group; SIGHUP reload analog via
+    --reload-between-pumps for scripted testing)."""
+    import json as _json
+
+    from bristle_spark.ingest.server import IngestServer
+
+    spark = _spark("bristle-serve")
+    server = IngestServer(spark, args.config, args.data_root)
+    for i in range(args.pumps):
+        if i > 0 and args.reload_between_pumps:
+            ok = server.reload()
+            print(_json.dumps({"reload": "applied" if ok else "kept-old"}), file=sys.stderr)
+        stats = server.pump()
+        print(_json.dumps({"pump": i, "batches": stats}))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from bristle_spark.registry import all_specs
 
@@ -117,6 +136,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("forward-json", help="JSON-lines -> sink (D16)")
     add_ingest_common(sp)
     sp.set_defaults(fn=cmd_forward_json)
+
+    sp = sub.add_parser("serve", help="reload-capable ingest server (pump cycles)")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--data-root", required=True)
+    sp.add_argument("--pumps", type=int, default=1)
+    sp.add_argument("--reload-between-pumps", action="store_true")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("query", help="run a declared query")
     sp.add_argument("--name", required=True)

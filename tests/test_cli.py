@@ -69,3 +69,40 @@ def test_query_docs_fresh():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_serve_pumps_payloads(tmp_path, spark):
+    """CLI serve: autobind config + payload files -> pumped to sink."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from bristle_spark.ingest.fixtures import encode_example_row, example_binding
+    from tests.test_server_reload import _explicit_config
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(_explicit_config()))
+    data_root = tmp_path / "data"
+    payload_dir = data_root / "payloads" / "default__example_table"
+
+    b = example_binding()
+    rows = [
+        (b.message_name, bytearray(encode_example_row(name=f"d{i}", value=i)))
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows,
+        schema=T.StructType(
+            [T.StructField("type", T.StringType()), T.StructField("body", T.BinaryType())]
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(str(payload_dir))
+
+    r = _run(
+        "serve", "--config", str(cfg), "--data-root", str(data_root), "--pumps", "1"
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["batches"]["default.example_table"] >= 1
+    sink = data_root / "sink" / "default__example_table"
+    assert os.path.isdir(sink)
+    assert spark.read.parquet(str(sink)).count() == 5
