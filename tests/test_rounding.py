@@ -1,0 +1,63 @@
+"""Pin the cross-engine rounding-boundary fix (functions/rounding.py):
+for a ratio terminating at exactly 7 decimal digits, Spark's round()
+(shortest-decimal HALF_UP) and DuckDB's round() (raw double) disagree,
+while the IEEE half-up formulation r6/r6_sql agrees by construction."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bristle_spark.functions.rounding import r6, r6_sql
+
+# 333/640 = 0.5203125 exactly — the cume_dist value of the 640-customer
+# nation at sf0.1 that produced the round-5 parity failure
+BOUNDARY_NUM, BOUNDARY_DEN = 333, 640
+
+
+def _spark_val(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_native_round_disagrees_on_the_boundary(spark):
+    """The motivating bug: the two engines' round() differ here. If this
+    ever starts agreeing, the r6 workaround can be reconsidered."""
+    expr = F.lit(float(BOUNDARY_NUM)) / F.lit(float(BOUNDARY_DEN))
+    spark_rounded = _spark_val(spark, F.round(expr, 6))
+    duck_rounded = duckdb.sql(
+        f"SELECT round(CAST({BOUNDARY_NUM} AS DOUBLE) / {BOUNDARY_DEN}, 6)"
+    ).fetchone()[0]
+    assert spark_rounded != duck_rounded, (spark_rounded, duck_rounded)
+
+
+def test_r6_agrees_on_the_boundary(spark):
+    expr = F.lit(float(BOUNDARY_NUM)) / F.lit(float(BOUNDARY_DEN))
+    spark_v = _spark_val(spark, r6(expr))
+    duck_v = duckdb.sql(
+        f"SELECT {r6_sql(f'CAST({BOUNDARY_NUM} AS DOUBLE) / {BOUNDARY_DEN}')}"
+    ).fetchone()[0]
+    assert spark_v == duck_v
+
+
+def test_r6_agrees_across_terminating_ratios(spark):
+    """Sweep every k/n for the 2^a*5^b denominators that terminate at
+    5-8 decimal digits — the whole at-risk family, both engines equal."""
+    dens = [64, 128, 160, 320, 512, 625, 640, 800, 3125, 12800]
+    rows = [(k, n) for n in dens for k in range(1, n, max(1, n // 97))]
+    df = spark.createDataFrame(rows, "k int, n int")
+    sp = {
+        (r["k"], r["n"]): r["v"]
+        for r in df.select(
+            "k", "n", r6(F.col("k").cast("double") / F.col("n")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, n INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        (k, n): v
+        for k, n, v in con.execute(
+            f"SELECT k, n, {r6_sql('CAST(k AS DOUBLE) / n')} FROM t"
+        ).fetchall()
+    }
+    assert sp == duck
