@@ -22,9 +22,22 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
+def rN(col: Column, digits: int) -> Column:
+    """Half-up round to ``digits`` decimal places in pure IEEE double
+    arithmetic — floor(x * 10^d + 0.5) / 10^d — identical bit-for-bit in
+    Spark and DuckDB, unlike native ``round`` (see module docstring)."""
+    scale = 10**digits
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def rN_sql(expr: str, digits: int) -> str:
+    scale = 10**digits
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
 def r6(col: Column) -> Column:
-    return F.floor(col * _SCALE + F.lit(0.5)) / _SCALE
+    return rN(col, 6)
 
 
 def r6_sql(expr: str) -> str:
-    return f"(floor(({expr}) * {_SCALE} + 0.5) / {_SCALE})"
+    return rN_sql(expr, 6)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table, register_views
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.functions.skew import salted_agg
 from bristle_spark.registry import register
 
@@ -165,7 +166,7 @@ HEAVY_HITTER_THRESHOLD = 0.03  # fixture max token frequency is ~3.5%
             SELECT unnest(string_split(text, ' ')) AS token FROM documents
         ) GROUP BY token
     )
-    SELECT token, cnt, round(frequency, 6) AS frequency FROM (
+    SELECT token, cnt, {r6_sql("frequency")} AS frequency FROM (
         SELECT token, cnt, cnt * 1.0 / sum(cnt) OVER () AS frequency FROM counts
     ) WHERE frequency >= {HEAVY_HITTER_THRESHOLD}
     """,
@@ -190,7 +191,7 @@ def l_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(total))
         .select("token", "cnt", freq.alias("frequency"))
         .filter(F.col("frequency") >= HEAVY_HITTER_THRESHOLD)
-        .select("token", "cnt", F.round("frequency", 6).alias("frequency"))
+        .select("token", "cnt", r6(F.col("frequency")).alias("frequency"))
     )
 
 
@@ -869,7 +870,7 @@ def r_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_retention",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
     ),
@@ -885,7 +886,7 @@ def r_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cohort_day,
            count(*)                                        AS n_users,
            CAST(sum(retained) AS BIGINT)                   AS n_retained,
-           round(CAST(sum(retained) AS DOUBLE) / count(*), 6) AS retention_rate
+           {r6_sql("CAST(sum(retained) AS DOUBLE) / count(*)")} AS retention_rate
     FROM r GROUP BY cohort_day
     """,
 )
@@ -913,7 +914,7 @@ def r_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("retained").cast("bigint").alias("n_retained"),
-        F.round(F.sum("retained").cast("double") / F.count(F.lit(1)), 6).alias(
+        r6(F.sum("retained").cast("double") / F.count(F.lit(1))).alias(
             "retention_rate"
         ),
     )

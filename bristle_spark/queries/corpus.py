@@ -34,7 +34,7 @@ from bristle_spark.queries.dedup import (
     _tokens,
     l_dedup_clusters,
 )
-from bristle_spark.functions.rounding import r6, r6_sql
+from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
 from bristle_spark.queries.textops import STOPWORDS
 from bristle_spark.registry import register
 
@@ -220,11 +220,11 @@ def l_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l_corpus_stats",
-    oracle="""
+    oracle=f"""
     SELECT source,
            count(*)                                   AS n_docs,
            SUM(len(string_split(text, ' ')))          AS n_tokens,
-           round(avg(n_chars), 4)                     AS avg_chars,
+           {rN_sql("avg(n_chars)", 4)}                AS avg_chars,
            count(DISTINCT lang)                       AS n_langs
     FROM documents
     GROUP BY source
@@ -238,7 +238,7 @@ def l_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        rN(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
 

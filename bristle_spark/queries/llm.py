@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bristle_spark.catalog import load_table
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.registry import register
 
 
@@ -48,14 +49,14 @@ def l_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l_text_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang,
            count(*)                                              AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
-           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           {r6_sql("avg(CAST(len(string_split(text, ' ')) AS DOUBLE))")} AS avg_tokens,
            CAST(min(n_chars) AS BIGINT)                          AS min_chars,
            CAST(max(n_chars) AS BIGINT)                          AS max_chars,
-           round(avg(CAST(n_chars AS DOUBLE)), 6)                AS avg_chars
+           {r6_sql("avg(CAST(n_chars AS DOUBLE))")}              AS avg_chars
     FROM documents
     GROUP BY lang
     """,
@@ -68,8 +69,8 @@ def l_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("total_tokens"),
-        F.round(F.avg(n_tok.cast("double")), 6).alias("avg_tokens"),
+        r6(F.avg(n_tok.cast("double"))).alias("avg_tokens"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
     )

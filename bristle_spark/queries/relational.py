@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.registry import register
 
 
@@ -47,13 +48,13 @@ def r_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_hash_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
+           {r6_sql("avg(l_quantity)")}                                      AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
            count(*)                                                         AS count_order
@@ -76,7 +77,7 @@ def r_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
         F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),

@@ -8,7 +8,7 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import functions as F
 
-from bristle_spark.functions.rounding import r6, r6_sql
+from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
 
 # 333/640 = 0.5203125 exactly — the cume_dist value of the 640-customer
 # nation at sf0.1 that produced the round-5 parity failure
@@ -37,6 +37,36 @@ def test_r6_agrees_on_the_boundary(spark):
         f"SELECT {r6_sql(f'CAST({BOUNDARY_NUM} AS DOUBLE) / {BOUNDARY_DEN}')}"
     ).fetchone()[0]
     assert spark_v == duck_v
+
+
+# 3/20000 = 0.00015 exactly — terminates at 5 decimal digits, raw double
+# sits just below the boundary, so native round(x, 4) disagrees between
+# engines (the l_corpus_stats round-5 failure class at d=4)
+D4_NUM, D4_DEN = 3, 20000
+
+
+def test_native_round_disagrees_at_d4(spark):
+    expr = F.lit(float(D4_NUM)) / F.lit(float(D4_DEN))
+    spark_rounded = _spark_val(spark, F.round(expr, 4))
+    duck_rounded = duckdb.sql(
+        f"SELECT round(CAST({D4_NUM} AS DOUBLE) / {D4_DEN}, 4)"
+    ).fetchone()[0]
+    assert spark_rounded != duck_rounded, (spark_rounded, duck_rounded)
+
+
+def test_rN_agrees_at_d4(spark):
+    expr = F.lit(float(D4_NUM)) / F.lit(float(D4_DEN))
+    spark_v = _spark_val(spark, rN(expr, 4))
+    duck_v = duckdb.sql(
+        f"SELECT {rN_sql(f'CAST({D4_NUM} AS DOUBLE) / {D4_DEN}', 4)}"
+    ).fetchone()[0]
+    assert spark_v == duck_v
+
+
+def test_rN_6_is_r6(spark):
+    expr = F.lit(float(BOUNDARY_NUM)) / F.lit(float(BOUNDARY_DEN))
+    assert _spark_val(spark, rN(expr, 6)) == _spark_val(spark, r6(expr))
+    assert rN_sql("x", 6) == r6_sql("x")
 
 
 def test_r6_agrees_across_terminating_ratios(spark):
