@@ -42,17 +42,19 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 
 # The driver's correctness harness grades the FIRST 50 entries of
-# ``queries()`` in iteration order.  This list pins that window to the
-# full SURVEY.md §2.D contract (9 t_* + 17 r_* + 4 l_* + 4 s_* = 34
-# keys) plus the 16 dedup/ANN/textops operators of the LLM-pipeline
-# family — exactly 50.  Queries beyond the survey that already hold
-# green driver rows from earlier rounds (r_funnel, r_retention, ...)
-# rotate behind, still registered and still locally oracle-checked.
+# ``queries()`` in iteration order.  Round-6 rotation (VERDICT r5 #4):
+# every key that has NEVER received a driver row gets a slot this round
+# — l_ann_knn_join, l_ann_ivf_nprobe, l_ngram_counts, l_clean_funnel,
+# s_stream_dedup(+_watermark), m_* — plus the two queries whose rounding
+# changed this round (r_retention, l_heavy_hitters).  Slots come from
+# multiply-confirmed keys (l_ann_lsh, l_ann_ivf, l_dedup_minhash,
+# l_dedup_simhash, the 4 survey s_* with two green runs, and 3 t_* with
+# r1+r5 green rows); everything rotated out stays registered and locally
+# oracle-checked (test_oracle_parity.py).  The full survey pin is
+# restored in round 7 once every key holds >=1 driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- SURVEY §2.D transcode group (9) ---
-    "t_project_rename",
-    "t_cast_int_widths",
-    "t_bool_to_int",
+    # --- SURVEY §2.D transcode group (6 of 9; project_rename,
+    # cast_int_widths, bool_to_int rotate behind with r1+r5 rows) ---
     "t_enum_codes",
     "t_timestamp_epoch",
     "t_null_default",
@@ -79,43 +81,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_tumbling_window",
     # --- SURVEY §2.D LLM group (4) ---
     "l_dedup_exact",
-    "l_text_stats",
+    "l_text_stats",  # rounding migrated to r6 this round — fresh row
     "l_similarity_cosine",
     "l_knn_label",
-    # --- SURVEY §2.D streaming group (4, rows-only by design) ---
-    "s_microbatch_flush",
-    "s_drop_policies",
-    "s_late_data",
-    "s_proto_roundtrip",
-    # --- LLM-pipeline family beyond the survey keys ---
-    # Keys with multiple confirmed green driver rows (r2+r3) rotate
-    # behind so changed/new/never-checked queries get driver evidence;
-    # everything rotated out stays registered and locally oracle-checked
-    # (test_oracle_parity.py). Rotated out in round 5: l_simhash,
-    # l_sample_hash, l_lang_id, l_quality_score, l_token_count,
-    # l_chunk_documents, l_fingerprint, l_tfidf_top_terms,
-    # l_train_val_test.
-    "l_dedup_minhash",
-    "l_dedup_simhash",
+    # --- LLM-pipeline family still inside the window ---
     "l_dedup_ngram_jaccard",
-    "l_dedup_embedding",  # banded-LSH rewrite this round — needs a fresh row
+    "l_dedup_embedding",
     "l_dedup_clusters",
-    "l_ann_lsh",
-    "l_ann_ivf",
-    # --- round-5 rotation: never-driver-checked survey-adjacent keys ---
+    # --- round-5 rotation keys keeping their slots (1 green row each) ---
     "t_decimal_math",
     "t_null_semantics",
-    # --- round-5 rotation: Group S queries refactored this round
-    # (driver-collect removal) plus the never-checked stream join —
-    # rows-only, but the run itself is the evidence they execute ---
     "s_session_window",
     "s_stateful_totals",
     "s_stream_join",
-    # --- round-5 rotation: new corpus-hygiene family, oracle-backed ---
     "l_repetition_score",
     "l_contamination_ngram",
     "l_cluster_representatives",
-    "l_corpus_stats",
+    "l_corpus_stats",  # the round-5 red row — rN(d=4) fix needs its green
+    # --- round-6 rotation: never-driver-checked keys ---
+    "l_ann_knn_join",
+    "l_ann_ivf_nprobe",
+    "l_ngram_counts",
+    "l_clean_funnel",
+    "s_stream_dedup",
+    "s_stream_dedup_watermark",
+    "m_binary_features",
+    "m_frame_sample",
+    "m_resize",
+    # --- round-6 rotation: rounding changed this round, need fresh rows ---
+    "r_retention",
+    "l_heavy_hitters",
 )
 
 
