@@ -122,6 +122,11 @@ def main() -> None:
         )
     )
     spark.stop()
+    if errors:
+        # a partially-failed run sums fewer queries and would otherwise
+        # read as a (better-looking) comparable total in BASELINE.md —
+        # make the failure visible in the exit code (ADVICE r5)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

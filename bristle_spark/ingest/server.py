@@ -98,6 +98,36 @@ class WriterGroup:
             self.closed = True
 
 
+def _existing_sink_columns(sink_dir: str) -> list[str] | None:
+    """Column names of the first parquet footer under ``sink_dir``, or
+    None when nothing has been written yet."""
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in sorted(os.walk(sink_dir)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return [fld.name for fld in pq.read_schema(os.path.join(root, f))]
+    return None
+
+
+def _validate_sink_schema(writer: TableWriter) -> None:
+    """Reloads must not change a surviving sink dir's schema (ADVICE r5)."""
+    if not os.path.isdir(writer.sink_dir):
+        return
+    existing = _existing_sink_columns(writer.sink_dir)
+    if existing is None:
+        return
+    expected = [
+        c.name for c in sorted(writer.binding.sink_columns, key=lambda c: c.position)
+    ]
+    if existing != expected:
+        raise ValueError(
+            f"table {writer.binding.sink_table}: bound columns {expected} do not "
+            f"match the existing sink schema {existing}; version the sink dir or "
+            "migrate it explicitly before rebinding"
+        )
+
+
 class IngestServer:
     """Server analog: owns the reloadable state. Construction fails
     hard on a bad config (NewServer, server.go:28-48); ``reload`` keeps
@@ -121,7 +151,12 @@ class IngestServer:
         registry = registry_from_config(cfg)  # explicit bindings first
         if cfg.get("autobind"):
             pool = DescriptorPool()
+            cfg_dir = os.path.dirname(os.path.abspath(self.config_path))
             for path in cfg.get("proto_descriptor_paths", []):
+                # relative descriptor paths are config-file-relative, so
+                # `serve --config some/dir/cfg.json` works from any CWD
+                if not os.path.isabs(path):
+                    path = os.path.join(cfg_dir, path)
                 pool.add_path(path)
             tables = {t["name"]: _sink_columns(t) for t in cfg.get("tables", [])}
             autobind(pool, tables, registry)  # first-table-wins
@@ -132,20 +167,32 @@ class IngestServer:
         group = WriterGroup()
         for binding in registry.bindings():
             safe = binding.sink_table.replace(".", "__")
-            group.add(
-                TableWriter(
-                    binding=binding,
-                    payload_dir=os.path.join(self.data_root, "payloads", safe),
-                    sink_dir=os.path.join(self.data_root, "sink", safe),
-                    checkpoint_dir=os.path.join(self.data_root, "ckpt", safe),
-                )
+            writer = TableWriter(
+                binding=binding,
+                payload_dir=os.path.join(self.data_root, "payloads", safe),
+                sink_dir=os.path.join(self.data_root, "sink", safe),
+                checkpoint_dir=os.path.join(self.data_root, "ckpt", safe),
             )
+            # sink dirs are keyed by table name and survive reloads; a
+            # binding whose column set no longer matches what's already
+            # on disk would silently append a second schema (later reads
+            # resolve one footer and drop/null the rest) — refuse instead,
+            # BEFORE the swap, so reload() keeps the old state serving
+            _validate_sink_schema(writer)
+            group.add(writer)
         # swap order mirrors reloadConfig: new state live, then the old
         # writer group drains and releases
-        old = self.writer_group
+        old_state = (self.config, self.registry, self.writer_group)
         self.config, self.registry, self.writer_group = cfg, registry, group
-        if old is not None:
-            old.close(self.spark)
+        if old_state[2] is not None:
+            try:
+                old_state[2].close(self.spark)
+            except Exception:
+                # drain failed: the contract ("False => no action taken,
+                # old state serving") must stay true, so put the old
+                # triple back before the error propagates to reload()
+                self.config, self.registry, self.writer_group = old_state
+                raise
 
     def reload(self) -> bool:
         """SIGHUP analog. Returns True if the new config was applied;

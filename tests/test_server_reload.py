@@ -134,6 +134,73 @@ def test_reload_error_keeps_old_state(spark, tmp_path):
     assert server.registry is old_registry
 
 
+def test_reload_drain_failure_restores_old_state(spark, tmp_path):
+    """ADVICE r5: if the OLD writer group's drain throws after the swap,
+    reload() must report False with the old state actually serving —
+    not the new state silently live."""
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(_explicit_config()))
+    server = IngestServer(spark, str(cfg_path), str(tmp_path / "data"))
+    old_registry, old_group, old_config = (
+        server.registry,
+        server.writer_group,
+        server.config,
+    )
+
+    def boom(_spark):
+        raise RuntimeError("drain failed")
+
+    old_group.close = boom
+    pb_path = tmp_path / "example.pb"
+    pb_path.write_bytes(example_descriptor_set())
+    cfg_path.write_text(json.dumps(_autobind_config(str(pb_path))))
+    assert server.reload() is False
+    assert server.registry is old_registry
+    assert server.writer_group is old_group
+    assert server.config is old_config
+
+
+def test_reload_refuses_sink_schema_change(spark, tmp_path):
+    """ADVICE r5: sink dirs survive reloads; a reload that rebinds a
+    table to a different column set must be refused (else later reads
+    silently resolve one footer's schema)."""
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(_explicit_config()))
+    server = IngestServer(spark, str(cfg_path), str(tmp_path / "data"))
+    old_registry = server.registry
+
+    b = example_binding()
+    _write_payload(spark, server, b.message_name, _bodies(0, 5), "gen1")
+    server.pump()
+
+    renamed = _explicit_config()
+    for c in renamed["tables"][0]["columns"]:
+        if c["name"] == "value":
+            c["name"] = "value_renamed"
+    for f in renamed["messages"][b.message_name]["fields"]:
+        if (f["column"] or f["name"]) == "value":
+            f["column"] = "value_renamed"
+    cfg_path.write_text(json.dumps(renamed))
+    assert server.reload() is False
+    assert server.registry is old_registry
+
+    # the same rebinding against an EMPTY sink is fine
+    server2 = IngestServer(spark, str(cfg_path), str(tmp_path / "data2"))
+    assert server2.registry is not None
+
+
+def test_relative_descriptor_paths_resolve_against_config_dir(spark, tmp_path):
+    """ADVICE r5: `serve --config some/dir/cfg.json` must work from any
+    CWD — relative proto_descriptor_paths are config-file-relative."""
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "example.pb").write_bytes(example_descriptor_set())
+    cfg = _autobind_config("example.pb")  # relative to the config file
+    (sub / "config.json").write_text(json.dumps(cfg))
+    server = IngestServer(spark, str(sub / "config.json"), str(tmp_path / "data"))
+    assert server.registry.for_type("ExampleMessage") is not None
+
+
 def test_server_init_fails_hard_on_bad_config(spark, tmp_path):
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text("{ not json")
