@@ -74,19 +74,36 @@ def cmd_forward_json(args: argparse.Namespace) -> int:
 def cmd_serve(args: argparse.Namespace) -> int:
     """Run the reload-capable ingest server (reference server binary:
     config -> registries -> writer group; SIGHUP reload analog via
-    --reload-between-pumps for scripted testing)."""
+    --reload-between-pumps for scripted testing). With --listen the
+    wire-protocol TCP front door accepts client sessions between pump
+    cycles (reference ingest_service.go:63-74)."""
     import json as _json
 
     from bristle_spark.ingest.server import IngestServer
 
     spark = _spark("bristle-serve")
     server = IngestServer(spark, args.config, args.data_root)
-    for i in range(args.pumps):
-        if i > 0 and args.reload_between_pumps:
-            ok = server.reload()
-            print(_json.dumps({"reload": "applied" if ok else "kept-old"}), file=sys.stderr)
-        stats = server.pump()
-        print(_json.dumps({"pump": i, "batches": stats}))
+    service = None
+    if args.listen:
+        from bristle_spark.ingest.service import IngestSocketService
+
+        host, _, port = args.listen.rpartition(":")
+        service = IngestSocketService(server, host or "127.0.0.1", int(port)).start()
+        print(_json.dumps({"listening": f"{service.host}:{service.port}"}), file=sys.stderr)
+    try:
+        for i in range(args.pumps):
+            if i > 0 and args.reload_between_pumps:
+                ok = server.reload()
+                print(_json.dumps({"reload": "applied" if ok else "kept-old"}), file=sys.stderr)
+            if args.pump_interval > 0 and i > 0:
+                import time
+
+                time.sleep(args.pump_interval)
+            stats = server.pump()
+            print(_json.dumps({"pump": i, "batches": stats}))
+    finally:
+        if service is not None:
+            service.stop()
     return 0
 
 
@@ -142,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--data-root", required=True)
     sp.add_argument("--pumps", type=int, default=1)
     sp.add_argument("--reload-between-pumps", action="store_true")
+    sp.add_argument("--listen", default=None, help="HOST:PORT for the wire-protocol TCP front door")
+    sp.add_argument("--pump-interval", type=float, default=0.0, help="seconds between pump cycles")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("query", help="run a declared query")

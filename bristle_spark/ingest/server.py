@@ -164,6 +164,12 @@ class IngestServer:
 
     def _apply(self, cfg: dict) -> None:
         registry = self._build_registry(cfg)
+        # optional per-table day partitioning of the sink (parquet
+        # partitionBy on to_date(ts_column) — ClickHouse PARTITION BY
+        # toYYYYMMDD analog, examples/*.sql)
+        ts_columns = {
+            t["name"]: t["ts_column"] for t in cfg.get("tables", []) if t.get("ts_column")
+        }
         group = WriterGroup()
         for binding in registry.bindings():
             safe = binding.sink_table.replace(".", "__")
@@ -172,6 +178,7 @@ class IngestServer:
                 payload_dir=os.path.join(self.data_root, "payloads", safe),
                 sink_dir=os.path.join(self.data_root, "sink", safe),
                 checkpoint_dir=os.path.join(self.data_root, "ckpt", safe),
+                ts_column=ts_columns.get(binding.sink_table),
             )
             # sink dirs are keyed by table name and survive reloads; a
             # binding whose column set no longer matches what's already
