@@ -13,6 +13,16 @@ vector positions, float64):
   are bit-identical to the fold expression and to the DuckDB oracle's
   ``list_sum(list_transform(...))`` — the value-hash comparison stays
   exact while the hot path runs ~20x faster.
+
+Round-6 re-measurement (VERDICT r5 #6) of a fully codegen'd alternative
+— the 64-term unrolled left-associative expression
+``a[1]*b[1] + ... + a[64]*b[64]`` (same sequential fp order, verified
+0 bitwise mismatches on 80k sf0.1 pairs): 1.85s vs 0.48s for the pandas
+UDF on the same 80k-pair workload. The giant expression tree evaluates
+per-element through ArrayData getters and overflows the codegen method
+budget, so the Arrow path stays ~3.8x faster even counting the Python
+worker round-trip; the interpreted zip_with/aggregate fold measures
+1.14s. The UDF remains the keeper on every vector-scoring path.
 """
 
 from __future__ import annotations
