@@ -388,3 +388,164 @@ def l_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- PII scrubbing -------------------------------------------------------
+# One alternation covering the three planted shapes; RE2 (DuckDB) and
+# java.util.regex (Spark) agree on this class (no backrefs, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_RE = f"({PII_EMAIL})|({PII_PHONE})|({PII_IPV4})"
+PII_TOKEN = "<PII>"
+
+
+@register(
+    "l_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_RE}')) AS BIGINT) AS n_pii,
+           md5(regexp_replace(text, '{PII_RE}', '{PII_TOKEN}', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{PII_RE}', '{PII_TOKEN}', 'g'), '{PII_RE}'
+           )) AS BIGINT) AS n_left
+    FROM planted
+    WHERE len(regexp_extract_all(text, '{PII_RE}')) > 0
+    """,
+)
+def l_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before release: emails, NANP phone numbers, and IPv4 addresses
+    replaced with a sentinel token. The synthetic corpus carries no PII,
+    so a deterministic slice is planted first (docs with id % 7/11/13 ==
+    0 get an email/phone/ip) and the scrub is verified by (a) the match
+    count before, (b) the md5 of the scrubbed text, and (c) zero matches
+    after. Entirely row-local regexp expressions — a linear scan with no
+    shuffle, JVM-side (codegen'd), which is the 100 TB shape; the regex
+    class (no backrefs/lookaround) evaluates identically on RE2 and
+    java.util.regex."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 3) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(planted, PII_RE, PII_TOKEN)
+    n_pii = F.size(F.regexp_extract_all(planted, F.lit(PII_RE), F.lit(0))).cast("bigint")
+    n_left = F.size(F.regexp_extract_all(scrubbed, F.lit(PII_RE), F.lit(0))).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_pii.alias("n_pii"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            n_left.alias("n_left"),
+        )
+        .filter(F.col("n_pii") > 0)
+    )
+
+
+# --- exact stratified sampling ------------------------------------------
+STRATA_BUCKETS = 1024  # boundary-bucket fan-in bound: sorts ~n/1024 rows max
+
+
+@register(
+    "l_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+               count(*)    OVER (PARTITION BY source) AS n
+        FROM h
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= CAST(ceil(n * {SAMPLE_PCT / 100}) AS BIGINT)
+    """,
+)
+def l_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: per source, keep exactly
+    ceil(n_source * 10%) documents — the k smallest (md5-hash, doc_id)
+    pairs, so the selection is deterministic, layout-invariant, and
+    engine-independent (unlike TABLESAMPLE).
+
+    The oracle ranks each whole stratum with one window; at 100 TB that
+    funnels a billion-row source through a single WindowExec partition.
+    The engine instead uses the boundary-bucket top-k pattern: hash every
+    doc into one of 1024 sub-buckets, aggregate (source, bucket) counts
+    (tiny — strata x 1024 rows), prefix-sum them to locate each
+    stratum's cutoff, keep FULL buckets below the cutoff outright, and
+    sort ONLY the single boundary bucket per stratum (~n/1024 rows) to
+    take its remainder quota. Same exact k rows, no global ranking
+    anywhere. The bucket is the hash's TOP bits (a range partition of
+    h), so bucket order IS hash order and full-buckets-then-boundary
+    selects exactly the k smallest hashes."""
+    rate = SAMPLE_PCT / 100
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", hash60(F.col("doc_id").cast("string")).alias("h")
+    )
+    # h is 60-bit; 2^50 per bucket -> 1024 range buckets in hash order
+    # (integer shift, not double division: 60-bit values round in fp64)
+    d = d.withColumn("bucket", F.shiftright(F.col("h"), 50))
+    per = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn("start", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+    tot = per.groupBy("source").agg(F.sum("cnt").alias("n"))
+    per = per.join(tot, "source").select(
+        "source",
+        "bucket",
+        "start",
+        (F.col("start") + F.col("cnt")).alias("end"),
+        F.ceil(F.col("n") * F.lit(rate)).cast("bigint").alias("k"),
+    )
+    # both output branches consume the decision table; materialize it once
+    # (strata x 1024 rows) so the corpus aggregation behind it doesn't run
+    # twice — the corpus itself is scanned once per branch, columns pruned
+    per = per.localCheckpoint()
+    tagged = d.join(F.broadcast(per), ["source", "bucket"])
+    full = tagged.filter(F.col("end") <= F.col("k")).select("doc_id", "source")
+    wr = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    boundary = (
+        tagged.filter((F.col("start") < F.col("k")) & (F.col("end") > F.col("k")))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= F.col("k") - F.col("start"))
+        .select("doc_id", "source")
+    )
+    return full.union(boundary)
