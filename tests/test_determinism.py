@@ -38,6 +38,9 @@ SAMPLE = [
     "l_ann_knn_join",
     "l_ngram_counts",
     "l_clean_funnel",
+    # round-6 newcomers: regex scrub + boundary-bucket stratified top-k
+    "l_pii_scrub",
+    "l_stratified_sample",
 ]
 
 
