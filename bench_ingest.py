@@ -71,6 +71,58 @@ def main() -> None:
         assert pipeline.explode_frames(fdf).count() == n_frames
         best_framing = max(best_framing, n_frames / (time.perf_counter() - t0))
 
+    # D1 front door: acked throughput through a live TCP session
+    # (register-type handshake + varint-framed batches + per-frame decode
+    # validation + durable parquet landing; reference ingest_service.go).
+    import os
+    import tempfile
+
+    from bristle_spark.ingest import service as svc
+    from bristle_spark.ingest.server import IngestServer
+
+    sock_rows = min(n, 100_000)
+    sock_batch = 1_000
+    with tempfile.TemporaryDirectory() as root:
+        cfg = {
+            "tables": [
+                {
+                    "name": binding.sink_table,
+                    "columns": [
+                        {"name": c.name, "type": c.ch_type, "default": c.default}
+                        for c in binding.sink_columns
+                    ],
+                    "messages": [binding.message_name],
+                }
+            ],
+            "messages": {
+                binding.message_name: {
+                    "fields": [
+                        {
+                            "number": f.number,
+                            "name": f.name,
+                            "kind": f.kind,
+                            "repeated": f.repeated,
+                            "column": f.column,
+                            "json_name": f.json_name,
+                        }
+                        for f in binding.fields
+                    ]
+                }
+            },
+        }
+        cfg_path = os.path.join(root, "config.json")
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
+        server = IngestServer(spark, cfg_path, os.path.join(root, "data"))
+        with svc.IngestSocketService(server) as sk:
+            with svc.IngestSocketClient("127.0.0.1", sk.port) as client:
+                tid = client.register_type(binding.message_name)
+                t0 = time.perf_counter()
+                for off in range(0, sock_rows, sock_batch):
+                    r = client.write_batch(bodies[off : off + sock_batch], type_id=tid)
+                    assert r == svc.OK
+                socket_rps = sock_rows / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -79,6 +131,7 @@ def main() -> None:
                 "unit": "rows/s",
                 "rows": n,
                 "framing_frames_per_s": round(best_framing),
+                "socket_acked_rows_per_s": round(socket_rps),
             }
         )
     )
