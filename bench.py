@@ -65,6 +65,9 @@ HEADLINE = [
     "l_cluster_representatives",
     "l_corpus_stats",
     "l_ann_knn_join",
+    # round-6 additions: PII scrub + boundary-bucket stratified sampling
+    "l_pii_scrub",
+    "l_stratified_sample",
 ]
 
 

@@ -69,6 +69,33 @@ def test_rN_6_is_r6(spark):
     assert rN_sql("x", 6) == r6_sql("x")
 
 
+def test_rN_property_random_ratios():
+    """Property check, no Spark needed: the rN formula is pure IEEE ops
+    (mul, add, floor, div), so a Python emulation computes bit-identical
+    doubles to both engines — sweep random ratios against DuckDB."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        k=st.integers(min_value=0, max_value=10**9),
+        n=st.integers(min_value=1, max_value=10**9),
+        d=st.sampled_from([2, 4, 6, 8]),
+    )
+    def check(k, n, d):
+        scale = 10**d
+        py = math.floor((k / n) * scale + 0.5) / scale
+        duck = con.execute(
+            f"SELECT {rN_sql(f'CAST({k} AS DOUBLE) / {n}', d)}"
+        ).fetchone()[0]
+        assert py == duck, (k, n, d, py, duck)
+
+    check()
+
+
 def test_r6_agrees_across_terminating_ratios(spark):
     """Sweep every k/n for the 2^a*5^b denominators that terminate at
     5-8 decimal digits — the whole at-risk family, both engines equal."""
