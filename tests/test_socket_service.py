@@ -182,6 +182,74 @@ def test_batch_limits_and_backpressure(spark, three_table_server):
             )
 
 
+def test_concurrent_clients(spark, three_table_server):
+    """Four clients streaming in parallel: every batch acks OK and the
+    drained sink holds exactly the union of all rows."""
+    import threading
+
+    server = three_table_server
+    results = []
+
+    def run_client(cid: int, port: int) -> None:
+        with IngestSocketClient("127.0.0.1", port) as client:
+            tid = client.register_type("ExampleMessage")
+            for b in range(3):
+                bodies = [
+                    encode_example_row(
+                        name=f"c{cid}_b{b}_{i}",
+                        type_code=1,
+                        ts=(1_700_000_000, 0),
+                        value=i,
+                    )
+                    for i in range(10)
+                ]
+                results.append(client.write_batch(bodies, type_id=tid))
+
+    with IngestSocketService(server) as service:
+        threads = [
+            threading.Thread(target=run_client, args=(c, service.port))
+            for c in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert results == [svc.OK] * 12
+    server.pump()
+    sink = os.path.join(server.data_root, "sink", "default__example_table")
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert out.select("name").distinct().count() == 120
+
+
+def test_reload_during_live_session(spark, three_table_server, tmp_path):
+    """A config reload (same bindings) between batches of one live
+    session: both batches ack OK and drain exactly-once — the writer
+    swap keeps checkpoints keyed by table, so nothing replays."""
+    server = three_table_server
+    with IngestSocketService(server) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            pre = [
+                encode_example_row(name=f"pre_{i}", type_code=1, ts=(1_700_000_000, 0))
+                for i in range(4)
+            ]
+            assert client.write_batch(pre, type_id=tid) == svc.OK
+            server.pump()
+            assert server.reload() is True
+            post = [
+                encode_example_row(name=f"post_{i}", type_code=1, ts=(1_700_000_000, 0))
+                for i in range(5)
+            ]
+            assert client.write_batch(post, type_id=tid) == svc.OK
+    server.pump()
+    sink = os.path.join(server.data_root, "sink", "default__example_table")
+    out = spark.read.parquet(sink)
+    assert out.count() == 9
+    assert out.select("name").distinct().count() == 9
+
+
 def test_unsupported_messages_terminate_session(spark, three_table_server):
     with IngestSocketService(three_table_server) as service:
         # register with inline descriptor: ErrUnsupported, session closed
