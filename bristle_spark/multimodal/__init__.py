@@ -126,6 +126,63 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
     return df.select("doc_id", sampled.alias("sampled_frames"))
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
+    """64-bit average-pool perceptual hash: decode -> 8x8 average pool ->
+    bit i = (cell i > mean of cells) -> pack. Near-identical images (same
+    content, small decode/re-encode noise) land within a few bits of
+    Hamming distance; unrelated images sit ~32 bits apart. Same
+    mapInPandas shape as the other decoders: partition-local, no shuffle,
+    Arrow-batched numpy with per-(width,height) stacked pooling."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[::-1]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "phash": pd.Series([], dtype="int64")})
+                continue
+            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
+            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_docs: list = []
+            out_hash: list = []
+            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+                idx = np.flatnonzero((widths == w) & (heights == h))
+                stack = np.stack(
+                    [
+                        np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
+                        for i in idx
+                    ]
+                ).reshape(len(idx), h, w)
+                bh, bw = max(1, h // 8), max(1, w // 8)
+                pooled = (
+                    stack[:, : 8 * bh, : 8 * bw]
+                    .reshape(len(idx), 8, bh, 8, bw)
+                    .mean(axis=(2, 4))
+                    .reshape(len(idx), 64)
+                )
+                bits = pooled > pooled.mean(axis=1, keepdims=True)
+                packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+                out_docs.extend(doc_ids[idx].tolist())
+                out_hash.extend(packed.tolist())
+            yield pd.DataFrame({"doc_id": out_docs, "phash": out_hash})
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -66,3 +66,80 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("bigint").alias("n_bytes"),
         F.md5("resized").alias("resized_md5"),
     ).orderBy("doc_id")
+
+
+PHASH_BANDS = 4  # 4 x 16-bit bands: banding is EXACT for Hamming <= 3
+PHASH_MAX_HAMMING = 3
+
+
+@register("m_phash_dedup", oracle=None)
+def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over image payloads —
+    the multimodal dedup bridge (same banding discipline as
+    l_dedup_simhash, applied to pixels instead of tokens).
+
+    The synthetic corpus has no duplicate images, so near-dups are
+    planted deterministically: every run of 4 doc_ids shares one
+    canonical payload, and each variant gets one byte overwritten (the
+    decode/re-encode noise a real pipeline sees), which moves the 64-bit
+    average-pool pHash by at most a couple of bits. Then: 4x16-bit bands
+    -> candidate pairs that share a band (pigeonhole-exact for
+    Hamming <= 3) -> bit_count(xor) verify. No all-pairs anywhere: the
+    shuffle keys are (band_idx, band_val) and candidates carry only ids,
+    so the shape survives a billion images."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
+    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
+    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+    payloads = multimodal.attach_fake_payload(docs, text_col="ctext")
+    # one-byte decode noise, position and value keyed by doc_id
+    pos = (F.col("doc_id") % 200 + 1).cast("int")
+    noise = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 63), 2, "0"))
+    perturbed = payloads.select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(payload, 1, doc_id % 200)").cast("binary"),
+            noise,
+            F.expr("substring(payload, (doc_id % 200) + 2, 256)").cast("binary"),
+        ).alias("payload"),
+        "meta",
+    )
+    hashes = multimodal.phash(perturbed)
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * j)
+                            % (1 << 16)
+                        ).alias("band_val"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
