@@ -549,3 +549,50 @@ def l_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return full.union(boundary)
+
+
+# --- token entropy -------------------------------------------------------
+ENTROPY_LOW = 1.5  # nats; below this a doc is degenerate/repetitive
+
+
+@register(
+    "l_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           count(*)                 AS n_distinct,
+           {r6_sql("ln(sum(c)) - sum(c * ln(c)) / sum(c)")} AS entropy,
+           CAST({r6_sql("ln(sum(c)) - sum(c * ln(c)) / sum(c)")} < {ENTROPY_LOW} AS INT)
+               AS low_entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def l_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's within-doc token distribution —
+    the model-free perplexity proxy quality filters use to drop
+    degenerate text (keyboard mash, template spam, single-token loops
+    score near 0 nats; diverse prose scores near ln(n_distinct)).
+
+    Computed as H = ln(n) - sum(c*ln(c))/n over the per-(doc, token)
+    counts: explode + two map-side-combinable aggregations sharing the
+    doc_id key — the same linear shape as l_tfidf_top_terms, no windows,
+    no state. The low-entropy flag compares the ROUNDED value so both
+    engines gate on identical bits."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    entropy = r6(F.log(n) - F.sum(F.col("c") * F.log("c")) / n)
+    return tf.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        entropy.alias("entropy"),
+        (entropy < ENTROPY_LOW).cast("int").alias("low_entropy"),
+    )

@@ -145,6 +145,24 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
         assert not plans.has_node(df, "BroadcastNestedLoopJoin"), name
 
 
+def test_stratified_sample_broadcasts_decision_table(spark, sf_dir):
+    """l_stratified_sample's per-(source, bucket) decision table joins
+    the corpus by broadcast (it is strata x 1024 rows); the corpus side
+    must never shuffle for that join, and the only windows allowed are
+    per-(source, bucket) boundary sorts plus the tiny decision-table
+    prefix sum — no per-source global rank of the big side."""
+    df = all_specs()["l_stratified_sample"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_phash_dedup_is_band_keyed(spark, sf_dir):
+    df = all_specs()["m_phash_dedup"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+
+
 def test_embedding_dedup_candidates_are_band_bounded(spark, tmp_path):
     """Skew case from the round-3 verdict: vectors whose first 8 dims are
     all positive collapsed the old single-8-bit-bucket scheme into ONE
