@@ -636,3 +636,93 @@ def l_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )
+
+
+# ------------------------------------------------------- containment
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "l_dedup_containment",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    shd AS (
+        SELECT DISTINCT doc_id, {hash60_sql("s")} AS hs
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    rare AS (SELECT hs FROM shd GROUP BY hs HAVING count(*) <= {MAX_SHINGLE_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shd a JOIN rare r ON a.hs = r.hs
+        JOIN shd b ON b.hs = a.hs AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.doc_a
+        JOIN shd b ON b.doc_id = c.doc_b AND b.hs = a.hs
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, CAST(m.n_common AS BIGINT) AS n_common,
+           (floor((CAST(m.n_common AS DOUBLE) / least(sa.n, sb.n)) * 1000000 + 0.5) / 1000000) AS containment
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE CAST(m.n_common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: |A ∩ B| / min(|A|, |B|) over DISTINCT
+    3-gram shingle sets — the asymmetric measure that catches a short
+    document quoted inside a long one, which Jaccard dilutes below any
+    threshold (|A∩B|/|A∪B| -> 0 as the big doc grows). Broder's
+    containment, the complement every serious dedup pass runs next to
+    Jaccard.
+
+    Same two-phase scale shape as l_dedup_ngram_jaccard: df<=20-capped
+    inverted index bounds candidate fan-out at df^2 (skew-proof), 8-byte
+    hashed shingle keys on every shuffle, exact set intersection only
+    over candidates. The ratio is integer/integer, so the half-up r6
+    helper keeps the rounding cross-engine-exact."""
+    from bristle_spark.functions.rounding import r6
+
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    shd = (
+        _shingle_rows(d)
+        .select("doc_id", hash60(F.col("s")).alias("hs"))
+        .distinct()
+        .persist()  # feeds sizes, df-filter, candidate + verify branches
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        shd.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("hs")
+    )
+    shr = shd.join(rare, "hs")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("hs_a") == F.col("hs_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", r6(cont).alias("containment"))
+    )

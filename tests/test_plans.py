@@ -129,6 +129,7 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
         "l_dedup_minhash",
         "l_dedup_simhash",
         "l_dedup_ngram_jaccard",
+        "l_dedup_containment",
         "l_dedup_embedding",
         "l_ann_lsh",
         "l_ann_ivf",
