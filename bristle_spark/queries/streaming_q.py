@@ -449,3 +449,67 @@ def s_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(batches), kept, total_distinct, int(kept == total_distinct))],
         schema="n_batches bigint, rows_kept bigint, distinct_events bigint, exactly_once int",
     )
+
+
+@register("s_stream_enrich", oracle=None)
+def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-static dimension enrichment: the events stream joins the
+    customer dimension with an explicit broadcast — the canonical lookup
+    shape (no shuffle of the stream, no state store; each micro-batch
+    probes the broadcast hash table map-side, exactly how a 100 TB
+    stream joins a dimension). Per-batch per-nation aggregates land in
+    parquet executor-side (no driver collects); the final frame checks
+    the streamed totals equal the batch join's."""
+    work = _workdir(sf_dir, "enrich")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id")
+
+    out_dir = os.path.join(work, f"enrich_agg_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            enriched.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [], schema="c_nationkey int, n_events bigint, batch_match int"
+        )
+    streamed = (
+        spark.read.parquet(out_dir)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    return (
+        streamed.join(batch, "c_nationkey", "full")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (
+                F.coalesce("n_events", F.lit(0)) == F.coalesce("n_batch", F.lit(0))
+            ).cast("int").alias("batch_match"),
+        )
+        .orderBy("c_nationkey")
+    )

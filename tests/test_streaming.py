@@ -124,3 +124,13 @@ def test_multimodal_pil_stub_raises(spark, sf_dir):
     feats = multimodal.extract_features(d, decode_backend="pil")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         feats.collect()
+
+
+def test_stream_enrich_matches_batch_join(spark, sf_dir):
+    """The stream-static broadcast enrichment must reproduce the batch
+    join's per-nation totals exactly across micro-batches."""
+    from bristle_spark.registry import all_specs
+
+    rows = all_specs()["s_stream_enrich"].fn(spark, sf_dir).collect()
+    assert rows, "no enriched output"
+    assert all(r["batch_match"] == 1 for r in rows)
