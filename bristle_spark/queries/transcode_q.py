@@ -208,15 +208,18 @@ def t_map_to_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pandas canonicalizers cannot sort/hash raw list cells); the array
     form is the same select minus the array_join."""
     ev = load_table(spark, sf_dir, "events")
+    # parse the JSON ONCE and sort the entry structs (unique keys sort the
+    # struct array by key): the old map_keys + element_at-per-key lambda
+    # re-parsed props for every key lookup — 1.42s vs 0.66s at sf0.1
     m = F.from_json("props", "map<string,bigint>")
-    keys = F.sort_array(F.map_keys(m))
-    vals = F.transform(keys, lambda k: F.element_at(m, k))
-    return ev.select(
+    entries = F.sort_array(F.map_entries(m))
+    base = ev.select("event_id", entries.alias("e"))
+    return base.select(
         "event_id",
-        F.array_join(keys, ",").alias("tag_keys"),
-        F.array_join(F.transform(vals, lambda v: v.cast("string")), ",").alias(
-            "tag_values"
-        ),
+        F.array_join(F.transform("e", lambda kv: kv["key"]), ",").alias("tag_keys"),
+        F.array_join(
+            F.transform("e", lambda kv: kv["value"].cast("string")), ","
+        ).alias("tag_values"),
     )
 
 
