@@ -182,6 +182,30 @@ def test_batch_limits_and_backpressure(spark, three_table_server):
             )
 
 
+def test_acked_payloads_survive_server_restart(spark, three_table_server, tmp_path):
+    """Durability contract of the ack: once a batch is acked OK it is
+    landed on disk, so a crash before the drain loses nothing — a FRESH
+    server process over the same data root pumps it into the sink
+    (where the reference drops buffered batches on writer failure,
+    clickhouse_table_writer.go:100-104)."""
+    server = three_table_server
+    with IngestSocketService(server) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            bodies = [
+                encode_example_row(name=f"dur_{i}", type_code=1, ts=(1_700_000_000, 0))
+                for i in range(8)
+            ]
+            assert client.write_batch(bodies, type_id=tid) == svc.OK
+    # no pump on the original server: simulate a crash after the ack
+    fresh = IngestServer(spark, server.config_path, server.data_root)
+    fresh.pump()
+    sink = os.path.join(server.data_root, "sink", "default__example_table")
+    out = spark.read.parquet(sink)
+    assert out.count() == 8
+    assert sorted(r["name"] for r in out.collect()) == [f"dur_{i}" for i in range(8)]
+
+
 def test_concurrent_clients(spark, three_table_server):
     """Four clients streaming in parallel: every batch acks OK and the
     drained sink holds exactly the union of all rows."""
