@@ -429,3 +429,95 @@ def l_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOPK)
+
+
+# ------------------------------------------------ int8 quantized rerank
+INT8_CAND_M = 50  # approximate-stage candidate pool for exact re-rank
+
+
+@register(
+    "l_ann_int8_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    sc AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, y -> abs(y))) AS scale
+        FROM e
+    ),
+    qq AS (
+        SELECT vec_id, label, v,
+               list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS qv
+        FROM sc
+    ),
+    pq AS (SELECT qv AS qp FROM qq WHERE vec_id = 0),
+    approx AS (
+        SELECT a.vec_id, a.label, a.v,
+               list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qp[i])) AS ascore
+        FROM qq a, pq b
+        WHERE a.vec_id <> 0
+    ),
+    cand AS (
+        SELECT vec_id, label, v FROM (
+            SELECT *, row_number() OVER (ORDER BY ascore DESC NULLS LAST, vec_id) AS rn
+            FROM approx
+        ) WHERE rn <= {INT8_CAND_M}
+    )
+    SELECT vec_id, label, cos_sim FROM (
+        SELECT c.vec_id, c.label,
+               round({cosine_sql("c.v", "p.pv")}, 6) AS cos_sim,
+               row_number() OVER (
+                   ORDER BY round({cosine_sql("c.v", "p.pv")}, 6) DESC, c.vec_id
+               ) AS rn
+        FROM cand c, p
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN with exact re-rank — the memory-compression
+    scale path for vector stores: int8 codes are 8x smaller than float64
+    (4x vs float32), so a 100 TB embedding corpus scans its quantized
+    form and touches full-precision vectors only for the candidate pool.
+
+    Stage 1 quantizes every vector to int8 with a per-vector max-abs
+    scale (q = floor(x/scale*127 + 0.5), identical IEEE ops in both
+    engines) and ranks by the INTEGER dot product against the quantized
+    probe — integer math, so the approximate ranking is exact-order
+    deterministic with no fp concerns. TakeOrderedAndProject keeps the
+    top-50. Stage 2 re-scores only those 50 with the exact float64
+    cosine and returns the top-10. The oracle mirrors both stages, so
+    the gate checks the quantization itself, not just the final
+    answer."""
+    e = _embeddings(spark, sf_dir)
+    qe = e.withColumn(
+        "scale", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).withColumn(
+        "q",
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast("bigint")
+        ),
+    )
+    probe = qe.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qp"), F.col("v").alias("pv")
+    )
+    ascore = F.aggregate(
+        F.zip_with("q", "qp", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        qe.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", "v", "pv", ascore.alias("ascore"))
+        .orderBy(F.desc_nulls_last("ascore"), F.col("vec_id"))
+        .limit(INT8_CAND_M)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
