@@ -65,9 +65,14 @@ HEADLINE = [
     "l_cluster_representatives",
     "l_corpus_stats",
     "l_ann_knn_join",
-    # round-6 additions: PII scrub + boundary-bucket stratified sampling
+    # round-6 additions: PII scrub, stratified sampling, token entropy,
+    # containment dedup, int8-rerank ANN, perceptual-hash image dedup
     "l_pii_scrub",
     "l_stratified_sample",
+    "l_token_entropy",
+    "l_dedup_containment",
+    "l_ann_int8_rerank",
+    "m_phash_dedup",
 ]
 
 

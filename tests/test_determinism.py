@@ -38,9 +38,13 @@ SAMPLE = [
     "l_ann_knn_join",
     "l_ngram_counts",
     "l_clean_funnel",
-    # round-6 newcomers: regex scrub + boundary-bucket stratified top-k
+    # round-6 newcomers: regex scrub, boundary-bucket stratified top-k,
+    # entropy agg, containment verify join, quantized rerank
     "l_pii_scrub",
     "l_stratified_sample",
+    "l_token_entropy",
+    "l_dedup_containment",
+    "l_ann_int8_rerank",
 ]
 
 
