@@ -78,3 +78,25 @@ def test_truncated_stream_raises():
 def test_empty_client_message_rejected():
     with pytest.raises(ValueError):
         svc._decode_client_message(b"")
+
+
+def test_write_batch_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        batch_id=st.integers(min_value=0, max_value=2**32 - 1),
+        bodies=st.lists(st.binary(max_size=300), max_size=20),
+        type_name=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40
+        ),
+    )
+    def check(batch_id, bodies, type_name):
+        env = svc.encode_write_batch(batch_id, bodies, type_name=type_name or None)
+        kind, body = svc._decode_client_message(env)
+        assert kind == "write_batch"
+        assert body["id"] == batch_id
+        assert wire.split_frames(body["data"]) == bodies
+        assert body["length"] == len(bodies)
+
+    check()
