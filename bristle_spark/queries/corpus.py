@@ -408,3 +408,200 @@ def l_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(stage_count(stage3, 3, "near_dedup"))
         .union(stage_count(stage4, 4, "quality"))
     )
+
+
+# --- corpus unigram LM scoring ------------------------------------------
+LM_VOCAB_TOP = 1_000  # frequency-capped LM vocabulary (scale lever)
+LM_LOW_LOGPROB = -4.0  # nats/token; below this a doc is out-of-distribution
+
+
+@register(
+    "l_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+    topk AS (
+        SELECT t, c FROM (
+            SELECT *, row_number() OVER (ORDER BY c DESC, t) AS rn FROM vocab
+        ) WHERE rn <= {LM_VOCAB_TOP}
+    ),
+    lp AS (
+        SELECT t, ln(CAST(c AS DOUBLE) / n) AS logp FROM topk CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               coalesce(lp.logp, ln(1.0 / (n + 1))) AS logp,
+               CAST(lp.t IS NULL AS INT)            AS oov
+        FROM tok LEFT JOIN lp ON tok.t = lp.t CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)                 AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           {r6_sql("sum(logp) / count(*)")} AS avg_logprob,
+           CAST({r6_sql("sum(logp) / count(*)")} < {LM_LOW_LOGPROB} AS INT)
+               AS low_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free perplexity proxy against the CORPUS unigram
+    distribution: each document scores the mean log-probability of its
+    tokens under a frequency-capped unigram LM built from the corpus
+    itself (the classic "does this doc look like the rest of the data"
+    filter; CCNet/Gopher use a real LM, the shape is identical).
+
+    Scale shape: the vocabulary aggregation is one map-side-combinable
+    shuffle; the top-K cut is orderBy().limit() (TakeOrderedAndProject,
+    never a global window) so the LM table is bounded at {LM_VOCAB_TOP}
+    rows regardless of corpus size and BROADCAST to the token stream —
+    the scoring join never shuffles the corpus. Out-of-vocabulary tokens
+    take the ln(1/(N+1)) floor. The low flag compares the ROUNDED value
+    so both engines gate on identical bits."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    topk = vocab.orderBy(F.col("c").desc(), "t").limit(LM_VOCAB_TOP)
+    lp = topk.crossJoin(F.broadcast(tot)).select(
+        "t", F.log(F.col("c").cast("double") / F.col("n")).alias("logp")
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce("logp", F.log(F.lit(1.0) / (F.col("n") + 1))).alias("lp"),
+            F.isnull("logp").cast("int").alias("oov"),
+        )
+    )
+    avg_lp = r6(F.sum("lp") / F.count(F.lit(1)))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        avg_lp.alias("avg_logprob"),
+        (avg_lp < LM_LOW_LOGPROB).cast("int").alias("low_logprob"),
+    )
+
+
+# --- Zipf law fit over the corpus vocabulary -----------------------------
+ZIPF_TOP = 1_000  # fit over the top-K ranks (the linear region of the curve)
+
+
+@register(
+    "l_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM vocab
+    ),
+    xy AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked WHERE r <= {ZIPF_TOP}
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           {r6_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+           {r6_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")}
+               AS intercept
+    FROM s
+    """,
+)
+def l_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(frequency) vs ln(rank) over the top-K
+    vocabulary — the Zipf-law fit corpus audits use to spot template
+    spam and mode collapse (natural text slopes near -1; machine-looped
+    corpora flatten or cliff).
+
+    The regression is written out as the explicit normal-equation
+    arithmetic — (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — with the SAME
+    operand order in both engines rather than engine-native regr_slope,
+    whose internal update formulas differ bit-wise between Spark and
+    DuckDB. Scale shape: one vocab aggregation shuffle, a bounded
+    top-{ZIPF_TOP} TakeOrdered cut, then a single-row reduce; the
+    rank window runs over at most {ZIPF_TOP} rows (bounded constant,
+    never corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    topk = vocab.orderBy(F.col("c").desc(), "t").limit(ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc(), "t")
+    xy = topk.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+# --- cross-snapshot dedup ------------------------------------------------
+
+
+@register(
+    "l_cross_snapshot_dedup",
+    oracle=f"""
+    WITH mx AS (SELECT max(source) AS s FROM documents),
+    new_docs AS (
+        SELECT doc_id, {hash60_sql("text")} AS h
+        FROM documents CROSS JOIN mx WHERE source = s
+    ),
+    old_hashes AS (
+        SELECT DISTINCT {hash60_sql("text")} AS h
+        FROM documents CROSS JOIN mx WHERE source <> s
+    )
+    SELECT n.doc_id,
+           CASE WHEN o.h IS NULL THEN 'fresh' ELSE 'carried' END AS status
+    FROM new_docs n LEFT JOIN old_hashes o ON n.h = o.h
+    """,
+)
+def l_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: documents of the NEWEST snapshot (the
+    max source acts as the fresh crawl) are classified ``carried`` when
+    their exact content hash already exists in any earlier snapshot,
+    else ``fresh`` — the anti-join every periodic ingestion runs so only
+    novel content flows downstream.
+
+    Scale shape: both sides reduce to 8-byte 60-bit content hashes
+    before the join; the old side is DISTINCT-ed (one map-side-combined
+    shuffle) and the join is hash-partitioned on the hash key — no
+    broadcast of a corpus-sized side, no text ever shuffled. The
+    snapshot selector is a 1-row broadcast, not a collected scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("source").alias("s"))
+    with_h = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id", "source", "s", hash60(F.col("text")).alias("h")
+    )
+    new_docs = with_h.filter(F.col("source") == F.col("s")).select("doc_id", "h")
+    old_hashes = (
+        with_h.filter(F.col("source") != F.col("s")).select("h").distinct()
+        .withColumnRenamed("h", "oh")
+    )
+    return new_docs.join(
+        old_hashes, new_docs["h"] == old_hashes["oh"], "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("oh").isNull(), F.lit("fresh"))
+        .otherwise(F.lit("carried"))
+        .alias("status"),
+    )
