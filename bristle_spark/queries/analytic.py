@@ -945,3 +945,48 @@ def r_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@register(
+    "r_unpivot",
+    oracle=f"""
+    SELECT measure,
+           count(*)                 AS n,
+           round(sum(value), 2)     AS total,
+           {r6_sql("avg(value)")}   AS mean,
+           round(min(value), 2)     AS vmin,
+           round(max(value), 2)     AS vmax
+    FROM (
+        UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE value
+    )
+    GROUP BY measure
+    """,
+)
+def r_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (``stack``) of the four lineitem measures
+    followed by a per-measure profile — the melt step feature pipelines
+    run before per-metric normalization.
+
+    ``stack`` is a Catalyst generator: it multiplies rows 4x inside the
+    scan projection (no shuffle, no UDF), and the downstream aggregation
+    map-side combines to 4 groups. Column pruning still reaches the
+    parquet scan — only the four measure columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity,"
+            " 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount,"
+            " 'l_tax', l_tax) AS (measure, value)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        r6(F.avg("value")).alias("mean"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )

@@ -521,3 +521,40 @@ def l_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+@register(
+    "l_centroid_by_label",
+    oracle="""
+    SELECT label, pos,
+           count(*)                          AS n_vecs,
+           round(avg(CAST(v AS DOUBLE)), 6)  AS centroid
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)                 AS v
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def l_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, one row per (label,
+    dimension) — the class-prototype aggregation behind nearest-centroid
+    classification, cluster drift monitoring, and IVF codebook seeding.
+
+    Scale shape: ``posexplode`` multiplies rows by the fixed dimension
+    count inside the scan projection (a Catalyst generator — no UDF),
+    and the (label, pos) aggregation map-side combines to
+    |labels| x dims rows, so the shuffle is centroid-sized, never
+    corpus-sized. The long (label, pos, value) layout keeps the result
+    oracle-comparable and feeds positional re-assembly downstream."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+        )
+    )
