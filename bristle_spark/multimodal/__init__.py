@@ -243,3 +243,90 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def attach_fake_audio(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake audio payload: the same iterated-md5 256 bytes
+    reinterpreted as 128 little-endian int16 PCM samples, with audio
+    metadata — stands in for (audio_bytes, {sample_rate, channels,
+    format}) until a real codec exists."""
+    payload = F.unhex(
+        F.concat(*[F.md5(F.concat(F.col(text_col), F.lit(str(i)))) for i in range(16)])
+    )
+    meta = F.struct(
+        F.lit(16000).alias("sample_rate"),
+        F.lit(1).alias("channels"),
+        F.lit("pcm_s16le").alias("format"),
+    )
+    return df.select(F.col(key_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def audio_features(df: DataFrame, chunk_samples: int = 32,
+                   decode_backend: str = "fake") -> DataFrame:
+    """Chunked audio feature extraction over the binary column: per
+    fixed-size sample window, RMS energy, peak amplitude, and
+    zero-crossing rate — the VAD/quality front end of an audio
+    training-data pipeline.
+
+    Partition-local ``mapInPandas``: each Arrow batch decodes to one
+    (rows, samples) int16 tensor per payload length and the three
+    features come out of whole-tensor numpy reductions — no Python loop
+    over rows, chunks, or samples. A trailing partial window is
+    truncated (codec-frame semantics)."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series([], dtype="object") for f in AUDIO_SCHEMA}
+                )
+                continue
+            payloads = pdf["payload"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            decoded = [decode(bytes(p)) for p in payloads]
+            lengths = np.fromiter((len(d) for d in decoded), dtype=np.int64, count=n)
+            out = {k: [] for k in ("doc_id", "chunk_idx", "n_samples", "rms", "peak", "zcr")}
+            for nbytes in np.unique(lengths):
+                idx = np.flatnonzero(lengths == nbytes)
+                n_samp = int(nbytes) // 2
+                n_chunks = n_samp // chunk_samples
+                if n_chunks == 0:
+                    continue
+                stack = np.stack(
+                    [np.frombuffer(decoded[i], dtype="<i2")[:n_samp] for i in idx]
+                )
+                x = stack[:, : n_chunks * chunk_samples].reshape(
+                    len(idx), n_chunks, chunk_samples
+                )
+                xf = x.astype(np.float64)
+                rms = np.sqrt((xf * xf).mean(axis=2))
+                peak = np.abs(x.astype(np.int64)).max(axis=2)
+                sign_flips = ((xf[:, :, 1:] * xf[:, :, :-1]) < 0).sum(axis=2)
+                zcr = sign_flips / (chunk_samples - 1)
+                out["doc_id"].extend(np.repeat(doc_ids[idx], n_chunks).tolist())
+                out["chunk_idx"].extend(
+                    np.tile(np.arange(n_chunks, dtype=np.int32), len(idx)).tolist()
+                )
+                out["n_samples"].extend([chunk_samples] * (len(idx) * n_chunks))
+                out["rms"].extend(rms.ravel().tolist())
+                out["peak"].extend(peak.ravel().tolist())
+                out["zcr"].extend(zcr.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -143,3 +143,21 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("m_audio_features", oracle=None)
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake PCM16 audio payload -> chunked RMS / peak / zero-crossing
+    features (the mapInPandas audio front end: 128 samples per doc in 4
+    windows of 32)."""
+    d = load_table(spark, sf_dir, "documents")
+    audio = multimodal.attach_fake_audio(d)
+    feats = multimodal.audio_features(audio, chunk_samples=32)
+    return feats.select(
+        "doc_id",
+        "chunk_idx",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zcr", 6).alias("zcr"),
+    ).orderBy("doc_id", "chunk_idx")
