@@ -513,3 +513,70 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register("s_stream_rollup", oracle=None)
+def s_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading continuous aggregate: the event stream
+    maintains an HOURLY rollup (watermarked tumbling windows, append
+    mode, parquet-landed per micro-batch), and the DAILY rollup is
+    derived FROM the hourly table — never from raw events. That cascade
+    is the scale-correct design: at 100 TB the day aggregation reads
+    |hours| x |types| rows instead of re-scanning the raw stream, and
+    each coarser granularity costs the same small re-aggregation.
+
+    Returns both granularities stacked, with counts and totals so the
+    cascade's consistency (day = sum of its hours) is visible to the
+    rows-only check."""
+    work = _workdir(sf_dir, "rollup")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    hourly = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out_dir = os.path.join(work, f"hourly_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)  # re-runs must not append to a stale rollup
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            hourly.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            schema="granularity string, bucket_start timestamp, "
+            "event_type string, n_events bigint, total_value double",
+        )
+    hour_tbl = spark.read.parquet(out_dir)
+    day_tbl = (
+        hour_tbl.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )
+    return (
+        hour_tbl.select(F.lit("hour").alias("granularity"), "*")
+        .union(day_tbl.select(F.lit("day").alias("granularity"), "*"))
+        .orderBy("granularity", "bucket_start", "event_type")
+    )

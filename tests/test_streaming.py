@@ -134,3 +134,26 @@ def test_stream_enrich_matches_batch_join(spark, sf_dir):
     rows = all_specs()["s_stream_enrich"].fn(spark, sf_dir).collect()
     assert rows, "no enriched output"
     assert all(r["batch_match"] == 1 for r in rows)
+
+
+def test_stream_rollup_cascade_consistent(spark, sf_dir):
+    """The daily continuous aggregate is derived from the hourly one;
+    every day's event count must equal the sum of its hours (and the
+    hourly side must actually have emitted finalized windows)."""
+    from bristle_spark.registry import all_specs
+
+    pdf = all_specs()["s_stream_rollup"].fn(spark, sf_dir).toPandas()
+    hours = pdf[pdf.granularity == "hour"].copy()
+    days = pdf[pdf.granularity == "day"]
+    assert len(hours) > 0 and len(days) > 0
+    hours["day"] = hours.bucket_start.dt.floor("D")
+    per_day = (
+        hours.groupby(["day", "event_type"]).n_events.sum().reset_index()
+    )
+    merged = per_day.merge(
+        days[["bucket_start", "event_type", "n_events"]],
+        left_on=["day", "event_type"],
+        right_on=["bucket_start", "event_type"],
+    )
+    assert len(merged) == len(days)
+    assert (merged.n_events_x == merged.n_events_y).all()
