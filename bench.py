@@ -73,6 +73,14 @@ HEADLINE = [
     "l_dedup_containment",
     "l_ann_int8_rerank",
     "m_phash_dedup",
+    # round-6 session-2 additions: corpus LM scoring, Zipf fit,
+    # cross-snapshot dedup, label centroids, unpivot, audio features
+    "l_unigram_logprob",
+    "l_zipf_slope",
+    "l_cross_snapshot_dedup",
+    "l_centroid_by_label",
+    "r_unpivot",
+    "m_audio_features",
 ]
 
 

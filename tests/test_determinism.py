@@ -45,6 +45,13 @@ SAMPLE = [
     "l_token_entropy",
     "l_dedup_containment",
     "l_ann_int8_rerank",
+    # round-6 session-2 newcomers: broadcast LM scoring, bounded-window
+    # regression fit, hash anti-join, positional centroid agg, unpivot
+    "l_unigram_logprob",
+    "l_zipf_slope",
+    "l_cross_snapshot_dedup",
+    "l_centroid_by_label",
+    "r_unpivot",
 ]
 
 

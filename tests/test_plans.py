@@ -209,3 +209,46 @@ def test_embedding_dedup_candidates_are_band_bounded(spark, tmp_path):
         .count()
     )
     assert n_candidates < 0.01 * n * n, n_candidates
+
+
+def test_unigram_logprob_broadcasts_lm(spark, sf_dir):
+    """The bounded LM vocabulary (and the 1-row total) must broadcast to
+    the token stream — the corpus-sized side never shuffles for the
+    scoring join."""
+    df = SPECS["l_unigram_logprob"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_cross_snapshot_dedup_joins_on_hash(spark, sf_dir):
+    """The carried/fresh classification joins 8-byte content hashes —
+    only the 1-row snapshot selector may appear as a trivial broadcast
+    NLJ; the hash join itself is never nested-loop."""
+    df = SPECS["l_cross_snapshot_dedup"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert (
+        plans.node_count(df, "BroadcastHashJoin")
+        + plans.node_count(df, "SortMergeJoin")
+        + plans.node_count(df, "ShuffledHashJoin")
+        >= 1
+    )
+
+
+def test_unpivot_prunes_to_measure_columns(spark, sf_dir):
+    """stack() is a generator inside the scan projection: column pruning
+    must still reach parquet (exactly the 4 measure columns), and the
+    per-measure profile shuffles only 4 pre-combined groups."""
+    df = SPECS["r_unpivot"].fn(spark, sf_dir)
+    schemas = plans.read_schemas(df)
+    assert schemas
+    assert "l_orderkey" not in schemas[0]
+    assert "l_quantity" in schemas[0]
+    assert plans.exchange_count(df) == 1
+
+
+def test_centroid_by_label_single_shuffle(spark, sf_dir):
+    """posexplode + (label, pos) agg: one centroid-sized shuffle, partial
+    aggregation map-side."""
+    df = SPECS["l_centroid_by_label"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 1
+    assert "HashAggregate" in plans.plan_string(df, "simple")
