@@ -81,6 +81,8 @@ HEADLINE = [
     "l_centroid_by_label",
     "r_unpivot",
     "m_audio_features",
+    "l_feature_hash_embedding",
+    "l_knn_eval",
 ]
 
 

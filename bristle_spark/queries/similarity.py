@@ -558,3 +558,99 @@ def l_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
         )
     )
+
+
+KNN_EVAL_PROBES = 50  # bounded probe sample: the eval harness's scale knob
+KNN_EVAL_K = 5
+
+
+@register(
+    "l_knn_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT vec_id AS probe_id, label AS true_label, v AS pv
+        FROM e WHERE vec_id < {KNN_EVAL_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, p.true_label, e.vec_id, e.label,
+               round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim
+        FROM e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    votes AS (
+        SELECT probe_id, true_label, label, count(*) AS n_votes
+        FROM top GROUP BY probe_id, true_label, label
+    )
+    SELECT probe_id AS vec_id, true_label,
+           label AS pred_label, n_votes,
+           CAST(label = true_label AS INT) AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY n_votes DESC, label
+        ) AS rv FROM votes
+    ) WHERE rv = 1
+    """,
+)
+def l_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification eval over a bounded probe
+    sample: for each of the {KNN_EVAL_PROBES} lowest vec_ids, the exact
+    cosine k={KNN_EVAL_K} neighborhood (self excluded) votes a label,
+    compared against the probe's true label — the recall/quality harness
+    every ANN deployment runs beside its approximate index.
+
+    Scale shape: the probe set is bounded and BROADCAST, so scoring is
+    one embarrassingly parallel corpus scan (probes x N pairs, never
+    N^2); the per-probe top-k and the majority vote are windows
+    partitioned by probe_id — |probes| partitions, each
+    corpus-row-bounded, with ranking on the ROUNDED similarity so both
+    engines cut identical neighborhoods."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w_top)).filter(
+        F.col("rn") <= KNN_EVAL_K
+    )
+    votes = top.groupBy("probe_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(w_vote))
+        .filter(F.col("rv") == 1)
+        .select(
+            F.col("probe_id").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )

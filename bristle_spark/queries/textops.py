@@ -596,3 +596,54 @@ def l_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         entropy.alias("entropy"),
         (entropy < ENTROPY_LOW).cast("int").alias("low_entropy"),
     )
+
+
+# --- feature-hashing vectorizer ------------------------------------------
+FEATURE_HASH_DIM = 16  # hashed vector width (the hashing-trick scale knob)
+
+
+@register(
+    "l_feature_hash_embedding",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST({hash60_sql("t")} % {FEATURE_HASH_DIM} AS INT) AS dim,
+               count(*) AS c
+        FROM tok GROUP BY doc_id, dim
+    ),
+    nm AS (SELECT doc_id, sum(c * c) AS s2 FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, dim, c AS tf,
+           {r6_sql("c / sqrt(s2)")} AS weight
+    FROM tf JOIN nm ON tf.doc_id = nm.doc_id
+    """,
+)
+def l_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectorizer: token -> md5-hash ->
+    dimension bucket, term counts L2-normalized per document — the
+    text-to-embedding bridge that feeds cheap similarity/clustering
+    without a trained model or a vocabulary table (Weinberger et al.'s
+    feature hashing; sklearn's HashingVectorizer shape). Output is the
+    long (doc_id, dim, tf, weight) layout the embedding operators and
+    the oracle can both consume.
+
+    Scale shape: one (doc_id, dim) map-side-combined aggregation, one
+    per-doc norm aggregation, and a co-partitioned doc_id join — no
+    vocabulary state anywhere, which is the point of the hashing trick
+    at 100 TB. sqrt is IEEE-correctly-rounded so the L2 normalization
+    is bit-identical across engines before the r6 cut."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy(
+        "doc_id",
+        (hash60(F.col("t")) % FEATURE_HASH_DIM).cast("int").alias("dim"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nm = tf.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
+    return tf.join(nm, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.col("c").alias("tf"),
+        r6(F.col("c") / F.sqrt("s2")).alias("weight"),
+    )

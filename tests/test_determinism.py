@@ -52,6 +52,8 @@ SAMPLE = [
     "l_cross_snapshot_dedup",
     "l_centroid_by_label",
     "r_unpivot",
+    "l_feature_hash_embedding",
+    "l_knn_eval",
 ]
 
 

@@ -252,3 +252,23 @@ def test_centroid_by_label_single_shuffle(spark, sf_dir):
     df = SPECS["l_centroid_by_label"].fn(spark, sf_dir)
     assert plans.exchange_count(df) == 1
     assert "HashAggregate" in plans.plan_string(df, "simple")
+
+
+def test_knn_eval_broadcasts_probes(spark, sf_dir):
+    """The bounded probe set joins the corpus scan by broadcast (probes
+    x N scoring, never N^2); no cartesian product anywhere."""
+    df = SPECS["l_knn_eval"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.has_node(df, "BroadcastExchange")
+
+
+def test_feature_hash_is_stateless_aggregation(spark, sf_dir):
+    """Hashing-trick vectorizer: no vocabulary join, no broadcast, no
+    window — just map-side-combined aggregations and a co-partitioned
+    doc_id join."""
+    df = SPECS["l_feature_hash_embedding"].fn(spark, sf_dir)
+    simple = plans.plan_string(df, "simple")
+    assert "WindowExec" not in simple and "Window" not in simple
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+    assert plans.exchange_count(df) <= 3
