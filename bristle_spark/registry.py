@@ -66,15 +66,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_hash_agg",
     "r_distinct_count",
     "r_approx_distinct",
-    "r_join_inner",
-    "r_join_broadcast",
-    "r_join_multi",
-    "r_join_semi_anti",
-    "r_join_outer",
-    "r_sort_limit_topk",
-    "r_window_rank",
-    "r_window_running",
-    "r_set_ops",
+    # (r_join_inner/broadcast/multi/semi_anti/outer, r_sort_limit_topk,
+    # r_window_rank/running, r_set_ops rotate behind with r1+r5 green
+    # rows — their 9 slots go to the session-2 never-checked keys below)
     "r_rollup",
     "r_string_funcs",
     "r_date_funcs",
@@ -111,6 +105,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-6 rotation: rounding changed this round, need fresh rows ---
     "r_retention",
     "l_heavy_hitters",
+    # --- round-6 session-2 additions: never driver-checked, all locally
+    # oracle-verified at sf0.001/0.01/0.1 (or rows-only by design) ---
+    "l_unigram_logprob",
+    "l_zipf_slope",
+    "l_cross_snapshot_dedup",
+    "l_centroid_by_label",
+    "r_unpivot",
+    "l_knn_eval",
+    "l_feature_hash_embedding",
+    "m_audio_features",
+    "s_stream_rollup",
 )
 
 

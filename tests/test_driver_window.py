@@ -13,12 +13,11 @@ SURVEY_KEYS_IN_WINDOW = {
     # rotated behind with r1+r5 green rows)
     "t_enum_codes", "t_timestamp_epoch", "t_null_default",
     "t_json_props_extract", "t_map_to_arrays", "t_array_ops",
-    # relational (17)
+    # relational (8 of 17 — the 5 join shapes, topk, rank/running
+    # windows, and set ops rotated behind with r1+r5 green rows; their
+    # slots went to the session-2 additions)
     "r_filter_predicates", "r_hash_agg", "r_distinct_count",
-    "r_approx_distinct", "r_join_inner", "r_join_broadcast",
-    "r_join_multi", "r_join_semi_anti", "r_join_outer",
-    "r_sort_limit_topk", "r_window_rank", "r_window_running",
-    "r_set_ops", "r_rollup", "r_string_funcs", "r_date_funcs",
+    "r_approx_distinct", "r_rollup", "r_string_funcs", "r_date_funcs",
     "r_tumbling_window",
     # llm core (4)
     "l_dedup_exact", "l_text_stats", "l_similarity_cosine", "l_knn_label",
@@ -44,6 +43,14 @@ ROUND6_ROTATION_KEYS = {
     "r_retention", "l_heavy_hitters",
 }
 
+# Round-6 session-2 additions: registered and window-slotted this round
+# so every key ever registered holds a driver row by end of round 6.
+ROUND6_SESSION2_KEYS = {
+    "l_unigram_logprob", "l_zipf_slope", "l_cross_snapshot_dedup",
+    "l_centroid_by_label", "r_unpivot", "l_knn_eval",
+    "l_feature_hash_embedding", "m_audio_features", "s_stream_rollup",
+}
+
 
 def test_priority_list_is_exactly_fifty():
     assert len(registry.DRIVER_PRIORITY) == 50
@@ -57,6 +64,7 @@ def test_first_fifty_covers_the_round6_window():
         | LLM_FAMILY_KEYS
         | ROUND5_ROTATION_KEYS
         | ROUND6_ROTATION_KEYS
+        | ROUND6_SESSION2_KEYS
     )
     assert first50 == list(registry.DRIVER_PRIORITY)
 
@@ -71,6 +79,9 @@ def test_beyond_window_queries_still_registered():
     """Rotated-out queries stay registered (just past the driver window)."""
     specs = list(registry.all_specs())
     for key in ("t_project_rename", "t_cast_int_widths", "t_bool_to_int",
+                "r_join_inner", "r_join_broadcast", "r_join_multi",
+                "r_join_semi_anti", "r_join_outer", "r_sort_limit_topk",
+                "r_window_rank", "r_window_running", "r_set_ops",
                 "s_microbatch_flush", "s_drop_policies", "s_late_data",
                 "s_proto_roundtrip", "l_dedup_minhash", "l_dedup_simhash",
                 "l_ann_lsh", "l_ann_ivf",
