@@ -60,6 +60,28 @@ def cmd_ingest_stream(args: argparse.Namespace) -> int:
 
 def cmd_forward_json(args: argparse.Namespace) -> int:
     from bristle_spark.ingest.config import registry_from_json
+
+    if args.connect:
+        # live producer mode (reference cmd/bristle-forward-json): read
+        # lines driver-side, encode protojson -> wire, stream batches to
+        # the TCP front door with the client batcher (D14), acked.
+        from bristle_spark.ingest.forwarder import forward_json_lines
+
+        binding = registry_from_json(args.config).for_type(args.type)
+        host, _, port = args.connect.rpartition(":")
+        with open(args.input) as fh:
+            stats = forward_json_lines(
+                fh, host or "127.0.0.1", int(port), binding,
+                max_buffer=args.max_buffer, type_name=args.type,
+            )
+        print(
+            f"forwarded {stats.n_sent}/{stats.n_lines} rows "
+            f"({stats.n_skipped} malformed skipped) in {stats.n_batches} "
+            f"batches: {stats.results}",
+            file=sys.stderr,
+        )
+        return 0 if stats.results.keys() <= {"OK"} else 1
+
     from bristle_spark.ingest.json_source import ingest_json_lines
 
     spark = _spark("bristle-forward-json")
@@ -152,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("forward-json", help="JSON-lines -> sink (D16)")
     add_ingest_common(sp)
+    sp.add_argument("--connect", default=None,
+                    help="HOST:PORT of a live front door (producer mode)")
+    sp.add_argument("--max-buffer", type=int, default=100_000,
+                    help="client batcher flush threshold (D14)")
     sp.set_defaults(fn=cmd_forward_json)
 
     sp = sub.add_parser("serve", help="reload-capable ingest server (pump cycles)")

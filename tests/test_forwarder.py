@@ -1,0 +1,154 @@
+"""Live JSON forwarder (ingest/forwarder.py): the reference's
+bristle-forward-json producer driving the TCP front door. Pins (a) the
+protojson→wire encoding round-trips through the repo's own decoder,
+(b) an end-to-end socket run with client-side batching and a skipped
+malformed line, and (c) equivalence of the forwarded sink rows with the
+Spark-side JSON path (json_source) on the same lines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bristle_spark.ingest import wire
+from bristle_spark.ingest.fixtures import (
+    example_binding,
+    finnhub_ddl_columns,
+    finnhub_descriptor_set,
+)
+from bristle_spark.ingest.forwarder import (
+    JsonForwarder,
+    encode_json_record,
+    forward_json_lines,
+)
+from bristle_spark.ingest.server import IngestServer
+from bristle_spark.ingest.service import IngestSocketClient, IngestSocketService
+
+
+def test_encoded_record_roundtrips():
+    """protojson object -> wire bytes -> the repo's decoder restores the
+    same values (timestamp to {seconds, nanos}, map, repeated)."""
+    b = example_binding()
+    rec = {
+        "name": "alpha",
+        "type": 2,
+        "timestamp": "2024-01-01T00:00:01.500Z",
+        "value": 7,
+        "tags": {"k1": "v1", "k2": "v2"},
+        "labels": ["x", "y"],
+    }
+    body = encode_json_record(b, rec)
+    decoded = wire.decode_message(body, b.field_specs_by_number())
+    assert decoded[1] == "alpha"
+    assert decoded[2] == 2
+    assert decoded[3] == (1_704_067_201, 500_000_000)
+    assert decoded[4] == 7
+    assert decoded[5] == {"k1": "v1", "k2": "v2"}
+    assert decoded[6] == ["x", "y"]
+
+
+def test_epoch_and_offset_timestamps():
+    b = example_binding()
+    body = encode_json_record(b, {"name": "t", "timestamp": 1_700_000_000})
+    assert wire.decode_message(body, b.field_specs_by_number())[3] == (
+        1_700_000_000,
+        0,
+    )
+    body = encode_json_record(b, {"name": "t", "timestamp": "2024-01-01T02:00:00+02:00"})
+    assert wire.decode_message(body, b.field_specs_by_number())[3] == (
+        1_704_067_200,
+        0,
+    )
+
+
+@pytest.fixture()
+def finnhub_server(spark, tmp_path):
+    (tmp_path / "finnhub.pb").write_bytes(finnhub_descriptor_set())
+    cfg = {
+        "autobind": True,
+        "proto_descriptor_paths": ["finnhub.pb"],
+        "tables": [
+            {
+                "name": "finnhub.trades",
+                "columns": [
+                    {"name": c.name, "type": c.ch_type, "default": c.default}
+                    for c in finnhub_ddl_columns()
+                ],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    yield IngestServer(spark, str(cfg_path), str(tmp_path / "data"))
+
+
+def _trade_line(i: int) -> str:
+    # protojson keyed by the proto's json_name aliases — the Finnhub
+    # API's short keys (reference examples/finnhub.proto)
+    return json.dumps(
+        {
+            "s": "AAPL",
+            "p": 180.0 + i,
+            "t": 1_700_000_000_000 + i,
+            "v": 10.0,
+            "c": ["1", "12"],
+        }
+    )
+
+
+def test_forwarder_end_to_end(spark, finnhub_server):
+    server = finnhub_server
+    binding = server.registry.for_type("FinnhubTrade")
+    lines = [_trade_line(i) for i in range(5)] + ["{not json"]
+    with IngestSocketService(server) as service:
+        stats = forward_json_lines(
+            lines, "127.0.0.1", service.port, binding,
+            max_buffer=2, type_name="FinnhubTrade"
+        )
+    assert stats.n_lines == 6
+    assert stats.n_skipped == 1
+    assert stats.n_sent == 5
+    # 5 rows at max_buffer=2 -> 2 full batches + 1 final flush, all OK
+    assert stats.n_batches == 3
+    assert stats.results == {"OK": 3}
+
+    server.pump()
+    sink = spark.read.parquet(
+        os.path.join(server.data_root, "sink", "finnhub__trades")
+    )
+    rows = sorted(sink.collect(), key=lambda r: r["price"])
+    assert len(rows) == 5
+    assert rows[0]["symbol"] == "AAPL" and rows[0]["price"] == 180.0
+    assert rows[0]["tradeConditions"] == ["1", "12"]
+
+
+def test_forwarder_matches_spark_json_path(spark, finnhub_server):
+    """The socket-forwarded rows must equal what the distributed JSON
+    source (D16's Spark path) derives from the same lines — the live
+    producer and the file path are two doors into one decode."""
+    from bristle_spark.ingest.json_source import ingest_json_lines
+
+    server = finnhub_server
+    binding = server.registry.for_type("FinnhubTrade")
+    lines = [_trade_line(i) for i in range(3)]
+    with IngestSocketService(server) as service:
+        forward_json_lines(
+            lines, "127.0.0.1", service.port, binding, type_name="FinnhubTrade"
+        )
+    server.pump()
+    sink = spark.read.parquet(
+        os.path.join(server.data_root, "sink", "finnhub__trades")
+    )
+
+    # same lines through the Spark-side JSON path, with the SAME binding
+    # the server autobound (sink-typed rows after the shared transcode)
+    src = spark.createDataFrame([(l,) for l in lines], "value string")
+    parsed = ingest_json_lines(src, binding)
+
+    def key(r):
+        return (r["symbol"], r["price"], r["tradeTime"], r["volume"],
+                tuple(r["tradeConditions"]))
+
+    assert {key(r) for r in sink.collect()} == {key(r) for r in parsed.collect()}
