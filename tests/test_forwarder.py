@@ -152,3 +152,45 @@ def test_forwarder_matches_spark_json_path(spark, finnhub_server):
                 tuple(r["tradeConditions"]))
 
     assert {key(r) for r in sink.collect()} == {key(r) for r in parsed.collect()}
+
+
+def test_encode_json_record_property_roundtrip():
+    """Fuzz the protojson->wire encoder against the repo's decoder over
+    the example binding's full kind surface (string, enum, timestamp,
+    int64, string map, repeated string)."""
+    from hypothesis import given, settings, strategies as st
+
+    b = example_binding()
+    specs = b.field_specs_by_number()
+    text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        name=text,
+        type_code=st.integers(min_value=0, max_value=2),
+        epoch=st.integers(min_value=0, max_value=4_000_000_000),
+        value=st.integers(min_value=-(2**62), max_value=2**62),
+        tags=st.dictionaries(text, text, max_size=5),
+        labels=st.lists(text, max_size=5),
+    )
+    def run(name, type_code, epoch, value, tags, labels):
+        rec = {
+            "name": name,
+            "type": type_code,
+            "timestamp": epoch,
+            "value": value,
+            "tags": tags,
+            "labels": labels,
+        }
+        decoded = wire.decode_message(encode_json_record(b, rec), specs)
+        assert decoded.get(1, "") == name
+        assert decoded.get(2, 0) == type_code
+        assert decoded[3] == (epoch, 0)
+        assert decoded.get(4, 0) == value
+        assert decoded.get(5, {}) == tags
+        assert decoded.get(6, []) == labels
+
+    run()
