@@ -83,6 +83,7 @@ HEADLINE = [
     "m_audio_features",
     "l_feature_hash_embedding",
     "l_knn_eval",
+    "l_ann_recall_eval",
 ]
 
 

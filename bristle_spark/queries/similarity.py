@@ -12,6 +12,10 @@
 - l_ann_knn_join: per-vector top-3 neighbors over banded hyperplane
   LSH candidates (the all-pairs retrieval primitive).
 - l_knn_label: majority label among the k nearest neighbors.
+- l_knn_eval: leave-one-out kNN accuracy over a bounded probe set.
+- l_ann_recall_eval: recall@k of the IVF(nprobe) index vs exact.
+- l_ann_int8_rerank: int8 scalar-quantized scan with exact re-rank.
+- l_centroid_by_label: per-label centroid in (label, pos) long form.
 
 All similarity values are computed in float64 with a deterministic
 accumulation order and rounded to 6 decimals *before* ranking, so Spark
@@ -25,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
+from bristle_spark.functions.rounding import rN, rN_sql
 from bristle_spark.functions.vectors import cosine, cosine_sql
 from bristle_spark.registry import register
 
@@ -261,6 +266,25 @@ _KNN_BANDS_UNION = " UNION ALL ".join(
 )
 
 
+def _emb_bands(e: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_key) rows — the 4x16-bit hyperplane-sign
+    banding shared by l_ann_knn_join and l_ann_recall_eval."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        _emb_band_key(F.col("v"), j).alias("band_key"),
+                    )
+                    for j in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
+
+
 @register(
     "l_ann_knn_join",
     oracle=f"""
@@ -300,20 +324,7 @@ def l_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        _emb_band_key(F.col("v"), j).alias("band_key"),
-                    )
-                    for j in range(EMB_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
+    bands = _emb_bands(e)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -653,4 +664,154 @@ def l_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
             (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
         )
+    )
+
+
+@register(
+    "l_ann_recall_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC,
+                                cent.cid
+                   ) AS arn
+            FROM e CROSS JOIN cent
+        ) WHERE arn = 1
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, v AS pv
+        FROM e WHERE vec_id < {KNN_EVAL_PROBES}
+    ),
+    probe_cells AS (
+        SELECT probe_id, pv, cid FROM (
+            SELECT p.probe_id, p.pv, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round({cosine_sql("p.pv", "cent.cv")}, 6) DESC,
+                                cent.cid
+                   ) AS crn
+            FROM p CROSS JOIN cent
+        ) WHERE crn <= {NPROBE}
+    ),
+    exact AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round({cosine_sql("e.v", "p.pv")}, 6) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+        ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    approx AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pc.probe_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pc.probe_id
+                       ORDER BY round({cosine_sql("a.v", "pc.pv")}, 6) DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM probe_cells pc
+            JOIN assign a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+        ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    hits AS (
+        SELECT x.probe_id, count(*) AS n_hit
+        FROM exact x
+        JOIN approx a ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+        GROUP BY x.probe_id
+    )
+    SELECT p.probe_id                           AS vec_id,
+           CAST({KNN_EVAL_K} AS BIGINT)         AS k,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           {rN_sql(f"coalesce(h.n_hit, 0) / {KNN_EVAL_K}.0", 6)} AS recall
+    FROM p LEFT JOIN hits h ON h.probe_id = p.probe_id
+    """,
+)
+def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF(nprobe=2) index against exact neighborhoods,
+    per probe — the faiss-style index-quality curve point every ANN
+    deployment tracks (alongside l_knn_eval's end-task accuracy). Each
+    bounded-set probe's exact cosine top-k is intersected with the
+    top-k drawn only from the probe's {NPROBE} nearest coarse cells.
+
+    Scale shape: the 16-row centroid table is broadcast everywhere;
+    cell assignment is the map-side cross join of l_ann_ivf; exact
+    scoring is probes x N with the bounded probe side broadcast; the
+    approx search touches only the probes' cells (the nprobe recall/
+    cost knob this harness exists to tune). All rankings are windows
+    partitioned by probe or vector, never global. Recall is a ratio of
+    small ints — identical bits in both engines before the r6 cut."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("probe_id", "pv", "cid", F.row_number().over(cw).alias("crn"))
+        .filter(F.col("crn") <= NPROBE)
+        .drop("crn")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_EVAL_K)
+        .select("probe_id", "vec_id")
+    )
+    approx = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_EVAL_K)
+        .select("probe_id", "vec_id")
+    )
+    hits = exact.join(approx, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return probes.select("probe_id").join(hits, "probe_id", "left").select(
+        F.col("probe_id").alias("vec_id"),
+        F.lit(KNN_EVAL_K).cast("bigint").alias("k"),
+        n_hit.cast("bigint").alias("n_hit"),
+        rN(n_hit / float(KNN_EVAL_K), 6).alias("recall"),
     )

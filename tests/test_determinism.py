@@ -54,6 +54,7 @@ SAMPLE = [
     "r_unpivot",
     "l_feature_hash_embedding",
     "l_knn_eval",
+    "l_ann_recall_eval",
 ]
 
 

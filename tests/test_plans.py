@@ -272,3 +272,12 @@ def test_feature_hash_is_stateless_aggregation(spark, sf_dir):
     assert not plans.has_node(df, "CartesianProduct")
     assert not plans.has_node(df, "BroadcastNestedLoopJoin")
     assert plans.exchange_count(df) <= 3
+
+
+def test_recall_eval_broadcasts_centroids_and_probes(spark, sf_dir):
+    """Both small sides (16-row centroid table, bounded probe set) join
+    by broadcast; the only NLJs are those sanctioned map-side cross
+    joins — no CartesianProduct ever."""
+    df = SPECS["l_ann_recall_eval"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.has_node(df, "BroadcastExchange")
