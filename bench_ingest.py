@@ -123,6 +123,31 @@ def main() -> None:
                     assert r == svc.OK
                 socket_rps = sock_rows / (time.perf_counter() - t0)
 
+        # D14/D16 producer path: protojson lines -> wire encode -> live
+        # socket with the client batcher (ingest/forwarder.py)
+        from bristle_spark.ingest.forwarder import forward_json_lines
+
+        fwd_rows = min(n, 100_000)
+        lines = [
+            json.dumps(
+                {
+                    "symbol": f"SYM{i % 100}",
+                    "price": i * 0.01,
+                    "tradeTime": 1_700_000_000_000 + i,
+                    "volume": float(i % 1000),
+                    "tradeConditions": ["1", "2"],
+                }
+            )
+            for i in range(fwd_rows)
+        ]
+        with svc.IngestSocketService(server) as sk:
+            t0 = time.perf_counter()
+            stats = forward_json_lines(
+                lines, "127.0.0.1", sk.port, binding, max_buffer=sock_batch
+            )
+            forwarder_rps = stats.n_sent / (time.perf_counter() - t0)
+        assert stats.n_sent == fwd_rows, stats
+
     print(
         json.dumps(
             {
@@ -132,6 +157,7 @@ def main() -> None:
                 "rows": n,
                 "framing_frames_per_s": round(best_framing),
                 "socket_acked_rows_per_s": round(socket_rps),
+                "forwarder_json_rows_per_s": round(forwarder_rps),
             }
         )
     )
