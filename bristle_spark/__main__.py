@@ -129,6 +129,24 @@ def cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Merge small parts in the day-partitioned sink (the MergeTree
+    background-merge analog; reference README.md:6)."""
+    import json as _json
+
+    from bristle_spark.ingest.maintenance import compact_sink
+
+    spark = _spark("bristle-compact")
+    result = compact_sink(
+        spark,
+        args.path,
+        order_by=args.order_by.split(",") if args.order_by else None,
+        min_files=args.min_files,
+    )
+    print(_json.dumps(result))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from bristle_spark.registry import all_specs
 
@@ -179,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-buffer", type=int, default=100_000,
                     help="client batcher flush threshold (D14)")
     sp.set_defaults(fn=cmd_forward_json)
+
+    sp = sub.add_parser("compact", help="merge small sink parts (MergeTree merge analog)")
+    sp.add_argument("--path", required=True, help="day-partitioned sink directory")
+    sp.add_argument("--order-by", default=None, help="comma-separated ORDER BY columns")
+    sp.add_argument("--min-files", type=int, default=2)
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("serve", help="reload-capable ingest server (pump cycles)")
     sp.add_argument("--config", required=True)

@@ -1,0 +1,89 @@
+"""compact_sink: the MergeTree-background-merge analog over the
+day-partitioned parquet sink. Pins (a) small appended parts merge to one
+file per day, (b) row-for-row content preservation, (c) the ORDER BY
+invariant inside compacted files, (d) partitions under the threshold are
+left untouched (dynamic overwrite never rewrites clean days), and
+(e) partition pruning still works after compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bristle_spark.catalog import load_table
+from bristle_spark.ingest.maintenance import compact_sink, partition_file_stats
+from bristle_spark.ingest.pipeline import write_sink
+
+
+def _build_fragmented_sink(spark, sf_dir, path, n_batches=4):
+    ev = load_table(spark, sf_dir, "events").limit(400).cache()
+    days = [r[0] for r in ev.select(F.to_date("ts")).distinct().collect()]
+    # one day stays clean: only its first batch is ever written
+    clean_day = str(min(days))
+    for i in range(n_batches):
+        batch = ev.filter(F.col("event_id") % n_batches == i)
+        if i > 0:
+            batch = batch.filter(F.to_date("ts") != clean_day)
+        write_sink(batch, path, ts_column="ts", order_by=["ts", "event_id"])
+    ev.unpersist()
+    return clean_day
+
+
+def test_compact_merges_parts_and_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sink")
+    clean_day = _build_fragmented_sink(spark, sf_dir, path)
+    before = partition_file_stats(path)
+    assert max(before.values()) > 1
+    rows_before = sorted(
+        (r["event_id"], str(r["_day"])) for r in spark.read.parquet(path).collect()
+    )
+
+    result = compact_sink(spark, path, order_by=["ts", "event_id"], min_files=1)
+
+    after = partition_file_stats(path)
+    assert result["compacted_partitions"] > 0
+    assert result["files_after"] < result["files_before"]
+    # every compacted day is now a single part
+    assert all(c == 1 for d, c in after.items() if before[d] > 1)
+    rows_after = sorted(
+        (r["event_id"], str(r["_day"])) for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before
+    # clean partition was not selected for compaction
+    assert clean_day not in [d for d, c in before.items() if c > 1]
+
+
+def test_compacted_files_keep_order_by(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sink")
+    _build_fragmented_sink(spark, sf_dir, path)
+    compact_sink(spark, path, order_by=["ts", "event_id"], min_files=1)
+    for entry in os.listdir(path):
+        if not entry.startswith("_day="):
+            continue
+        pdir = os.path.join(path, entry)
+        for f in os.listdir(pdir):
+            if not f.endswith(".parquet"):
+                continue
+            rows = spark.read.parquet(os.path.join(pdir, f)).select(
+                "ts", "event_id"
+            ).collect()
+            keys = [(r["ts"], r["event_id"]) for r in rows]
+            assert keys == sorted(keys), f"{entry}/{f} lost ORDER BY"
+
+
+def test_untouched_partitions_not_rewritten(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sink")
+    clean_day = _build_fragmented_sink(spark, sf_dir, path)
+    clean_dir = os.path.join(path, f"_day={clean_day}")
+    files_before = set(os.listdir(clean_dir))
+    compact_sink(spark, path, order_by=["ts", "event_id"], min_files=1)
+    assert set(os.listdir(clean_dir)) == files_before
+
+
+def test_noop_when_nothing_fragmented(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    write_sink(ev, path, ts_column="ts", order_by=["ts"])
+    result = compact_sink(spark, path, order_by=["ts"], min_files=1)
+    assert result["compacted_partitions"] == 0
