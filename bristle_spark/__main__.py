@@ -122,6 +122,9 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
                 time.sleep(args.pump_interval)
             stats = server.pump()
+            if args.compact_every and (i + 1) % args.compact_every == 0:
+                merged = server.compact()
+                print(f"[serve] compacted: {merged}", file=sys.stderr)
             print(_json.dumps({"pump": i, "batches": stats}))
     finally:
         if service is not None:
@@ -211,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--reload-between-pumps", action="store_true")
     sp.add_argument("--listen", default=None, help="HOST:PORT for the wire-protocol TCP front door")
     sp.add_argument("--pump-interval", type=float, default=0.0, help="seconds between pump cycles")
+    sp.add_argument("--compact-every", type=int, default=0,
+                    help="run the MergeTree-merge analog after every N pumps (0 = never)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("query", help="run a declared query")

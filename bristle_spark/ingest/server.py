@@ -218,3 +218,20 @@ class IngestServer:
         """Run one flush cycle on every writer (micro-batch drain)."""
         assert self.writer_group is not None
         return self.writer_group.pump(self.spark)
+
+    def compact(self, min_files: int = 2) -> dict[str, dict]:
+        """MergeTree background-merge analog: merge the small per-pump
+        parts in every day-partitioned sink (maintenance.compact_sink),
+        re-sorted by the table's ts column — the leading ORDER BY key of
+        the example DDL."""
+        from bristle_spark.ingest.maintenance import compact_sink
+
+        assert self.writer_group is not None
+        results: dict[str, dict] = {}
+        for w in self.writer_group.writers:
+            if w.ts_column is None or not os.path.isdir(w.sink_dir):
+                continue
+            results[w.binding.sink_table] = compact_sink(
+                self.spark, w.sink_dir, order_by=[w.ts_column], min_files=min_files
+            )
+        return results

@@ -87,3 +87,71 @@ def test_noop_when_nothing_fragmented(spark, sf_dir, tmp_path):
     write_sink(ev, path, ts_column="ts", order_by=["ts"])
     result = compact_sink(spark, path, order_by=["ts"], min_files=1)
     assert result["compacted_partitions"] == 0
+
+
+def test_server_compact_merges_pumped_parts(spark, sf_dir, tmp_path):
+    """Several pump cycles leave one part per micro-batch in the
+    day-partitioned sink; server.compact() merges them per day."""
+    import json
+
+    from bristle_spark.ingest.fixtures import example_binding
+    from bristle_spark.ingest.server import IngestServer
+
+    b = example_binding()
+    cfg = {
+        "tables": [
+            {
+                "name": b.sink_table,
+                "columns": [
+                    {"name": c.name, "type": c.ch_type, "default": c.default}
+                    for c in b.sink_columns
+                ],
+                "messages": [b.message_name],
+                "ts_column": "timestamp",
+            }
+        ],
+        "messages": {
+            b.message_name: {
+                "fields": [
+                    {
+                        "number": f.number,
+                        "name": f.name,
+                        "kind": f.kind,
+                        "repeated": f.repeated,
+                        "column": f.column,
+                        "json_name": f.json_name,
+                    }
+                    for f in b.fields
+                ]
+            }
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    server = IngestServer(spark, str(cfg_path), str(tmp_path / "data"))
+
+    from bristle_spark.ingest.fixtures import encode_example_row
+
+    safe = b.sink_table.replace(".", "__")
+    payload_dir = os.path.join(server.data_root, "payloads", safe)
+    os.makedirs(payload_dir, exist_ok=True)
+    for i in range(3):
+        bodies = [
+            encode_example_row(name=f"p{i}_{j}", ts=(1_700_000_000 + j, 0), value=j)
+            for j in range(5)
+        ]
+        df = spark.createDataFrame(
+            [(b.message_name, body) for body in bodies], "type string, body binary"
+        )
+        df.coalesce(1).write.mode("append").parquet(payload_dir)
+        server.pump()
+
+    sink_dir = os.path.join(server.data_root, "sink", safe)
+    before = partition_file_stats(sink_dir)
+    assert max(before.values()) >= 3  # one part per pump
+    merged = server.compact(min_files=1)
+    assert merged[b.sink_table]["files_after"] < merged[b.sink_table]["files_before"]
+    after = partition_file_stats(sink_dir)
+    assert all(c == 1 for c in after.values())
+    sink = spark.read.parquet(sink_dir)
+    assert sink.count() == 15
