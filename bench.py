@@ -84,6 +84,8 @@ HEADLINE = [
     "l_feature_hash_embedding",
     "l_knn_eval",
     "l_ann_recall_eval",
+    "l_duplicate_passages",
+    "l_pack_sequences",
 ]
 
 

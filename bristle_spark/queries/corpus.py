@@ -612,3 +612,154 @@ def l_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("carried"))
         .alias("status"),
     )
+
+
+# --- cross-document duplicate passages -----------------------------------
+PASSAGE_WORDS = 8  # non-overlapping passage block size
+DUP_PASSAGE_FRAC = 0.2  # above this duplicated-passage share, flag the doc
+
+
+@register(
+    "l_duplicate_passages",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(floor(len(t) / {PASSAGE_WORDS}) AS INT) + 1),
+                   i -> array_to_string(
+                       list_slice(t, (i - 1) * {PASSAGE_WORDS} + 1,
+                                  i * {PASSAGE_WORDS}), ' '))) AS passage
+        FROM tok
+    ),
+    hashed AS (SELECT doc_id, {hash60_sql("passage")} AS h FROM blocks),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY h),
+    per_doc AS (
+        SELECT hashed.doc_id,
+               count(*)                                       AS n_passages,
+               CAST(sum(CAST(df.n_docs >= 2 AS INT)) AS BIGINT) AS n_dup
+        FROM hashed JOIN df ON hashed.h = df.h
+        GROUP BY hashed.doc_id
+    )
+    SELECT doc_id, n_passages, n_dup,
+           {r6_sql("CAST(n_dup AS DOUBLE) / n_passages")} AS dup_frac,
+           CAST({r6_sql("CAST(n_dup AS DOUBLE) / n_passages")}
+                > {DUP_PASSAGE_FRAC} AS INT) AS flagged
+    FROM per_doc
+    """,
+)
+def l_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage detection (the Dolma/C4
+    paragraph-dedup shape): every document splits into non-overlapping
+    {PASSAGE_WORDS}-token blocks, blocks hash to 60 bits, and a block is
+    "duplicated" when its hash occurs in 2+ distinct documents; docs
+    whose duplicated share exceeds {DUP_PASSAGE_FRAC} are flagged
+    (boilerplate/template carriers). Complements l_repetition_score
+    (intra-doc) and l_dedup_* (whole-doc): this finds SHARED passages
+    across otherwise-distinct documents.
+
+    Scale shape: passage explode is a Catalyst generator; the document
+    frequency is one map-side-combined aggregation on 8-byte hashes; the
+    flag join re-shuffles only (doc_id, h) pairs on the hash key. No
+    windows, no distinct-on-text, no text ever shuffled twice."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d = d.withColumn("t", t).filter(F.size("t") >= PASSAGE_WORDS)
+    tc = F.col("t")
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.floor(F.size(tc) / PASSAGE_WORDS).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(tc, (i - 1) * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+        ),
+    )
+    hashed = d.select("doc_id", F.explode(blocks).alias("p")).select(
+        "doc_id", hash60(F.col("p")).alias("h")
+    )
+    df_tbl = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        hashed.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_dup"),
+        )
+    )
+    dup_frac = r6(F.col("n_dup").cast("double") / F.col("n_passages"))
+    return per_doc.select(
+        "doc_id",
+        "n_passages",
+        "n_dup",
+        dup_frac.alias("dup_frac"),
+        (dup_frac > DUP_PASSAGE_FRAC).cast("int").alias("flagged"),
+    )
+
+
+# --- sequence packing ----------------------------------------------------
+PACK_SHARDS = 64  # hash shards; packing is per-shard (the 100 TB knob)
+PACK_BIN_TOKENS = 512  # training sequence length
+
+
+@register(
+    "l_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               {hash60_sql("CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard
+                   ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM sized
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_BIN_TOKENS}) AS BIGINT) AS seq_index,
+           CAST((cum - n_tokens) % {PACK_BIN_TOKENS} AS BIGINT)        AS start_offset
+    FROM packed
+    """,
+)
+def l_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenate in a
+    deterministic (hash, doc_id) order and are chopped into fixed
+    {PACK_BIN_TOKENS}-token training sequences; each doc learns which
+    sequence it starts in (seq_index) and at what offset — the
+    concat-then-chunk layout every pretraining data loader builds.
+
+    Packing is per hash-shard BY DESIGN: a global concatenation order
+    would be one unbounded window (the canonical scale-killer), while
+    {PACK_SHARDS} shards pack independently — exactly how a distributed
+    loader shards its corpus — and the shard count is the scale knob
+    (at 100 TB, thousands of shards = thousands of independent window
+    partitions). All arithmetic is integer, so both engines agree
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    sized = d.select(
+        "doc_id",
+        (h % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.floor(start / PACK_BIN_TOKENS).cast("bigint").alias("seq_index"),
+        (start % PACK_BIN_TOKENS).cast("bigint").alias("start_offset"),
+    )

@@ -55,6 +55,8 @@ SAMPLE = [
     "l_feature_hash_embedding",
     "l_knn_eval",
     "l_ann_recall_eval",
+    "l_duplicate_passages",
+    "l_pack_sequences",
 ]
 
 

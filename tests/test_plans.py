@@ -281,3 +281,21 @@ def test_recall_eval_broadcasts_centroids_and_probes(spark, sf_dir):
     df = SPECS["l_ann_recall_eval"].fn(spark, sf_dir)
     assert not plans.has_node(df, "CartesianProduct")
     assert plans.has_node(df, "BroadcastExchange")
+
+
+def test_duplicate_passages_joins_on_hash(spark, sf_dir):
+    """Passage df + flag join key on 60-bit hashes; no windows, no
+    cartesian, text shuffled at most once (explode is a generator)."""
+    df = SPECS["l_duplicate_passages"].fn(spark, sf_dir)
+    simple = plans.plan_string(df, "simple")
+    assert "WindowExec" not in simple
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.has_node(df, "Generate")
+
+
+def test_pack_sequences_windows_are_shard_partitioned(spark, sf_dir):
+    """The packing cumsum must be a shard-partitioned window (the
+    no-global-windows sweep also enforces this) with one shuffle."""
+    df = SPECS["l_pack_sequences"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    assert plans.exchange_count(df) == 1
