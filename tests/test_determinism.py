@@ -20,7 +20,7 @@ SAMPLE = [
     "l_dedup_embedding",
     "l_similarity_cosine",
     "r_percentiles",
-    "r_approx_percentiles",  # sketch pinned to deterministic layout
+    "r_approx_percentiles",  # parallel sketch; output is rank-contract flags
     "l_heavy_hitters",
     "l_sessionize",
     "l_tfidf_top_terms",
