@@ -86,6 +86,7 @@ HEADLINE = [
     "l_ann_recall_eval",
     "l_duplicate_passages",
     "l_pack_sequences",
+    "l_bpe_merges",
 ]
 
 

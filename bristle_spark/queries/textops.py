@@ -647,3 +647,86 @@ def l_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("tf"),
         r6(F.col("c") / F.sqrt("s2")).alias("weight"),
     )
+
+
+# --- BPE merge training --------------------------------------------------
+BPE_MERGES = 10  # merge operations to learn
+BPE_SEP = chr(31)  # unit-separator; never appears in corpus text
+
+
+@register("l_bpe_merges", oracle=None)
+def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al.) — the
+    iterative tokenizer-vocabulary algorithm: repeatedly find the most
+    frequent adjacent symbol pair across the corpus and fuse it. Output
+    is the learned merge table (merge_idx, left, right, pair_count),
+    the artifact a BPE tokenizer ships.
+
+    Spark-first shape: WORD-level BPE — the corpus aggregates once to a
+    (distinct word, count) vocabulary table (one shuffle; vocab-sized,
+    not corpus-sized, even at 100 TB), and every iteration runs on that
+    small table: pair counts are a map-side-combinable aggregation, the
+    argmax is orderBy().limit(1) (TakeOrdered), and the winning pair is
+    applied via a BROADCAST 1-row join + literal separator-replace
+    (non-overlapping left-to-right, exactly BPE's merge semantics) — no
+    driver-side collect anywhere, like l_dedup_clusters' iteration.
+    ``localCheckpoint`` per round truncates the growing lineage. Not
+    SQL-expressible as one query (iterative argmax) -> rows-only.
+
+    Cites reference scope: the reference ships no text ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    vocab = words.select("cnt", F.array_join(chars, BPE_SEP).alias("s"))
+    vocab = vocab.localCheckpoint()
+
+    merge_tables = []
+    for it in range(BPE_MERGES):
+        arr = F.split("s", BPE_SEP)
+        pair_structs = F.expr(
+            f"transform(sequence(1, size(split(s, '{BPE_SEP}')) - 1),"
+            f" i -> struct(element_at(split(s, '{BPE_SEP}'), i) AS l,"
+            f"            element_at(split(s, '{BPE_SEP}'), i + 1) AS r))"
+        )
+        pairs = (
+            vocab.filter(F.size(arr) >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
+        merge_tables.append(
+            best.select(
+                F.lit(it).cast("bigint").alias("merge_idx"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                "pair_count",
+            )
+        )
+        # left join keeps the vocabulary intact when no pair remains
+        vocab = (
+            vocab.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                "cnt",
+                F.when(
+                    F.col("l").isNotNull(),
+                    F.replace(
+                        F.col("s"),
+                        F.concat(F.col("l"), F.lit(BPE_SEP), F.col("r")),
+                        F.concat(F.col("l"), F.col("r")),
+                    ),
+                ).otherwise(F.col("s")).alias("s"),
+            )
+            .localCheckpoint()
+        )
+
+    out = merge_tables[0]
+    for t in merge_tables[1:]:
+        out = out.union(t)
+    return out

@@ -1,0 +1,72 @@
+"""l_bpe_merges: the learned merge table must exactly match a
+straightforward Python implementation of Sennrich-style word-level BPE
+(same tie-break: max pair count, then lexicographically smallest pair)
+on the same word-count table. Plus double-run determinism."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from bristle_spark.queries.textops import BPE_MERGES
+from bristle_spark.registry import all_specs
+
+
+def _reference_bpe(word_counts: dict[str, int], m: int):
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(m):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def test_matches_reference_python_bpe(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["w"]: r["cnt"]
+        for r in (
+            d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    want = _reference_bpe(counts, BPE_MERGES)
+    got = (
+        all_specs()["l_bpe_merges"]
+        .fn(spark, sf_dir)
+        .orderBy("merge_idx")
+        .collect()
+    )
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+
+
+def test_double_run_identical(spark, sf_dir):
+    a = all_specs()["l_bpe_merges"].fn(spark, sf_dir).orderBy("merge_idx").collect()
+    b = all_specs()["l_bpe_merges"].fn(spark, sf_dir).orderBy("merge_idx").collect()
+    assert a == b
