@@ -87,6 +87,7 @@ HEADLINE = [
     "l_duplicate_passages",
     "l_pack_sequences",
     "l_bpe_merges",
+    "l_bpe_tokenize",
 ]
 
 

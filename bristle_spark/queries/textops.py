@@ -675,6 +675,14 @@ def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites reference scope: the reference ships no text ops; this
     extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    _, merges = _bpe_train(spark, sf_dir)
+    return merges
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE loop; returns (final segmented vocabulary
+    (w, cnt, s), merge table). Shared by l_bpe_merges (the merge
+    artifact) and l_bpe_tokenize (the application pass)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -683,7 +691,7 @@ def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    vocab = words.select("cnt", F.array_join(chars, BPE_SEP).alias("s"))
+    vocab = words.select("w", "cnt", F.array_join(chars, BPE_SEP).alias("s"))
     vocab = vocab.localCheckpoint()
 
     merge_tables = []
@@ -713,6 +721,7 @@ def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.join(F.broadcast(best), F.lit(True), "left")
             .select(
+                "w",
                 "cnt",
                 F.when(
                     F.col("l").isNotNull(),
@@ -729,4 +738,45 @@ def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merge_tables[0]
     for t in merge_tables[1:]:
         out = out.union(t)
-    return out
+    return vocab, out
+
+
+@register("l_bpe_tokenize", oracle=None)
+def l_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus: per document, the
+    whitespace/character/BPE token counts and the chars-per-BPE-token
+    compression the vocabulary achieves.
+
+    The application pass is a dictionary lookup, not a re-run of the
+    merge algorithm per document: the trained vocabulary's final
+    segmentation (distinct word -> symbol count) BROADCASTS to the
+    exploded token stream — at 100 TB you tokenize by joining the
+    word-level dictionary, the same shape as l_unigram_logprob's LM
+    join. Not SQL-expressible (depends on the iterative training) ->
+    rows-only; pinned to the Python reference in test_bpe.py."""
+    vocab, _ = _bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w", F.size(F.split("s", BPE_SEP)).cast("bigint").alias("n_bpe")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    return (
+        tok.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            r6(F.col("n_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )

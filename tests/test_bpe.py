@@ -70,3 +70,43 @@ def test_double_run_identical(spark, sf_dir):
     a = all_specs()["l_bpe_merges"].fn(spark, sf_dir).orderBy("merge_idx").collect()
     b = all_specs()["l_bpe_merges"].fn(spark, sf_dir).orderBy("merge_idx").collect()
     assert a == b
+
+
+def test_tokenize_matches_reference_application(spark, sf_dir):
+    """Per-doc BPE token counts must equal applying the reference
+    merges to each word of a sample of documents."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["w"]: r["cnt"]
+        for r in (
+            d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    merges = [(a, b) for a, b, _ in _reference_bpe(counts, BPE_MERGES)]
+
+    def segment(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in all_specs()["l_bpe_tokenize"].fn(spark, sf_dir).collect()
+    }
+    sample = d.orderBy("doc_id").limit(20).collect()
+    for row in sample:
+        want = sum(segment(w) for w in row["text"].split(" ") if w)
+        assert got[row["doc_id"]] == want, row["doc_id"]
