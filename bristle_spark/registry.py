@@ -53,25 +53,22 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 # oracle-checked (test_oracle_parity.py).  The full survey pin is
 # restored in round 7 once every key holds >=1 driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- SURVEY §2.D transcode group (6 of 9; project_rename,
-    # cast_int_widths, bool_to_int rotate behind with r1+r5 rows) ---
-    "t_enum_codes",
-    "t_timestamp_epoch",
+    # --- SURVEY §2.D transcode group (4 of 9; project_rename,
+    # cast_int_widths, bool_to_int, enum_codes, timestamp_epoch rotate
+    # behind with r1+r5 green rows) ---
     "t_null_default",
     "t_json_props_extract",
     "t_map_to_arrays",
     "t_array_ops",
-    # --- SURVEY §2.D relational group (17) ---
-    "r_filter_predicates",
+    # --- SURVEY §2.D relational group (filter_predicates,
+    # distinct_count, string_funcs, date_funcs also rotate behind with
+    # r1+r5 green rows) ---
     "r_hash_agg",
-    "r_distinct_count",
     "r_approx_distinct",
     # (r_join_inner/broadcast/multi/semi_anti/outer, r_sort_limit_topk,
     # r_window_rank/running, r_set_ops rotate behind with r1+r5 green
     # rows — their 9 slots go to the session-2 never-checked keys below)
     "r_rollup",
-    "r_string_funcs",
-    "r_date_funcs",
     "r_tumbling_window",
     # --- SURVEY §2.D LLM group (4) ---
     "l_dedup_exact",
@@ -116,6 +113,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_feature_hash_embedding",
     "m_audio_features",
     "s_stream_rollup",
+    # --- round-6 session-2 wave 2: never driver-checked, all locally
+    # verified (oracle or reference-implementation-pinned) ---
+    "l_ann_recall_eval",
+    "l_duplicate_passages",
+    "l_pack_sequences",
+    "l_bpe_merges",
+    "l_bpe_tokenize",
+    "r_approx_percentiles",
 )
 
 

@@ -9,16 +9,15 @@ round 7 once every registered key holds at least one driver row.
 from bristle_spark import registry
 
 SURVEY_KEYS_IN_WINDOW = {
-    # transcode (6 of 9 — project_rename/cast_int_widths/bool_to_int
-    # rotated behind with r1+r5 green rows)
-    "t_enum_codes", "t_timestamp_epoch", "t_null_default",
+    # transcode (4 of 9 — project_rename/cast_int_widths/bool_to_int/
+    # enum_codes/timestamp_epoch rotated behind with r1+r5 green rows)
+    "t_null_default",
     "t_json_props_extract", "t_map_to_arrays", "t_array_ops",
-    # relational (8 of 17 — the 5 join shapes, topk, rank/running
-    # windows, and set ops rotated behind with r1+r5 green rows; their
-    # slots went to the session-2 additions)
-    "r_filter_predicates", "r_hash_agg", "r_distinct_count",
-    "r_approx_distinct", "r_rollup", "r_string_funcs", "r_date_funcs",
-    "r_tumbling_window",
+    # relational (4 of 17 — the 5 join shapes, topk, rank/running
+    # windows, set ops, filter_predicates, distinct_count, string_funcs,
+    # and date_funcs rotated behind with r1+r5 green rows; their slots
+    # went to the session-2 additions)
+    "r_hash_agg", "r_approx_distinct", "r_rollup", "r_tumbling_window",
     # llm core (4)
     "l_dedup_exact", "l_text_stats", "l_similarity_cosine", "l_knn_label",
 }
@@ -49,6 +48,10 @@ ROUND6_SESSION2_KEYS = {
     "l_unigram_logprob", "l_zipf_slope", "l_cross_snapshot_dedup",
     "l_centroid_by_label", "r_unpivot", "l_knn_eval",
     "l_feature_hash_embedding", "m_audio_features", "s_stream_rollup",
+    # wave 2: recall harness, passage dedup, sequence packing, BPE,
+    # and the unpinned approx-percentile contract check
+    "l_ann_recall_eval", "l_duplicate_passages", "l_pack_sequences",
+    "l_bpe_merges", "l_bpe_tokenize", "r_approx_percentiles",
 }
 
 
@@ -82,6 +85,9 @@ def test_beyond_window_queries_still_registered():
                 "r_join_inner", "r_join_broadcast", "r_join_multi",
                 "r_join_semi_anti", "r_join_outer", "r_sort_limit_topk",
                 "r_window_rank", "r_window_running", "r_set_ops",
+                "r_filter_predicates", "r_distinct_count",
+                "r_string_funcs", "r_date_funcs",
+                "t_enum_codes", "t_timestamp_epoch",
                 "s_microbatch_flush", "s_drop_policies", "s_late_data",
                 "s_proto_roundtrip", "l_dedup_minhash", "l_dedup_simhash",
                 "l_ann_lsh", "l_ann_ivf",
