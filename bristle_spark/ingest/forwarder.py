@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -43,10 +44,16 @@ _INT_KINDS = {
 def _timestamp_parts(v: Any) -> tuple[int, int]:
     """protojson timestamp (RFC 3339 string, 'Z' or offset, optional
     fraction) → (seconds, nanos). Integer/float inputs are accepted as
-    epoch seconds for convenience."""
+    epoch seconds for convenience. Seconds FLOOR (not truncate) so
+    nanos is always in [0, 1e9) — protobuf Timestamp's normalization —
+    and pre-epoch fractional instants encode identically via either
+    representation."""
     if isinstance(v, (int, float)) and not isinstance(v, bool):
-        secs = int(v)
-        return secs, int(round((v - secs) * 1e9))
+        secs = math.floor(v)
+        nanos = int(round((v - secs) * 1e9))
+        if nanos >= 1_000_000_000:  # fraction rounded up to a full second
+            secs, nanos = secs + 1, 0
+        return secs, nanos
     dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)

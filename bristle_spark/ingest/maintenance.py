@@ -22,7 +22,6 @@ partition.
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,16 +67,20 @@ def compact_sink(
 
     df: DataFrame = spark.read.parquet(path).filter(F.col("_day").isin(days))
     n_rows = df.count()
-    # one output file per partition unless a day exceeds the size cap
-    n_out = max(len(days), math.ceil(n_rows / max_rows_per_file))
-    writer = df.repartition(n_out, F.col("_day"))
+    # one partition (= merge task) per day — the day is the unit of
+    # compaction work, like a MergeTree partition's part merge; the
+    # row-size cap is enforced by the WRITER (maxRecordsPerFile rolls a
+    # new sorted file at the cap), not by splitting the sort
+    writer = df.repartition(len(days), F.col("_day"))
     if order_by:
         writer = writer.sortWithinPartitions("_day", *order_by)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        writer.write.mode("overwrite").partitionBy("_day").parquet(path)
+        writer.write.mode("overwrite").option(
+            "maxRecordsPerFile", max_rows_per_file
+        ).partitionBy("_day").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

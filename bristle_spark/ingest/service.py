@@ -343,7 +343,12 @@ class IngestSocketService:
         try:
             result = self._process_batch(session, batch)
         except Exception:
-            result = DECODE_ERR
+            # decode failures are returned explicitly by _process_batch;
+            # anything raising here is SERVER-side (landing I/O, disk
+            # full) — ack FULL, the protocol's write-failure result, so
+            # clients know the data was valid and a retry can succeed
+            # (DECODE_ERR would mislabel it as permanently malformed)
+            result = FULL
         finally:
             session.sem.release()
         try:

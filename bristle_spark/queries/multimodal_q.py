@@ -93,7 +93,6 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
     payloads = multimodal.attach_fake_payload(docs, text_col="ctext")
     # one-byte decode noise, position and value keyed by doc_id
-    pos = (F.col("doc_id") % 200 + 1).cast("int")
     noise = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 63), 2, "0"))
     perturbed = payloads.select(
         "doc_id",
@@ -113,10 +112,13 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("band_idx"),
-                        (
-                            F.shiftrightunsigned(F.col("phash"), 16 * j)
-                            % (1 << 16)
-                        ).alias("band_val"),
+                        # bitwiseAND, not %: the top band of a signed
+                        # 64-bit hash would go negative under % and
+                        # silently miss candidate pairs (the simhash
+                        # banding discipline, dedup.py)
+                        F.shiftrightunsigned(F.col("phash"), 16 * j)
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("band_val"),
                     )
                     for j in range(PHASH_BANDS)
                 ]

@@ -690,20 +690,41 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return _bpe_loop(words)
+
+
+# symbols of a sentinel-wrapped segmentation string (drop the empty
+# fragments the leading/trailing separators produce)
+_BPE_SYMS = f"filter(split(s, '{BPE_SEP}'), x -> x <> '')"
+
+
+def _bpe_loop(words: DataFrame):
+    """The merge loop over a (w, cnt) vocabulary table. Segmentations are
+    SENTINEL-WRAPPED — ``s = SEP || sym1 || SEP || ... || SEP`` — so a
+    merge's replace pattern ``SEP l SEP r SEP`` can only match whole
+    adjacent symbols: without the outer sentinels, a bare ``l SEP r``
+    pattern also matches when a previously merged symbol merely ENDS
+    with ``l`` (e.g. after t+h, the pattern h+e would fuse inside
+    'th|e'), silently diverging from BPE semantics."""
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    vocab = words.select("w", "cnt", F.array_join(chars, BPE_SEP).alias("s"))
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit(BPE_SEP), F.array_join(chars, BPE_SEP), F.lit(BPE_SEP)
+        ).alias("s"),
+    )
     vocab = vocab.localCheckpoint()
 
     merge_tables = []
     for it in range(BPE_MERGES):
-        arr = F.split("s", BPE_SEP)
         pair_structs = F.expr(
-            f"transform(sequence(1, size(split(s, '{BPE_SEP}')) - 1),"
-            f" i -> struct(element_at(split(s, '{BPE_SEP}'), i) AS l,"
-            f"            element_at(split(s, '{BPE_SEP}'), i + 1) AS r))"
+            f"transform(sequence(1, size({_BPE_SYMS}) - 1),"
+            f" i -> struct(element_at({_BPE_SYMS}, i) AS l,"
+            f"            element_at({_BPE_SYMS}, i + 1) AS r))"
         )
         pairs = (
-            vocab.filter(F.size(arr) >= 2)
+            vocab.filter(F.size(F.expr(_BPE_SYMS)) >= 2)
             .select("cnt", F.explode(pair_structs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("pair_count"))
@@ -727,8 +748,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                     F.col("l").isNotNull(),
                     F.replace(
                         F.col("s"),
-                        F.concat(F.col("l"), F.lit(BPE_SEP), F.col("r")),
-                        F.concat(F.col("l"), F.col("r")),
+                        F.concat(
+                            F.lit(BPE_SEP), F.col("l"),
+                            F.lit(BPE_SEP), F.col("r"), F.lit(BPE_SEP),
+                        ),
+                        F.concat(
+                            F.lit(BPE_SEP), F.col("l"), F.col("r"), F.lit(BPE_SEP)
+                        ),
                     ),
                 ).otherwise(F.col("s")).alias("s"),
             )
@@ -756,7 +782,7 @@ def l_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; pinned to the Python reference in test_bpe.py."""
     vocab, _ = _bpe_train(spark, sf_dir)
     seg = vocab.select(
-        "w", F.size(F.split("s", BPE_SEP)).cast("bigint").alias("n_bpe")
+        "w", F.size(F.expr(_BPE_SYMS)).cast("bigint").alias("n_bpe")
     )
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(

@@ -110,3 +110,28 @@ def test_tokenize_matches_reference_application(spark, sf_dir):
     for row in sample:
         want = sum(segment(w) for w in row["text"].split(" ") if w)
         assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_chained_merge_respects_symbol_boundaries(spark):
+    """Regression: after learning t+h, the pattern h+e must NOT fuse
+    inside 'th|e' (the preceding symbol is 'th', not 'h'). A naive
+    separator-replace without sentinel wrapping did exactly that."""
+    from bristle_spark.queries.textops import _bpe_loop
+
+    words = spark.createDataFrame(
+        [("th", 10), ("he", 9), ("the", 5)], "w string, cnt long"
+    )
+    vocab, merges = _bpe_loop(words)
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in merges.orderBy("merge_idx").collect()
+    ]
+    # round 1: (t,h)=15 beats (h,e)=14; round 2: (h,e)=9 beats (th,e)=5
+    assert got[0] == ("t", "h", 15)
+    assert got[1] == ("h", "e", 9)
+    # the full merge list is the discriminator: the boundary bug fused
+    # 'th|e' already in round 2, so round 3's legitimate (th, e) merge
+    # never existed and the list diverged from the reference here
+    want = _reference_bpe({"th": 10, "he": 9, "the": 5}, BPE_MERGES)
+    assert want[2] == ("th", "e", 5)
+    assert got == want

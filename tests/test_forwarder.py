@@ -194,3 +194,15 @@ def test_encode_json_record_property_roundtrip():
         assert decoded.get(6, []) == labels
 
     run()
+
+
+def test_negative_fractional_epoch_normalizes():
+    """protobuf Timestamp requires 0 <= nanos < 1e9 with floored
+    seconds; -1.5s epoch must encode as (-2, 5e8) — identical to its
+    RFC3339 form — not (-1, -5e8)."""
+    from bristle_spark.ingest.forwarder import _timestamp_parts
+
+    assert _timestamp_parts(-1.5) == (-2, 500_000_000)
+    assert _timestamp_parts(-1.5) == _timestamp_parts("1969-12-31T23:59:58.5Z")
+    assert _timestamp_parts(1.5) == (1, 500_000_000)
+    assert _timestamp_parts(0) == (0, 0)

@@ -155,3 +155,41 @@ def test_server_compact_merges_pumped_parts(spark, sf_dir, tmp_path):
     assert all(c == 1 for c in after.values())
     sink = spark.read.parquet(sink_dir)
     assert sink.count() == 15
+
+
+def test_oversized_day_splits_under_row_cap(spark, sf_dir, tmp_path):
+    """A day exceeding max_rows_per_file must split into multiple parts
+    (the size cap is real, not just a partition count), and each part
+    still honors the ORDER BY invariant."""
+    path = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    one_day = ev.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-03-01 00:00:00")) + F.col("event_id").cast("int").cast("string").cast("interval second")
+    )
+    # simpler: force every row into one day by overwriting ts date part
+    one_day = ev.withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-01 00:00:"), F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"))
+        ),
+    )
+    for i in range(2):
+        write_sink(
+            one_day.filter(F.col("event_id") % 2 == i),
+            path, ts_column="ts", order_by=["ts", "event_id"],
+        )
+    result = compact_sink(
+        spark, path, order_by=["ts", "event_id"], min_files=1, max_rows_per_file=100
+    )
+    stats = partition_file_stats(path)
+    assert list(stats) == ["2024-03-01"]
+    assert stats["2024-03-01"] >= 2, "oversized day did not split"
+    assert result["rows"] == 400
+    total = spark.read.parquet(path).count()
+    assert total == 400
+    pdir = os.path.join(path, "_day=2024-03-01")
+    for f in os.listdir(pdir):
+        if f.endswith(".parquet"):
+            rows = spark.read.parquet(os.path.join(pdir, f)).select("ts", "event_id").collect()
+            keys = [(r["ts"], r["event_id"]) for r in rows]
+            assert keys == sorted(keys)

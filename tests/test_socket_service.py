@@ -293,3 +293,20 @@ def test_unsupported_messages_terminate_session(spark, three_table_server):
         # a fresh session still works after others died
         with IngestSocketClient("127.0.0.1", service.port) as client:
             assert client.register_type("ExampleMessage") == 1
+
+
+def test_server_side_failure_acks_full_not_decode_err(spark, three_table_server, monkeypatch):
+    """A landing-zone I/O failure on a VALID batch must ack FULL (the
+    protocol's server-side write failure — retryable), never DECODE_ERR
+    (which tells the client its data is permanently malformed)."""
+    server = three_table_server
+    with IngestSocketService(server) as service:
+        def boom(self, binding, type_name, bodies):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(IngestSocketService, "_land_payload", boom)
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            body = encode_example_row(name="ok", value=1)
+            assert (
+                client.write_batch([body], type_name="ExampleMessage") == svc.FULL
+            )
