@@ -54,19 +54,26 @@ def _field_from_dict(d: dict[str, Any]) -> FieldSpec:
     )
 
 
+def sink_columns_from_config(table_cfg: dict) -> list[SinkColumn]:
+    """Table-config dict -> ordered SinkColumns (shared by the explicit
+    registry path here and server.py's autobind path, so position and
+    default semantics cannot drift between the two binding modes)."""
+    return [
+        SinkColumn(
+            name=c["name"],
+            position=int(c.get("position", i + 1)),
+            ch_type=c["type"],
+            default=c.get("default"),
+        )
+        for i, c in enumerate(table_cfg.get("columns", []))
+    ]
+
+
 def registry_from_config(config: dict[str, Any]) -> BindingRegistry:
     messages = config.get("messages", {})
     registry = BindingRegistry()
     for table in config.get("tables", []):
-        sink_columns = [
-            SinkColumn(
-                name=c["name"],
-                position=int(c.get("position", i + 1)),
-                ch_type=c["type"],
-                default=c.get("default"),
-            )
-            for i, c in enumerate(table.get("columns", []))
-        ]
+        sink_columns = sink_columns_from_config(table)
         for message_name in table.get("messages", []):
             spec = messages.get(message_name)
             if spec is None:

@@ -27,11 +27,17 @@ from datetime import datetime, timezone
 from typing import Any
 
 from bristle_spark.ingest.bindings import FieldSpec, MessageBinding
-from bristle_spark.ingest.service import IngestSocketClient, OK, RESULT_NAMES
+from bristle_spark.ingest.service import FULL, IngestSocketClient, OK, RESULT_NAMES
 from bristle_spark.ingest import wire
 
 # reference client defaults (cmd/bristle-forward-json/main.go:153-157)
 DEFAULT_MAX_BUFFER = 100_000
+# frames per write_batch on the wire: the server rejects batches over
+# its max_batch_len (10k default) with TOO_BIG, so the batcher SPLITS
+# the buffer into bounded sends (the reference client batcher does the
+# same) instead of shipping one buffer-sized batch
+WRITE_BATCH_ROWS = 1_000
+FULL_RETRIES = 1  # FULL is the protocol's retryable server-side failure
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
@@ -88,10 +94,15 @@ def encode_json_record(binding: MessageBinding, record: dict) -> bytes:
         if v is None:
             continue
         if f.is_map:
+            if not isinstance(v, dict):
+                raise ValueError(f"field {f.json_key}: map value must be an object")
             _, kk, vk = f.kind.split(":")
             coerced: Any = {_coerce(kk, k): _coerce(vk, x) for k, x in v.items()}
             fields.append((f.number, f.kind, coerced, False))
         elif f.repeated:
+            if not isinstance(v, (list, tuple)):
+                # a bare string would be silently iterated char-by-char
+                raise ValueError(f"field {f.json_key}: repeated value must be a list")
             fields.append((f.number, f.kind, [_coerce(f.kind, x) for x in v], True))
         else:
             fields.append((f.number, f.kind, _coerce(f.kind, v), False))
@@ -142,7 +153,7 @@ class JsonForwarder:
             if not isinstance(record, dict):
                 raise ValueError("not an object")
             body = encode_json_record(self.binding, record)
-        except (ValueError, KeyError, TypeError):
+        except (ValueError, KeyError, TypeError, AttributeError):
             self.stats.n_skipped += 1  # main.go:34-38: log-and-skip
             return
         self._buf.append(body)
@@ -150,13 +161,25 @@ class JsonForwarder:
             self.flush()
 
     def flush(self) -> int | None:
+        """Send the buffer as bounded write batches (WRITE_BATCH_ROWS
+        frames each — under any server's batch limit), retrying FULL
+        acks once (the protocol's retryable server-side failure).
+        Returns the worst result seen, or None for an empty buffer."""
         if not self._buf:
             return None
-        result = self.client.write_batch(self._buf, type_id=self.type_id)
-        self.stats.n_sent += len(self._buf) if result == OK else 0
-        self.stats.record_result(result)
+        worst: int | None = None
+        for off in range(0, len(self._buf), WRITE_BATCH_ROWS):
+            chunk = self._buf[off : off + WRITE_BATCH_ROWS]
+            result = self.client.write_batch(chunk, type_id=self.type_id)
+            for _ in range(FULL_RETRIES):
+                if result != FULL:
+                    break
+                result = self.client.write_batch(chunk, type_id=self.type_id)
+            self.stats.n_sent += len(chunk) if result == OK else 0
+            self.stats.record_result(result)
+            worst = result if worst is None else max(worst, result)
         self._buf = []
-        return result
+        return worst
 
 
 def forward_json_lines(

@@ -32,21 +32,13 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 from bristle_spark.ingest.bindings import BindingRegistry, MessageBinding, SinkColumn
-from bristle_spark.ingest.config import registry_from_config
+from bristle_spark.ingest.config import sink_columns_from_config, registry_from_config
 from bristle_spark.ingest.descriptors import DescriptorPool, autobind
 from bristle_spark.streaming.ingest_stream import run_stream_ingest
 
 
 def _sink_columns(table_cfg: dict) -> list[SinkColumn]:
-    return [
-        SinkColumn(
-            name=c["name"],
-            position=int(c.get("position", i + 1)),
-            ch_type=c["type"],
-            default=c.get("default"),
-        )
-        for i, c in enumerate(table_cfg.get("columns", []))
-    ]
+    return sink_columns_from_config(table_cfg)
 
 
 @dataclass

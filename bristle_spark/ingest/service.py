@@ -303,11 +303,19 @@ class IngestSocketService:
     # -- connection handling
 
     def _accept_loop(self) -> None:
+        import time as _time
+
         while not self._stop.is_set():
             try:
                 conn, _addr = self._sock.accept()
             except OSError:
-                return  # listener closed
+                if self._stop.is_set():
+                    return  # listener closed by stop()
+                # transient accept failure (e.g. EMFILE): back off and
+                # keep serving — returning here would leave the port
+                # bound but dead, hanging every future client
+                _time.sleep(0.05)
+                continue
             threading.Thread(
                 target=self._serve_connection, args=(conn,), daemon=True
             ).start()
@@ -334,7 +342,10 @@ class IngestSocketService:
                         self._pool.submit(self._write_batch, session, body)
                     elif kind == "update_default":
                         return  # ErrUnsupported (ingest_service.go:228-230)
-        except (ConnectionError, ValueError, OSError):
+        except (ConnectionError, ValueError, OSError, IndexError):
+            # IndexError: a truncated varint inside a client envelope
+            # (decode_varint reads past the buffer) — same malformed-
+            # stream class as ValueError
             return  # malformed stream / client gone: drop the session
 
     # -- the write path (writeStreamingBatch analog)

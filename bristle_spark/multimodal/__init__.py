@@ -115,15 +115,24 @@ def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
 
 def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
     """Video-style frame sampling over the payload treated as a frame
-    sequence (16-byte frames): keep every nth frame. Demonstrates the
-    slice-inside-binary pattern without a codec."""
+    sequence (16-byte frames): keep every nth frame; a trailing partial
+    frame is truncated. Demonstrates the slice-inside-binary pattern
+    without a codec."""
     frame_size = 16
+    n_frames = F.floor(F.length("payload") / frame_size).cast("int")
     frames = F.transform(
-        F.sequence(F.lit(0), (F.length("payload") / frame_size).cast("int") - 1),
+        F.sequence(F.lit(0), n_frames - 1),
         lambda i: F.substring(F.col("payload").cast("binary"), i * frame_size + 1, frame_size),
     )
     sampled = F.filter(frames, lambda f, i: i % every_nth == 0)
-    return df.select("doc_id", sampled.alias("sampled_frames"))
+    # sub-frame payloads must yield ZERO frames: sequence(0, -1) counts
+    # DOWN to [0, -1] (phantom frames sliced off the payload end), so
+    # gate on n_frames explicitly
+    empty = F.array().cast("array<binary>")
+    return df.select(
+        "doc_id",
+        F.when(n_frames > 0, sampled).otherwise(empty).alias("sampled_frames"),
+    )
 
 
 PHASH_SCHEMA = T.StructType(
@@ -160,14 +169,22 @@ def phash(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
             out_docs: list = []
             out_hash: list = []
             for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+                if w < 8 or h < 8:
+                    raise ValueError(
+                        f"phash needs at least an 8x8 image, got {w}x{h}"
+                    )
                 idx = np.flatnonzero((widths == w) & (heights == h))
-                stack = np.stack(
-                    [
-                        np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
-                        for i in idx
-                    ]
-                ).reshape(len(idx), h, w)
-                bh, bw = max(1, h // 8), max(1, w // 8)
+                group = [
+                    np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
+                    for i in idx
+                ]
+                short = [g.size for g in group if g.size < w * h]
+                if short:
+                    raise ValueError(
+                        f"payload shorter than {w}x{h} pixels: {short[0]} bytes"
+                    )
+                stack = np.stack(group).reshape(len(idx), h, w)
+                bh, bw = h // 8, w // 8
                 pooled = (
                     stack[:, : 8 * bh, : 8 * bw]
                     .reshape(len(idx), 8, bh, 8, bw)
@@ -200,7 +217,11 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
     The decode step is the same stub as extract_features; the pooling
     itself is real numpy over Arrow batches (vectorized, partition-local,
     no shuffle) — exactly the shape a PIL/libjpeg-backed resize takes at
-    100 TB: binary in, binary out, fixed output size, mapInPandas."""
+    100 TB: binary in, binary out, fixed output size, mapInPandas.
+
+    Average pooling can only downscale: an output dimension larger than
+    a source image's raises inside the task (bh/bw of 0 would otherwise
+    mean-reduce an empty axis into NaN bytes — silent garbage)."""
     import numpy as np
 
     decode = _DECODERS[decode_backend]
@@ -217,6 +238,11 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
             out_docs: list = []
             out_bytes: list = []
             for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+                if w < out_width or h < out_height:
+                    raise ValueError(
+                        f"resize is an average pool (downscale only): "
+                        f"source {w}x{h} < target {out_width}x{out_height}"
+                    )
                 idx = np.flatnonzero((widths == w) & (heights == h))
                 stack = np.stack(
                     [

@@ -35,7 +35,18 @@ _LAYOUT_VERSION = "v3"  # bump to invalidate cached chunk dirs in /tmp (v3: TIME
 
 
 def _workdir(sf_dir: str, tag: str) -> str:
-    sf = os.path.basename(sf_dir.rstrip("/"))
+    import hashlib
+
+    # key the cross-process chunk cache by the FULL resolved fixture
+    # path, not just its basename — two roots both ending in "sf0.01"
+    # (or a re-created fixture at a new path) must never share cached
+    # chunks
+    resolved = os.path.realpath(sf_dir)
+    sf = (
+        os.path.basename(resolved)
+        + "-"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
     d = os.path.join(tempfile.gettempdir(), "bristle_spark_stream", _LAYOUT_VERSION, sf, tag)
     os.makedirs(d, exist_ok=True)
     return d

@@ -157,3 +157,34 @@ def test_stream_rollup_cascade_consistent(spark, sf_dir):
     )
     assert len(merged) == len(days)
     assert (merged.n_events_x == merged.n_events_y).all()
+
+
+def test_sample_frames_subframe_payload_yields_zero_frames(spark):
+    """A payload shorter than one 16-byte frame must sample to an empty
+    array, not phantom frames (sequence(0, -1) counts DOWN)."""
+    from bristle_spark import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"short"), None), (2, bytearray(bytes(40)), None)],
+        "doc_id long, payload binary, meta string",
+    )
+    rows = {r["doc_id"]: r["sampled_frames"]
+            for r in multimodal.sample_frames(df, every_nth=1).collect()}
+    assert rows[1] == []          # 5 bytes -> 0 frames
+    assert len(rows[2]) == 2      # 40 bytes -> 2 full frames, partial dropped
+    assert all(len(f) == 16 for f in rows[2])
+
+
+def test_resize_upscale_and_tiny_phash_raise_cleanly(spark):
+    from bristle_spark import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(16)), {"width": 4, "height": 4, "format": "fake-rgb"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    import pytest
+
+    with pytest.raises(Exception):  # ValueError surfaces as PythonException
+        multimodal.resize(df, out_width=8, out_height=8).collect()
+    with pytest.raises(Exception):
+        multimodal.phash(df).collect()
