@@ -88,6 +88,7 @@ HEADLINE = [
     "l_pack_sequences",
     "l_bpe_merges",
     "l_bpe_tokenize",
+    "l_quality_ensemble",
 ]
 
 

@@ -763,3 +763,113 @@ def l_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / PACK_BIN_TOKENS).cast("bigint").alias("seq_index"),
         (start % PACK_BIN_TOKENS).cast("bigint").alias("start_offset"),
     )
+
+
+# --- quality-signal ensemble ---------------------------------------------
+ENSEMBLE_MIN_PASS = 4  # strict mode: every signal must pass
+
+
+def _signal_oracle(name: str) -> str:
+    """The registered oracle SQL of a signal query, wrapped for CTE use
+    (DuckDB allows a CTE body to carry its own WITH)."""
+    from bristle_spark.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "l_quality_ensemble",
+    oracle=f"""
+    WITH q AS ({{q}}),
+    ent AS ({{ent}}),
+    lp AS ({{lp}}),
+    rep AS ({{rep}})
+    SELECT q.doc_id,
+           CAST(q.quality >= {QUALITY_MIN} AS INT)            AS pass_quality,
+           CAST(coalesce(1 - ent.low_entropy, 1) AS INT)      AS pass_entropy,
+           CAST(coalesce(1 - lp.low_logprob, 1) AS INT)       AS pass_logprob,
+           CAST(coalesce(1 - rep.repetitive, 1) AS INT)       AS pass_repetition,
+           CAST(q.quality >= {QUALITY_MIN} AS INT)
+             + CAST(coalesce(1 - ent.low_entropy, 1) AS INT)
+             + CAST(coalesce(1 - lp.low_logprob, 1) AS INT)
+             + CAST(coalesce(1 - rep.repetitive, 1) AS INT)   AS n_pass,
+           CAST((CAST(q.quality >= {QUALITY_MIN} AS INT)
+             + CAST(coalesce(1 - ent.low_entropy, 1) AS INT)
+             + CAST(coalesce(1 - lp.low_logprob, 1) AS INT)
+             + CAST(coalesce(1 - rep.repetitive, 1) AS INT))
+               >= {ENSEMBLE_MIN_PASS} AS INT)                 AS keep
+    FROM q
+    LEFT JOIN ent ON ent.doc_id = q.doc_id
+    LEFT JOIN lp  ON lp.doc_id  = q.doc_id
+    LEFT JOIN rep ON rep.doc_id = q.doc_id
+    """,
+)
+def l_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop vote every cleaning pipeline ends with: four
+    independent quality signals — heuristic quality score, within-doc
+    token entropy, corpus unigram log-prob, and intra-doc repetition —
+    each cast a pass/fail, and a document survives only when all
+    {ENSEMBLE_MIN_PASS} signals pass (strict mode — the majority knob is
+    ENSEMBLE_MIN_PASS). Signals a doc is missing from
+    (e.g. too short to shingle) count as passes, matching each signal's
+    own don't-flag default.
+
+    Scale shape: pure composition — the four signal queries keep their
+    own (already audited) plans and join on doc_id; at 100 TB each
+    signal is typically a materialized column and this query is the
+    4-way co-partitioned join + row-local vote that follows. The oracle
+    composes the four signals' REGISTERED oracle SQL verbatim as CTEs,
+    so engine and oracle can never drift per-signal."""
+    from bristle_spark.queries.textops import l_quality_score, l_token_entropy
+
+    q = l_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= QUALITY_MIN).cast("int").alias("pass_quality")
+    )
+    ent = l_token_entropy(spark, sf_dir).select(
+        "doc_id", (1 - F.col("low_entropy")).cast("int").alias("p_ent")
+    )
+    lp = l_unigram_logprob(spark, sf_dir).select(
+        "doc_id", (1 - F.col("low_logprob")).cast("int").alias("p_lp")
+    )
+    rep = l_repetition_score(spark, sf_dir).select(
+        "doc_id", (1 - F.col("repetitive")).cast("int").alias("p_rep")
+    )
+    joined = (
+        q.join(ent, "doc_id", "left").join(lp, "doc_id", "left").join(rep, "doc_id", "left")
+    )
+    p_ent = F.coalesce(F.col("p_ent"), F.lit(1))
+    p_lp = F.coalesce(F.col("p_lp"), F.lit(1))
+    p_rep = F.coalesce(F.col("p_rep"), F.lit(1))
+    n_pass = F.col("pass_quality") + p_ent + p_lp + p_rep
+    return joined.select(
+        "doc_id",
+        "pass_quality",
+        p_ent.alias("pass_entropy"),
+        p_lp.alias("pass_logprob"),
+        p_rep.alias("pass_repetition"),
+        n_pass.alias("n_pass"),
+        (n_pass >= ENSEMBLE_MIN_PASS).cast("int").alias("keep"),
+    )
+
+
+def _finalize_ensemble_oracle() -> None:
+    """Substitute the four signals' registered oracles into the ensemble
+    oracle template (they are registered above/in textops, so this runs
+    after all four exist)."""
+    from bristle_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["l_quality_ensemble"]
+    filled = spec.oracle.format(
+        q=_signal_oracle("l_quality_score"),
+        ent=_signal_oracle("l_token_entropy"),
+        lp=_signal_oracle("l_unigram_logprob"),
+        rep=_signal_oracle("l_repetition_score"),
+    )
+    _REGISTRY["l_quality_ensemble"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=filled, group=spec.group, doc=spec.doc
+    )
+
+
+from bristle_spark.registry import QuerySpec  # noqa: E402
+
+_finalize_ensemble_oracle()

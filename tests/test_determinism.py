@@ -57,6 +57,7 @@ SAMPLE = [
     "l_ann_recall_eval",
     "l_duplicate_passages",
     "l_pack_sequences",
+    "l_quality_ensemble",
 ]
 
 
