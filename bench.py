@@ -89,6 +89,7 @@ HEADLINE = [
     "l_bpe_merges",
     "l_bpe_tokenize",
     "l_quality_ensemble",
+    "r_robust_stats",
 ]
 
 

@@ -1024,3 +1024,73 @@ def r_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("vmin"),
         F.round(F.max("value"), 2).alias("vmax"),
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant for MAD-based z-scores
+MAD_Z = 3.0  # robust outlier cut
+
+
+@register(
+    "r_robust_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(x, 0.5) AS med
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.x, med.med, abs(v.x - med.med) AS adev
+        FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    m2 AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*)                             AS n,
+           round(max(d.med), 6)                 AS median,
+           round(max(m2.mad), 6)                AS mad,
+           CAST(sum(CAST(d.adev > {MAD_Z} * {MAD_K} * m2.mad AS INT)) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    """,
+)
+def r_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: exact median, exact median absolute
+    deviation, and the count of robust-z outliers (|x - med| >
+    {MAD_Z}*{MAD_K}*MAD) — the outlier profile monitoring pipelines
+    prefer over mean/stddev because one corrupt burst cannot drag the
+    baseline.
+
+    Two exact percentile passes (the r_percentiles shared-buffer
+    discipline), each map-side combinable, with the tiny per-group
+    median/MAD tables BROADCAST back to the fact scan — no windows, no
+    global sorts. At 100 TB the approx-percentile sketch substitutes
+    exactly as it does for r_percentiles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    m2 = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_Z * MAD_K * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -58,6 +58,7 @@ SAMPLE = [
     "l_duplicate_passages",
     "l_pack_sequences",
     "l_quality_ensemble",
+    "r_robust_stats",
 ]
 
 
