@@ -90,6 +90,8 @@ HEADLINE = [
     "l_bpe_tokenize",
     "l_quality_ensemble",
     "r_robust_stats",
+    "r_attribution",
+    "l_span_corruption",
 ]
 
 

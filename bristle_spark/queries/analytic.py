@@ -1094,3 +1094,81 @@ def r_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+ATTRIB_WINDOW_H = 72  # attribution lookback (hours)
+
+
+@register(
+    "r_attribution",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, ts AS touch_ts, event_id AS touch_id
+        FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+        SELECT user_id, ts AS conv_ts, event_id AS conv_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+        SELECT c.user_id, c.conv_id, c.conv_ts, c.value,
+               t.touch_id, t.touch_ts,
+               row_number() OVER (
+                   PARTITION BY c.conv_id
+                   ORDER BY t.touch_ts DESC, t.touch_id DESC
+               ) AS rn
+        FROM conv c
+        JOIN touches t
+          ON t.user_id = c.user_id
+         AND t.touch_ts <= c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL {ATTRIB_WINDOW_H} HOURS
+    )
+    SELECT user_id, conv_id, conv_ts, touch_id AS attributed_click,
+           touch_ts AS click_ts, round(value, 2) AS conv_value
+    FROM joined WHERE rn = 1
+    """,
+)
+def r_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click within a {ATTRIB_WINDOW_H}-hour lookback — the
+    conversion-attribution join every events warehouse runs (ClickHouse
+    deployments do this with ASOF JOIN; Spark-first it is an equi join
+    on user_id with a range residual plus a per-conversion keep-newest
+    window).
+
+    Scale shape: both sides pre-filter to their event type at the scan
+    (pushed predicates), the join keys on user_id (hash-partitioned,
+    never cross), the range condition is a residual filter, and the
+    window partitions by conversion id — bounded by a user's touch
+    count inside the lookback, never global."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+        "value",
+    )
+    joined = conv.join(touches, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_H} HOURS"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "conv_id",
+            "conv_ts",
+            F.col("touch_id").alias("attributed_click"),
+            F.col("touch_ts").alias("click_ts"),
+            F.round("value", 2).alias("conv_value"),
+        )
+    )

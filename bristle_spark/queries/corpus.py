@@ -873,3 +873,80 @@ def _finalize_ensemble_oracle() -> None:
 from bristle_spark.registry import QuerySpec  # noqa: E402
 
 _finalize_ensemble_oracle()
+
+
+# --- span-corruption masking ---------------------------------------------
+SPAN_MASK_RATE = 15  # percent of tokens masked
+SPAN_LEN = 3  # tokens per corrupted span (T5's mean span length)
+
+
+@register(
+    "l_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((n_tokens * {SPAN_MASK_RATE})
+                          / {100 * SPAN_LEN}.0) AS BIGINT) AS n_spans
+        FROM tok WHERE n_tokens > {SPAN_LEN}
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS span_idx,
+           CAST({hash60_sql(f"doc_id || ':' || i")}
+                % (n_tokens - {SPAN_LEN} + 1) AS BIGINT) AS span_start,
+           CAST({SPAN_LEN} AS BIGINT) AS span_len,
+           n_tokens
+    FROM spans, unnest(range(0, CAST(n_spans AS INT))) AS u(i)
+    """,
+)
+def l_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask selection: for each document,
+    deterministically pick floor(n_tokens x {SPAN_MASK_RATE}% /
+    {SPAN_LEN}) spans of {SPAN_LEN} tokens to corrupt, each span's
+    start drawn from the document's token range by a 60-bit hash of
+    (doc_id, span index) — the reproducible, engine-independent
+    randomness the sampling/split family already uses (no RNG state,
+    any worker can recompute any span). Overlapping spans are kept:
+    the trainer's sentinel collapsing handles them, and indepedent
+    draws are what the hash gives.
+
+    Scale shape: pure row-local arithmetic plus a bounded per-doc
+    explode (n_spans rows) — no shuffle at all; the mask table joins
+    the corpus co-partitioned on doc_id downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    base = d.select("doc_id", n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") > SPAN_LEN
+    )
+    # floor over exact small-int double division (identical in DuckDB,
+    # whose CAST(double AS BIGINT) ROUNDS where Spark truncates); docs
+    # with zero spans are filtered out BEFORE the sequence explode —
+    # sequence(0, -1) counts DOWN and would emit phantom spans
+    n_spans = F.floor(
+        (F.col("n_tokens") * SPAN_MASK_RATE) / float(100 * SPAN_LEN)
+    ).cast("bigint")
+    spans = (
+        base.withColumn("n_spans", n_spans)
+        .filter(F.col("n_spans") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_spans").cast("int") - 1)
+            ).alias("i"),
+        )
+    )
+    start = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+    ) % (F.col("n_tokens") - SPAN_LEN + 1)
+    return spans.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("span_idx"),
+        start.cast("bigint").alias("span_start"),
+        F.lit(SPAN_LEN).cast("bigint").alias("span_len"),
+        "n_tokens",
+    )

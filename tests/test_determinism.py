@@ -59,6 +59,8 @@ SAMPLE = [
     "l_pack_sequences",
     "l_quality_ensemble",
     "r_robust_stats",
+    "r_attribution",
+    "l_span_corruption",
 ]
 
 
