@@ -591,3 +591,85 @@ def s_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(day_tbl.select(F.lit("day").alias("granularity"), "*"))
         .orderBy("granularity", "bucket_start", "event_type")
     )
+
+
+@register("s_stream_upsert", oracle=None)
+def s_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming upsert: each micro-batch MERGEs into a
+    latest-row-wins sink keyed on (user_id, event_type) — the CDC
+    compaction ClickHouse models as ReplacingMergeTree and lakehouses
+    as MERGE INTO. foreachBatch unions the incoming batch with the
+    current sink generation, keeps the max-(ts, event_id) row per key,
+    and writes the NEXT generation directory (an atomic pointer swap —
+    readers never observe a half-written merge; at 100 TB the rewrite
+    narrows to the partitions a batch touches, the semantics pinned
+    here are unchanged).
+
+    Returns per-key rows with an ``upsert_ok`` flag comparing the final
+    sink against the batch-computed argMax over the same events —
+    exactly-once latest-row-wins across micro-batches."""
+    work = _workdir(sf_dir, "upsert")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    gen_root = os.path.join(work, f"gen_{os.getpid()}")
+    if os.path.exists(gen_root):
+        shutil.rmtree(gen_root)
+    os.makedirs(gen_root)
+
+    from pyspark.sql.window import Window as W
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        gens = sorted(int(d.split("_")[1]) for d in os.listdir(gen_root))
+        current = batch.select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        )
+        if gens:
+            prev = spark.read.parquet(os.path.join(gen_root, f"g_{gens[-1]}"))
+            current = prev.unionByName(current)
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            current.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(gen_root, f"g_{batch_id}")
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("append").foreachBatch(merge), ckpt
+        )
+
+    gens = sorted(int(d.split("_")[1]) for d in os.listdir(gen_root))
+    if not gens:
+        return spark.createDataFrame(
+            [], "user_id bigint, event_type string, ts timestamp, upsert_ok int"
+        )
+    sink = spark.read.parquet(os.path.join(gen_root, f"g_{gens[-1]}"))
+    # batch-computed expectation: argMax over ALL events per key
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("want_event_id"))
+    )
+    return (
+        sink.join(want, ["user_id", "event_type"], "full")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.col("event_id") == F.col("want_event_id")).cast("int").alias("upsert_ok"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -188,3 +188,20 @@ def test_resize_upscale_and_tiny_phash_raise_cleanly(spark):
         multimodal.resize(df, out_width=8, out_height=8).collect()
     with pytest.raises(Exception):
         multimodal.phash(df).collect()
+
+
+def test_stream_upsert_latest_row_wins(spark, sf_dir):
+    """Across micro-batches, the keyed upsert sink must equal the batch
+    argMax per (user_id, event_type): every key present, every row the
+    latest version, exactly once."""
+    from bristle_spark.registry import all_specs
+
+    pdf = all_specs()["s_stream_upsert"].fn(spark, sf_dir).toPandas()
+    n_keys = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(pdf) == n_keys
+    assert (pdf.upsert_ok == 1).all()
