@@ -236,7 +236,7 @@ def representatives_from(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*)                                   AS n_docs,
-           SUM(len(string_split(text, ' ')))          AS n_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            {rN_sql("avg(n_chars)", 4)}                AS avg_chars,
            count(DISTINCT lang)                       AS n_langs
     FROM documents
