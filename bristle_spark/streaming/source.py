@@ -55,6 +55,80 @@ def split_events_files(
     return data_dir
 
 
+FLUSH_EVENT_TYPE = "__flush__"
+
+
+def split_events_files_with_flush(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    flush_gap_hours: int = 3,
+) -> str:
+    """Chunk dir like :func:`split_events_files` PLUS one trailing
+    sentinel file holding a single far-future ``__flush__`` event.
+
+    Append-mode windowed aggregations only emit a window once the
+    watermark passes its end, so without a flush the trailing window per
+    group stays in state forever and the landed table under-counts (the
+    exact gap between s_late_data's 529 streamed windows and 531 batch
+    hours at sf0.001). The sentinel — ``max(ts) + flush_gap_hours``,
+    arriving as its own final micro-batch (strictly latest mtime,
+    maxFilesPerTrigger=1) — advances the watermark past every real
+    window; the no-data micro-batch Spark runs after it (default
+    ``noDataMicroBatches.enabled``) evicts and emits them all. Consumers
+    filter ``event_type = FLUSH_EVENT_TYPE`` AFTER ``withWatermark`` so
+    the sentinel moves event time but lands in no window.
+
+    This mirrors production practice on a 100 TB stream: a keep-alive /
+    punctuation event per source partition so watermarks advance through
+    quiet periods — it is test *data*, not test-only engine behavior.
+    """
+    data_dir = os.path.join(out_dir, "chunks_flush")
+    if os.path.exists(os.path.join(data_dir, "_done")):
+        return data_dir
+    import glob
+    import shutil
+
+    plain = split_events_files(spark, sf_dir, out_dir, n_chunks=n_chunks)
+    os.makedirs(data_dir, exist_ok=True)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(glob.glob(os.path.join(plain, "*.parquet")))):
+        dst = os.path.join(data_dir, os.path.basename(f))
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i, base + i))
+    ev = load_table(spark, sf_dir, "events")
+    # TWO sentinel batches: the watermark advanced by sentinel k is only
+    # APPLIED (state evicted, closed windows emitted) while processing
+    # batch k+1, and availableNow stops without a trailing no-data batch
+    # — so sentinel 1 moves event time past every real window and
+    # sentinel 2's batch performs the eviction that emits them.
+    for k in range(2):
+        sentinel = (
+            ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .limit(1)
+            .select(
+                F.lit(-1 - k).cast("bigint").alias("event_id"),
+                (
+                    F.col("ts") + F.expr(f"INTERVAL {flush_gap_hours + k} HOURS")
+                ).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit(FLUSH_EVENT_TYPE).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        tmp = os.path.join(data_dir, "_sentinel_build")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(data_dir, f"zzzz_flush{k}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (base + n_chunks + 1 + k, base + n_chunks + 1 + k))
+        shutil.rmtree(tmp)
+    open(os.path.join(data_dir, "_done"), "w").close()
+    return data_dir
+
+
 def events_file_stream(spark: SparkSession, data_dir: str, schema) -> DataFrame:
     return (
         spark.readStream.schema(schema)

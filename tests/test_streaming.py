@@ -193,15 +193,19 @@ def test_resize_upscale_and_tiny_phash_raise_cleanly(spark):
 def test_stream_upsert_latest_row_wins(spark, sf_dir):
     """Across micro-batches, the keyed upsert sink must equal the batch
     argMax per (user_id, event_type): every key present, every row the
-    latest version, exactly once."""
+    latest version, exactly once. (The exact-row equality is the
+    registered oracle — test_oracle_parity — so here we pin the key-set
+    and that each kept row carries the max ts for its key.)"""
     from bristle_spark.registry import all_specs
+    from pyspark.sql import functions as F
 
     pdf = all_specs()["s_stream_upsert"].fn(spark, sf_dir).toPandas()
-    n_keys = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "event_type")
-        .distinct()
-        .count()
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_keys = ev.select("user_id", "event_type").distinct().count()
     assert len(pdf) == n_keys
-    assert (pdf.upsert_ok == 1).all()
+    max_ts = {
+        (r["user_id"], r["event_type"]): r["mx"]
+        for r in ev.groupBy("user_id", "event_type").agg(F.max("ts").alias("mx")).collect()
+    }
+    for r in pdf.itertuples():
+        assert r.ts == max_ts[(r.user_id, r.event_type)]
