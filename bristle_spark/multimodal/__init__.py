@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, with Arrow-batched decode/feature-extract UDFs.
 
-The container ships no image/audio codecs, so the *decode* step is
-stubbed exactly as the task prescribes: ``decode_backend="fake"``
-derives deterministic pseudo-pixels from the payload bytes themselves;
-``decode_backend="pil"`` raises NotImplementedError unless PIL is
-importable. Everything around the stub — schema, partitioning, UDF
-signature, Arrow batch shape — is the real 100 TB design:
+The container ships no image/audio codecs, so the default *decode*
+backend is the deterministic fake (``decode_backend="fake"`` derives
+pseudo-pixels from the payload bytes themselves) and the real decoder
+is an optional dependency: ``decode_backend="pil"`` decodes
+PNG/JPEG/... through Pillow when it is importable (tested via a
+skip-if-absent test) and raises a clear RuntimeError otherwise.
+Everything around the decode — schema, partitioning, UDF signature,
+Arrow batch shape — is the real 100 TB design either way:
 
 - payloads travel as one ``binary`` column next to a metadata struct
   (never exploded into rows);
@@ -62,14 +64,27 @@ def _fake_decode(payload: bytes) -> bytes:
 
 
 def _pil_decode(payload: bytes) -> bytes:
+    """Real image decode (optional Pillow dependency): parse the encoded
+    payload (PNG/JPEG/...), normalize to single-channel luminance ("L"),
+    return the raw ``width*height`` pixel bytes — the same flat
+    one-byte-per-pixel contract _fake_decode satisfies, so every
+    downstream feature/resize/phash kernel is backend-agnostic.
+    Raises RuntimeError (not NotImplementedError) when Pillow is absent:
+    choosing the pil backend without the optional dependency installed
+    is a caller configuration error, and no registered query does so
+    (they all default to decode_backend='fake')."""
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires PIL, which this environment does not "
-            "ship; use decode_backend='fake'"
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env has no Pillow
+        raise RuntimeError(
+            "decode_backend='pil' requires the optional Pillow dependency "
+            "(pip install Pillow); this environment ships no image codecs — "
+            "use decode_backend='fake'"
         ) from exc
-    raise NotImplementedError("PIL decode path not wired yet")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.convert("L").tobytes()
 
 
 _DECODERS = {"fake": _fake_decode, "pil": _pil_decode}
