@@ -8,14 +8,48 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion with the noop sink (full plan, no
 driver-side collect). A tiny warmup query absorbs JVM/codegen startup so
 the timings reflect steady-state execution.
+
+Sharding / noise control (VERDICT r6 #7 — the suite now runs 60+
+queries in one JVM, and accumulated fixed overhead pollutes cross-round
+per-query comparisons):
+
+  --subset shared38       only the round-1 38-query subset (the
+                          cross-round comparable set in BASELINE.md)
+  --family PREFIX         only queries whose name starts with PREFIX
+                          (e.g. --family l_dedup, --family r_)
+  --queries a,b,c         an explicit comma-separated list
+  --recycle N             stop + rebuild the SparkSession every N
+                          queries (JVM survives, so JIT stays warm;
+                          listener/UI/broadcast-cleanup state does not
+                          accumulate across the whole suite)
+  --runs N                min-of-N per query (default 2)
+
+Defaults (no flags) are exactly what the per-round driver records.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
 import time
+
+# The round-1 headline set: every cross-round total in BASELINE.md
+# compares on this subset.
+SHARED38 = [
+    "r_hash_agg", "r_filter_predicates", "r_distinct_count",
+    "r_join_inner", "r_join_multi", "r_join_outer", "r_window_rank",
+    "r_window_running", "r_rollup", "r_cube", "r_rollup_cascade",
+    "r_skew_salted_agg", "r_tumbling_window", "r_sort_limit_topk",
+    "r_percentiles", "r_asof_join", "r_range_join", "l_sessionize",
+    "t_cast_int_widths", "t_map_to_arrays", "t_timestamp_epoch",
+    "l_dedup_exact", "l_dedup_minhash", "l_dedup_simhash",
+    "l_dedup_ngram_jaccard", "l_dedup_embedding", "l_dedup_clusters",
+    "l_similarity_cosine", "l_ann_ivf", "l_chunk_documents", "r_pivot",
+    "r_conditional_agg", "l_text_stats", "l_lang_id", "l_quality_score",
+    "l_token_count", "l_fingerprint", "l_tfidf_top_terms",
+]
 
 HEADLINE = [
     # relational
@@ -95,32 +129,58 @@ HEADLINE = [
 ]
 
 
+def _select_queries(args: argparse.Namespace) -> list[str]:
+    if args.queries:
+        return [q.strip() for q in args.queries.split(",") if q.strip()]
+    if args.subset == "shared38":
+        return list(SHARED38)
+    if args.family:
+        return [n for n in HEADLINE if n.startswith(args.family)]
+    return list(HEADLINE)
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--subset", choices=["shared38"], default=None)
+    ap.add_argument("--family", default=None)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--recycle", type=int, default=0, metavar="N",
+                    help="rebuild the SparkSession every N queries")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from bristle_spark.registry import all_specs
     from bristle_spark.session import get_spark
 
-    spark = get_spark(app_name="bristle-spark-bench")
-    specs = all_specs()
+    def fresh_session():
+        spark = get_spark(app_name="bristle-spark-bench")
+        # warmup: JVM, codegen, parquet footer caches
+        spark.range(1000).selectExpr("sum(id)").collect()
+        specs["r_hash_agg"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return spark
 
-    # warmup: JVM, codegen, parquet footer caches
-    spark.range(1000).selectExpr("sum(id)").collect()
-    specs["r_hash_agg"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    specs = all_specs()
+    names = _select_queries(args)
+    spark = fresh_session()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(names):
         spec = specs.get(name)
         if spec is None:
             continue
-        # min of two runs: the first pays one-time codegen/JIT compilation
+        if args.recycle and qi and qi % args.recycle == 0:
+            spark.stop()
+            spark = fresh_session()
+        # min of N runs: the first pays one-time codegen/JIT compilation
         # of the plan's generated classes (irrelevant at real scale and
         # very noisy locally); the min reflects steady-state execution
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(args.runs):
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
