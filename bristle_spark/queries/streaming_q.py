@@ -185,15 +185,47 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).orderBy("hour_start")
 
 
-@register("s_session_window", oracle=None)
+@register(
+    "s_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, new_sess DESC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           CAST(count(*) AS BIGINT)       AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
 def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-min gap) with watermark —
     the streaming twin of the batch l_sessionize query. Sessions close
     when the watermark passes their gap; append mode emits only
-    finalized sessions."""
+    finalized sessions.
+
+    Oracle-backed (round 7): the flush-sentinel source closes every real
+    session (the sentinels' own far-future sessions never close, so they
+    simply never land), making the emitted session set equal the batch
+    islands-and-gaps SQL: a session breaks where the gap to the previous
+    event is >= 30 minutes (session_window intervals are half-open), and
+    session_end = last event + gap."""
     work = _workdir(sf_dir, "sessionw")
     ev_schema = load_table(spark, sf_dir, "events").schema
-    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    data_dir = split_events_files_with_flush(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -206,6 +238,10 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # (no sentinel filter inside the streaming plan — Catalyst would
+    # push a user_id predicate below the EventTimeWatermark node, see
+    # s_stream_rollup; sentinel sessions never close, so filtering the
+    # LANDED table below is belt-and-braces)
     out_dir = os.path.join(work, f"sessions_{os.getpid()}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # re-runs must not append to stale sessions
@@ -223,22 +259,24 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             schema="user_id bigint, session_start timestamp, session_end timestamp, n_events bigint",
         )
-    return spark.read.parquet(out_dir).orderBy("user_id", "session_start")
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
 
 
-@register("s_stream_dedup", oracle=None)
-def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-batch streaming dedup: every source file is duplicated, so
-    each event arrives twice in different micro-batches;
-    dropDuplicates("event_id") holds seen-keys in the state store and
-    emits each event exactly once. (At 100 TB use
-    dropDuplicatesWithinWatermark so state is bounded by the lateness
-    horizon instead of growing forever.)"""
+DEDUP_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+def _duplicated_chunks(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Every source chunk copied twice (a/b, interleaved mtimes) so each
+    event arrives in two different micro-batches."""
     import glob
-    import shutil
+    import shutil as _shutil
 
-    work = _workdir(sf_dir, "dedup")
-    ev_schema = load_table(spark, sf_dir, "events").schema
     base_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     dup_dir = os.path.join(work, "dup_chunks")
     if not os.path.exists(os.path.join(dup_dir, "_done")):
@@ -248,32 +286,79 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stem = os.path.basename(f).removesuffix(".parquet")
             for k, suffix in enumerate(("a", "b")):
                 dst = os.path.join(dup_dir, f"{stem}_{suffix}.parquet")
-                shutil.copy(f, dst)
+                _shutil.copy(f, dst)
                 os.utime(dst, (base + 2 * j + k, base + 2 * j + k))
         open(os.path.join(dup_dir, "_done"), "w").close()
+    return dup_dir
 
-    stream = events_file_stream(spark, dup_dir, ev_schema).dropDuplicates(["event_id"])
-    batches: list[tuple[int, int]] = []
+
+def _run_dedup_stream(spark: SparkSession, sf_dir: str, tag: str, dedup) -> DataFrame:
+    """Shared shape for both dedup flavors: duplicated chunk replay ->
+    dedup operator -> parquet-landed emissions -> the kept rows
+    themselves. The source duplicates are byte-identical, so whichever
+    copy the state store keeps, the kept row set must equal the original
+    events table exactly — the registered oracle."""
+    work = _workdir(sf_dir, tag)
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    dup_dir = _duplicated_chunks(spark, sf_dir, work)
+    stream = dedup(events_file_stream(spark, dup_dir, ev_schema))
+
+    out_dir = os.path.join(work, f"kept_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        batches.append((batch_id, df.count()))
+        df.write.mode("append").parquet(out_dir)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(stream.writeStream.outputMode("update").foreachBatch(sink), ckpt)
 
-    total_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
-    kept = sum(n for _, n in batches)
-    return spark.createDataFrame(
-        [(len(batches), kept, total_distinct, int(kept == total_distinct))],
-        schema="n_batches bigint, rows_kept bigint, distinct_events bigint, exactly_once int",
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
     )
 
 
-@register("s_stateful_totals", oracle=None)
+@register("s_stream_dedup", oracle=DEDUP_ORACLE)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup: every source file is duplicated, so
+    each event arrives twice in different micro-batches;
+    dropDuplicates("event_id") holds seen-keys in the state store and
+    emits each event exactly once. (At 100 TB use
+    dropDuplicatesWithinWatermark so state is bounded by the lateness
+    horizon instead of growing forever.)
+
+    Oracle-backed (round 7): returns the kept rows themselves; the
+    duplicates are byte-identical so exactly-once means the kept set
+    equals the original events table."""
+    return _run_dedup_stream(
+        spark, sf_dir, "dedup", lambda s: s.dropDuplicates(["event_id"])
+    )
+
+
+@register(
+    "s_stateful_totals",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           {rN_sql("sum(value)", 4)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running (count, value-total) state across micro-batches; the final
-    emission per user equals the batch aggregate (tested)."""
+    emission per user equals the batch aggregate — now the registered
+    oracle (round 7), with the running double total rounded to 4 places
+    on both sides so accumulation-order ULP drift can't flip the
+    hash."""
     from bristle_spark.streaming.stateful import running_user_totals
 
     work = _workdir(sf_dir, "stateful")
@@ -305,7 +390,9 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.groupBy("user_id")
         .agg(
             F.max_by("n_events", "batch_id").alias("n_events"),
-            F.max_by("total_value", "batch_id").cast("double").alias("total_value"),
+            rN(F.max_by("total_value", "batch_id").cast("double"), 4).alias(
+                "total_value"
+            ),
         )
         .orderBy("user_id")
     )
@@ -354,7 +441,21 @@ def s_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok
 
 
-@register("s_stream_join", oracle=None)
+@register(
+    "s_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks_10m
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <  p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
 def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks on both sides — the
     streaming twin of the batch r_range_join (clicks within the 10
@@ -363,12 +464,22 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes a stream-stream join viable at 100 TB; append mode emits each
     matched pair exactly once, so the result is batching-invariant.
 
+    Oracle-backed (round 7): the replay is EVENT-TIME-ordered
+    (order_col="ts") — the realistic arrival shape, and the one under
+    which watermark state eviction provably loses no cross-batch match
+    (a click's matchable purchases lie within 10 minutes of it, i.e. in
+    its own or the next chunk, both arriving before the 1-hour horizon
+    expires its state). The streamed pair set then equals the batch
+    range join exactly. An ingest-ordered replay (event_id chunks,
+    time-shuffled) would legitimately evict state mid-stream — that
+    lossy-by-design shape stays covered by s_late_data.
+
     The (unbounded at scale) pair stream never touches the driver: each
     micro-batch writes its pairs to a parquet sink executor-side, and
     the per-purchase click count is a batch aggregation over the sink."""
     work = _workdir(sf_dir, "sjoin")
     ev_schema = load_table(spark, sf_dir, "events").schema
-    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4, order_col="ts")
 
     p = (
         events_file_stream(spark, data_dir, ev_schema)
@@ -421,50 +532,22 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_stream_dedup_watermark", oracle=None)
+@register("s_stream_dedup_watermark", oracle=DEDUP_ORACLE)
 def s_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state twin of s_stream_dedup: dropDuplicatesWithinWatermark
     expires seen-keys once the event-time watermark passes them, so the
     dedup state is bounded by the lateness horizon instead of growing
     with the corpus — the only viable shape at 100 TB. Every duplicate
     file here arrives in the next micro-batch (well inside the 2-hour
-    horizon), so the result is still exactly-once."""
-    import glob
-    import shutil as _shutil
-
-    work = _workdir(sf_dir, "dedup_wm")
-    ev_schema = load_table(spark, sf_dir, "events").schema
-    base_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
-    dup_dir = os.path.join(work, "dup_chunks")
-    if not os.path.exists(os.path.join(dup_dir, "_done")):
-        os.makedirs(dup_dir, exist_ok=True)
-        base = 1_700_000_000
-        for j, f in enumerate(sorted(glob.glob(os.path.join(base_dir, "*.parquet")))):
-            stem = os.path.basename(f).removesuffix(".parquet")
-            for k, suffix in enumerate(("a", "b")):
-                dst = os.path.join(dup_dir, f"{stem}_{suffix}.parquet")
-                _shutil.copy(f, dst)
-                os.utime(dst, (base + 2 * j + k, base + 2 * j + k))
-        open(os.path.join(dup_dir, "_done"), "w").close()
-
-    stream = (
-        events_file_stream(spark, dup_dir, ev_schema)
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
-    batches: list[tuple[int, int]] = []
-
-    def sink(df: DataFrame, batch_id: int) -> None:
-        batches.append((batch_id, df.count()))
-
-    with tempfile.TemporaryDirectory() as ckpt:
-        _run_available_now(stream.writeStream.outputMode("update").foreachBatch(sink), ckpt)
-
-    total_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
-    kept = sum(n for _, n in batches)
-    return spark.createDataFrame(
-        [(len(batches), kept, total_distinct, int(kept == total_distinct))],
-        schema="n_batches bigint, rows_kept bigint, distinct_events bigint, exactly_once int",
+    horizon), so the result is still exactly-once — and the kept row
+    set must equal the original events table (the shared oracle)."""
+    return _run_dedup_stream(
+        spark,
+        sf_dir,
+        "dedup_wm",
+        lambda s: s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
     )
 
 

@@ -20,18 +20,34 @@ from bristle_spark.catalog import load_table
 
 
 def split_events_files(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    order_col: str = "event_id",
 ) -> str:
-    """Write events as n_chunks single-file parquet chunks (by event_id
-    range, so chunk membership is deterministic), returning the dir."""
-    data_dir = os.path.join(out_dir, "chunks")
+    """Write events as n_chunks single-file parquet chunks (by
+    ``order_col`` rank, so chunk membership is deterministic), returning
+    the dir.
+
+    ``order_col="event_id"`` (default) replays in ingest order — event
+    time arrives shuffled across micro-batches, which is what the
+    late-data / watermark-drop queries need. ``order_col="ts"`` replays
+    in event-time order — the realistic arrival shape for stateful
+    stream-stream joins, where a time-shuffled replay would evict join
+    state before cross-chunk matches arrive."""
+    data_dir = os.path.join(
+        out_dir, "chunks" if order_col == "event_id" else f"chunks_by_{order_col}"
+    )
     if os.path.exists(os.path.join(data_dir, "_done")):
         return data_dir
     ev = load_table(spark, sf_dir, "events")
     n = ev.count()
     per = (n + n_chunks - 1) // n_chunks
     os.makedirs(data_dir, exist_ok=True)
-    ranked = ev.withColumn("_rank", F.row_number().over(Window.orderBy("event_id")))
+    ranked = ev.withColumn(
+        "_rank", F.row_number().over(Window.orderBy(order_col, "event_id"))
+    )
     for i in range(n_chunks):
         chunk = ranked.filter(
             (F.col("_rank") > i * per) & (F.col("_rank") <= (i + 1) * per)
