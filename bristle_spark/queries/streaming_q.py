@@ -551,15 +551,25 @@ def s_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_stream_enrich", oracle=None)
+@register(
+    "s_stream_enrich",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
 def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-to-static dimension enrichment: the events stream joins the
     customer dimension with an explicit broadcast — the canonical lookup
     shape (no shuffle of the stream, no state store; each micro-batch
     probes the broadcast hash table map-side, exactly how a 100 TB
     stream joins a dimension). Per-batch per-nation aggregates land in
-    parquet executor-side (no driver collects); the final frame checks
-    the streamed totals equal the batch join's."""
+    parquet executor-side (no driver collects); the summed landed
+    totals must hash-match the batch join (the registered oracle —
+    round 7; no watermark is involved, so every row lands)."""
     work = _workdir(sf_dir, "enrich")
     ev_schema = load_table(spark, sf_dir, "events").schema
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
@@ -588,29 +598,12 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not os.path.exists(out_dir):
         return spark.createDataFrame(
-            [], schema="c_nationkey int, n_events bigint, batch_match int"
+            [], schema="c_nationkey int, n_events bigint"
         )
-    streamed = (
+    return (
         spark.read.parquet(out_dir)
         .groupBy("c_nationkey")
-        .agg(F.sum("n").alias("n_events"))
-    )
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .join(F.broadcast(cust), "user_id")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_batch"))
-    )
-    return (
-        streamed.join(batch, "c_nationkey", "full")
-        .select(
-            "c_nationkey",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            (
-                F.coalesce("n_events", F.lit(0)) == F.coalesce("n_batch", F.lit(0))
-            ).cast("int").alias("batch_match"),
-        )
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
         .orderBy("c_nationkey")
     )
 

@@ -131,9 +131,23 @@ def test_stream_enrich_matches_batch_join(spark, sf_dir):
     join's per-nation totals exactly across micro-batches."""
     from bristle_spark.registry import all_specs
 
+    from pyspark.sql import functions as F
+
     rows = all_specs()["s_stream_enrich"].fn(spark, sf_dir).collect()
     assert rows, "no enriched output"
-    assert all(r["batch_match"] == 1 for r in rows)
+    streamed = {r["c_nationkey"]: r["n_events"] for r in rows}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    batch = {
+        r["c_nationkey"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
 
 
 def test_stream_rollup_cascade_consistent(spark, sf_dir):
