@@ -126,6 +126,8 @@ HEADLINE = [
     "r_robust_stats",
     "r_attribution",
     "l_span_corruption",
+    # round-7 additions
+    "l_domain_mix",
 ]
 
 

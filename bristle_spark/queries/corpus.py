@@ -950,3 +950,69 @@ def l_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SPAN_LEN).cast("bigint").alias("span_len"),
         "n_tokens",
     )
+
+
+# --- temperature-scaled corpus mixing weights -----------------------------
+MIX_TEMPERATURE = 0.7  # standard multinomial-sampling temperature
+
+
+@register(
+    "l_domain_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT)                            AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+               CAST(sum(pow(n_tokens, {MIX_TEMPERATURE})) AS DOUBLE) AS pow_total
+        FROM per
+    )
+    SELECT per.source,
+           per.n_docs,
+           per.n_tokens,
+           {rN_sql("per.n_tokens / CAST(tot.tok_total AS DOUBLE)", 6)} AS token_share,
+           {rN_sql(f"pow(per.n_tokens, {MIX_TEMPERATURE}) / tot.pow_total", 6)} AS mix_weight
+    FROM per, tot
+    """,
+)
+def l_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the multinomial
+    sampling distribution LM training mixes corpora with (GPT-3 /
+    multilingual-T5 style): raw token share per source, flattened by
+    ``share ∝ tokens^T`` with T=0.7 so low-resource sources are
+    up-sampled relative to their raw share.
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus
+    produces the per-source table (|sources| rows); the global totals
+    come from a second aggregation of that TINY table, broadcast back as
+    a 1-row join — no global window, no driver collect, nothing
+    corpus-sized past the first shuffle. The weights are exactly what a
+    sampler shards by at 100 TB.
+
+    Cites reference scope: the reference ships no corpus ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+        F.sum(F.pow("n_tokens", F.lit(MIX_TEMPERATURE)))
+        .cast("double")
+        .alias("pow_total"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rN(F.col("n_tokens") / F.col("tok_total").cast("double"), 6).alias(
+            "token_share"
+        ),
+        rN(
+            F.pow("n_tokens", F.lit(MIX_TEMPERATURE)) / F.col("pow_total"), 6
+        ).alias("mix_weight"),
+    )
