@@ -128,6 +128,7 @@ HEADLINE = [
     "l_span_corruption",
     # round-7 additions
     "l_domain_mix",
+    "l_ann_pq",
 ]
 
 

@@ -815,3 +815,163 @@ def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hit.cast("bigint").alias("n_hit"),
         rN(n_hit / float(KNN_EVAL_K), 6).alias("recall"),
     )
+
+
+# ------------------------------------------------ product quantization
+PQ_M = 8        # subvector count (64-dim vectors -> 8 subspaces of 8 dims)
+PQ_SUB = 8      # dims per subspace
+PQ_K = 16       # codebook size per subspace (fixed donors vec_id 1..16,
+                # the l_ann_ivf pinned-codebook convention; at scale the
+                # codebook comes from per-subspace k-means)
+PQ_CAND = 50    # ADC candidate pool for the exact re-rank
+
+_PQ_MS = "(SELECT unnest(range(0, 8)) AS m)"
+
+
+def _pq_sub_d2_sql(v: str, cv: str) -> str:
+    """Rounded per-subspace squared-L2 between two 64-dim lists, for
+    subspace ``m.m`` — explicit multiplication, never pow(), so Spark
+    and DuckDB run the identical IEEE ops."""
+    return (
+        f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        f"j -> ({v}[m.m*{PQ_SUB} + j] - {cv}[m.m*{PQ_SUB} + j]) * "
+        f"({v}[m.m*{PQ_SUB} + j] - {cv}[m.m*{PQ_SUB} + j]))), 6)"
+    )
+
+
+@register(
+    "l_ann_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    sub AS (
+        SELECT e.vec_id, cent.cid, m.m,
+               {_pq_sub_d2_sql("e.v", "cent.cv")} AS d2
+        FROM e, cent, {_PQ_MS} m
+    ),
+    codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid
+            ) AS rn FROM sub
+        ) WHERE rn = 1
+    ),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    dt AS (
+        SELECT cent.cid, m.m,
+               {_pq_sub_d2_sql("p.pv", "cent.cv")} AS d2
+        FROM cent, p, {_PQ_MS} m
+    ),
+    approx AS (
+        SELECT c.vec_id, round(sum(dt.d2), 6) AS adist
+        FROM codes c JOIN dt ON dt.m = c.m AND dt.cid = c.code
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+    ),
+    cand AS (
+        SELECT vec_id, adist FROM (
+            SELECT *, row_number() OVER (ORDER BY adist, vec_id) AS rn
+            FROM approx
+        ) WHERE rn <= {PQ_CAND}
+    )
+    SELECT vec_id, label, adist, cos_sim FROM (
+        SELECT e.vec_id, e.label, cand.adist,
+               round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim,
+               row_number() OVER (
+                   ORDER BY round({cosine_sql("e.v", "p.pv")}, 6) DESC, e.vec_id
+               ) AS rn
+        FROM e JOIN cand USING (vec_id), p
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PQ/ADC) with exact
+    re-rank — the strongest memory-compression scale path for vector
+    search: each 64-dim vector is encoded as {PQ_M} subspace codes
+    (4 bits each at K={PQ_K} -> 4 BYTES per vector vs 512 for float64,
+    a 128x compression), and the search scans only codes.
+
+    Stage 1 (index build — one-time at scale): each vector's 8-dim
+    subvectors are assigned to their nearest codebook centroid by
+    squared L2, rounded to 6 decimals before the argmin so Spark and
+    DuckDB pick identical codes (ties -> smallest cid). The codebook is
+    the pinned first-{PQ_K}-vectors convention shared with l_ann_ivf.
+    The ONLY corpus-sized shuffle in the whole query is this per-(vec,
+    subspace) argmin; everything after runs on 4-byte codes.
+
+    Stage 2 (ADC scan): the probe precomputes its {PQ_M}x{PQ_K} distance
+    table (128 tiny rows, broadcast); each vector's approximate distance
+    is a pure table lookup-and-sum — no float vector is touched.
+    TakeOrderedAndProject keeps the {PQ_CAND} closest.
+
+    Stage 3 re-scores only those candidates with the exact float64
+    cosine and returns the top-{TOPK}. The oracle mirrors all three
+    stages, so the gate checks the encoding and the ADC math, not just
+    the final answer."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, PQ_K)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def sub_d2(v, cv, m):
+        def step(acc, j):
+            diff = F.element_at(v, m * PQ_SUB + j) - F.element_at(cv, m * PQ_SUB + j)
+            return acc + diff * diff
+
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(PQ_SUB)), F.lit(0.0), step
+            ),
+            6,
+        )
+
+    # per (vec, centroid): the M-array of subspace distances, exploded to
+    # (vec, cid, m, d2) by a Catalyst generator — no UDF anywhere
+    d2s = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: sub_d2(F.col("v"), F.col("cv"), m),
+    )
+    sub = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", F.posexplode(d2s).alias("m", "d2"))
+    )
+    # argmin per (vec, subspace): min of (d2, cid) structs == the
+    # oracle's row_number ORDER BY d2, cid — map-side combinable, and
+    # the one corpus-sized shuffle of the query
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    dt = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "cid",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: sub_d2(F.col("pv"), F.col("cv"), m),
+                )
+            ).alias("m", "d2"),
+        )
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), (codes.m == dt.m) & (codes.code == dt.cid))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    cand = approx.orderBy("adist", "vec_id").limit(PQ_CAND)
+    return (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            "adist",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
