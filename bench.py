@@ -129,6 +129,7 @@ HEADLINE = [
     # round-7 additions
     "l_domain_mix",
     "l_ann_pq",
+    "l_winnow_fingerprint",
 ]
 
 

@@ -822,3 +822,90 @@ def l_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) -------------
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (in k-gram positions)
+
+
+@register(
+    "l_winnow_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    gh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(t) - {WINNOW_K - 2}),
+                   i -> {hash60_sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}
+               ) AS h
+        FROM tok
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(h) - {WINNOW_W - 2}),
+                   i -> {{
+                       'pos': i + {WINNOW_W} - list_position(
+                           list_reverse(list_slice(h, i, i + {WINNOW_W - 1})),
+                           list_min(list_slice(h, i, i + {WINNOW_W - 1}))),
+                       'gram_hash': list_min(list_slice(h, i, i + {WINNOW_W - 1}))
+                   }}
+               ) AS fps
+        FROM gh
+    )
+    SELECT DISTINCT doc_id,
+           CAST(f.pos AS BIGINT)       AS pos,
+           CAST(f.gram_hash AS BIGINT) AS gram_hash
+    FROM sel, unnest(fps) AS u(f)
+    """,
+)
+def l_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS local-similarity algorithm): hash every {WINNOW_K}-token gram,
+    slide a window of {WINNOW_W} gram positions, and keep each window's
+    minimum hash (rightmost on ties). The selected set is guaranteed to
+    share fingerprints with any document that shares a run of at least
+    w+k-1 tokens — the positional, substring-robust complement to the
+    set-based MinHash family.
+
+    Scale shape: entirely ROW-LOCAL array math (gram hashing, window
+    minima and the rightmost-tie argmin all run inside one codegen'd
+    projection over per-doc arrays) followed by one explode — zero
+    shuffles; the fingerprint index downstream joins on the 60-bit
+    gram_hash exactly like l_dedup_ngram_jaccard's shingle index."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d = d.withColumn("t", t).filter(F.size("t") >= WINNOW_K + WINNOW_W - 1)
+    tc = F.col("t")
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(tc, i + j) for j in range(WINNOW_K)]
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(tc) - (WINNOW_K - 1)), lambda i: hash60(gram(i))
+    )
+    d = d.withColumn("h", gh)
+    hc = F.col("h")
+
+    def pick(i):
+        sl = F.slice(hc, i, WINNOW_W)
+        m = F.array_min(sl)
+        # rightmost occurrence of the window minimum: first position in
+        # the REVERSED window, mapped back to a global gram position
+        rp = F.array_position(F.reverse(sl), m)
+        return F.struct(
+            (i + WINNOW_W - rp).cast("bigint").alias("pos"),
+            m.cast("bigint").alias("gram_hash"),
+        )
+
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hc) - (WINNOW_W - 1)), lambda i: pick(i)
+        )
+    )
+    return d.select("doc_id", F.explode(sel).alias("f")).select(
+        "doc_id", F.col("f.pos").alias("pos"), F.col("f.gram_hash").alias("gram_hash")
+    )

@@ -202,3 +202,33 @@ def test_boundary_parity(name, spark, boundary_oracle, boundary_dir):
     spark_pdf = spec.fn(spark, boundary_dir).toPandas()
     oracle_pdf = boundary_oracle.execute(spec.oracle).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: any match of at least w+k-1 tokens is
+    caught — two documents sharing such a run must share at least one
+    selected gram_hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bristle_spark.queries.textops import WINNOW_K, WINNOW_W
+    from bristle_spark.registry import all_specs
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = [
+        (1, f"alpha beta gamma {run} delta epsilon zeta", "en", "srcA", 0),
+        (2, f"one two three four five {run} six seven eight", "en", "srcB", 0),
+        (3, "totally different words with no overlap at all here", "en", "srcC", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        fp = all_specs()["l_winnow_fingerprint"].fn(spark, d).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared >=w+k-1 token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
