@@ -130,6 +130,7 @@ HEADLINE = [
     "l_domain_mix",
     "l_ann_pq",
     "l_winnow_fingerprint",
+    "l_dedup_semantic",
 ]
 
 

@@ -975,3 +975,93 @@ def l_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+# ------------------------------------------------ SemDeDup-style dedup
+SEMDEDUP_TOP_PAIRS = 20
+
+_SEMDEDUP_ASSIGN_CTE = f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, v, cid, {_bucket_sql("v")} AS bucket FROM (
+            SELECT e.vec_id, e.v, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC, cent.cid
+                   ) AS arn
+            FROM e, cent
+        ) WHERE arn = 1
+    )
+"""
+
+
+@register(
+    "l_dedup_semantic",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_CTE},
+    pairs AS (
+        SELECT x.cid AS cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({cosine_sql("x.v", "y.v")}, 6) AS cos_sim
+        FROM assign x JOIN assign y
+          ON x.cid = y.cid AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT cluster_id, vec_a, vec_b, cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rn
+        FROM pairs
+    ) WHERE rn <= {SEMDEDUP_TOP_PAIRS}
+    """,
+)
+def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup detection (Abbas et al. 2023):
+    cluster the embedding space coarsely, then look for high-cosine
+    pairs ONLY within a cluster — semantically redundant documents land
+    in the same cell, so the quadratic pair search never crosses
+    cluster boundaries.
+
+    Scale shape: candidates are bucketed TWICE — by the 16-centroid
+    coarse assignment (broadcast codebook, the l_ann_ivf convention)
+    AND by the 8-bit hyperplane-sign sub-bucket inside each cell — so
+    the pairwise term is bounded per (cell, bucket) shard (~N/4096 a
+    side) instead of N²/cells; at 100 TB you grow the codebook and the
+    shard bound holds. The join shuffles (vec_id, cid, bucket) triples;
+    vectors re-join per side for the exact verify, and the global
+    top-20 is TakeOrderedAndProject."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cid", _bucket_col(F.col("v")).alias("bucket"))
+    )
+    x, y = assign.alias("x"), assign.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.cid") == F.col("y.cid"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.cid").alias("cluster_id"),
+        F.col("x.vec_id").alias("vec_a"),
+        F.col("y.vec_id").alias("vec_b"),
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(SEMDEDUP_TOP_PAIRS)
+    )

@@ -131,6 +131,7 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
         "l_dedup_ngram_jaccard",
         "l_dedup_containment",
         "l_dedup_embedding",
+        "l_dedup_semantic",
         "l_ann_lsh",
         "l_ann_ivf",
         "l_ann_knn_join",
@@ -139,9 +140,9 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
     ):
         df = SPECS[name].fn(spark, sf_dir)
         assert not plans.has_node(df, "CartesianProduct"), name
-        if name == "l_ann_ivf":
-            # the one sanctioned NLJ: every vector x 16 broadcast
-            # centroids (map-side assignment, O(16n), no shuffle)
+        if name in ("l_ann_ivf", "l_dedup_semantic"):
+            # the sanctioned NLJ: every vector x 16 broadcast centroids
+            # (map-side assignment, O(16n), no shuffle)
             continue
         assert not plans.has_node(df, "BroadcastNestedLoopJoin"), name
 
