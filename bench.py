@@ -131,6 +131,7 @@ HEADLINE = [
     "l_ann_pq",
     "l_winnow_fingerprint",
     "l_dedup_semantic",
+    "l_perplexity_filter",
 ]
 
 

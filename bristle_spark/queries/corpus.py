@@ -415,10 +415,10 @@ LM_VOCAB_TOP = 1_000  # frequency-capped LM vocabulary (scale lever)
 LM_LOW_LOGPROB = -4.0  # nats/token; below this a doc is out-of-distribution
 
 
-@register(
-    "l_unigram_logprob",
-    oracle=f"""
-    WITH tok AS (
+# the per-doc LM-scoring CTE chain, shared by l_unigram_logprob and
+# l_perplexity_filter (whose oracle buckets the same per-doc scores)
+_LM_CTES = f"""
+    tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
     vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
@@ -436,14 +436,24 @@ LM_LOW_LOGPROB = -4.0  # nats/token; below this a doc is out-of-distribution
                coalesce(lp.logp, ln(1.0 / (n + 1))) AS logp,
                CAST(lp.t IS NULL AS INT)            AS oov
         FROM tok LEFT JOIN lp ON tok.t = lp.t CROSS JOIN tot
+    ),
+    docscore AS (
+        SELECT doc_id,
+               count(*)                 AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               {r6_sql("sum(logp) / count(*)")} AS avg_logprob
+        FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           count(*)                 AS n_tokens,
-           CAST(sum(oov) AS BIGINT) AS n_oov,
-           {r6_sql("sum(logp) / count(*)")} AS avg_logprob,
-           CAST({r6_sql("sum(logp) / count(*)")} < {LM_LOW_LOGPROB} AS INT)
-               AS low_logprob
-    FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "l_unigram_logprob",
+    oracle=f"""
+    WITH {_LM_CTES}
+    SELECT doc_id, n_tokens, n_oov, avg_logprob,
+           CAST(avg_logprob < {LM_LOW_LOGPROB} AS INT) AS low_logprob
+    FROM docscore
     """,
 )
 def l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,4 +1025,60 @@ def l_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rN(
             F.pow("n_tokens", F.lit(MIX_TEMPERATURE)) / F.col("pow_total"), 6
         ).alias("mix_weight"),
+    )
+
+
+# --- CCNet-style perplexity bucketing -------------------------------------
+
+
+@register(
+    "l_perplexity_filter",
+    oracle=f"""
+    WITH {_LM_CTES},
+    bounds AS (
+        SELECT {rN_sql("quantile_cont(avg_logprob, 1.0/3)", 6)} AS b_lo,
+               {rN_sql("quantile_cont(avg_logprob, 2.0/3)", 6)} AS b_hi
+        FROM docscore
+    )
+    SELECT d.doc_id, d.n_tokens, d.avg_logprob,
+           CASE WHEN d.avg_logprob <  b.b_lo THEN 'tail'
+                WHEN d.avg_logprob <  b.b_hi THEN 'middle'
+                ELSE 'head' END AS ppl_bucket,
+           CAST(d.avg_logprob >= b.b_lo AS INT) AS keep
+    FROM docscore d, bounds b
+    """,
+)
+def l_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document against
+    the corpus LM (the l_unigram_logprob proxy), split the corpus into
+    head / middle / tail thirds at the exact logprob tertiles, and keep
+    head+middle — the standard quality gate a web-scale pipeline runs
+    before training (Wenzek et al., CCNet).
+
+    Scale shape: the per-doc scoring reuses l_unigram_logprob's plan
+    (broadcast LM, one corpus shuffle); the tertile boundaries are ONE
+    global aggregation producing a 1-row frame that broadcasts back —
+    never a global window or sort. Boundaries and scores are both
+    rounded to 6 decimals before comparison so the bucket edges are
+    bit-identical in Spark and DuckDB. At 100 TB the exact percentile
+    swaps for the approx sketch exactly as r_percentiles documents."""
+    lp = l_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+    bounds = lp.agg(
+        F.percentile(
+            "avg_logprob", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+        ).alias("bs")
+    ).select(
+        rN(F.col("bs")[0], 6).alias("b_lo"), rN(F.col("bs")[1], 6).alias("b_hi")
+    )
+    return lp.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") < F.col("b_lo"), "tail")
+        .when(F.col("avg_logprob") < F.col("b_hi"), "middle")
+        .otherwise("head")
+        .alias("ppl_bucket"),
+        (F.col("avg_logprob") >= F.col("b_lo")).cast("int").alias("keep"),
     )
