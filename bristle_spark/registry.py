@@ -54,6 +54,10 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 # r_approx_distinct, the standing §2.E rotation key.  Everything
 # rotated out keeps local oracle parity coverage (test_oracle_parity.py
 # at sf0.001/0.01/0.1).
+# ROUND-8 NOTE: the round-7 additions (l_domain_mix, l_ann_pq,
+# l_winnow_fingerprint, l_dedup_semantic, l_perplexity_filter) are past
+# the 50-slot window this round — rotate them in next round against
+# freshly re-confirmed §2.D keys.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2.D transcode group (9) ---
     "t_project_rename",
