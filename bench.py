@@ -132,6 +132,7 @@ HEADLINE = [
     "l_winnow_fingerprint",
     "l_dedup_semantic",
     "l_perplexity_filter",
+    "r_bloom_prune",
 ]
 
 

@@ -1172,3 +1172,86 @@ def r_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("conv_value"),
         )
     )
+
+
+# --- bloom-filter join pruning --------------------------------------------
+BLOOM_PRICE_FLOOR = 400_000.0  # selective dim predicate (~few % of orders)
+BLOOM_M = 1 << 20              # filter bits (16 KiB of words, dim-size-free)
+BLOOM_SEEDS = (1, 2)           # k = 2 hash functions
+
+
+@register(
+    "r_bloom_prune",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT)      AS n_items,
+           round(sum(l.l_quantity), 2)   AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > {BLOOM_PRICE_FLOOR}
+    GROUP BY o.o_orderpriority
+    """,
+)
+def r_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the 100 TB shape for a selective
+    dim predicate whose surviving KEYS are still too many to broadcast
+    exactly: hash each surviving dim key to k={len(BLOOM_SEEDS)} bit
+    positions in an m={BLOOM_M}-bit filter, OR the bits into a
+    word-indexed bitmap table (at most m/64 rows REGARDLESS of dim
+    cardinality — that sublinearity is the whole point of bloom over an
+    exact key semi-join), broadcast it, and pre-drop fact rows missing
+    any of their k bits before the exact hash join. No false negatives,
+    so the result equals the plain join (the oracle); false positives
+    only cost shuffle. Built entirely from Catalyst expressions
+    (xxhash64 / pmod / shiftleft / bit_or / bitwise AND) — no UDF, no
+    driver-side filter object, unlike DataFrame.stat.bloomFilter."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BLOOM_PRICE_FLOOR)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+    def pos(key, seed):
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_M))
+
+    bits = o.select(
+        F.explode(
+            F.array(*[pos(F.col("o_orderkey"), sd) for sd in BLOOM_SEEDS])
+        ).alias("p")
+    )
+    bloom = (
+        bits.select(
+            (F.col("p") / 64).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bf_word"))
+    )
+    pruned = li
+    for sd in BLOOM_SEEDS:
+        p = pos(F.col("l_orderkey"), sd)
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{sd}"), F.col("bf_word").alias(f"bf{sd}")
+        )
+        pruned = (
+            pruned.withColumn(f"pw{sd}", (p / 64).cast("bigint"))
+            .withColumn(
+                f"pm{sd}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(xxhash64(l_orderkey, {sd}), {BLOOM_M}) % 64 AS INT))"
+                ),
+            )
+            .join(F.broadcast(b), F.col(f"pw{sd}") == F.col(f"w{sd}"))
+            .filter(F.expr(f"(bf{sd} & pm{sd}) <> 0"))
+            .select("l_orderkey", "l_quantity")
+        )
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -300,3 +300,46 @@ def test_pack_sequences_windows_are_shard_partitioned(spark, sf_dir):
     df = SPECS["l_pack_sequences"].fn(spark, sf_dir)
     assert not plans.unpartitioned_windows(df)
     assert plans.exchange_count(df) == 1
+
+
+def test_bloom_prune_prefilter_actually_prunes(spark, sf_dir):
+    """The bloom prefilter must (a) keep every true join row (no false
+    negatives — oracle parity covers exact equality), (b) build a
+    bitmap bounded by m/64 words regardless of dim size, and (c) drop a
+    meaningful share of fact rows before the join."""
+    from pyspark.sql import functions as F
+
+    from bristle_spark.queries.analytic import (
+        BLOOM_M,
+        BLOOM_PRICE_FLOOR,
+        BLOOM_SEEDS,
+        r_bloom_prune,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > BLOOM_PRICE_FLOOR
+    )
+    bits = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("o_orderkey", F.lit(sd)), F.lit(BLOOM_M))
+                    for sd in BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
+    n_words = bits.select((F.col("p") / 64).cast("bigint")).distinct().count()
+    assert n_words <= BLOOM_M // 64
+    # plan: the bloom probe joins must both be broadcasts
+    df = r_bloom_prune(spark, sf_dir)
+    assert plans.node_count(df, "BroadcastHashJoin") >= 2
+    # selectivity: with a selective dim and m >> keys the FP rate is
+    # tiny, so the prefiltered fact side should be well under the total
+    n_keys = o.count()
+    total_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    sel = n_keys / total_orders
+    if sel < 0.5:  # fixture-dependent guard
+        joined = df.agg(F.sum("n_items")).collect()[0][0] or 0
+        assert joined <= li.count() * (sel + 0.1)
