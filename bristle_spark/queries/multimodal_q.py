@@ -1,8 +1,9 @@
 """Group L (multimodal) — rows-only queries exercising the binary-column
 plumbing: deterministic fake payloads, Arrow-batched feature extraction,
-frame sampling. No SQL oracle (binary feature extraction is not
-SQL-expressible); the driver records the rows-only check and the unit
-tests assert determinism.
+frame sampling. m_binary_features carries a full DuckDB oracle since
+round 7 (the md5-derived payload is recomputable from hex strings
+SQL-side); the rest stay rows-only (frame/resize/phash/audio outputs
+are binary-valued) with determinism unit tests.
 """
 
 from __future__ import annotations
@@ -15,10 +16,37 @@ from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
 
 
-@register("m_binary_features", oracle=None)
+_BINARY_FEATURES_ORACLE = """
+    WITH h AS (
+        SELECT doc_id, lang, md5(text || '0') || md5(text || '1') || md5(text || '2') || md5(text || '3') || md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') || md5(text || '8') || md5(text || '9') || md5(text || '10') || md5(text || '11') || md5(text || '12') || md5(text || '13') || md5(text || '14') || md5(text || '15') AS hx
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               list_transform(range(1, 257),
+                   i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)) AS bytes
+        FROM h
+    )
+    SELECT doc_id, lang,
+           CAST(256 AS BIGINT)                    AS n_bytes,
+           round(list_sum(bytes) / 256.0, 6)      AS mean_byte,
+           array_to_string(list_transform(range(0, 16),
+               b -> CAST(len(list_filter(bytes, x -> x // 16 = b)) AS VARCHAR)), ',')
+                                                  AS byte_hist
+    FROM f
+"""
+
+
+@register("m_binary_features", oracle=_BINARY_FEATURES_ORACLE)
 def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload -> mapInPandas feature extraction (byte stats +
-    histogram), joined back to doc metadata."""
+    histogram), joined back to doc metadata.
+
+    Oracle-backed (round 7): the fake payload is 16 chained md5 digests
+    of the text, so DuckDB recomputes every byte from the HEX STRING
+    side — an implementation-independent check of the whole Arrow
+    binary path (payload construction, numpy bincount feature kernel,
+    histogram packing), not a replay of it."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
     feats = multimodal.extract_features(payloads, decode_backend="fake")
