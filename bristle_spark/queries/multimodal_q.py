@@ -1,9 +1,11 @@
 """Group L (multimodal) — rows-only queries exercising the binary-column
 plumbing: deterministic fake payloads, Arrow-batched feature extraction,
-frame sampling. m_binary_features carries a full DuckDB oracle since
-round 7 (the md5-derived payload is recomputable from hex strings
-SQL-side); the rest stay rows-only (frame/resize/phash/audio outputs
-are binary-valued) with determinism unit tests.
+frame sampling. Since round 7 m_binary_features, m_frame_sample,
+m_resize, and m_audio_features all carry full DuckDB oracles: the
+md5-derived payload is recomputable from hex strings SQL-side, and
+binary outputs are emitted as lowercase hex so the oracle checks full
+content. m_phash_dedup stays rows-only (the 64-bit pooled-bit-packing
+hash is not reasonably SQL-expressible) with determinism unit tests.
 """
 
 from __future__ import annotations
@@ -16,17 +18,24 @@ from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
 
 
-_BINARY_FEATURES_ORACLE = """
-    WITH h AS (
+# Shared SQL: the fake payload's 256 bytes, recomputed hex-side (the
+# payload is 16 chained md5 digests of the text, so DuckDB re-derives
+# every byte independently of the Arrow binary path).
+_BYTES_CTES = """
+    h AS (
         SELECT doc_id, lang, md5(text || '0') || md5(text || '1') || md5(text || '2') || md5(text || '3') || md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') || md5(text || '8') || md5(text || '9') || md5(text || '10') || md5(text || '11') || md5(text || '12') || md5(text || '13') || md5(text || '14') || md5(text || '15') AS hx
         FROM documents
     ),
     f AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, hx,
                list_transform(range(1, 257),
                    i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)) AS bytes
         FROM h
     )
+"""
+
+_BINARY_FEATURES_ORACLE = f"""
+    WITH {_BYTES_CTES}
     SELECT doc_id, lang,
            CAST(256 AS BIGINT)                    AS n_bytes,
            round(list_sum(bytes) / 256.0, 6)      AS mean_byte,
@@ -67,23 +76,62 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m_frame_sample", oracle=None)
+_FRAME_SAMPLE_ORACLE = f"""
+    WITH {_BYTES_CTES}
+    SELECT doc_id,
+           CAST(4 AS BIGINT)                   AS n_frames,
+           substr(hx, 1, 32)                   AS first_frame_hex,
+           substr(hx, 8 * 32 + 1, 32)          AS third_frame_hex
+    FROM f
+"""
+
+
+@register("m_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling inside a binary payload (every 4th 16-byte frame)."""
+    """Frame sampling inside a binary payload (every 4th 16-byte frame).
+
+    Oracle-backed (round 7): the sampled frames' CONTENT is emitted as
+    lowercase hex and checked against the hex-side payload derivation —
+    a full-content cross-check of the slice-inside-binary kernel (256
+    bytes -> 16 frames -> frames 0,4,8,12; frame k spans hex chars
+    [128k+1, 128k+32])."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
     sampled = multimodal.sample_frames(payloads, every_nth=4)
     return sampled.select(
         "doc_id",
         F.size("sampled_frames").cast("bigint").alias("n_frames"),
-        F.md5(F.col("sampled_frames").getItem(0)).alias("first_frame_md5"),
+        F.lower(F.hex(F.col("sampled_frames").getItem(0))).alias("first_frame_hex"),
+        F.lower(F.hex(F.col("sampled_frames").getItem(2))).alias("third_frame_hex"),
     ).orderBy("doc_id")
 
 
-@register("m_resize", oracle=None)
+_RESIZE_ORACLE = f"""
+    WITH {_BYTES_CTES}
+    SELECT doc_id,
+           CAST(8 AS INT)      AS out_width,
+           CAST(8 AS INT)      AS out_height,
+           CAST(64 AS BIGINT)  AS n_bytes,
+           array_to_string(list_transform(range(0, 64),
+               k -> printf('%02x',
+                   (  bytes[(k // 8) * 32 + (k % 8) * 2 + 1]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 2]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 17]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 18]) // 4)), '')
+                               AS resized_hex
+    FROM f
+"""
+
+
+@register("m_resize", oracle=_RESIZE_ORACLE)
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16x16 fake image -> 8x8 average-pooled resize (the mapInPandas
-    binary->binary shape of a real image-resize stage)."""
+    binary->binary shape of a real image-resize stage).
+
+    Oracle-backed (round 7): emits the resized pixels as lowercase hex;
+    the oracle recomputes each 2x2 block's truncated mean straight from
+    the hex-side byte derivation — byte-for-byte verification of the
+    numpy pooling kernel (mean of 4 uint8s, astype-truncated)."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
     resized = multimodal.resize(payloads, out_width=8, out_height=8)
@@ -92,7 +140,7 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_width",
         "out_height",
         F.length("resized").cast("bigint").alias("n_bytes"),
-        F.md5("resized").alias("resized_md5"),
+        F.lower(F.hex("resized")).alias("resized_hex"),
     ).orderBy("doc_id")
 
 
@@ -175,11 +223,43 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m_audio_features", oracle=None)
+_AUDIO_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    s AS (
+        SELECT doc_id,
+               list_transform(range(1, 129), j ->
+                   CASE WHEN bytes[2*j - 1] + 256 * bytes[2*j] >= 32768
+                        THEN bytes[2*j - 1] + 256 * bytes[2*j] - 65536
+                        ELSE bytes[2*j - 1] + 256 * bytes[2*j] END) AS v
+        FROM f
+    ),
+    c AS (
+        SELECT doc_id, ci.c AS chunk_idx,
+               list_slice(v, ci.c * 32 + 1, ci.c * 32 + 32) AS w
+        FROM s, (SELECT unnest(range(0, 4)) AS c) ci
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT)  AS chunk_idx,
+           CAST(32 AS BIGINT)      AS n_samples,
+           round(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * x)) / 32.0), 6)
+                                   AS rms,
+           CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT) AS peak,
+           round(len(list_filter(range(1, 32), i -> w[i] * w[i+1] < 0)) / 31.0, 6)
+                                   AS zcr
+    FROM c
+"""
+
+
+@register("m_audio_features", oracle=_AUDIO_ORACLE)
 def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake PCM16 audio payload -> chunked RMS / peak / zero-crossing
     features (the mapInPandas audio front end: 128 samples per doc in 4
-    windows of 32)."""
+    windows of 32).
+
+    Oracle-backed (round 7): DuckDB re-derives the little-endian int16
+    samples from the hex-side payload and recomputes all three features
+    per window — an independent check of the numpy tensor kernel
+    (frombuffer '<i2' decode, windowing, RMS/peak/ZCR reductions)."""
     d = load_table(spark, sf_dir, "documents")
     audio = multimodal.attach_fake_audio(d)
     feats = multimodal.audio_features(audio, chunk_samples=32)
