@@ -148,7 +148,70 @@ PHASH_BANDS = 4  # 4 x 16-bit bands: banding is EXACT for Hamming <= 3
 PHASH_MAX_HAMMING = 3
 
 
-@register("m_phash_dedup", oracle=None)
+_PHASH_ORACLE = """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    j AS (
+        SELECT a.doc_id, b.text AS ctext
+        FROM d a JOIN d b ON b.doc_id = a.doc_id - a.doc_id % 4
+    ),
+    h0 AS (SELECT doc_id, md5(ctext || '0') || md5(ctext || '1') || md5(ctext || '2') || md5(ctext || '3') || md5(ctext || '4') || md5(ctext || '5') || md5(ctext || '6') || md5(ctext || '7') || md5(ctext || '8') || md5(ctext || '9') || md5(ctext || '10') || md5(ctext || '11') || md5(ctext || '12') || md5(ctext || '13') || md5(ctext || '14') || md5(ctext || '15') AS hx0 FROM j),
+    h AS (
+        SELECT doc_id,
+               substr(hx0, 1, 2 * (doc_id % 200))
+               || printf('%02x', (doc_id % 4) * 63)
+               || substr(hx0, 2 * (doc_id % 200) + 3, 512) AS hx
+        FROM h0
+    ),
+    f AS (
+        SELECT doc_id,
+               list_transform(range(1, 257),
+                   i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)) AS bytes
+        FROM h
+    ),
+    pooled AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   (  bytes[(k // 8) * 32 + (k % 8) * 2 + 1]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 2]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 17]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 18]) / 4.0) AS cells
+        FROM f
+    ),
+    packed AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 64), k ->
+                   CASE WHEN cells[k + 1] > list_sum(cells) / 64.0
+                        THEN CAST(1 AS HUGEINT) << (63 - k)
+                        ELSE CAST(0 AS HUGEINT) END)) AS p
+    FROM pooled
+    ),
+    ph AS (
+        SELECT doc_id, p,
+               CAST(CASE WHEN p >= CAST(1 AS HUGEINT) << 63
+                         THEN p - (CAST(1 AS HUGEINT) << 64)
+                         ELSE p END AS BIGINT) AS phash
+        FROM packed
+    ),
+    bands AS (
+        SELECT doc_id, phash, bj.b AS band_idx,
+               CAST((p // (CAST(1 AS HUGEINT) << (16 * bj.b))) % 65536 AS BIGINT)
+                   AS band_val
+        FROM ph, (SELECT unnest(range(0, 4)) AS b) bj
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.phash AS pa, y.phash AS pb
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+"""
+
+
+@register("m_phash_dedup", oracle=_PHASH_ORACLE)
 def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection over image payloads —
     the multimodal dedup bridge (same banding discipline as
@@ -162,7 +225,13 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> candidate pairs that share a band (pigeonhole-exact for
     Hamming <= 3) -> bit_count(xor) verify. No all-pairs anywhere: the
     shuffle keys are (band_idx, band_val) and candidates carry only ids,
-    so the shape survives a billion images."""
+    so the shape survives a billion images.
+
+    Oracle-backed (round 7): DuckDB replays the whole derivation from
+    the hex-side payload — canonical-text join, one-byte splice, 2x2
+    pooling, bit packing via HUGEINT (wrapped to the signed BIGINT
+    Spark's uint64 weights produce), banding by HUGEINT division, and
+    the bit_count(xor) verify."""
     d = load_table(spark, sf_dir, "documents")
     canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
     canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
