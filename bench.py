@@ -133,6 +133,7 @@ HEADLINE = [
     "l_dedup_semantic",
     "l_perplexity_filter",
     "r_bloom_prune",
+    "r_snapshot_diff",
 ]
 
 

@@ -1255,3 +1255,84 @@ def r_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# --- snapshot diff (CDC classification) -----------------------------------
+SNAP_A = ("1995-01-01", "1996-12-31")  # snapshot A window
+SNAP_B = ("1996-06-01", "1998-06-30")  # snapshot B window (overlapping)
+
+
+@register(
+    "r_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '{SNAP_A[0]}' AND DATE '{SNAP_A[1]}'
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '{SNAP_B[0]}' AND DATE '{SNAP_B[1]}'
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.o_orderkey                       AS old_orderkey,
+           b.o_orderkey                       AS new_orderkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'insert'
+                WHEN b.o_custkey IS NULL THEN 'delete'
+                WHEN a.o_orderkey <> b.o_orderkey THEN 'update'
+                ELSE 'unchanged' END          AS change
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every customer between two keyed
+    latest-order snapshots (overlapping date windows, so all four
+    classes occur in the fixture) as insert / update / delete /
+    unchanged — the batch complement of s_stream_upsert's continuous
+    MERGE, and the change feed a warehouse derives when upstream ships
+    full snapshots instead of a CDC stream.
+
+    Scale shape: each snapshot is one partitioned window (argmax per
+    key, never global), and the diff is a single full outer hash join
+    on the key — both sides shuffle once on o_custkey. At 100 TB the
+    snapshots would be bucketed on the key and the join becomes
+    shuffle-free (the layout test_bucketed_join_eliminates_shuffle
+    pins)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snapshot(lo, hi, out):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            o.filter(F.col("o_orderdate").between(lo, hi))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias(out))
+        )
+
+    a = snapshot(*SNAP_A, "old_orderkey")
+    b = snapshot(*SNAP_B, "new_orderkey")
+    return a.join(b, "o_custkey", "full").select(
+        "o_custkey",
+        "old_orderkey",
+        "new_orderkey",
+        F.when(F.col("old_orderkey").isNull(), "insert")
+        .when(F.col("new_orderkey").isNull(), "delete")
+        .when(F.col("old_orderkey") != F.col("new_orderkey"), "update")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

@@ -232,3 +232,16 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "shared >=w+k-1 token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_snapshot_diff_covers_all_four_classes(spark, sf_dir):
+    """The chosen snapshot windows must exercise every CDC class —
+    a diff that only ever emits 'update' proves nothing about
+    insert/delete handling."""
+    from bristle_spark.registry import all_specs
+
+    classes = {
+        r["change"]
+        for r in all_specs()["r_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    assert classes == {"insert", "update", "delete", "unchanged"}
