@@ -786,3 +786,80 @@ def s_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select("user_id", "event_type", "ts", "event_id", "value").orderBy(
         "user_id", "event_type"
     )
+
+
+STREAM_TOPK = 3
+
+
+@register(
+    "s_stream_topk",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts)   AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY bucket_start ORDER BY n_events DESC, event_type
+        ) AS rk
+        FROM hourly
+    ) WHERE rk <= {STREAM_TOPK}
+    """,
+)
+def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-window top-k: the stream maintains hourly
+    event-type counts (watermarked tumbling windows, append mode,
+    flush-sentinel punctuation so every real window lands), and the
+    top-{STREAM_TOPK} per window is derived FROM the landed aggregate
+    table — the ClickHouse-materialized-view / continuous-query shape
+    where the ranking always reads the compacted aggregate, never the
+    raw stream.
+
+    Oracle-backed: deterministic tie-break (count desc, event_type
+    asc), batch-replay SQL over the same events. The ranking window is
+    PARTITIONED by bucket (per-window work); at 100 TB the aggregate
+    table is |windows| x |types| rows, so the rank stage is
+    dimension-sized, not stream-sized."""
+    work = _workdir(sf_dir, "topk")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files_with_flush(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    hourly = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+    out_dir = os.path.join(work, f"hourly_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            hourly.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            "bucket_start timestamp, event_type string, n_events bigint, rk bigint",
+        )
+    from pyspark.sql.window import Window as W
+
+    tbl = spark.read.parquet(out_dir).filter(
+        F.col("event_type") != FLUSH_EVENT_TYPE
+    )
+    w = W.partitionBy("bucket_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        tbl.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= STREAM_TOPK)
+        .orderBy("bucket_start", "rk")
+    )
