@@ -1,14 +1,23 @@
-"""Group S — streaming semantics (rows-only; no SQL oracle, per
-SURVEY.md §2.D). Each query runs a real Structured Streaming job
-(file-stream micro-batches, availableNow) and returns its accounting /
+"""Group S — streaming semantics. Each query runs a real Structured
+Streaming job (file-stream micro-batches, availableNow) and returns its
 result as a batch DataFrame.
 
+Since round 7, every query with a deterministic final state is
+ORACLE-BACKED via batch replay: the landed state must hash-match the
+equivalent DuckDB SQL over the same events. Where append-mode
+watermarking would hold trailing windows in state forever, the source
+appends flush-sentinel micro-batches (split_events_files_with_flush)
+— watermark punctuation, the same keep-alive events a production
+stream carries.
+
+Still rows-only by SURVEY §2.D contract (accounting, not state):
 - s_microbatch_flush: D9 — one micro-batch per trigger, sizes bounded
   by the source rate limit (maxFilesPerTrigger), foreachBatch sink.
 - s_drop_policies:    D8 — bounded-buffer overflow accounting for
   drop-oldest / drop-newest / block around a lossless sink.
 - s_late_data:        watermarked tumbling window; late rows dropped —
-  the event-time analog of buffer overflow.
+  the event-time analog of buffer overflow (intentionally lossy, so
+  no batch equivalence exists).
 - s_proto_roundtrip:  D4/D6 — encode fixture rows to protobuf wire
   bytes, stream-decode + transcode, verify equality with the source.
 """
