@@ -134,6 +134,7 @@ HEADLINE = [
     "l_perplexity_filter",
     "r_bloom_prune",
     "r_snapshot_diff",
+    "r_incremental_rollup",
 ]
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table, register_views
-from bristle_spark.functions.rounding import r6, r6_sql
+from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
 from bristle_spark.functions.skew import salted_agg
 from bristle_spark.registry import register
 
@@ -1335,4 +1335,55 @@ def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("old_orderkey") != F.col("new_orderkey"), "update")
         .otherwise("unchanged")
         .alias("change"),
+    )
+
+
+# --- incremental rollup maintenance ---------------------------------------
+INCR_CUTOVER_DAY = 25  # "already rolled up" days 1..25; "new arrivals" after
+
+
+@register(
+    "r_incremental_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', ts)        AS day,
+           event_type,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           {rN_sql("sum(value)", 2)}    AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def r_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily rollup for the
+    already-landed days is treated as an EXISTING materialized table
+    (computed once, partial aggregates kept: count + raw sum), and the
+    newly-arrived partition is aggregated alone and MERGED in — union
+    plus a re-aggregation over day-partition-sized data, never a rescan
+    of history. The oracle is the FULL recompute over all events, so
+    the gate proves merge(partials) == recompute — the algebraic
+    property (count/sum are commutative monoids) that makes incremental
+    maintenance sound at 100 TB, where rescanning history for every new
+    partition is the difference between minutes and days.
+
+    Final rounding happens ONLY after the merge (rounding partials
+    before merging would not be associative)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    existing = partials(ev.filter(F.dayofmonth("ts") <= INCR_CUTOVER_DAY))
+    arriving = partials(ev.filter(F.dayofmonth("ts") > INCR_CUTOVER_DAY))
+    return (
+        existing.unionByName(arriving)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            rN(F.sum("sum_value"), 2).alias("total_value"),
+        )
     )

@@ -55,9 +55,14 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 # rotated out keeps local oracle parity coverage (test_oracle_parity.py
 # at sf0.001/0.01/0.1).
 # ROUND-8 NOTE: the round-7 additions (l_domain_mix, l_ann_pq,
-# l_winnow_fingerprint, l_dedup_semantic, l_perplexity_filter) are past
-# the 50-slot window this round — rotate them in next round against
-# freshly re-confirmed §2.D keys.
+# l_winnow_fingerprint, l_dedup_semantic, l_perplexity_filter,
+# r_bloom_prune, r_snapshot_diff, r_incremental_rollup, s_stream_topk)
+# and the round-7 oracle PROMOTIONS needing their first hash row
+# (s_session_window, s_stateful_totals, s_stream_join, s_stream_dedup,
+# s_stream_dedup_watermark, s_stream_enrich, m_binary_features,
+# m_frame_sample, m_resize, m_audio_features, m_phash_dedup) are past
+# or rows-only-recorded in this round's 50-slot window — rotate them in
+# next round against freshly re-confirmed §2.D keys.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2.D transcode group (9) ---
     "t_project_rename",
