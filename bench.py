@@ -135,6 +135,7 @@ HEADLINE = [
     "r_bloom_prune",
     "r_snapshot_diff",
     "r_incremental_rollup",
+    "l_embedding_top_component",
 ]
 
 

@@ -1065,3 +1065,82 @@ def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(SEMDEDUP_TOP_PAIRS)
     )
+
+
+# ------------------------------------------- power-iteration top component
+POWER_ITERS = 5  # fixed iteration count -> deterministic output
+
+
+@register("l_embedding_top_component", oracle=None)
+def l_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding space by POWER ITERATION
+    (the all-but-the-top / whitening primitive: dominant components of
+    an embedding corpus are corpus-wide artifacts, and removing them
+    measurably improves retrieval). Fixed deterministic init (uniform
+    unit vector) and a fixed {POWER_ITERS}-round count make the output
+    reproducible — rows-only by contract (iterative, not
+    SQL-expressible) and pinned bit-for-bit to a numpy reference in
+    tests/test_power_iteration.py.
+
+    Spark-first iteration, the l_bpe_merges discipline: the current
+    direction v lives in a 1-ROW DataFrame that BROADCASTS into the
+    scan; each round computes per-vector projections x·v map-side, the
+    mat-vec Σ x (x·v) reduces via posexplode + a (pos)-keyed
+    aggregation to EXACTLY dim rows (one small shuffle per round, never
+    a driver collect), and the norm folds back into the next 1-row v
+    with localCheckpoint truncating the lineage. Output is the long
+    (pos, component) form plus the Rayleigh-quotient eigenvalue
+    estimate, scaled to a sign-canonical unit vector (first nonzero
+    coordinate positive) so the answer is unique."""
+    e = _embeddings(spark, sf_dir)
+    dim = 64
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("v")
+    ).localCheckpoint()
+
+    for _ in range(POWER_ITERS):
+        proj = F.aggregate(
+            F.zip_with("emb", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = (
+            e.select(F.col("v").alias("emb"))
+            .crossJoin(F.broadcast(v))
+            .select(F.posexplode(F.transform("emb", lambda x: x * proj)).alias("pos", "c"))
+            .groupBy("pos")
+            .agg(F.sum("c").alias("s"))
+        )
+        # fold the dim-row mat-vec result back into ONE sorted array row
+        w = contrib.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        ).select(F.transform("ps", lambda p: p["s"]).alias("w"))
+        norm = F.sqrt(
+            F.aggregate("w", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        v = w.select(
+            F.transform("w", lambda x: x / norm).alias("v")
+        ).localCheckpoint()
+
+    # Rayleigh quotient lambda = sum_i (x_i . v)^2 / (v . v), v unit
+    proj = F.aggregate(
+        F.zip_with("emb", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ray = (
+        e.select(F.col("v").alias("emb"))
+        .crossJoin(F.broadcast(v))
+        .agg(F.sum(proj * proj).alias("eigenvalue"))
+    )
+    # sign-canonicalize: flip so the first coordinate is non-negative
+    sign = F.when(F.element_at("v", 1) < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        v.select(F.posexplode(F.transform("v", lambda x: x * sign)).alias("pos0", "component"))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.round("component", 6).alias("component"),
+            F.round("eigenvalue", 4).alias("eigenvalue"),
+        )
+    )
