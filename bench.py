@@ -136,6 +136,7 @@ HEADLINE = [
     "r_snapshot_diff",
     "r_incremental_rollup",
     "l_embedding_top_component",
+    "l_minhash_error",
 ]
 
 

@@ -726,3 +726,114 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", r6(cont).alias("containment"))
     )
+
+
+# ------------------------------------------- MinHash estimator calibration
+
+
+@register(
+    "l_minhash_error",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    shs AS (SELECT DISTINCT doc_id, unnest(bhs) AS h FROM bh),
+    sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN shs a ON a.doc_id = c.doc_a
+        JOIN shs b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           {r6_sql(f"s.sig_matches / {NUM_HASHES}.0")} AS est_jaccard,
+           {r6_sql("coalesce(i.ni, 0) / CAST(za.n + zb.n - coalesce(i.ni, 0) AS DOUBLE)")}
+               AS exact_jaccard,
+           {r6_sql(f"abs(s.sig_matches / {NUM_HASHES}.0 - coalesce(i.ni, 0) / CAST(za.n + zb.n - coalesce(i.ni, 0) AS DOUBLE))")}
+               AS abs_err
+    FROM scored s
+    LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+    JOIN sz za ON za.doc_id = s.doc_a
+    JOIN sz zb ON zb.doc_id = s.doc_b
+    """,
+)
+def l_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH-banded candidate
+    pair, the signature-estimated Jaccard next to the EXACT shingle-set
+    Jaccard and the absolute estimation error — the sketch-quality
+    harness a pipeline runs before trusting a MinHash threshold at
+    scale (the companion of r_approx_percentiles' rank-contract check,
+    applied to the dedup family's own sketch).
+
+    Scale shape: identical candidate generation to l_dedup_minhash
+    (banded, never all-pairs); the exact-Jaccard side joins the hashed
+    shingle index on 8-byte keys for CANDIDATE pairs only — the
+    quadratic term stays band-bounded, and the intersection count is
+    one map-side-combinable aggregation per pair."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    shh = _shingle_rows(d).select(
+        "doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h")
+    )
+    mh = shh.groupBy("doc_id").agg(
+        *[minhash_min_agg(j, F.col("h")).alias(f"m{j}") for j in range(NUM_HASHES)]
+    )
+    sig = mh.select(
+        "doc_id",
+        F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig"),
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"bk{b}")
+            for b in range(LSH_BANDS)
+        ],
+    ).persist()
+    sig.count()  # materialize once for the four plan branches
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(LSH_BANDS)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = shh.distinct().persist()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    est = F.col("sig_matches") / float(NUM_HASHES)
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    exact = ni / (F.col("na") + F.col("nb") - ni).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("sig_matches"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r6(est).alias("est_jaccard"),
+            r6(exact).alias("exact_jaccard"),
+            r6(F.abs(est - exact)).alias("abs_err"),
+        )
+    )

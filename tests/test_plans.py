@@ -132,6 +132,7 @@ def test_dedup_ann_family_has_no_cartesian_joins(spark, sf_dir):
         "l_dedup_containment",
         "l_dedup_embedding",
         "l_dedup_semantic",
+        "l_minhash_error",
         "l_ann_lsh",
         "l_ann_ivf",
         "l_ann_knn_join",
