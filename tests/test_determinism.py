@@ -38,6 +38,19 @@ SAMPLE = [
     "l_ann_knn_join",
     "l_ngram_counts",
     "l_clean_funnel",
+    # round-7 newcomers: PQ argmin/codes, banded semantic pairs, winnow
+    # window minima, percentile-boundary bucketing, power iteration,
+    # sketch calibration, CDC diff
+    "l_ann_pq",
+    "l_dedup_semantic",
+    "l_winnow_fingerprint",
+    "l_perplexity_filter",
+    "l_domain_mix",
+    "l_embedding_top_component",
+    "l_minhash_error",
+    "r_bloom_prune",
+    "r_snapshot_diff",
+    "r_incremental_rollup",
     # round-6 newcomers: regex scrub, boundary-bucket stratified top-k,
     # entropy agg, containment verify join, quantized rerank
     "l_pii_scrub",
