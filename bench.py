@@ -137,6 +137,7 @@ HEADLINE = [
     "r_incremental_rollup",
     "l_embedding_top_component",
     "l_minhash_error",
+    "l_bigram_logprob",
 ]
 
 

@@ -1082,3 +1082,99 @@ def l_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ppl_bucket"),
         (F.col("avg_logprob") >= F.col("b_lo")).cast("int").alias("keep"),
     )
+
+
+# --- bigram LM scoring ----------------------------------------------------
+BIGRAM_TOP = 5_000  # capped bigram table size (the broadcastable LM)
+
+
+@register(
+    "l_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        FROM tok
+    ),
+    pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    counts AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM counts),
+    topk AS (
+        SELECT w1, w2, c12 FROM (
+            SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rn
+            FROM counts
+        ) WHERE rn <= {BIGRAM_TOP}
+    ),
+    marg AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM topk GROUP BY w1),
+    lm AS (
+        SELECT topk.w1, topk.w2,
+               ln(CAST(topk.c12 AS DOUBLE) / marg.c1) AS logp
+        FROM topk JOIN marg ON marg.w1 = topk.w1
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               coalesce(lm.logp, ln(1.0 / (n + 1))) AS logp,
+               CAST(lm.w1 IS NULL AS INT)           AS oov
+        FROM pairs p
+        LEFT JOIN lm ON lm.w1 = p.w1 AND lm.w2 = p.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)                        AS n_bigrams,
+           CAST(sum(oov) AS BIGINT)        AS n_oov,
+           {r6_sql("sum(logp) / count(*)")} AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def l_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy — the conditional upgrade of
+    l_unigram_logprob: each document scores the mean log of
+    P(w2 | w1) = c(w1,w2) / Σ_w2' c(w1,w2') under a frequency-capped
+    bigram table built from the corpus itself (the capped table is
+    self-consistent: the denominator is the CAPPED marginal, so every
+    in-table probability is a proper conditional within the LM).
+
+    Scale shape: one bigram-count shuffle (map-side combinable), a
+    TakeOrderedAndProject top-{BIGRAM_TOP} cap, and the marginal derives
+    from the capped table itself — so the whole LM is bounded and
+    BROADCAST to the bigram stream; the scoring join never shuffles the
+    corpus. Out-of-table bigrams take the ln(1/(N+1)) floor, exactly
+    the unigram query's OOV discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tok = d.withColumn("t", t).filter(F.size("t") >= 2)
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = counts.agg(F.sum("c12").cast("bigint").alias("n"))
+    topk = counts.orderBy(F.col("c12").desc(), "w1", "w2").limit(BIGRAM_TOP)
+    marg = topk.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    lm = topk.join(marg, "w1").select(
+        "w1", "w2", F.log(F.col("c12").cast("double") / F.col("c1")).alias("logp")
+    )
+    scored = (
+        pairs.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce("logp", F.log(F.lit(1.0) / (F.col("n") + 1))).alias("lp"),
+            F.isnull("logp").cast("int").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        r6(F.sum("lp") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
