@@ -344,3 +344,12 @@ def test_bloom_prune_prefilter_actually_prunes(spark, sf_dir):
     if sel < 0.5:  # fixture-dependent guard
         joined = df.agg(F.sum("n_items")).collect()[0][0] or 0
         assert joined <= li.count() * (sel + 0.1)
+
+
+def test_bigram_logprob_broadcasts_lm(spark, sf_dir):
+    """The capped bigram LM (and the 1-row total) must broadcast to the
+    bigram stream — the corpus-sized side never shuffles for the
+    scoring join (the l_unigram_logprob discipline)."""
+    df = SPECS["l_bigram_logprob"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "CartesianProduct")
