@@ -138,6 +138,7 @@ HEADLINE = [
     "l_embedding_top_component",
     "l_minhash_error",
     "l_bigram_logprob",
+    "l_abtt_residual",
 ]
 
 

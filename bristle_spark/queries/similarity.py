@@ -1070,6 +1070,50 @@ def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- power-iteration top component
 POWER_ITERS = 5  # fixed iteration count -> deterministic output
 
+# Train-once memo (the l_bpe_merges discipline): the iterative power
+# method runs once per (session, corpus); l_embedding_top_component and
+# l_abtt_residual both consume the cached 1-row direction frame.
+_POWER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged (after POWER_ITERS rounds) unit direction as a
+    1-row DataFrame with column ``v`` (array<double>), localCheckpointed
+    and memoized per (applicationId, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _POWER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = _embeddings(spark, sf_dir)
+    dim = 64
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("v")
+    ).localCheckpoint()
+    for _ in range(POWER_ITERS):
+        proj = F.aggregate(
+            F.zip_with("emb", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = (
+            e.select(F.col("v").alias("emb"))
+            .crossJoin(F.broadcast(v))
+            .select(F.posexplode(F.transform("emb", lambda x: x * proj)).alias("pos", "c"))
+            .groupBy("pos")
+            .agg(F.sum("c").alias("s"))
+        )
+        w = contrib.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        ).select(F.transform("ps", lambda p: p["s"]).alias("w"))
+        norm = F.sqrt(
+            F.aggregate("w", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        v = w.select(
+            F.transform("w", lambda x: x / norm).alias("v")
+        ).localCheckpoint()
+    _POWER_CACHE[key] = v
+    return v
+
 
 @register("l_embedding_top_component", oracle=None)
 def l_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,34 +1137,7 @@ def l_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate, scaled to a sign-canonical unit vector (first nonzero
     coordinate positive) so the answer is unique."""
     e = _embeddings(spark, sf_dir)
-    dim = 64
-    v = spark.range(1).select(
-        F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("v")
-    ).localCheckpoint()
-
-    for _ in range(POWER_ITERS):
-        proj = F.aggregate(
-            F.zip_with("emb", "v", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        contrib = (
-            e.select(F.col("v").alias("emb"))
-            .crossJoin(F.broadcast(v))
-            .select(F.posexplode(F.transform("emb", lambda x: x * proj)).alias("pos", "c"))
-            .groupBy("pos")
-            .agg(F.sum("c").alias("s"))
-        )
-        # fold the dim-row mat-vec result back into ONE sorted array row
-        w = contrib.agg(
-            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
-        ).select(F.transform("ps", lambda p: p["s"]).alias("w"))
-        norm = F.sqrt(
-            F.aggregate("w", F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        v = w.select(
-            F.transform("w", lambda x: x / norm).alias("v")
-        ).localCheckpoint()
+    v = _top_direction(spark, sf_dir)
 
     # Rayleigh quotient lambda = sum_i (x_i . v)^2 / (v . v), v unit
     proj = F.aggregate(
@@ -1142,5 +1159,47 @@ def l_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos0") + 1).cast("bigint").alias("pos"),
             F.round("component", 6).alias("component"),
             F.round("eigenvalue", 4).alias("eigenvalue"),
+        )
+    )
+
+
+@register("l_abtt_residual", oracle=None)
+def l_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top residual (Mu & Viswanath 2018): remove each
+    embedding's projection onto the corpus's dominant direction —
+    the post-processing that strips the common component which drags
+    every cosine similarity upward. Consumes the SAME memoized power
+    iteration as l_embedding_top_component (train once, apply
+    broadcast — the BPE-pair discipline), then the removal itself is
+    one row-local expression over the broadcast direction: projection,
+    residual norm, and the norm retained after removal.
+
+    Rows-only (the direction is the iterative artifact); pinned to the
+    numpy reference in tests/test_power_iteration.py."""
+    e = _embeddings(spark, sf_dir)
+    v = _top_direction(spark, sf_dir)
+    proj = F.aggregate(
+        F.zip_with("emb", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_before = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # residual = x - (x.v) v; v unit, so |r|^2 = |x|^2 - (x.v)^2
+    norm_after = F.sqrt(norm_before * norm_before - proj * proj)
+    return (
+        e.select(F.col("vec_id"), F.col("label"), F.col("v").alias("emb"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "vec_id",
+            "label",
+            F.round(proj, 6).alias("top_projection"),
+            F.round(norm_before, 6).alias("norm_before"),
+            F.round(norm_after, 6).alias("norm_after"),
         )
     )

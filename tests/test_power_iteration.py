@@ -48,3 +48,39 @@ def test_component_is_unit_and_sign_canonical(spark, sf_dir):
     assert sum(c * c for c in comps) == pytest.approx(1.0, abs=1e-4)
     first_nonzero = next(c for c in comps if c != 0)
     assert first_nonzero > 0
+
+
+def test_abtt_residual_matches_numpy(spark, sf_dir):
+    """Residual norms must match the numpy ABTT computation against the
+    same converged direction, and the memo must hand both queries one
+    training run."""
+    from bristle_spark.queries import similarity as S
+
+    S._POWER_CACHE.clear()
+    x = np.array(
+        [
+            (r["vec_id"], *r["embedding"])
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ids, mat = x[:, 0].astype(int), x[:, 1:]
+    v, _ = _reference(mat, POWER_ITERS)
+    # note: _reference sign-flips; projection magnitude is sign-invariant
+    proj = mat @ v
+    nb = np.sqrt((mat * mat).sum(axis=1))
+    na = np.sqrt(nb * nb - proj * proj)
+    rows = {r["vec_id"]: r for r in all_specs()["l_abtt_residual"].fn(spark, sf_dir).collect()}
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in S._POWER_CACHE
+    cached = S._POWER_CACHE[key]
+    for i, vid in enumerate(ids):
+        r = rows[int(vid)]
+        assert abs(r["top_projection"]) == pytest.approx(abs(proj[i]), abs=2e-6)
+        assert r["norm_before"] == pytest.approx(nb[i], abs=2e-6)
+        assert r["norm_after"] == pytest.approx(na[i], abs=2e-6)
+    # second consumer reuses the cached direction frame
+    all_specs()["l_embedding_top_component"].fn(spark, sf_dir).collect()
+    assert S._POWER_CACHE[key] is cached
