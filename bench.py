@@ -139,6 +139,7 @@ HEADLINE = [
     "l_minhash_error",
     "l_bigram_logprob",
     "l_abtt_residual",
+    "l_char_ngram_lang_id",
 ]
 
 

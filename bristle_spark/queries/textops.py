@@ -909,3 +909,92 @@ def l_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(sel).alias("f")).select(
         "doc_id", F.col("f.pos").alias("pos"), F.col("f.gram_hash").alias("gram_hash")
     )
+
+
+# --- char-n-gram language ID ----------------------------------------------
+CHAR_NGRAM_N = 3
+LANG_PROFILE_K = 50  # trigrams per language profile
+
+
+@register(
+    "l_char_ngram_lang_id",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, length(text) - {CHAR_NGRAM_N - 2}),
+                      i -> substr(text, i, {CHAR_NGRAM_N}))) AS gram
+        FROM documents WHERE length(text) >= {CHAR_NGRAM_N}
+    ),
+    lang_counts AS (
+        SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram
+    ),
+    profiles AS (
+        SELECT lang, gram FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY c DESC, gram
+            ) AS rn FROM lang_counts
+        ) WHERE rn <= {LANG_PROFILE_K}
+    ),
+    doc_grams AS (SELECT DISTINCT doc_id, lang, gram FROM g),
+    ovl AS (
+        SELECT d.doc_id, d.lang, p.lang AS cand_lang,
+               CAST(count(*) AS BIGINT) AS n_overlap
+        FROM doc_grams d JOIN profiles p ON p.gram = d.gram
+        GROUP BY d.doc_id, d.lang, p.lang
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang, n_overlap FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY n_overlap DESC, cand_lang
+        ) AS rn FROM ovl
+    ) WHERE rn = 1
+    """,
+)
+def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification — the standard
+    profile-based classifier (Cavnar & Trenkle n-gram ranking,
+    fastText's feature space): TRAIN per-language profiles (top-50
+    trigrams by frequency, deterministic tie-breaks) from the labeled
+    corpus, BROADCAST the tiny model, and classify every document by
+    its distinct-trigram overlap with each profile (argmax, ties
+    alphabetical). Complements l_lang_id's marker-word heuristic with
+    the train-then-apply shape a real pipeline uses.
+
+    Scale shape: training is one (lang, gram) aggregation + a
+    PARTITIONED top-k window over language-sized groups; the model is
+    |langs| x {LANG_PROFILE_K} rows broadcast into the scoring join, so
+    classification never shuffles the corpus — the per-doc argmax is a
+    window partitioned by doc_id over at most |langs| rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= CHAR_NGRAM_N
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {CHAR_NGRAM_N - 1}),"
+                f" i -> substring(text, i, {CHAR_NGRAM_N}))"
+            )
+        ).alias("gram"),
+    )
+    lang_counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    pw = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    profiles = (
+        lang_counts.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= LANG_PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "gram")
+    )
+    doc_grams = grams.distinct()
+    overlaps = (
+        doc_grams.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    dw = Window.partitionBy("doc_id").orderBy(
+        F.col("n_overlap").desc(), "cand_lang"
+    )
+    return (
+        overlaps.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_overlap")
+    )
