@@ -140,6 +140,7 @@ HEADLINE = [
     "l_bigram_logprob",
     "l_abtt_residual",
     "l_char_ngram_lang_id",
+    "r_gap_fill",
 ]
 
 

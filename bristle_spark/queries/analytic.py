@@ -1387,3 +1387,94 @@ def r_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rN(F.sum("sum_value"), 2).alias("total_value"),
         )
     )
+
+
+# --- time-series gap fill + forward fill ----------------------------------
+
+
+@register(
+    "r_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts)   AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {r6_sql("avg(value)")}   AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM hourly
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+        SELECT g.bucket_start, t.event_type,
+               coalesce(h.n_events, 0)  AS n_events,
+               h.avg_value              AS avg_value
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN hourly h
+          ON h.bucket_start = g.bucket_start AND h.event_type = t.event_type
+    )
+    SELECT bucket_start, event_type, n_events,
+           CAST(n_events = 0 AS INT) AS gap_filled,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ff
+    FROM dense
+    """,
+)
+def r_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — ClickHouse's ``ORDER BY ... WITH FILL``
+    / TimescaleDB's ``time_bucket_gapfill`` as a Spark plan: densify the
+    hourly grid (every hour x every event_type, including silent
+    hours), zero-fill the counts, and FORWARD-FILL the last observed
+    hourly average (LOCF) so downstream charts and joins never see
+    holes.
+
+    Scale shape: the grid generates from a 1-ROW bounds aggregate
+    (sequence + explode — |hours| x |types| rows, dimension-sized, not
+    event-sized), the observed aggregate left-joins on the (hour, type)
+    key, and the forward fill is a window PARTITIONED by event_type —
+    per-series work, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.avg("value")).alias("avg_value"),
+    )
+    bounds = hourly.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "avg_value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        (F.col("n_events") == 0).cast("int").alias("gap_filled"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+    )
