@@ -141,6 +141,7 @@ HEADLINE = [
     "l_abtt_residual",
     "l_char_ngram_lang_id",
     "r_gap_fill",
+    "l_ivf_train_kmeans",
 ]
 
 

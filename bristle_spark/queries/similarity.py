@@ -1203,3 +1203,90 @@ def l_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(norm_after, 6).alias("norm_after"),
         )
     )
+
+
+# ------------------------------------------------- k-means codebook train
+KMEANS_ITERS = 3  # fixed rounds -> deterministic trajectory
+
+
+@register("l_ivf_train_kmeans", oracle=None)
+def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse codebook — the trainer behind
+    the pinned first-{IVF_CENTROIDS}-vectors convention the ANN queries
+    use (l_ann_ivf's docstring promises "at scale the codebook comes
+    from k-means"; this is that k-means). Deterministic: init = the
+    pinned donor vectors, {KMEANS_ITERS} fixed Lloyd rounds, squared-L2
+    assignment rounded to 6 decimals before each argmin (ties -> lowest
+    cid), empty clusters keep their previous centroid.
+
+    Spark-first iteration: centroids live in a broadcast {IVF_CENTROIDS}-row
+    frame; each round assigns map-side (crossJoin + partitioned-window
+    argmin, the l_ann_ivf shape), re-centers via posexplode +
+    (cid, pos) aggregation — the shuffle output is k x dim rows — and
+    localCheckpoint truncates lineage. Rows-only (iterative); pinned to
+    a numpy Lloyd reference in tests/test_kmeans.py. Output is the long
+    (cid, pos, centroid) form plus member counts."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).localCheckpoint()
+
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    for _ in range(KMEANS_ITERS):
+        aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+        )
+        new_cent = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda p: p["m"],
+                ).alias("cv_new")
+            )
+        )
+        # empty clusters (no members) keep their previous centroid
+        cent = (
+            cent.join(new_cent, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+
+    aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    final_assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+    )
+    sizes = final_assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cent.join(sizes, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            F.posexplode("cv").alias("pos0", "c"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.round("c", 6).alias("centroid"),
+            "n_members",
+        )
+    )
