@@ -964,19 +964,22 @@ def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs| x {LANG_PROFILE_K} rows broadcast into the scoring join, so
     classification never shuffles the corpus — the per-doc argmax is a
     window partitioned by doc_id over at most |langs| rows."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= CHAR_NGRAM_N
+    # the documents fixture is one parquet file -> one input split, and
+    # the trigram explode multiplies rows ~n_chars-fold AFTER the
+    # exchange, where AQE (sizing on the SMALL pre-explode bytes) would
+    # coalesce right back to one task — so spread the generator with an
+    # EXPLICIT partition count, which AQE respects (the
+    # fan-out-before-explode discipline any coarse-split scan needs)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= CHAR_NGRAM_N)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
-    grams = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {CHAR_NGRAM_N - 1}),"
-                f" i -> substring(text, i, {CHAR_NGRAM_N}))"
-            )
-        ).alias("gram"),
+    gram_arr = F.expr(
+        f"transform(sequence(1, length(text) - {CHAR_NGRAM_N - 1}),"
+        f" i -> substring(text, i, {CHAR_NGRAM_N}))"
     )
+    grams = d.select("doc_id", "lang", F.explode(gram_arr).alias("gram"))
     lang_counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     pw = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
     profiles = (
@@ -984,11 +987,16 @@ def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= LANG_PROFILE_K)
         .select(F.col("lang").alias("cand_lang"), "gram")
     )
-    doc_grams = grams.distinct()
+    # the broadcast profile join runs BEFORE any dedup, so only grams
+    # that hit a profile survive to the aggregation, and the per-doc
+    # distinct happens inside countDistinct's map-side partial dedup —
+    # no standalone corpus-sized .distinct() exchange (measured: the
+    # separate-distinct and array_distinct formulations cost 3.8s and
+    # 5.2s at sf0.1; this one ~1.4s)
     overlaps = (
-        doc_grams.join(F.broadcast(profiles), "gram")
+        grams.join(F.broadcast(profiles), "gram")
         .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("gram").alias("n_overlap"))
     )
     dw = Window.partitionBy("doc_id").orderBy(
         F.col("n_overlap").desc(), "cand_lang"
