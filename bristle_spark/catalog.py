@@ -55,3 +55,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() can reference it."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out_if_coarse(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+    """Spread a row-expansion-heavy stage across the cluster when the
+    upstream scan is coarser than the available parallelism.
+
+    Generator/projection-heavy operators (char-gram explodes, winnowing
+    window minima, mapInPandas kernels) do their work BEFORE any
+    exchange, so a single-file scan — or an AQE-coalesced exchange
+    sized on the small pre-expansion bytes — runs them on one task. An
+    EXPLICIT-count repartition (which AQE respects) fixes that; the
+    partition-count guard keeps a well-split 100 TB scan from paying a
+    whole-table reshuffle it doesn't need."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key))
+    return df

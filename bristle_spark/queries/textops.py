@@ -877,7 +877,11 @@ def l_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over per-doc arrays) followed by one explode — zero
     shuffles; the fingerprint index downstream joins on the 60-bit
     gram_hash exactly like l_dedup_ngram_jaccard's shingle index."""
-    d = load_table(spark, sf_dir, "documents")
+    from bristle_spark.catalog import fan_out_if_coarse
+
+    d = fan_out_if_coarse(
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     t = F.split("text", " ")
     d = d.withColumn("t", t).filter(F.size("t") >= WINNOW_K + WINNOW_W - 1)
     tc = F.col("t")
