@@ -1,0 +1,33 @@
+"""bench.py silently skips unknown query names (one rename would
+quietly shrink the suite and flatter the total) — pin every HEADLINE
+and SHARED38 entry to a real registration."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from bristle_spark.registry import all_specs
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+)
+_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+
+
+def test_headline_names_all_registered():
+    specs = all_specs()
+    missing = [n for n in _bench.HEADLINE if n not in specs]
+    assert missing == []
+
+
+def test_shared38_is_38_registered_names():
+    specs = all_specs()
+    assert len(_bench.SHARED38) == 38
+    assert len(set(_bench.SHARED38)) == 38
+    assert [n for n in _bench.SHARED38 if n not in specs] == []
+
+
+def test_headline_has_no_duplicates():
+    assert len(set(_bench.HEADLINE)) == len(_bench.HEADLINE)
