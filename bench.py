@@ -142,6 +142,7 @@ HEADLINE = [
     "l_char_ngram_lang_id",
     "r_gap_fill",
     "l_ivf_train_kmeans",
+    "l_lang_id_eval",
 ]
 
 

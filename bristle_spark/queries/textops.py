@@ -1013,3 +1013,73 @@ def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_overlap")
     )
+
+
+# --- classifier evaluation harness ----------------------------------------
+
+
+def _lang_eval_leg(tag: str, oracle_body: str) -> str:
+    return f"""
+    SELECT '{tag}' AS classifier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           {r6_sql("avg(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END)")}
+               AS accuracy
+    FROM ({oracle_body})
+    """
+
+
+@register("l_lang_id_eval", oracle=None)  # oracle injected below
+def l_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness: accuracy of BOTH language
+    identifiers (marker-word heuristic vs char-trigram profiles)
+    against the labeled corpus, side by side — the model-selection
+    measurement a pipeline runs before committing to a lang filter
+    (the l_knn_eval / l_ann_recall_eval discipline applied to
+    classifiers).
+
+    The oracle composes the two classifiers' REGISTERED oracle SQL
+    verbatim (the l_quality_ensemble pattern), so the gate re-derives
+    both classifiers end-to-end, not just the accuracy arithmetic."""
+    out = []
+    for tag, fn in (
+        ("char_ngram", l_char_ngram_lang_id),
+        ("marker_words", l_lang_id),
+    ):
+        df = fn(spark, sf_dir)
+        out.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+                ).cast("bigint").alias("n_correct"),
+                r6(
+                    F.avg(
+                        F.when(F.col("pred_lang") == F.col("lang"), 1.0).otherwise(0.0)
+                    )
+                ).alias("accuracy"),
+            ).select(F.lit(tag).alias("classifier"), "n_docs", "n_correct", "accuracy")
+        )
+    return out[0].unionByName(out[1])
+
+
+def _install_lang_eval_oracle() -> None:
+    """Compose the eval oracle from the two classifiers' registered SQL
+    (registration order guarantees both exist by module end)."""
+    from bristle_spark import registry
+
+    spec = registry._REGISTRY["l_lang_id_eval"]
+    char_o = registry._REGISTRY["l_char_ngram_lang_id"].oracle
+    marker_o = registry._REGISTRY["l_lang_id"].oracle
+    oracle = (
+        _lang_eval_leg("char_ngram", char_o)
+        + " UNION ALL "
+        + _lang_eval_leg("marker_words", marker_o)
+    )
+    registry._REGISTRY["l_lang_id_eval"] = registry.QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, group=spec.group, doc=spec.doc
+    )
+
+
+_install_lang_eval_oracle()
