@@ -158,9 +158,12 @@ def _select_queries(args: argparse.Namespace) -> list[str]:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--subset", choices=["shared38"], default=None)
-    ap.add_argument("--family", default=None)
-    ap.add_argument("--queries", default=None)
+    # the three selectors are mutually exclusive: silently preferring
+    # one over another ran a different set than asked (ADVICE r7)
+    sel = ap.add_mutually_exclusive_group()
+    sel.add_argument("--subset", choices=["shared38"], default=None)
+    sel.add_argument("--family", default=None)
+    sel.add_argument("--queries", default=None)
     ap.add_argument("--recycle", type=int, default=0, metavar="N",
                     help="rebuild the SparkSession every N queries")
     ap.add_argument("--runs", type=int, default=2)

@@ -1339,7 +1339,12 @@ def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental rollup maintenance ---------------------------------------
-INCR_CUTOVER_DAY = 25  # "already rolled up" days 1..25; "new arrivals" after
+# "already rolled up": events landed by hour 18 of each day; "new
+# arrivals": the late tail of the SAME days — so most (day, event_type)
+# keys hold one partial from EACH side and the merge genuinely combines
+# two partial aggregates (a whole-day cutover made merge degenerate to
+# disjoint union — ADVICE r7)
+INCR_CUTOVER_HOUR = 18
 
 
 @register(
@@ -1357,11 +1362,15 @@ def r_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the daily rollup for the
     already-landed days is treated as an EXISTING materialized table
     (computed once, partial aggregates kept: count + raw sum), and the
-    newly-arrived partition is aggregated alone and MERGED in — union
-    plus a re-aggregation over day-partition-sized data, never a rescan
-    of history. The oracle is the FULL recompute over all events, so
-    the gate proves merge(partials) == recompute — the algebraic
-    property (count/sum are commutative monoids) that makes incremental
+    newly-arrived late tail of those same days is aggregated alone and
+    MERGED in — union plus a re-aggregation over day-partition-sized
+    data, never a rescan of history. Because the cutover is WITHIN each
+    day (hour >= INCR_CUTOVER_HOUR), most (day, event_type) keys carry
+    one partial from each side, so the gate exercises a genuine
+    merge of two partials per key, not a disjoint union (ADVICE r7).
+    The oracle is the FULL recompute over all events, so the gate
+    proves merge(partials) == recompute — the algebraic property
+    (count/sum are commutative monoids) that makes incremental
     maintenance sound at 100 TB, where rescanning history for every new
     partition is the difference between minutes and days.
 
@@ -1377,8 +1386,8 @@ def r_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
 
-    existing = partials(ev.filter(F.dayofmonth("ts") <= INCR_CUTOVER_DAY))
-    arriving = partials(ev.filter(F.dayofmonth("ts") > INCR_CUTOVER_DAY))
+    existing = partials(ev.filter(F.hour("ts") < INCR_CUTOVER_HOUR))
+    arriving = partials(ev.filter(F.hour("ts") >= INCR_CUTOVER_HOUR))
     return (
         existing.unionByName(arriving)
         .groupBy("day", "event_type")

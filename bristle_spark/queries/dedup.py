@@ -480,13 +480,21 @@ def _emb_band_key_sql(v: str, band: int) -> str:
 
 
 def _emb_band_key(v: Column, band: int) -> Column:
+    # higher-order aggregate over the dim slice (NOT a 16-deep chained
+    # CASE WHEN: nested whens × 4 bands × 2 join sides made Janino
+    # codegen the dominant cost of the whole query — ~1.5s of the
+    # round-7 bench outlier was compile time, not execution)
     off = band * EMB_BAND_BITS
-    key = F.lit(0)
-    for i in range(EMB_BAND_BITS):
-        key = key + F.when(
-            F.element_at(v, off + i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(0)
-    return key
+    weights = F.array(*[F.lit(1 << i) for i in range(EMB_BAND_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(v, off + 1, EMB_BAND_BITS),
+            weights,
+            lambda x, w: F.when(x >= 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 @register(
@@ -517,40 +525,54 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = band-key collision in any band, verified by exact
     cosine; top-20 with deterministic tiebreaks. The candidate join
     shuffles on (band_id, band_key) — 2^16 keys per band — so the
-    within-key pairwise term stays band-bounded at scale (the k-times
-    vector amplification of carrying v through the explode is the
-    standard LSH-sharding tradeoff and is linear, not quadratic)."""
+    within-key pairwise term stays band-bounded at scale. Each side
+    carries its full 4-int band-key array (16 bytes) so a pair is
+    emitted only from its FIRST colliding band — exactly-once without
+    a distinct(), removing the (vec_a, vec_b) exchange that made this
+    query the round-7 bench outlier (VERDICT r7 "What's wrong" #1)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # candidate generation shuffles only (vec_id, band_id, band_key) —
-    # 16-byte rows — never the 512-byte vectors; the vectors join back
-    # once per side after the pair set is distinct
-    bands = e.select(
+    # candidate generation shuffles only (vec_id, keys[4], band_id,
+    # band_key) — ~32-byte rows — never the 512-byte vectors; the
+    # vectors join back once per side after the pair set is built
+    keyed = e.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        _emb_band_key(F.col("v"), j).alias("band_key"),
-                    )
-                    for j in range(EMB_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band_id"), F.col("bk.band_key"))
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()  # pair colliding in k bands appears k times; map-side combinable
+        F.array(*[_emb_band_key(F.col("v"), j) for j in range(EMB_BANDS)]).alias(
+            "keys"
+        ),
     )
+    bands = keyed.select(
+        "vec_id",
+        "keys",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(EMB_BANDS)])
+        ).alias("band_id"),
+    ).select(
+        "vec_id",
+        "keys",
+        "band_id",
+        F.element_at("keys", F.col("band_id") + 1).alias("band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    # first-colliding-band filter: emit the pair from band j only when
+    # no earlier band j' < j also collides — every candidate pair
+    # appears exactly once, so no post-join distinct/exchange is needed
+    no_earlier_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("x.keys"), F.lit(1), F.col("x.band_id")),
+            F.slice(F.col("y.keys"), F.lit(1), F.col("y.band_id")),
+            lambda a, b: a != b,
+        ),
+        lambda c: c,
+    )
+    cand = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.vec_id") < F.col("y.vec_id"))
+        & no_earlier_collision,
+    ).select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
     pairs = cand.join(va, "vec_a").join(vb, "vec_b").select(
@@ -758,8 +780,11 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every LSH-banded candidate
-    pair, the signature-estimated Jaccard next to the EXACT shingle-set
-    Jaccard and the absolute estimation error — the sketch-quality
+    pair, the signature-estimated Jaccard next to the exact Jaccard
+    over the HASHED shingle space (hash60(shingle) mod MINHASH_P — the
+    same keyed universe the signatures sample, so rare hash collisions
+    are shared with the estimator rather than counted as estimator
+    error) and the absolute estimation error — the sketch-quality
     harness a pipeline runs before trusting a MinHash threshold at
     scale (the companion of r_approx_percentiles' rank-contract check,
     applied to the dedup family's own sketch).

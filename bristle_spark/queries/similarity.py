@@ -1080,10 +1080,15 @@ def _top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The converged (after POWER_ITERS rounds) unit direction as a
     1-row DataFrame with column ``v`` (array<double>), localCheckpointed
     and memoized per (applicationId, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     hit = _POWER_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict entries from stopped sessions so localCheckpoint'd frames
+    # don't accumulate across session recycles (ADVICE r7)
+    for stale in [k for k in _POWER_CACHE if k[0] != app_id]:
+        del _POWER_CACHE[stale]
     e = _embeddings(spark, sf_dir)
     dim = 64
     v = spark.range(1).select(

@@ -693,10 +693,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     artifact) and l_bpe_tokenize (the application pass) — as a
     pipeline you train once and ship the dictionary, so both queries
     consume one memoized training run per (session, corpus)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict entries from stopped sessions so localCheckpoint'd frames
+    # don't accumulate across session recycles (ADVICE r7)
+    for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[stale]
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -976,12 +981,15 @@ def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, which AQE respects (6.5s -> 1.5s at sf0.1). The guard
     # matters at 100 TB: a well-split scan must NOT pay a whole-corpus
     # reshuffle for this.
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= CHAR_NGRAM_N
+    from bristle_spark.catalog import fan_out_if_coarse
+
+    d = fan_out_if_coarse(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= CHAR_NGRAM_N
+        ),
+        spark,
+        "doc_id",
     )
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, F.col("doc_id"))
     gram_arr = F.expr(
         f"transform(sequence(1, length(text) - {CHAR_NGRAM_N - 1}),"
         f" i -> substring(text, i, {CHAR_NGRAM_N}))"
