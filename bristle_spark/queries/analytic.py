@@ -144,7 +144,15 @@ def approx_percentiles(df: DataFrame) -> DataFrame:
 APPROX_P_ACCURACY = 10_000  # QuantileSummaries accuracy -> rank eps 1e-4
 
 
-@register("r_approx_percentiles", oracle=None)
+@register(
+    "r_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag, q, CAST(count(*) AS BIGINT) AS n, 1 AS rank_ok
+    FROM lineitem
+    CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) AS t
+    GROUP BY 1, 2
+    """,
+)
 def r_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles validated against the sketch's CONTRACT:
     the fully parallel sketch runs unpinned (partial sketches merge in

@@ -104,15 +104,42 @@ def r_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("r_approx_distinct", oracle=None)
+APPROX_DISTINCT_RSD = 0.02  # HLL++ relative standard deviation
+APPROX_DISTINCT_SLACK = 4.0  # sigmas of allowed drift in the contract
+
+
+@register(
+    "r_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           1                                       AS approx_ok
+    FROM events GROUP BY 1
+    """,
+)
 def r_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rows-only: approximation is
-    engine-specific, no DuckDB oracle). The 100 TB path: constant memory
-    per group vs the expand-shuffle of exact distinct."""
+    """HyperLogLog++ approximate distinct, validated against the
+    sketch's CONTRACT (VERDICT r7 ask #3, the r_approx_percentiles
+    discipline): the engine-specific approximation never reaches the
+    hash compare — instead the query emits, per group, the exact
+    distinct count and an ``approx_ok`` flag asserting the sketch
+    landed within SLACK x rsd of it; the oracle states the contract as
+    a constant 1. The exact side exists only for the gate — the
+    production path at 100 TB is the approx aggregate alone (constant
+    memory per group vs the expand-shuffle of exact distinct)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias("ap"),
+    )
+    tol = APPROX_DISTINCT_SLACK * APPROX_DISTINCT_RSD * F.col("n_users_exact") + 1
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (F.abs(F.col("ap") - F.col("n_users_exact")) <= tol).cast("int").alias("approx_ok"),
     )
 
 
