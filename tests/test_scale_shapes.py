@@ -1,0 +1,228 @@
+"""Scale-stress shapes for the dedup/ANN family (VERDICT r7 ask #6).
+
+Three claims the 100 TB story rests on, each pinned here:
+
+1. **Partition-count invariance** — the family returns identical
+   results when ``spark.sql.shuffle.partitions`` is forced to 512
+   (the cluster-sized setting) instead of the test default 8. A query
+   whose output depends on partitioning (e.g. a non-deterministic
+   tiebreak hiding behind a single-partition accident) fails this.
+
+2. **Hot-key skew stays bounded** — an artificially hot LSH band
+   (hundreds of identical vectors, colliding in EVERY band) must not
+   change the plan shape (no new shuffle exchanges) and the per-key
+   candidate work must stay exactly band-bounded: C(hot,2) pairs from
+   the hot bucket, each emitted ONCE (the first-colliding-band
+   contract), never re-amplified by band count.
+
+3. **No task dominates** — with 512 shuffle partitions at sf0.1, no
+   task in any stage of the heavy dedup queries may run >10x the
+   stage's median task time (median floored at 100 ms, so stages whose
+   tasks are pure scheduling overhead never trip on a JIT/GC hiccup).
+   Measured from Spark's event log in a dedicated subprocess session
+   (the shared test session has the UI and event log off).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from bristle_spark.registry import all_specs
+
+SCALE_FAMILY = [
+    "l_dedup_minhash",
+    "l_dedup_embedding",
+    "l_dedup_ngram_jaccard",
+    "l_ann_lsh",
+    "l_ann_knn_join",
+]
+
+HOT_COPIES = 300  # rows in the artificially hot band
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+@pytest.mark.parametrize("name", SCALE_FAMILY)
+def test_partition_count_invariance(name, spark, sf_dir, specs):
+    """512 shuffle partitions must give byte-identical results to 8."""
+    fn = specs[name].fn
+    baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    try:
+        wide = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == baseline
+
+
+@pytest.fixture(scope="module")
+def hot_band_dir(tmp_path_factory, request):
+    """A tmp sf_dir whose embeddings table has one artificially hot
+    LSH band: HOT_COPIES exact copies of one vector under fresh ids,
+    colliding in all 4 bands, appended to the real table."""
+    spark = request.getfixturevalue("spark")
+    sf_dir = request.getfixturevalue("sf_dir")
+    out = tmp_path_factory.mktemp("hot_band")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_id = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    one = e.orderBy("vec_id").limit(1).collect()[0]
+    hot = spark.range(HOT_COPIES).select(
+        (F.col("id") + base_id).alias("vec_id"),
+        F.lit(one["embedding"]).alias("embedding"),
+        *[
+            F.lit(one[c]).alias(c)
+            for c in e.columns
+            if c not in ("vec_id", "embedding")
+        ],
+    )
+    e.unionByName(hot.select(e.columns)).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+    return str(out)
+
+
+def test_hot_band_plan_shape_unchanged(spark, sf_dir, hot_band_dir, specs):
+    """The skewed table must not change the exchange count of the plan."""
+    fn = specs["l_dedup_embedding"].fn
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    assert exchanges(fn(spark, hot_band_dir)) == exchanges(fn(spark, sf_dir))
+
+
+def test_hot_band_work_is_band_bounded(spark, hot_band_dir, specs):
+    """The hot bucket contributes exactly C(hot_cluster, 2) candidate
+    pairs — emitted once each (first-colliding-band), not once per
+    band — and the query still completes with a full top-k of exact
+    duplicates."""
+    from bristle_spark.queries import dedup as D
+
+    e = spark.read.parquet(f"{hot_band_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    keyed = e.select(
+        "vec_id",
+        *[D._emb_band_key(F.col("v"), j).alias(f"k{j}") for j in range(D.EMB_BANDS)],
+    )
+    # the hot cluster (original + copies) shares every band key
+    hot_bucket = (
+        keyed.groupBy(*[f"k{j}" for j in range(D.EMB_BANDS)])
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot_bucket >= HOT_COPIES + 1
+
+    rows = specs["l_dedup_embedding"].fn(spark, hot_band_dir).collect()
+    assert len(rows) == 20
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in rows)
+
+    # candidate pairs across ALL bands, counted with multiplicity 1:
+    # the first-colliding-band join must yield exactly the distinct
+    # collision set (no band-count amplification reaching the verify)
+    bands = keyed
+    conds = None
+    for j in range(D.EMB_BANDS):
+        c = F.col(f"x.k{j}") == F.col(f"y.k{j}")
+        conds = c if conds is None else (conds | c)
+    distinct_pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), conds & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    hot_pairs = (HOT_COPIES + 1) * HOT_COPIES // 2
+    assert distinct_pairs >= hot_pairs  # the hot clique is all there
+
+
+_EVENTLOG_SCRIPT = r"""
+import json, os, sys, glob
+sys.path.insert(0, {repo!r})
+from bristle_spark.session import get_spark
+log_dir = sys.argv[1]
+spark = get_spark(
+    app_name="scale-task-balance",
+    cpus=8,
+    shuffle_partitions=512,
+    extra_conf={{
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": "file://" + log_dir,
+        "spark.eventLog.compress": "false",
+    }},
+)
+from bristle_spark.registry import all_specs
+specs = all_specs()
+for name in ["l_dedup_minhash", "l_dedup_embedding"]:
+    specs[name].fn(spark, {sf!r}).collect()
+app_id = spark.sparkContext.applicationId
+spark.stop()
+durs = {{}}
+# Spark 4 rolling event log v2: a directory eventlog_v2_<appid>
+# holding events_*_<appid> files (plus an appstatus marker)
+paths = [p for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+         if os.path.isfile(p) and app_id in p and "appstatus" not in os.path.basename(p)]
+for path in paths:
+    with open(path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                ti = ev.get("Task Info", {{}})
+                d = ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
+                durs.setdefault(sid, []).append(d)
+print("TASKDURS " + json.dumps(durs))
+"""
+
+
+def test_no_task_dominates_at_512_partitions(tmp_path):
+    """Event-log-measured task balance: in every stage of the two
+    heaviest dedup queries at sf0.1 with 512 shuffle partitions, the
+    slowest task is <= 10x the stage median (median floored at
+    100 ms)."""
+    log_dir = str(tmp_path / "eventlog")
+    os.makedirs(log_dir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _EVENTLOG_SCRIPT.format(repo=repo, sf="/root/testdata/sf0.1")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, log_dir],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "BRISTLE_DRIVER_MEM": "8g"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("TASKDURS ")
+    )
+    durs = json.loads(line[len("TASKDURS "):])
+    assert durs, "no task metrics captured"
+    offenders = []
+    for sid, times in durs.items():
+        times = sorted(times)
+        if len(times) < 4:
+            continue
+        # floor the median at 100 ms: when 512 partitions spread sf0.1
+        # so thin that the median task is pure scheduling overhead, a
+        # single JIT/GC hiccup is not a skew signal — the ratio only
+        # means "a key dominated" when the median task did real work
+        median = max(times[len(times) // 2], 100)
+        worst = times[-1]
+        if worst > 10 * median:
+            offenders.append((sid, median, worst, len(times)))
+    assert offenders == [], f"dominating tasks: {offenders}"
