@@ -143,6 +143,12 @@ HEADLINE = [
     "r_gap_fill",
     "l_ivf_train_kmeans",
     "l_lang_id_eval",
+    # round-8 additions
+    "l_dsir_importance",
+    "l_ngram_novelty",
+    "l_inverted_index",
+    "l_embedding_outliers",
+    "r_ntile",
 ]
 
 

@@ -1495,3 +1495,54 @@ def r_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") == 0).cast("int").alias("gap_filled"),
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
     )
+
+
+# --- ntile bucketing -------------------------------------------------------
+
+NTILE_BUCKETS = 4  # spend quartiles within each market segment
+
+
+@register(
+    "r_ntile",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, s.o_custkey AS c_custkey, s.total_spend,
+           CAST(ntile({NTILE_BUCKETS}) OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY s.total_spend DESC, s.o_custkey
+           ) AS BIGINT) AS spend_quartile
+    FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+    """,
+)
+def r_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: customers split into spend quartiles WITHIN
+    their market segment — the cohorting step behind tiered pricing /
+    per-segment sampling. Complements r_window_distribution
+    (percent_rank/cume_dist): ntile's uneven-bucket assignment (first
+    n mod k buckets get the extra row) is its own contract.
+
+    The window partitions by segment (never global — the
+    no-unpartitioned-window rule), and ordering is on the 2-dp-rounded
+    spend total with a custkey tiebreak so both engines assign
+    identical bucket numbers (raw float sums could order near-equal
+    totals differently)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.join(cu, "c_custkey")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "total_spend",
+            F.ntile(NTILE_BUCKETS).over(w).cast("bigint").alias("spend_quartile"),
+        )
+    )

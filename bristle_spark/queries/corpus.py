@@ -1178,3 +1178,216 @@ def l_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("bigint").alias("n_oov"),
         r6(F.sum("lp") / F.count(F.lit(1))).alias("avg_logprob"),
     )
+
+
+# --------------------------------------------- DSIR importance weighting
+
+DSIR_BUCKETS = 1024  # hashed-unigram feature space (2^10)
+
+
+@register(
+    "l_dsir_importance",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {hash60_sql("w")} % {DSIR_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    bc AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+        FROM tk GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+    wts AS (
+        SELECT bucket,
+               round(ln((ct + 1.0) / (nt + {DSIR_BUCKETS}))
+                     - ln((cr + 1.0) / (nr + {DSIR_BUCKETS})), 8) AS wt
+        FROM bc, tot
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {r6_sql("sum(w.wt)")}    AS dsir_score
+    FROM tk t JOIN wts w ON t.bucket = w.bucket
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def l_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    hashed word-unigram features in {DSIR_BUCKETS} buckets, a smoothed
+    bag-of-buckets language model for the TARGET distribution (here the
+    ``lang = 'en'`` slice) and one for the RAW distribution (the rest),
+    and per-document log-likelihood ratios sum(ln p_t(b) - ln p_r(b))
+    over the document's tokens — the score importance resampling ranks
+    by when up-weighting target-like data in a pretraining mix.
+
+    Scale shape: the two distribution estimates are ONE bucket-keyed
+    aggregation (map-side combinable to <= {DSIR_BUCKETS} rows) plus a
+    1-row totals broadcast; per-doc scoring broadcasts the <=
+    {DSIR_BUCKETS}-row weight table into the token stream and
+    aggregates by doc_id — corpus-sized work is two map-side-combined
+    shuffles (bucket, doc), never a join of two big sides. Bucket
+    weights are rounded to 8 dp on both engines so the per-doc float
+    sums add identical values."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", "lang", (hash60(F.col("w")) % DSIR_BUCKETS).alias("bucket"))
+    )
+    bc = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    wts = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + DSIR_BUCKETS)),
+                8,
+            ).alias("wt"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            r6(F.sum("wt")).alias("dsir_score"),
+        )
+    )
+
+
+# --------------------------------------------- n-gram novelty scoring
+
+
+@register(
+    "l_ngram_novelty",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok
+    ),
+    firsts AS (
+        SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {r6_sql("sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+                   " / CAST(count(*) AS DOUBLE)")} AS novelty
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def l_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty: a document's shingle is NOVEL
+    if no earlier document (smaller doc_id — ingestion order) contains
+    it; the novelty ratio (novel / distinct shingles) is the
+    data-curation signal for "is this document adding anything new to
+    the corpus" — the streaming-dedup complement to the pairwise dedup
+    family, and the score curriculum builders sort by.
+
+    Scale shape: every shingle has exactly ONE novel document (its
+    group-min), so no corpus-sized membership join is needed — the
+    distinct (doc_id, shingle-hash) rows aggregate twice (once by the
+    8-byte hash for the min, once by doc_id for the denominator), both
+    map-side combinable, and the final join is doc-keyed (bounded by
+    |docs|, not |shingles|). No all-pairs term anywhere — novelty is a
+    group-min, not a pairwise comparison."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_rows(d).select("doc_id", hash60(F.col("s")).alias("h"))
+    novel = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        r6(
+            F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
+
+
+# --------------------------------------------- inverted index (postings)
+
+POSTINGS_K = 8  # doc entries serialized per token
+
+
+@register(
+    "l_inverted_index",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+        GROUP BY token, doc_id
+    ),
+    rn AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY token ORDER BY doc_id
+        ) AS rn FROM tf
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT)  AS df,
+           CAST(sum(tf) AS BIGINT)   AS total_tf,
+           string_agg(CASE WHEN rn <= {POSTINGS_K}
+                           THEN doc_id || ':' || tf END,
+                      ',' ORDER BY doc_id) AS postings
+    FROM rn GROUP BY token
+    """,
+)
+def l_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, document frequency,
+    total term frequency, and a serialized posting list of the first
+    {POSTINGS_K} (doc_id ASC) entries as ``doc:tf`` — the index-build
+    step behind corpus search, contamination lookup, and TF-IDF
+    retrieval, expressed as one aggregation pipeline.
+
+    Scale shape: the (token, doc) term-frequency aggregation is the
+    single corpus-sized shuffle (map-side combinable); the posting
+    window and the final per-token aggregation both ride the SAME
+    token partitioning (exchange reuse, no second corpus shuffle).
+    Posting lists are truncated to {POSTINGS_K} entries BEFORE
+    collect_list (a null-skipped conditional), so per-token state is
+    bounded no matter how hot the token — the df/total_tf aggregates
+    still see every row. Postings serialize to a string because the
+    driver's canonicalizer cannot hash array cells."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    entry = F.when(
+        F.col("rn") <= POSTINGS_K,
+        F.struct(F.col("doc_id"), F.col("tf")),
+    )
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)),
+                lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -1295,3 +1295,62 @@ def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --------------------------------------------- centroid-distance outliers
+
+OUTLIER_K = 20  # bottom-k docs by cosine-to-centroid
+
+
+@register(
+    "l_embedding_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cdim AS (
+        SELECT pos, avg(x) AS m FROM (
+            SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+        ) GROUP BY pos
+    ),
+    c AS (SELECT list(m ORDER BY pos) AS cv FROM cdim)
+    SELECT vec_id, label, cos_centroid FROM (
+        SELECT e.vec_id, e.label,
+               round({cosine_sql("e.v", "c.cv")}, 6) AS cos_centroid
+        FROM e CROSS JOIN c
+    )
+    ORDER BY cos_centroid, vec_id
+    LIMIT {OUTLIER_K}
+    """,
+)
+def l_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: the corpus centroid (global mean
+    vector) is computed once, every vector is scored by cosine to it,
+    and the {OUTLIER_K} farthest (lowest cosine) come back — the
+    curation filter that drops mis-embedded / off-distribution samples
+    before clustering or dedup (the quality-filter complement of
+    l_dedup_semantic's SemDeDup pass).
+
+    Scale shape: the centroid is a posexplode + per-dimension avg
+    (map-side combinable to dim rows) reassembled into ONE broadcast
+    row; scoring is a broadcast cross join inside the scan projection;
+    the bottom-k funnel is orderBy().limit() — TakeOrderedAndProject,
+    per-partition top-k with a k-row driver merge. Corpus-sized data is
+    never shuffled at all."""
+    e = _embeddings(spark, sf_dir)
+    cdim = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    c = cdim.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(F.transform("pm", lambda p: p["m"]).alias("cv"))
+    return (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_centroid"),
+        )
+        .orderBy("cos_centroid", "vec_id")
+        .limit(OUTLIER_K)
+    )

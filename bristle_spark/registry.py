@@ -78,13 +78,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- promoted rows-only -> contract oracles (VERDICT r7 #3) ---
     "r_approx_distinct",
     "r_approx_percentiles",
+    # --- round-8 additions (need their first driver row) ---
+    "l_dsir_importance",
+    "l_ngram_novelty",
+    "l_inverted_index",
+    "l_embedding_outliers",
+    "r_ntile",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
-    "t_project_rename",
-    "t_cast_int_widths",
-    "t_timestamp_epoch",
-    "t_json_props_extract",
-    "t_map_to_arrays",
     "t_array_ops",
     "r_filter_predicates",
     "r_hash_agg",

@@ -27,10 +27,18 @@ CHANGED_R8_KEYS = {
     "r_approx_percentiles",  # rows-only -> contract oracle
 }
 
+# brand-new in round 8 -> need their first driver row
+NEW_R8_KEYS = {
+    "l_dsir_importance",     # DSIR hashed-unigram importance weights
+    "l_ngram_novelty",       # first-occurrence shingle novelty
+    "l_inverted_index",      # token postings (df/tf/serialized list)
+    "l_embedding_outliers",  # centroid-distance bottom-k pruning
+    "r_ntile",               # per-segment spend quartiles
+}
+
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
-    "t_project_rename", "t_cast_int_widths", "t_timestamp_epoch",
-    "t_json_props_extract", "t_map_to_arrays", "t_array_ops",
+    "t_array_ops",
     "r_filter_predicates", "r_hash_agg", "r_distinct_count",
     "r_join_inner", "r_join_broadcast", "r_join_multi",
     "r_join_semi_anti", "r_join_outer", "r_sort_limit_topk",
@@ -57,9 +65,15 @@ def test_changed_keys_all_in_window():
     assert CHANGED_R8_KEYS <= set(registry.DRIVER_PRIORITY)
 
 
+def test_new_r8_keys_all_in_window():
+    assert NEW_R8_KEYS <= set(registry.DRIVER_PRIORITY)
+
+
 def test_first_fifty_covers_the_round8_window():
     first50 = list(registry.all_specs())[:50]
-    assert set(first50) == UNCHECKED_R7_KEYS | CHANGED_R8_KEYS | BALLAST_KEYS
+    assert set(first50) == (
+        UNCHECKED_R7_KEYS | CHANGED_R8_KEYS | NEW_R8_KEYS | BALLAST_KEYS
+    )
     assert first50 == list(registry.DRIVER_PRIORITY)
 
 
@@ -73,6 +87,8 @@ def test_beyond_window_queries_still_registered():
     """Rotated-out queries stay registered (just past the driver window)."""
     specs = list(registry.all_specs())
     for key in ("t_bool_to_int", "t_enum_codes", "t_null_default",
+                "t_project_rename", "t_cast_int_widths", "t_timestamp_epoch",
+                "t_json_props_extract", "t_map_to_arrays",
                 "l_dedup_minhash", "l_dedup_simhash", "l_ann_lsh",
                 "l_ann_ivf", "l_ann_knn_join", "l_ann_ivf_nprobe",
                 "l_ann_int8_rerank", "l_dedup_containment", "l_pii_scrub",
