@@ -149,6 +149,56 @@ HEADLINE = [
     "l_inverted_index",
     "l_embedding_outliers",
     "r_ntile",
+    "l_mixture_sampler",
+    "l_weighted_sample",
+    "l_prefix_dedup",
+    "l_pmi_bigrams",
+    "l_mips_topk",
+    "l_matryoshka_eval",
+    # round-8 backfill: every declared non-streaming key that had no
+    # BENCH row in any prior round (VERDICT r7 ask #8) — with these,
+    # HEADLINE == the full non-streaming registry.
+    "r_approx_distinct",
+    "r_approx_percentiles",
+    "t_array_ops",
+    "l_knn_label",
+    "r_join_broadcast",
+    "r_join_semi_anti",
+    "r_set_ops",
+    "r_string_funcs",
+    "r_date_funcs",
+    "r_grouping_sets",
+    "r_window_lag",
+    "l_heavy_hitters",
+    "r_scalar_subquery",
+    "r_agg_collect",
+    "r_join_full",
+    "r_cross_join",
+    "r_window_distribution",
+    "r_exists_subquery",
+    "r_window_range_frame",
+    "r_arg_max",
+    "r_funnel",
+    "r_histogram",
+    "r_retention",
+    "r_stats_agg",
+    "t_project_rename",
+    "t_bool_to_int",
+    "t_enum_codes",
+    "t_null_default",
+    "t_json_props_extract",
+    "t_decimal_math",
+    "t_null_semantics",
+    "l_simhash",
+    "l_sample_hash",
+    "l_train_val_test",
+    "l_ngram_counts",
+    "l_clean_funnel",
+    "l_ann_lsh",
+    "l_ann_ivf_nprobe",
+    "m_binary_features",
+    "m_frame_sample",
+    "m_resize",
 ]
 
 

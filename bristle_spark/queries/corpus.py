@@ -1391,3 +1391,211 @@ def l_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# --------------------------------------------- mixture realization sampling
+MIX_SAMPLE_PPM = 1_000_000  # acceptance-rate resolution (parts per million)
+MIX_SALT = ":mixsample"  # decorrelates this sampler from l_sample_hash
+
+
+@register(
+    "l_mixture_sampler",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_docs) AS min_docs FROM per),
+    rates AS (
+        SELECT per.source, per.n_docs,
+               CAST(round(({MIX_SAMPLE_PPM}.0 * mn.min_docs) / per.n_docs)
+                    AS BIGINT) AS accept_ppm
+        FROM per, mn
+    )
+    SELECT d.doc_id, d.source, r.accept_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {hash60_sql(f"CAST(d.doc_id AS VARCHAR) || '{MIX_SALT}'")}
+          % {MIX_SAMPLE_PPM} < r.accept_ppm
+    """,
+)
+def l_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REALIZATION: downsample every source to the size of the
+    smallest one so the emitted corpus has a uniform source mixture —
+    the "balance the domains" step that follows a mixture-weight
+    decision (l_domain_mix computes the weights; this op materializes a
+    target mix as an actual row stream).  Acceptance is a deterministic
+    per-document hash gate (hash(doc_id) mod 1e6 < rate_ppm), so the
+    sample is reproducible, shard-independent, and needs no RNG state.
+
+    Scale shape: the per-source rate table is ONE map-side-combinable
+    aggregation down to |sources| rows, its min is a 1-row aggregate of
+    that tiny frame, and the rate table broadcasts back into a scan-side
+    filter — corpus-sized data is touched exactly once, no shuffle of
+    the document stream at all (the accept test is a map-side predicate
+    after a broadcast join).  Rates are integers (ppm) derived from one
+    IEEE division + round, so Spark and DuckDB gate identically.
+
+    Cites reference scope: the reference ships no sampling ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    mn = per.agg(F.min("n_docs").alias("min_docs"))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.round((F.lit(float(MIX_SAMPLE_PPM)) * F.col("min_docs")) / F.col("n_docs"))
+        .cast("bigint")
+        .alias("accept_ppm"),
+    )
+    gate = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT)))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(gate % MIX_SAMPLE_PPM < F.col("accept_ppm"))
+        .select("doc_id", "source", "accept_ppm")
+    )
+
+
+# --------------------------------------------- quality-weighted sampling
+WSAMPLE_SALT = ":wsample"  # decorrelates from l_mixture_sampler / l_sample_hash
+
+
+@register(
+    "l_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT)                AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+               CAST(round(({MIX_SAMPLE_PPM}.0 * len(list_distinct(t))) / len(t))
+                    AS BIGINT) AS accept_ppm
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ) WHERE len(t) > 0
+    )
+    SELECT doc_id, n_tokens, n_distinct, accept_ppm
+    FROM scored
+    WHERE {hash60_sql(f"CAST(doc_id AS VARCHAR) || '{WSAMPLE_SALT}'")}
+          % {MIX_SAMPLE_PPM} < accept_ppm
+    """,
+)
+def l_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED Bernoulli sampling ("soft dedup", RefinedWeb /
+    Penedo et al. style): each document's keep probability is its
+    type-token ratio (distinct tokens / tokens), so templated or
+    repetitive documents are kept with proportionally lower probability
+    instead of a hard cut.  The coin flip is the deterministic hash
+    gate hash(doc_id || salt) mod 1e6 < round(1e6 * w) — reproducible
+    across runs and shards, no RNG.
+
+    Scale shape: the weight is pure row-local array math computed in
+    the scan (zero shuffles, linear in corpus size), and the gate is a
+    map-side predicate — the whole operator is a single narrow stage at
+    any scale.  The ppm rate is one IEEE multiply + divide + round of
+    two integers, bit-identical between Spark and DuckDB."""
+    t = F.filter(F.split("text", " "), lambda w: w != "")
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "accept_ppm",
+            F.round(
+                (F.lit(float(MIX_SAMPLE_PPM)) * F.col("n_distinct")) / F.col("n_tokens")
+            ).cast("bigint"),
+        )
+    )
+    gate = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(WSAMPLE_SALT)))
+    return scored.filter(gate % MIX_SAMPLE_PPM < F.col("accept_ppm"))
+
+
+# --------------------------------------------- PMI collocations
+PMI_TOP = 50  # emitted collocation table size
+PMI_MIN_COUNT = 5  # ignore bigrams rarer than this (PMI's low-count bias)
+
+
+@register(
+    "l_pmi_bigrams",
+    oracle=f"""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+            FROM tok
+        )
+    ),
+    counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM pairs GROUP BY w1, w2),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM counts),
+    m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1),
+    m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM counts GROUP BY w2),
+    pmi AS (
+        SELECT c.w1, c.w2, c.c12,
+               {r6_sql("ln((CAST(c.c12 AS DOUBLE) * tot.n)"
+                       " / (CAST(m1.c1 AS DOUBLE) * m2.c2))")} AS pmi
+        FROM counts c
+        JOIN m1 ON m1.w1 = c.w1
+        JOIN m2 ON m2.w2 = c.w2
+        CROSS JOIN tot
+        WHERE c.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c12, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM pmi
+    ) WHERE rn <= {PMI_TOP}
+    """,
+)
+def l_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: rank adjacent word
+    pairs by PMI = ln(p(w1,w2) / (p(w1,·) p(·,w2))) over the corpus
+    bigram table (count floor {PMI_MIN_COUNT} suppresses PMI's
+    rare-pair bias) — the standard collocation / multi-word-expression
+    detector a tokenizer-vocabulary or phrase-mining pass starts from.
+
+    Scale shape: ONE bigram-count shuffle (map-side combinable);
+    marginals are re-aggregations OF THE COUNTS TABLE (vocab², never
+    the corpus twice); the totals frame is 1 row broadcast; final cut
+    is TakeOrderedAndProject top-{PMI_TOP}. PMI is rounded to 6 dp
+    BEFORE ranking so Spark and DuckDB rank identically.
+
+    Cites reference scope: the reference ships no text ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    tot = counts.agg(F.sum("c12").cast("bigint").alias("n"))
+    m1 = counts.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    m2 = counts.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    pmi = (
+        counts.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            r6(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)

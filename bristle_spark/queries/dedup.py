@@ -862,3 +862,63 @@ def l_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.abs(est - exact)).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------- prefix dedup
+PREFIX_WORDS = 16  # boilerplate window: dedupe on the first N tokens
+
+
+@register(
+    "l_prefix_dedup",
+    oracle=f"""
+    WITH pre AS (
+        SELECT doc_id,
+               {hash60_sql(
+                   f"array_to_string(list_slice(string_split(text, ' '), 1, {PREFIX_WORDS}), ' ')"
+               )} AS prefix_h
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {PREFIX_WORDS}
+    )
+    SELECT prefix_h,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM pre
+    GROUP BY prefix_h
+    HAVING count(*) >= 2
+    """,
+)
+def l_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first {PREFIX_WORDS}
+    tokens are grouped and all but the smallest doc_id dropped — the
+    boilerplate-header / mirrored-page catcher (common-crawl pipelines
+    run exactly this before the shingle detectors, since template
+    prefixes defeat whole-text hashing but are trivially caught by a
+    fixed-width prefix key).
+
+    Scale shape: the prefix key is row-local (slice + join + one 60-bit
+    hash — the 8-byte shuffle key lever shared with l_dedup_exact), and
+    the keep-first decision is ONE map-side-combinable aggregation on
+    that key; no window, no join, nothing wider than |groups| after the
+    single shuffle.  Same-prefix skew (a viral boilerplate header) lands
+    on one reducer only as count/min partials, not as rows.
+
+    Cites reference scope: the reference ships no dedup ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    pre = (
+        _tokens(load_table(spark, sf_dir, "documents"))
+        .filter(F.size("t") >= PREFIX_WORDS)
+        .select(
+            "doc_id",
+            hash60(F.array_join(F.slice("t", 1, PREFIX_WORDS), " ")).alias("prefix_h"),
+        )
+    )
+    return (
+        pre.groupBy("prefix_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

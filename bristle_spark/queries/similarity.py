@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
-from bristle_spark.functions.rounding import rN, rN_sql
-from bristle_spark.functions.vectors import cosine, cosine_sql
+from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
+from bristle_spark.functions.vectors import cosine, cosine_sql, dot, dot_sql
 from bristle_spark.registry import register
 
 TOPK = 10
@@ -1353,4 +1353,162 @@ def l_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cos_centroid", "vec_id")
         .limit(OUTLIER_K)
+    )
+
+
+# ------------------------------------------------------- MIPS retrieval
+MIPS_TOPK = TOPK
+
+
+@register(
+    "l_mips_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT max({dot_sql("v", "v")}) AS m2 FROM e WHERE vec_id <> 0),
+    b AS (SELECT vec_id, label, v, {_bucket_sql("v")} AS bucket FROM e),
+    p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               round({dot_sql("e.v", "p.pv")}, 6) AS ip,
+               round(sqrt(m.m2 - {dot_sql("e.v", "e.v")}), 6) AS aug_dim
+        FROM b e, p, m
+        WHERE e.vec_id <> 0 AND e.bucket = p.pbucket
+    )
+    SELECT vec_id, label, ip, aug_dim FROM (
+        SELECT *, row_number() OVER (ORDER BY ip DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= {MIPS_TOPK}
+    """,
+)
+def l_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation reduction
+    (Bachrach et al. 2014 / Shrivastava & Li 2014, public method):
+    appending sqrt(M^2 - |x|^2) to every corpus vector (M = max corpus
+    norm) and 0 to the query makes augmented-cosine order IDENTICAL to
+    inner-product order, so any cosine-ANN index answers MIPS. Here the
+    engine's shared sign-bit LSH supplies candidates (the appended
+    coordinate never flips the first-{LSH_BITS}-dim signs, so the
+    bucket key is unchanged by augmentation) and candidates are ranked
+    by exact inner product — which IS the augmented-cosine ranking, by
+    the reduction. The emitted aug_dim column is the materialized
+    augmentation coordinate.
+
+    Scale shape: M^2 is ONE map-side-combinable aggregate broadcast as
+    a 1-row frame; the probe is a broadcast 1-row frame; candidate
+    pruning is a map-side bucket predicate; the top-k is
+    TakeOrderedAndProject. Nothing corpus-sized ever shuffles. All
+    sums are sequential folds on both engines, so ip/aug_dim are
+    bit-identical before the 6 dp round."""
+    e = _embeddings(spark, sf_dir)
+    m2 = (
+        e.filter(F.col("vec_id") != 0)
+        .agg(F.max(dot(F.col("v"), F.col("v"))).alias("m2"))
+    )
+    b = e.withColumn("bucket", _bucket_col(F.col("v")))
+    probe = b.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("bucket").alias("pbucket")
+    )
+    scored = (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("bucket") == F.col("pbucket"))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("v"), F.col("pv")), 6).alias("ip"),
+            F.round(
+                F.sqrt(F.col("m2") - dot(F.col("v"), F.col("v"))), 6
+            ).alias("aug_dim"),
+        )
+    )
+    return scored.orderBy(F.col("ip").desc(), F.col("vec_id")).limit(MIPS_TOPK)
+
+
+# --------------------------------------------- matryoshka truncation eval
+MAT_DIM = 16  # truncated prefix dimensionality under evaluation
+MAT_K = TOPK  # recall@k cut
+
+
+@register(
+    "l_matryoshka_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id < {KNN_EVAL_PROBES}),
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               round({cosine_sql("e.v", "p.pv")}, 6)                    AS cos_full,
+               round({cosine_sql("e.v", "p.pv", dim=MAT_DIM)}, 6)       AS cos_trunc
+        FROM e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id,
+               row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_full DESC, vec_id) AS rf,
+               row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_trunc DESC, vec_id) AS rt
+        FROM scored
+    )
+    SELECT probe_id,
+           CAST(sum(CASE WHEN rt <= {MAT_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           {r6_sql(f"sum(CASE WHEN rt <= {MAT_K} THEN 1 ELSE 0 END)"
+                   f" / CAST({MAT_K} AS DOUBLE)")} AS recall
+    FROM ranked WHERE rf <= {MAT_K}
+    GROUP BY probe_id
+    """,
+)
+def l_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval eval (Kusupati et al.
+    2022, public method): recall@{MAT_K} of cosine retrieval using only
+    the first {MAT_DIM} of {64} dimensions against full-dimension
+    retrieval, per probe — the measurement that justifies storing
+    short-prefix embeddings for the coarse pass of a two-stage 100 TB
+    retrieval stack (prefix scan everywhere, full vectors only for the
+    shortlist).
+
+    Scale shape: the bounded probe set ({KNN_EVAL_PROBES} rows) is
+    BROADCAST and both similarities are computed in the SAME single
+    corpus scan (probes x N, never N^2); both per-probe rankings are
+    windows sharing ONE partitionBy(probe_id) exchange, and the
+    overlap is decided ROW-LOCALLY (a scored row is a hit iff both its
+    ranks are <= k) — no join anywhere in the plan. Ranking is on 6
+    dp-rounded similarity so both engines cut identical
+    neighborhoods."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_full"),
+            F.round(
+                cosine(F.slice("v", 1, MAT_DIM), F.slice("pv", 1, MAT_DIM)), 6
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "probe_id",
+        F.row_number().over(w_full).alias("rf"),
+        F.row_number().over(w_trunc).alias("rt"),
+    )
+    hit = F.when(F.col("rt") <= MAT_K, 1).otherwise(0)
+    return (
+        ranked.filter(F.col("rf") <= MAT_K)
+        .groupBy("probe_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            r6(F.sum(hit) / float(MAT_K)).alias("recall"),
+        )
     )

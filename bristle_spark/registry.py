@@ -84,6 +84,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_inverted_index",
     "l_embedding_outliers",
     "r_ntile",
+    "l_mixture_sampler",
+    "l_weighted_sample",
+    "l_prefix_dedup",
+    "l_pmi_bigrams",
+    "l_mips_topk",
+    "l_matryoshka_eval",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
     "t_array_ops",
@@ -91,17 +97,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_hash_agg",
     "r_distinct_count",
     "r_join_inner",
-    "r_join_broadcast",
     "r_join_multi",
-    "r_join_semi_anti",
     "r_join_outer",
     "r_sort_limit_topk",
     "r_window_rank",
-    "r_window_running",
-    "r_set_ops",
     "r_rollup",
-    "r_string_funcs",
-    "r_date_funcs",
     "r_tumbling_window",
     "l_dedup_exact",
     "l_text_stats",

@@ -34,16 +34,21 @@ NEW_R8_KEYS = {
     "l_inverted_index",      # token postings (df/tf/serialized list)
     "l_embedding_outliers",  # centroid-distance bottom-k pruning
     "r_ntile",               # per-segment spend quartiles
+    "l_mixture_sampler",     # uniform-mixture realization (hash gate)
+    "l_weighted_sample",     # type-token-ratio weighted Bernoulli sample
+    "l_prefix_dedup",        # first-16-token prefix-hash dedup
+    "l_pmi_bigrams",         # PMI-ranked collocations
+    "l_mips_topk",           # MIPS via norm augmentation
+    "l_matryoshka_eval",     # truncated-dim recall@k eval
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
     "t_array_ops",
     "r_filter_predicates", "r_hash_agg", "r_distinct_count",
-    "r_join_inner", "r_join_broadcast", "r_join_multi",
-    "r_join_semi_anti", "r_join_outer", "r_sort_limit_topk",
-    "r_window_rank", "r_window_running", "r_set_ops", "r_rollup",
-    "r_string_funcs", "r_date_funcs", "r_tumbling_window",
+    "r_join_inner", "r_join_multi", "r_join_outer",
+    "r_sort_limit_topk", "r_window_rank", "r_rollup",
+    "r_tumbling_window",
     "l_dedup_exact", "l_text_stats", "l_similarity_cosine",
     "l_knn_label", "s_microbatch_flush", "s_drop_policies",
     "s_late_data", "s_proto_roundtrip",

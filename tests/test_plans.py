@@ -353,3 +353,52 @@ def test_bigram_logprob_broadcasts_lm(spark, sf_dir):
     df = SPECS["l_bigram_logprob"].fn(spark, sf_dir)
     assert plans.has_node(df, "BroadcastHashJoin")
     assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_mixture_sampler_is_broadcast_gated_scan(spark, sf_dir):
+    """The per-source rate table must BROADCAST back into the document
+    scan and the accept test must stay a map-side predicate — the
+    corpus never shuffles (the whole point of the ppm hash gate)."""
+    df = SPECS["l_mixture_sampler"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_weighted_sample_is_single_narrow_stage(spark, sf_dir):
+    """Type-token-ratio weighting is pure row-local array math: zero
+    exchanges end to end."""
+    df = SPECS["l_weighted_sample"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+
+
+def test_prefix_dedup_single_hash_shuffle(spark, sf_dir):
+    """Keep-first on the prefix hash is ONE map-side-combinable
+    aggregation: exactly one exchange, partial+final HashAggregate,
+    no window and no join."""
+    df = SPECS["l_prefix_dedup"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 1
+    assert plans.node_count(df, "HashAggregate") >= 2
+    assert not plans.has_node(df, "Window")
+    assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_mips_candidates_broadcast_probe_and_norm(spark, sf_dir):
+    """Probe and max-norm frames are 1-row broadcasts; the top-k is
+    TakeOrderedAndProject — nothing corpus-sized shuffles."""
+    df = SPECS["l_mips_topk"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_matryoshka_eval_is_join_free(spark, sf_dir):
+    """Overlap is decided row-locally (both ranks on the same scored
+    row), so the plan has NO join at all past the broadcast probe
+    cross, and both rankings share one partitionBy(probe_id) window
+    stage over a single corpus scan."""
+    df = SPECS["l_matryoshka_eval"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "BroadcastHashJoin")
+    assert plans.node_count(df, "FileScan") == 2  # corpus + probe slice
+    assert plans.node_count(df, "Window") == 2
+    assert plans.exchange_count(df) <= 2  # probe_id partition (+ final agg)
