@@ -155,6 +155,8 @@ HEADLINE = [
     "l_pmi_bigrams",
     "l_mips_topk",
     "l_matryoshka_eval",
+    "l_ann_ivfpq",
+    "m_audio_fingerprint",
     # round-8 backfill: every declared non-streaming key that had no
     # BENCH row in any prior round (VERDICT r7 ask #8) — with these,
     # HEADLINE == the full non-streaming registry.

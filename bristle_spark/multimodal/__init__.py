@@ -371,3 +371,63 @@ def audio_features(df: DataFrame, chunk_samples: int = 32,
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+FP_WINDOW = 8   # samples per energy window
+FP_WINDOWS = 16  # windows per payload -> 15 comparison bits
+
+
+def audio_fingerprint(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
+    """Chromaprint-style acoustic fingerprint over the binary column:
+    the int16 sample stream is cut into {FP_WINDOWS} energy windows of
+    {FP_WINDOW} samples and each adjacent-window energy comparison
+    (e[w] > e[w+1]) contributes one bit — a {FP_WINDOWS - 1}-bit
+    content hash that is invariant to the payload's container and
+    stable under the deterministic decode.
+
+    Window energies are INTEGER sums of squares (int64, exact), so the
+    comparison bits — and therefore the packed fingerprint — are
+    bit-identical in any engine that re-derives the samples.
+
+    Same vectorized ``mapInPandas`` shape as ``audio_features``: one
+    (rows, windows, samples) tensor per Arrow batch, whole-tensor
+    reductions, no per-row Python."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+    n_samp_need = FP_WINDOW * FP_WINDOWS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "fp": pd.Series([], dtype="int64")})
+                continue
+            decoded = [decode(bytes(p)) for p in pdf["payload"].to_numpy()]
+            keep = np.flatnonzero(
+                np.fromiter((len(d) for d in decoded), dtype=np.int64, count=n)
+                >= 2 * n_samp_need
+            )
+            if len(keep) == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "fp": pd.Series([], dtype="int64")})
+                continue
+            stack = np.stack(
+                [np.frombuffer(decoded[i], dtype="<i2")[:n_samp_need] for i in keep]
+            ).astype(np.int64)
+            e = (stack * stack).reshape(len(keep), FP_WINDOWS, FP_WINDOW).sum(axis=2)
+            bits = (e[:, : FP_WINDOWS - 1] > e[:, 1:]).astype(np.int64)
+            fp = (bits << np.arange(FP_WINDOWS - 1, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[keep], "fp": fp}
+            )
+
+    return df.mapInPandas(run, FINGERPRINT_SCHEMA)

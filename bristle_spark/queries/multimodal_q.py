@@ -340,3 +340,70 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round("zcr", 6).alias("zcr"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_AUDIO_FP_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    s AS (
+        SELECT doc_id,
+               list_transform(range(1, 129), j ->
+                   CASE WHEN bytes[2*j - 1] + 256 * bytes[2*j] >= 32768
+                        THEN bytes[2*j - 1] + 256 * bytes[2*j] - 65536
+                        ELSE bytes[2*j - 1] + 256 * bytes[2*j] END) AS v
+        FROM f
+    ),
+    e AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), w ->
+                   list_sum(list_transform(list_slice(v, w * 8 + 1, w * 8 + 8),
+                       x -> CAST(x AS BIGINT) * x))) AS en
+        FROM s
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, 16),
+                   w -> CASE WHEN en[w] > en[w + 1]
+                             THEN (1 << (w - 1)) ELSE 0 END)) AS BIGINT) AS fp
+        FROM e
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(min(doc_id) AS BIGINT)  AS keeper,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM fp
+    GROUP BY fp
+    HAVING count(*) >= 2
+"""
+
+
+@register("m_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def m_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint dedup: a Chromaprint-style 15-bit
+    energy-comparison fingerprint per audio payload (16 int64-exact
+    energy windows of 8 samples; each adjacent comparison is one bit),
+    then keep-first per fingerprint group — the audio analog of
+    l_prefix_dedup / m_phash_dedup, catching re-encoded or re-containered
+    copies of the same recording that byte-hashing misses.
+
+    Oracle-backed: DuckDB re-derives the int16 samples from the
+    hex-side payload, recomputes the integer window energies, and packs
+    the same bits — an implementation-independent check of the whole
+    Arrow kernel (frombuffer decode, tensor windowing, bit packing).
+
+    Scale shape: the fingerprint is partition-local ``mapInPandas``
+    (vectorized, no per-row Python); the group step is ONE
+    map-side-combinable aggregation on an 8-byte key — the
+    l_prefix_dedup discipline; hot fingerprints reach the reducer only
+    as count/min partials."""
+    d = load_table(spark, sf_dir, "documents")
+    audio = multimodal.attach_fake_audio(d)
+    fps = multimodal.audio_fingerprint(audio)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1512,3 +1512,218 @@ def l_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(hit) / float(MAT_K)).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------- IVF + residual PQ
+IVFPQ_CAND = PQ_CAND
+
+
+def _pq_res_d2_sql(v: str, cc: str, cb: str) -> str:
+    """Rounded per-subspace squared-L2 between the RESIDUAL (v - cc)
+    and a codebook entry, for subspace ``m.m`` — explicit ops in a
+    fixed order so Spark and DuckDB run the identical IEEE sequence."""
+    diff = (
+        f"(({v}[m.m*{PQ_SUB} + j] - {cc}[m.m*{PQ_SUB} + j])"
+        f" - {cb}[m.m*{PQ_SUB} + j])"
+    )
+    return (
+        f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        f"j -> {diff} * {diff})), 6)"
+    )
+
+
+@register(
+    "l_ann_ivfpq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS ccid, v AS cv FROM e
+             WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}),
+    cb AS (SELECT vec_id AS bcid, v AS bv FROM e
+           WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    assign AS (
+        SELECT vec_id, label, v, ccid FROM (
+            SELECT e.vec_id, e.label, e.v, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC,
+                                cent.ccid
+                   ) AS arn
+            FROM e, cent
+        ) WHERE arn = 1
+    ),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    pcells AS (
+        SELECT ccid FROM (
+            SELECT cent.ccid,
+                   row_number() OVER (
+                       ORDER BY round({cosine_sql("p.pv", "cent.cv")}, 6) DESC,
+                                cent.ccid
+                   ) AS crn
+            FROM cent, p
+        ) WHERE crn <= {NPROBE}
+    ),
+    sel AS (
+        SELECT a.vec_id, a.label, a.v, a.ccid, cent.cv
+        FROM assign a
+        JOIN pcells pc ON pc.ccid = a.ccid
+        JOIN cent ON cent.ccid = a.ccid
+        WHERE a.vec_id <> 0
+    ),
+    sub AS (
+        SELECT sel.vec_id, sel.ccid, cb.bcid, m.m,
+               {_pq_res_d2_sql("sel.v", "sel.cv", "cb.bv")} AS d2
+        FROM sel, cb, {_PQ_MS} m
+    ),
+    codes AS (
+        SELECT vec_id, ccid, m, bcid AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, bcid
+            ) AS rn FROM sub
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT pc.ccid, cb.bcid, m.m,
+               {_pq_res_d2_sql("p.pv", "cent.cv", "cb.bv")} AS d2
+        FROM pcells pc
+        JOIN cent ON cent.ccid = pc.ccid, cb, {_PQ_MS} m, p
+    ),
+    approx AS (
+        SELECT c.vec_id, round(sum(dt.d2), 6) AS adist
+        FROM codes c
+        JOIN dt ON dt.ccid = c.ccid AND dt.m = c.m AND dt.bcid = c.code
+        GROUP BY c.vec_id
+    ),
+    cand AS (
+        SELECT vec_id, adist FROM (
+            SELECT *, row_number() OVER (ORDER BY adist, vec_id) AS rn
+            FROM approx
+        ) WHERE rn <= {IVFPQ_CAND}
+    )
+    SELECT vec_id, label, cluster_id, adist, cos_sim FROM (
+        SELECT a.vec_id, a.label, a.ccid AS cluster_id, cand.adist,
+               round({cosine_sql("a.v", "p.pv")}, 6) AS cos_sim,
+               row_number() OVER (
+                   ORDER BY round({cosine_sql("a.v", "p.pv")}, 6) DESC, a.vec_id
+               ) AS rn
+        FROM assign a JOIN cand USING (vec_id), p
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al., the FAISS IVFPQ shape — public method):
+    coarse quantization prunes the scan to the probe's {NPROBE} nearest
+    of {IVF_CENTROIDS} cells, then a product quantizer over the
+    RESIDUAL (vector minus its coarse centroid — what distinguishes
+    IVFPQ from flat PQ: residuals are smaller and code them better)
+    approximates distances from 4-byte codes, and the exact cosine
+    re-ranks the {IVFPQ_CAND} best. This is the architecture that
+    serves billion-vector search: cells bound the scan, codes bound the
+    memory, the re-rank bounds the error.
+
+    Coarse centroids and PQ codebook are both the pinned
+    first-{IVF_CENTROIDS}-vectors convention shared with l_ann_ivf /
+    l_ann_pq (the gate checks the pipeline math, not codebook
+    training — l_ivf_train_kmeans covers that).
+
+    Scale shape: both quantizer tables are {IVF_CENTROIDS}-row
+    BROADCASTS; cell assignment is map-side; the probed-cell filter
+    drops {IVF_CENTROIDS - NPROBE}/{IVF_CENTROIDS} of the corpus BEFORE
+    any PQ math; the per-(vec, subspace) residual argmin is the single
+    corpus-sized shuffle (map-side-combinable min-of-struct, the
+    l_ann_pq discipline); the ADC distance table is {NPROBE}x{PQ_M}x
+    {PQ_K} = 256 tiny broadcast rows; candidate cut and final top-k are
+    TakeOrderedAndProject. All distances are rounded to 6 dp before
+    every argmin/rank so both engines pick identical codes, cells, and
+    neighbors."""
+    e = _embeddings(spark, sf_dir)
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("cv")
+    )
+    cb = e.filter(F.col("vec_id").between(1, PQ_K)).select(
+        F.col("vec_id").alias("bcid"), F.col("v").alias("bv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("ccid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "v", "ccid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    pcells = (
+        cent.crossJoin(F.broadcast(probe))
+        .select("ccid", F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("ccid"))
+        .limit(NPROBE)
+        .select("ccid")
+    )
+
+    def res_d2(v, cc, bv, m):
+        def step(acc, j):
+            idx = m * PQ_SUB + j
+            diff = (F.element_at(v, idx) - F.element_at(cc, idx)) - F.element_at(
+                bv, idx
+            )
+            return acc + diff * diff
+
+        return F.round(
+            F.aggregate(F.sequence(F.lit(1), F.lit(PQ_SUB)), F.lit(0.0), step), 6
+        )
+
+    sel = (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(pcells), "ccid")
+        .join(F.broadcast(cent), "ccid")
+    )
+    d2s = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: res_d2(F.col("v"), F.col("cv"), F.col("bv"), m),
+    )
+    sub = (
+        sel.crossJoin(F.broadcast(cb))
+        .select("vec_id", "ccid", "bcid", F.posexplode(d2s).alias("m", "d2"))
+    )
+    codes = (
+        sub.groupBy("vec_id", "ccid", "m")
+        .agg(F.min(F.struct("d2", "bcid")).alias("best"))
+        .select("vec_id", "ccid", "m", F.col("best.bcid").alias("code"))
+    )
+    dt = (
+        pcells.join(F.broadcast(cent), "ccid")
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "ccid",
+            "bcid",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: res_d2(F.col("pv"), F.col("cv"), F.col("bv"), m),
+                )
+            ).alias("m", "d2"),
+        )
+    )
+    approx = (
+        codes.join(
+            F.broadcast(dt),
+            (codes.ccid == dt.ccid) & (codes.m == dt.m) & (codes.code == dt.bcid),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    cand = approx.orderBy("adist", "vec_id").limit(IVFPQ_CAND)
+    return (
+        assign.join(cand, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.col("ccid").alias("cluster_id"),
+            "adist",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )

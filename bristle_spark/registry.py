@@ -90,6 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_pmi_bigrams",
     "l_mips_topk",
     "l_matryoshka_eval",
+    "l_ann_ivfpq",
+    "m_audio_fingerprint",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
     "t_array_ops",
@@ -97,10 +99,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_hash_agg",
     "r_distinct_count",
     "r_join_inner",
-    "r_join_multi",
     "r_join_outer",
     "r_sort_limit_topk",
-    "r_window_rank",
     "r_rollup",
     "r_tumbling_window",
     "l_dedup_exact",

@@ -40,14 +40,16 @@ NEW_R8_KEYS = {
     "l_pmi_bigrams",         # PMI-ranked collocations
     "l_mips_topk",           # MIPS via norm augmentation
     "l_matryoshka_eval",     # truncated-dim recall@k eval
+    "l_ann_ivfpq",           # IVF + residual-PQ ADC + exact rerank
+    "m_audio_fingerprint",   # energy-comparison acoustic fingerprint dedup
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
     "t_array_ops",
     "r_filter_predicates", "r_hash_agg", "r_distinct_count",
-    "r_join_inner", "r_join_multi", "r_join_outer",
-    "r_sort_limit_topk", "r_window_rank", "r_rollup",
+    "r_join_inner", "r_join_outer",
+    "r_sort_limit_topk", "r_rollup",
     "r_tumbling_window",
     "l_dedup_exact", "l_text_stats", "l_similarity_cosine",
     "l_knn_label", "s_microbatch_flush", "s_drop_policies",

@@ -402,3 +402,25 @@ def test_matryoshka_eval_is_join_free(spark, sf_dir):
     assert plans.node_count(df, "FileScan") == 2  # corpus + probe slice
     assert plans.node_count(df, "Window") == 2
     assert plans.exchange_count(df) <= 2  # probe_id partition (+ final agg)
+
+
+def test_ivfpq_prunes_cells_before_pq_and_broadcasts_tables(spark, sf_dir):
+    """IVF-PQ: both quantizer tables and the ADC distance table are
+    broadcast; the probed-cell whitelist prunes the corpus BEFORE the
+    residual-encode generator; candidate cut and final top-k are
+    TakeOrderedAndProject. No sort-merge join, no cartesian product."""
+    df = SPECS["l_ann_ivfpq"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.has_node(df, "BroadcastHashJoin")
+
+
+def test_audio_fingerprint_single_hash_shuffle(spark, sf_dir):
+    """Fingerprinting is partition-local mapInPandas; the keep-first
+    group step is ONE map-side-combinable aggregation on the 8-byte
+    fingerprint key (the l_prefix_dedup discipline)."""
+    df = SPECS["m_audio_fingerprint"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 1
+    assert plans.node_count(df, "HashAggregate") >= 2
+    assert not plans.has_node(df, "SortMergeJoin")
