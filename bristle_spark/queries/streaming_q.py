@@ -872,3 +872,85 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STREAM_TOPK)
         .orderBy("bucket_start", "rk")
     )
+
+
+# ------------------------------------------------- streaming anomaly gate
+ANOM_Z = 2.5  # |value - mean| > Z * stddev flags the event
+
+
+@register(
+    "s_stream_anomaly",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               {rN_sql("avg(value)", 6)}        AS m,
+               round(stddev_pop(value), 4)      AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2)                          AS value,
+           {rN_sql("(e.value - b.m) / b.sd", 6)}      AS z
+    FROM events e JOIN base b ON e.event_type = b.event_type
+    WHERE b.sd > 0 AND abs(e.value - b.m) > {ANOM_Z} * b.sd
+    """,
+)
+def s_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly gate: per-event-type mean/stddev baselines are
+    computed BATCH-side from history (the metrics-pipeline split: a
+    nightly job fits the baseline, the stream only probes it), broadcast
+    into the event stream, and every micro-batch flags events more than
+    {ANOM_Z} standard deviations from their type's mean — the alerting
+    front door every ops pipeline runs on its metric stream.
+
+    Scale shape: the baseline is |event_types| rows (ONE
+    map-side-combinable aggregation over history), broadcast so the
+    stream never shuffles and carries NO state store — each micro-batch
+    is a map-side probe + filter, which is why the same plan holds at
+    any stream rate. Anomalies land in parquet executor-side.
+
+    Oracle-backed: no watermark and a stateless filter make the final
+    landed set deterministic — it must hash-match the batch replay
+    (baseline mean rounded to 6 dp, stddev to 4 dp, z to 6 dp — the
+    r_stats_agg rounding discipline, so both engines gate identically)."""
+    work = _workdir(sf_dir, "anomaly")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            rN(F.avg("value"), 6).alias("m"),
+            F.round(F.stddev_pop("value"), 4).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    flagged = (
+        stream.join(F.broadcast(base), "event_type")
+        .filter(F.abs(F.col("value") - F.col("m")) > ANOM_Z * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            rN((F.col("value") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        )
+    )
+
+    out_dir = os.path.join(work, f"anomaly_out_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            flagged.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [], schema="event_id bigint, event_type string, value double, z double"
+        )
+    return spark.read.parquet(out_dir).orderBy("event_id")

@@ -92,12 +92,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_matryoshka_eval",
     "l_ann_ivfpq",
     "m_audio_fingerprint",
+    "s_stream_anomaly",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
     "t_array_ops",
     "r_filter_predicates",
     "r_hash_agg",
-    "r_distinct_count",
     "r_join_inner",
     "r_join_outer",
     "r_sort_limit_topk",

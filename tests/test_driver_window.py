@@ -42,12 +42,13 @@ NEW_R8_KEYS = {
     "l_matryoshka_eval",     # truncated-dim recall@k eval
     "l_ann_ivfpq",           # IVF + residual-PQ ADC + exact rerank
     "m_audio_fingerprint",   # energy-comparison acoustic fingerprint dedup
+    "s_stream_anomaly",      # broadcast-baseline streaming z-score gate
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
     "t_array_ops",
-    "r_filter_predicates", "r_hash_agg", "r_distinct_count",
+    "r_filter_predicates", "r_hash_agg",
     "r_join_inner", "r_join_outer",
     "r_sort_limit_topk", "r_rollup",
     "r_tumbling_window",
