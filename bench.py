@@ -157,6 +157,8 @@ HEADLINE = [
     "l_matryoshka_eval",
     "l_ann_ivfpq",
     "m_audio_fingerprint",
+    "m_scene_cut",
+    "l_hard_negatives",
     # round-8 backfill: every declared non-streaming key that had no
     # BENCH row in any prior round (VERDICT r7 ask #8) — with these,
     # HEADLINE == the full non-streaming registry.

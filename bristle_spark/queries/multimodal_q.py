@@ -407,3 +407,42 @@ def m_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_SCENE_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    d AS (
+        SELECT doc_id,
+               list_transform(range(0, 15), k ->
+                   list_sum(list_transform(range(1, 17), i ->
+                       abs(bytes[16*k + i] - bytes[16*(k+1) + i])))) AS diffs
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(diffs, x -> x > 1600)) AS BIGINT) AS n_cuts,
+           coalesce(array_to_string(
+               list_transform(
+                   list_filter(range(0, 15), k -> diffs[k + 1] > 1600),
+                   k -> CAST(k AS VARCHAR)), ','), '')             AS cut_idxs,
+           CAST(list_max(diffs) AS BIGINT)                         AS max_diff
+    FROM d
+"""
+
+
+@register("m_scene_cut", oracle=_SCENE_ORACLE)
+def m_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: per-document L1 frame-difference scores
+    over the 16-frame fake video payload, cuts declared above the 1600
+    threshold — the detector a video curation pipeline runs before
+    per-scene frame sampling (m_frame_sample's upstream stage).
+
+    Oracle-backed: diffs are INTEGER sums of absolute byte deltas, so
+    DuckDB re-derives every score and cut index from the hex-side
+    payload — byte-exact verification of the numpy tensor kernel
+    (frombuffer, frame reshape, whole-tensor |diff| reduction).
+
+    Scale shape: pure partition-local ``mapInPandas`` — zero shuffles,
+    linear in corpus size, the same plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(d)
+    return multimodal.scene_cuts(payloads).orderBy("doc_id")

@@ -1727,3 +1727,79 @@ def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+# --------------------------------------------- hard-negative mining
+HN_SKIP = 10  # ranks 1..HN_SKIP are presumed positives / easy matches
+HN_K = 10     # negatives mined per probe from the band below
+
+
+@register(
+    "l_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT vec_id AS probe_id, label AS probe_label, v AS pv
+        FROM e WHERE vec_id < {KNN_EVAL_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+               round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim
+        FROM e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT probe_id, vec_id, label, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE rnk > {HN_SKIP} AND rnk <= {HN_SKIP + HN_K}
+      AND label <> probe_label
+    """,
+)
+def l_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each probe, the candidates ranked just BELOW the presumed-positive
+    band (ranks {HN_SKIP + 1}..{HN_SKIP + HN_K}) whose label differs
+    from the probe's — similar enough to be informative, wrong enough
+    to be negatives. This is the batch-mining stage every dual-encoder
+    retraining loop runs against its own index (DPR / ANCE style,
+    public methods).
+
+    Scale shape: identical to l_knn_eval — the bounded probe set
+    ({KNN_EVAL_PROBES} rows) is BROADCAST, scoring is one
+    embarrassingly parallel corpus scan (probes x N, never N^2), and
+    the rank cut is a window over |probes| bounded partitions with
+    ranking on the 6 dp-rounded similarity so both engines cut the
+    same band."""
+    e = _embeddings(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(
+            (F.col("rnk") > HN_SKIP)
+            & (F.col("rnk") <= HN_SKIP + HN_K)
+            & (F.col("label") != F.col("probe_label"))
+        )
+        .select("probe_id", "vec_id", "label", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -93,6 +93,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_ann_ivfpq",
     "m_audio_fingerprint",
     "s_stream_anomaly",
+    "m_scene_cut",
+    "l_hard_negatives",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
     "t_array_ops",
@@ -104,9 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_rollup",
     "r_tumbling_window",
     "l_dedup_exact",
-    "l_text_stats",
     "l_similarity_cosine",
-    "l_knn_label",
     "s_microbatch_flush",
     "s_drop_policies",
     "s_late_data",

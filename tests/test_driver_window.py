@@ -43,6 +43,8 @@ NEW_R8_KEYS = {
     "l_ann_ivfpq",           # IVF + residual-PQ ADC + exact rerank
     "m_audio_fingerprint",   # energy-comparison acoustic fingerprint dedup
     "s_stream_anomaly",      # broadcast-baseline streaming z-score gate
+    "m_scene_cut",           # L1 frame-diff shot-boundary detection
+    "l_hard_negatives",      # contrastive hard-negative mining band
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
@@ -52,8 +54,8 @@ BALLAST_KEYS = {
     "r_join_inner", "r_join_outer",
     "r_sort_limit_topk", "r_rollup",
     "r_tumbling_window",
-    "l_dedup_exact", "l_text_stats", "l_similarity_cosine",
-    "l_knn_label", "s_microbatch_flush", "s_drop_policies",
+    "l_dedup_exact", "l_similarity_cosine",
+    "s_microbatch_flush", "s_drop_policies",
     "s_late_data", "s_proto_roundtrip",
 }
 

@@ -424,3 +424,22 @@ def test_audio_fingerprint_single_hash_shuffle(spark, sf_dir):
     assert plans.exchange_count(df) == 1
     assert plans.node_count(df, "HashAggregate") >= 2
     assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_scene_cut_is_partition_local(spark, sf_dir):
+    """Shot-boundary detection is pure mapInPandas over the scan: the
+    ONLY exchange is the presentation orderBy's range partitioning
+    (shared with every m_* query; the compute itself is narrow)."""
+    df = SPECS["m_scene_cut"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) <= 1
+    assert not plans.has_node(df, "HashAggregate")
+    assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_hard_negatives_broadcast_probes(spark, sf_dir):
+    """The probe set broadcasts; the rank cut is a bounded per-probe
+    window — no sort-merge join, no cartesian product."""
+    df = SPECS["l_hard_negatives"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.node_count(df, "Window") == 1
