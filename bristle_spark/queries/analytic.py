@@ -1546,3 +1546,136 @@ def r_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(NTILE_BUCKETS).over(w).cast("bigint").alias("spend_quartile"),
         )
     )
+
+
+# ------------------------------------------------- gaps-and-islands
+@register(
+    "r_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    keyed AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS island
+        FROM days
+    )
+    SELECT user_id,
+           CAST(min(d) AS TIMESTAMP) AS streak_start,
+           CAST(max(d) AS TIMESTAMP) AS streak_end,
+           CAST(count(*) AS BIGINT)  AS n_days
+    FROM keyed
+    GROUP BY user_id, island
+    """,
+)
+def r_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active calendar
+    days per user (the retention/streak primitive behind "7-day streak"
+    features and SLA-gap reports).  The classic trick — ``day -
+    row_number()`` is constant within a consecutive run — turns streak
+    detection into a plain GROUP BY, with no self-join and no iterative
+    logic.
+
+    Scale shape: one distinct on (user_id, day) — map-side combinable,
+    the only corpus-sized shuffle — then a per-user window and a second
+    aggregation that both ride the SAME user_id partitioning (Catalyst
+    reuses the exchange).  Per-user state is |active days|, never
+    |events|; a 100 TB event log reduces to users x days before the
+    window sees it."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    keyed = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return keyed.groupBy("user_id", "island").agg(
+        F.min("d").cast("timestamp").alias("streak_start"),
+        F.max("d").cast("timestamp").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).drop("island")
+
+
+# --------------------------------------------- interval coverage merge
+COVERAGE_WINDOW_S = 1800  # each event covers [ts, ts + 30 min)
+
+
+@register(
+    "r_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                   + {COVERAGE_WINDOW_S} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1
+                    WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL THEN 1
+                    ELSE 0 END AS is_new
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(s) AS BIGINT)          AS cover_start,
+           CAST(max(e) AS BIGINT)          AS cover_end,
+           CAST(count(*) AS BIGINT)        AS n_intervals,
+           CAST(max(e) - min(s) AS BIGINT) AS covered_s
+    FROM isl
+    GROUP BY user_id, island
+    """,
+)
+def r_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge: each event opens a 30-minute coverage
+    window; per user, overlapping/touching windows coalesce into maximal
+    covered spans (uptime/on-call coverage, ad-exposure unions, the
+    batch form of flink-style interval coalescing).  New-span detection
+    compares each start against the cumulative max of all PRIOR ends —
+    the cumulative max (not lag(e)) is what makes nested intervals
+    correct, e.g. a long window fully containing later short ones.
+
+    Scale shape: one shuffle on user_id; the window sort and the final
+    span aggregation reuse that exchange.  Epoch-second BIGINT
+    arithmetic end to end, so both engines agree bitwise with no float
+    rounding gate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint")
+    iv = ev.select(
+        "user_id", s.alias("s"), (s + COVERAGE_WINDOW_S).alias("e")
+    )
+    ow = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        ow.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prior_max_e.isNull() | (F.col("s") > prior_max_e), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(
+            ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("bigint").alias("cover_start"),
+        F.max("e").cast("bigint").alias("cover_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("covered_s"),
+    ).drop("island")

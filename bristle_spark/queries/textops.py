@@ -1091,3 +1091,228 @@ def _install_lang_eval_oracle() -> None:
 
 
 _install_lang_eval_oracle()
+
+
+# ------------------------------------------------------------------ BM25
+# Okapi BM25 retrieval for a fixed conjunctive-OR term query: the
+# ranking function behind Lucene/Elasticsearch and the sparse half of
+# every hybrid (sparse+dense) retrieval pipeline.
+BM25_QUERY_TERMS = ("join", "filter", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+@register(
+    "l_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tf)
+        GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl.dl / stats.avgdl))
+               ) AS score,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, {r6_sql("score")} AS bm25, n_terms_hit
+    FROM scored
+    ORDER BY {r6_sql("score")} DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def l_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOP_K} retrieval for the fixed OR-query
+    {BM25_QUERY_TERMS}: per-(doc, term) saturated term frequency scaled
+    by the Robertson-Sparck-Jones idf (Lucene's ``+1`` variant, always
+    positive) and the document-length normalization ``1 - b + b*dl/avgdl``.
+
+    Scale shape: the token explode is filtered to the |Q| query terms
+    BEFORE the (doc_id, term) aggregation, so the only corpus-sized
+    shuffle carries matching postings, not the whole token stream; df is
+    |Q| rows and (n_docs, avgdl) is ONE row — both broadcast; doc length
+    rides a second scan of the narrow (doc_id, text) projection rather
+    than widening the postings shuffle.  The final cut is a rounded-score
+    TakeOrderedAndProject with doc_id tiebreak, so both engines pick
+    identical rows at ties.  At 100 TB this is exactly the
+    query-evaluation half of l_inverted_index: score from postings,
+    never from raw text.
+
+    Cites reference scope: the reference ships no retrieval ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            r6(F.sum(contrib)).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+# --------------------------------------------------------- Gopher rules
+# Hard per-rule document gates in the style of the Gopher / MassiveText
+# quality rules (Rae et al. 2021, table A1): each rule is a named
+# boolean, the keep decision is their conjunction.  Distinct from
+# l_quality_score (a weighted continuous score): production pipelines
+# run BOTH — hard gates first, soft score for ranking what survives.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_DISTINCT_STOP = 2
+GOPHER_MAX_PUNCT_RATIO = 0.10
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.20
+
+
+@register(
+    "l_gopher_rules",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    top_tok AS (
+        SELECT doc_id, max(c) AS top_freq
+        FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT t.doc_id,
+               count(*) AS n_tok,
+               count(DISTINCT CASE WHEN t.tk IN ({", ".join(f"'{w}'" for w in STOPWORDS)})
+                                   THEN t.tk END) AS n_stop_distinct,
+               sum(length(t.tk)) AS sum_wlen
+        FROM tok t GROUP BY t.doc_id
+    ),
+    base AS (
+        SELECT d.doc_id, s.n_tok, s.n_stop_distinct,
+               CAST(s.sum_wlen AS DOUBLE) / s.n_tok AS mean_wlen,
+               CAST(len(regexp_extract_all(d.text, '{PUNCT_RE}')) AS DOUBLE)
+                   / s.n_tok AS punct_per_word,
+               CAST(tt.top_freq AS DOUBLE) / s.n_tok AS top_token_frac
+        FROM documents d
+        JOIN stats s USING (doc_id)
+        JOIN top_tok tt USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_tok BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INTEGER) AS ok_word_count,
+           CAST(mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN} AS INTEGER) AS ok_mean_wlen,
+           CAST(n_stop_distinct >= {GOPHER_MIN_DISTINCT_STOP} AS INTEGER) AS ok_stopwords,
+           CAST(punct_per_word <= {GOPHER_MAX_PUNCT_RATIO} AS INTEGER) AS ok_symbol_ratio,
+           CAST(top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS INTEGER) AS ok_repetition,
+           CAST((n_tok BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                AND (mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+                AND n_stop_distinct >= {GOPHER_MIN_DISTINCT_STOP}
+                AND punct_per_word <= {GOPHER_MAX_PUNCT_RATIO}
+                AND top_token_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS INTEGER) AS keep
+    FROM base
+    """,
+)
+def l_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style hard quality gates: five named boolean
+    rules — word count in [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean
+    word length in [{GOPHER_MIN_MEAN_WLEN}, {GOPHER_MAX_MEAN_WLEN}],
+    >= {GOPHER_MIN_DISTINCT_STOP} distinct stopwords, punctuation per
+    word <= {GOPHER_MAX_PUNCT_RATIO}, and top-token dominance <=
+    {GOPHER_MAX_TOP_TOKEN_FRAC} (the single-line analog of Gopher's
+    duplicate-line fraction) — plus their conjunction as ``keep``.
+    Emitting every rule flag (not just the verdict) is what makes the
+    funnel debuggable: per-rule rejection rates are one groupBy away.
+
+    Scale shape: one explode feeding two map-side-combinable per-doc
+    aggregations — (doc_id, tk) counts for top-token dominance, then a
+    doc_id rollup that rides the same hash partitioning; the scalar
+    regexp count stays in its own narrow projection joined once on
+    doc_id (the l_quality_score lesson: regex through a generator
+    re-evaluates per token).  No windows, no corpus-sized join, so the
+    gate costs one shuffle of (doc_id, token) pairs at any SF.
+
+    Cites reference scope: the reference ships no quality filters; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    per_tok = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
+    top_tok = per_tok.groupBy("doc_id").agg(F.max("c").alias("top_freq"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct(
+            F.when(F.col("tk").isin(*STOPWORDS), F.col("tk"))
+        ).alias("n_stop_distinct"),
+        F.sum(F.length("tk")).alias("sum_wlen"),
+    )
+    scalars = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
+    )
+    base = stats.join(top_tok, "doc_id").join(scalars, "doc_id")
+    mean_wlen = F.col("sum_wlen").cast("double") / F.col("n_tok")
+    punct_per_word = F.col("n_punct").cast("double") / F.col("n_tok")
+    top_frac = F.col("top_freq").cast("double") / F.col("n_tok")
+    ok_wc = F.col("n_tok").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+    ok_stop = F.col("n_stop_distinct") >= GOPHER_MIN_DISTINCT_STOP
+    ok_sym = punct_per_word <= GOPHER_MAX_PUNCT_RATIO
+    ok_rep = top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC
+    return base.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_mwl.cast("int").alias("ok_mean_wlen"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        ok_sym.cast("int").alias("ok_symbol_ratio"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        (ok_wc & ok_mwl & ok_stop & ok_sym & ok_rep).cast("int").alias("keep"),
+    )

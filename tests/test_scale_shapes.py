@@ -165,6 +165,12 @@ spark = get_spark(
 )
 from bristle_spark.registry import all_specs
 specs = all_specs()
+# warmup pass: JIT/codegen/parquet-footer caches are not skew; the
+# gate measures the steady-state second pass only
+for name in ["l_dedup_minhash", "l_dedup_embedding"]:
+    specs[name].fn(spark, {sf!r}).collect()
+import time
+t_warm = int(time.time() * 1000)
 for name in ["l_dedup_minhash", "l_dedup_embedding"]:
     specs[name].fn(spark, {sf!r}).collect()
 app_id = spark.sparkContext.applicationId
@@ -184,6 +190,8 @@ for path in paths:
             if ev.get("Event") == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 ti = ev.get("Task Info", {{}})
+                if ti.get("Launch Time", 0) < t_warm:
+                    continue
                 d = ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
                 durs.setdefault(sid, []).append(d)
 print("TASKDURS " + json.dumps(durs))
@@ -194,7 +202,9 @@ def test_no_task_dominates_at_512_partitions(tmp_path):
     """Event-log-measured task balance: in every stage of the two
     heaviest dedup queries at sf0.1 with 512 shuffle partitions, the
     slowest task is <= 10x the stage median (median floored at
-    100 ms)."""
+    100 ms).  Only the warmed SECOND pass is measured — a cold JVM's
+    first-wave JIT/codegen stalls produced 8s stragglers that are
+    startup noise, not key skew (r8: observed flaky under load)."""
     log_dir = str(tmp_path / "eventlog")
     os.makedirs(log_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
