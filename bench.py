@@ -203,6 +203,16 @@ HEADLINE = [
     "m_binary_features",
     "m_frame_sample",
     "m_resize",
+    # round-8 second batch
+    "l_bm25",
+    "r_islands",
+    "r_interval_coverage",
+    "l_gopher_rules",
+    "r_hll_merge",
+    "l_mmr_diversify",
+    "l_kneser_ney",
+    "r_scd2",
+    "l_score_calibration",
 ]
 
 

@@ -1679,3 +1679,152 @@ def r_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         (F.max("e") - F.min("s")).cast("bigint").alias("covered_s"),
     ).drop("island")
+
+
+# ------------------------------------------------ HLL sketch merge
+HLL_LG_K = 14  # Datasketches HLL lgConfigK: rsd ~ 1.04 / sqrt(2^14) ~ 0.8%
+HLL_SLACK = 5.0  # sigmas of allowed drift in the contract
+
+
+@register(
+    "r_hll_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)  AS n_partials,
+           CAST(count(DISTINCT user_id) AS BIGINT)           AS n_users_exact,
+           1                                                 AS merge_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per (event_type, day) HyperLogLog
+    sketches of user_id built once, then UNIONED per event_type and
+    estimated — the pre-aggregation pattern behind every incremental
+    distinct-count dashboard (build daily sketch partials at ingest,
+    answer any date-range distinct by merging partials, never rescan
+    raw events).  Validated by CONTRACT like r_approx_distinct: the
+    exact distinct and a ``merge_ok`` flag asserting the merged
+    estimate landed within SLACK x rsd; the engine-specific sketch
+    binary never reaches the hash compare.
+
+    Scale shape: the daily build is ONE map-side-combinable shuffle of
+    (event_type, day) sketch partials — constant memory per group; the
+    merge shuffles |types| x |days| sketch blobs (KBs), not rows.  At
+    100 TB the daily partials would be a persisted table and the merge
+    is the ONLY per-query work.  The exact branch exists only for the
+    gate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    rsd = 1.04 / (2.0 ** (HLL_LG_K / 2.0))
+    tol = HLL_SLACK * rsd * F.col("n_users_exact") + 1
+    return merged.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_partials",
+        "n_users_exact",
+        (F.abs(F.col("est") - F.col("n_users_exact")) <= tol)
+        .cast("int")
+        .alias("merge_ok"),
+    )
+
+
+# ----------------------------------------------------- SCD type-2 build
+@register(
+    "r_scd2",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               date_trunc('second', ts) AS ts_s
+        FROM events
+    ),
+    chg AS (
+        SELECT *,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    seg AS (
+        SELECT *, sum(is_change) OVER (
+            PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS segment
+        FROM chg
+    ),
+    grouped AS (
+        SELECT user_id, segment, event_type,
+               min(ts_s) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM seg GROUP BY user_id, segment, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, segment
+           ) AS valid_to,
+           n_events,
+           CAST(lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, segment
+           ) IS NULL AS INT) AS is_current
+    FROM grouped
+    """,
+)
+def r_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into validity intervals of their event_type —
+    consecutive same-type events merge into one row, a type change
+    closes the open row (``valid_to`` = the next interval's
+    ``valid_from``) and the last interval per user is ``is_current``
+    with NULL valid_to.  This is the dimension-history shape every
+    warehouse MERGE maintains; building it from a flat change log is
+    the standard backfill.
+
+    Scale shape: one shuffle on user_id; the change-detect lag window,
+    the island running sum, the interval aggregation and the
+    valid_to lead all reuse that single hash partitioning (Catalyst
+    plans one Exchange).  Per-user state is |type changes|, not
+    |events|, after the aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+    )
+    ow = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev_type = F.lag("event_type").over(ow)
+    chg = e.withColumn(
+        "is_change",
+        F.when(prev_type.isNull() | (prev_type != F.col("event_type")), 1).otherwise(
+            0
+        ),
+    )
+    seg = chg.withColumn(
+        "segment",
+        F.sum("is_change").over(
+            ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = seg.groupBy("user_id", "segment", "event_type").agg(
+        F.min("ts_s").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    lw = Window.partitionBy("user_id").orderBy("valid_from", "segment")
+    valid_to = F.lead("valid_from").over(lw)
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

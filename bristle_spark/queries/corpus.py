@@ -1599,3 +1599,103 @@ def l_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
+
+
+# --------------------------------------------- Kneser-Ney bigram LM
+KN_DISCOUNT = 0.75  # absolute discount D (Chen & Goodman's fixed-D variant)
+KN_TOP = 30  # emitted table: the most frequent bigrams
+
+_PKN_SQL = (
+    f"(greatest(CAST(c.c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0) / ctx.c1"
+    f" + ({KN_DISCOUNT} * ctx.n1p_fw / ctx.c1)"
+    f" * (CAST(cont.n1p_bw AS DOUBLE) / tot.n1p_all))"
+)
+
+
+@register(
+    "l_kneser_ney",
+    oracle=f"""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+            FROM tok
+        )
+    ),
+    counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1p_fw
+            FROM counts GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+             FROM counts GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM counts),
+    pkn AS (
+        SELECT c.w1, c.w2, c.c12, ctx.c1,
+               {r6_sql(_PKN_SQL)} AS p_kn
+        FROM counts c
+        JOIN ctx  ON ctx.w1 = c.w1
+        JOIN cont ON cont.w2 = c.w2
+        CROSS JOIN tot
+    )
+    SELECT w1, w2, c12, c1, p_kn FROM (
+        SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rn FROM pkn
+    ) WHERE rn <= {KN_TOP}
+    """,
+)
+def l_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount
+    D={KN_DISCOUNT}): ``P(w2|w1) = max(c12 - D, 0)/c1 + (D * N1+(w1,.)
+    / c1) * N1+(., w2)/N1+(., .)`` — the smoothing KenLM ships and every
+    perplexity-based corpus filter ultimately calls; the continuation
+    probability (how many distinct contexts a word FOLLOWS) is what
+    distinguishes it from the capped-MLE l_bigram_logprob.
+
+    Scale shape: identical to l_pmi_bigrams — ONE corpus-sized
+    bigram-count shuffle (map-side combinable); context totals,
+    continuation counts and the type total are all re-aggregations of
+    the vocab^2-bounded counts table; the 1-row total broadcasts; the
+    final cut is TakeOrderedAndProject top-{KN_TOP} on (count, w1, w2)
+    — integer-exact ordering, no float rank gate.
+
+    Cites reference scope: the reference ships no LM ops; this extends
+    the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fw"),
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bw")
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("bigint").alias("n1p_all"))
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - KN_DISCOUNT, F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(KN_DISCOUNT) * F.col("n1p_fw") / F.col("c1"))
+        * (F.col("n1p_bw").cast("double") / F.col("n1p_all"))
+    )
+    return (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", r6(p_kn).alias("p_kn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(KN_TOP)
+    )

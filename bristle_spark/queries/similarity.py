@@ -1803,3 +1803,133 @@ def l_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "vec_id", "label", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# ------------------------------------------------- MMR diversification
+MMR_POOL = 20  # bounded relevance shortlist re-ranked by MMR
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+_MMR_PAIR_SIM = r6_sql(cosine_sql("a.v", "b.v"))
+
+
+@register(
+    "l_mmr_diversify",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label, round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim
+        FROM e, p WHERE e.vec_id <> 0
+    ),
+    pool AS (
+        SELECT vec_id, label, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    poolv AS (SELECT e.vec_id, e.v FROM e JOIN pool USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b, {_MMR_PAIR_SIM} AS sim
+        FROM poolv a, poolv b WHERE a.vec_id <> b.vec_id
+    ),
+    sel AS (
+        (SELECT 1 AS step, vec_id, label, cos_sim,
+                {MMR_LAMBDA} * cos_sim AS mmr_score, [vec_id] AS picked
+         FROM pool ORDER BY cos_sim DESC, vec_id LIMIT 1)
+      UNION ALL
+        (SELECT s.step + 1, c.vec_id, c.label, c.cos_sim,
+                {MMR_LAMBDA} * c.cos_sim - {round(1 - MMR_LAMBDA, 6)} * (
+                    SELECT max(p2.sim) FROM pairs p2
+                    WHERE p2.a = c.vec_id AND list_contains(s.picked, p2.b)
+                ),
+                list_append(s.picked, c.vec_id)
+         FROM sel s, pool c
+         WHERE s.step < {MMR_K} AND NOT list_contains(s.picked, c.vec_id)
+         ORDER BY 5 DESC, c.vec_id LIMIT 1)
+    )
+    SELECT CAST(step AS BIGINT) AS step, vec_id, label, cos_sim,
+           {r6_sql("mmr_score")} AS mmr_score
+    FROM sel
+    """,
+)
+def l_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank
+    the top-{MMR_POOL} relevance shortlist into {MMR_K} picks that
+    trade relevance against redundancy — pick_i = argmax over remaining
+    of ``lambda*sim(q,d) - (1-lambda)*max sim(d, picked)`` — the
+    diversified-retrieval / RAG-context-selection standard.
+
+    Scale shape: the ONLY corpus-sized work is the relevance scan
+    (broadcast probe, TakeOrderedAndProject shortlist); the greedy is
+    ONE applyInPandas call over the {MMR_POOL}-row pool — a bounded
+    single-group shuffle of 20 rows.  (The first cut composed the
+    {MMR_K} argmax steps lazily as broadcast joins: correct, but ~20
+    stages of pure scheduling overhead — 6.2s at sf0.1 vs the scan's
+    0.5s.  A greedy over a BOUNDED set belongs in one kernel; what must
+    stay distributed is only the shortlist funnel feeding it.)
+    Pairwise cosines inside the kernel use the same sequential
+    per-dimension fold as the oracle's list_sum (``_seq_dot``) and the
+    engine-wide r6 floor rounding, so greedy decisions compare
+    bit-identical 6-dp inputs in both engines, vec_id breaking ties —
+    the recursive-CTE oracle picks the same rows in the same order.
+
+    Cites reference scope: the reference ships no retrieval ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    import numpy as np
+    import pandas as pd
+
+    from bristle_spark.functions.vectors import _seq_dot
+
+    scored = _scored_vs_probe(spark, sf_dir)
+    pool = (
+        scored.select("vec_id", "label", "cos_sim", "v")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(MMR_POOL)
+    )
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -pdf["cos_sim"].to_numpy()))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["cos_sim"].to_numpy()
+        norms = np.sqrt(_seq_dot(V, V))
+        A = np.repeat(V, n, axis=0)
+        B = np.tile(V, (n, 1))
+        sims = _r6(
+            (_seq_dot(A, B) / (np.repeat(norms, n) * np.tile(norms, n))).reshape(
+                n, n
+            )
+        )
+        k = min(MMR_K, n)
+        picked: list[int] = [0]  # row 0 is argmax(rel) after the sort
+        out = [(1, ids[0], pdf["label"].iloc[0], rel[0], MMR_LAMBDA * rel[0])]
+        lam2 = round(1 - MMR_LAMBDA, 6)
+        for step in range(2, k + 1):
+            best = None
+            for i in range(n):
+                if i in picked:
+                    continue
+                pen = max(sims[i, j] for j in picked)
+                score = MMR_LAMBDA * rel[i] - lam2 * pen
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, i, score = best
+            picked.append(i)
+            out.append((step, ids[i], pdf["label"].iloc[i], rel[i], score))
+        res = pd.DataFrame(
+            out, columns=["step", "vec_id", "label", "cos_sim", "mmr_score"]
+        )
+        res["mmr_score"] = _r6(res["mmr_score"].to_numpy())
+        return res
+
+    return pool.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        greedy,
+        schema="step bigint, vec_id bigint, label bigint, "
+        "cos_sim double, mmr_score double",
+    )

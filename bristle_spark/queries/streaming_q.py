@@ -954,3 +954,96 @@ def s_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], schema="event_id bigint, event_type string, value double, z double"
         )
     return spark.read.parquet(out_dir).orderBy("event_id")
+
+
+CDC_DELETE_TYPE = "error"  # events of this type are CDC delete markers
+
+
+@register(
+    "s_stream_cdc",
+    oracle=f"""
+    SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+    """,
+)
+def s_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with deletes: the event stream is read as a change
+    feed keyed on user_id — '{CDC_DELETE_TYPE}' rows are DELETE
+    markers, everything else an UPSERT — and each micro-batch MERGEs
+    into a generation-swapped sink.  Unlike s_stream_upsert (pure
+    latest-row-wins), deletes write TOMBSTONES that persist across
+    generations: a tombstone carries the delete's (ts, event_id), so a
+    late-arriving older update can never resurrect a deleted key —
+    the is_deleted-column ReplacingMergeTree / Delta-CDF apply
+    semantics, decided per key by one (ts, event_id) window over
+    union(previous generation, batch).
+
+    The final state filters tombstones out; the batch-replay oracle is
+    the same argmax — last change per key wins, keys whose last change
+    is a delete are absent.
+
+    Scale shape: per batch, one window over |live keys + batch| rows
+    partitioned by key; generations are atomic directory swaps, and at
+    100 TB the rewrite narrows to the key partitions a batch touches.
+    Tombstones are GC'd in production by a retention horizon; kept
+    forever here so the gate is deterministic."""
+    work = _workdir(sf_dir, "cdc")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+    gen_root = os.path.join(work, f"gen_{os.getpid()}")
+    if os.path.exists(gen_root):
+        shutil.rmtree(gen_root)
+    os.makedirs(gen_root)
+
+    from pyspark.sql.window import Window as W
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        gens = sorted(int(d.split("_")[1]) for d in os.listdir(gen_root))
+        current = batch.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("event_type") == CDC_DELETE_TYPE).cast("int").alias("is_deleted"),
+        )
+        if gens:
+            prev = spark.read.parquet(os.path.join(gen_root, f"g_{gens[-1]}"))
+            current = prev.unionByName(current)
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            current.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(gen_root, f"g_{batch_id}")
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("append").foreachBatch(merge), ckpt
+        )
+
+    gens = sorted(int(d.split("_")[1]) for d in os.listdir(gen_root))
+    if not gens:
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string, value double",
+        )
+    sink = spark.read.parquet(os.path.join(gen_root, f"g_{gens[-1]}"))
+    return (
+        sink.filter(F.col("is_deleted") == 0)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )

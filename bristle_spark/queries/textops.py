@@ -1316,3 +1316,79 @@ def l_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_rep.cast("int").alias("ok_repetition"),
         (ok_wc & ok_mwl & ok_stop & ok_sym & ok_rep).cast("int").alias("keep"),
     )
+
+
+# -------------------------------------------------- score calibration
+CALIB_BINS = 10  # fixed-width score bins (value-based, row-local)
+CALIB_POS_LANG = "en"  # pseudo-label: is the doc tagged English
+
+
+@register(
+    "l_score_calibration",
+    oracle=f"""
+    WITH q AS ({{q}})
+    SELECT CAST(least(floor(q.quality * {CALIB_BINS}), {CALIB_BINS - 1}) AS BIGINT)
+               AS bin,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           {r6_sql("avg(q.quality)")}                          AS mean_score,
+           {r6_sql(f"avg(CASE WHEN d.lang = '{CALIB_POS_LANG}' THEN 1.0 ELSE 0.0 END)")}
+               AS frac_positive,
+           {r6_sql(f"abs(avg(q.quality) - avg(CASE WHEN d.lang = '{CALIB_POS_LANG}' THEN 1.0 ELSE 0.0 END))")}
+               AS abs_gap
+    FROM q JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def l_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration table for the heuristic quality score
+    against a deterministic pseudo-label (lang = '{CALIB_POS_LANG}'):
+    fixed-width score bins with per-bin mean score, positive fraction
+    and |gap| — the reliability-diagram / ECE input every
+    quality-classifier retraining loop inspects.  (The pseudo-label is
+    synthetic; the gate is that both engines compute the identical
+    calibration table, the same contract as l_lang_id.)
+
+    Scale shape: binning is VALUE-based (``floor(score * {CALIB_BINS})``,
+    row-local) — not ntile, which would need a global single-partition
+    window; the whole query is the quality-score plan plus one
+    broadcast-joined metadata lookup and one {CALIB_BINS}-group
+    map-side-combinable aggregation.  The oracle composes
+    l_quality_score's REGISTERED SQL verbatim, so the signal can never
+    drift from its calibration.
+
+    Cites reference scope: the reference ships no scoring ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    q = l_quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    y = F.when(F.col("lang") == CALIB_POS_LANG, 1.0).otherwise(0.0)
+    joined = q.join(d, "doc_id")
+    return (
+        joined.groupBy(
+            F.least(
+                F.floor(F.col("quality") * CALIB_BINS), F.lit(CALIB_BINS - 1)
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            r6(F.avg("quality")).alias("mean_score"),
+            r6(F.avg(y)).alias("frac_positive"),
+            r6(F.abs(F.avg("quality") - F.avg(y))).alias("abs_gap"),
+        )
+    )
+
+
+def _install_calibration_oracle() -> None:
+    """Substitute l_quality_score's registered oracle into the
+    calibration template (same pattern as l_lang_id_eval)."""
+    from bristle_spark import registry
+
+    spec = registry._REGISTRY["l_score_calibration"]
+    filled = spec.oracle.format(q=registry._REGISTRY["l_quality_score"].oracle)
+    registry._REGISTRY["l_score_calibration"] = registry.QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=filled, group=spec.group, doc=spec.doc
+    )
+
+
+_install_calibration_oracle()

@@ -95,22 +95,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_anomaly",
     "m_scene_cut",
     "l_hard_negatives",
+    "l_bm25",
+    "r_islands",
+    "r_interval_coverage",
+    "l_gopher_rules",
+    "r_hll_merge",
+    "l_mmr_diversify",
+    "s_stream_cdc",
+    "l_kneser_ney",
+    "r_scd2",
+    "l_score_calibration",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
-    "t_array_ops",
     "r_filter_predicates",
     "r_hash_agg",
-    "r_join_inner",
-    "r_join_outer",
-    "r_sort_limit_topk",
-    "r_rollup",
-    "r_tumbling_window",
     "l_dedup_exact",
-    "l_similarity_cosine",
-    "s_microbatch_flush",
-    "s_drop_policies",
     "s_late_data",
-    "s_proto_roundtrip",
 )
 
 

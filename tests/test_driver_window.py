@@ -45,18 +45,23 @@ NEW_R8_KEYS = {
     "s_stream_anomaly",      # broadcast-baseline streaming z-score gate
     "m_scene_cut",           # L1 frame-diff shot-boundary detection
     "l_hard_negatives",      # contrastive hard-negative mining band
+    "l_bm25",                # Okapi BM25 top-k retrieval
+    "r_islands",             # gaps-and-islands consecutive-day streaks
+    "r_interval_coverage",   # overlapping-interval coverage merge
+    "l_gopher_rules",        # hard per-rule quality gates
+    "r_hll_merge",           # partial HLL sketch union (contract oracle)
+    "l_mmr_diversify",       # greedy MMR re-ranking of the top-20 pool
+    "s_stream_cdc",          # CDC apply with tombstoned deletes
+    "l_kneser_ney",          # interpolated KN bigram LM (KenLM smoothing)
+    "r_scd2",                # SCD type-2 validity-interval history build
+    "l_score_calibration",   # reliability-diagram bins for quality score
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
-    "t_array_ops",
     "r_filter_predicates", "r_hash_agg",
-    "r_join_inner", "r_join_outer",
-    "r_sort_limit_topk", "r_rollup",
-    "r_tumbling_window",
-    "l_dedup_exact", "l_similarity_cosine",
-    "s_microbatch_flush", "s_drop_policies",
-    "s_late_data", "s_proto_roundtrip",
+    "l_dedup_exact",
+    "s_late_data",
 }
 
 
@@ -97,6 +102,10 @@ def test_beyond_window_queries_still_registered():
     """Rotated-out queries stay registered (just past the driver window)."""
     specs = list(registry.all_specs())
     for key in ("t_bool_to_int", "t_enum_codes", "t_null_default",
+                "r_join_outer", "r_sort_limit_topk", "r_rollup",
+                "r_tumbling_window", "s_microbatch_flush",
+                "s_drop_policies", "s_proto_roundtrip",
+                "t_array_ops", "r_join_inner", "l_similarity_cosine",
                 "t_project_rename", "t_cast_int_widths", "t_timestamp_epoch",
                 "t_json_props_extract", "t_map_to_arrays",
                 "l_dedup_minhash", "l_dedup_simhash", "l_ann_lsh",
