@@ -213,6 +213,9 @@ HEADLINE = [
     "l_kneser_ney",
     "r_scd2",
     "l_score_calibration",
+    "r_skew_salted_join",
+    "l_oov_rate",
+    "l_lang_confusion",
 ]
 
 

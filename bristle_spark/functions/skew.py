@@ -69,9 +69,15 @@ def salted_join(
     buckets: int = 16,
 ) -> DataFrame:
     """Skew-safe equi join: salt the large side, replicate the small
-    side across all salt values, join on (key, salt)."""
+    side across all salt values, join on (key, salt).
+
+    The salt MUST be row-level (hash of the whole row), not a hash of
+    the join key: a hot key hashes to ONE salt value and would still
+    land on a single reducer, defeating the replication entirely (r8
+    fix — the original keyed salt preserved results but provided zero
+    skew relief)."""
     salted_large = large.withColumn(
-        "_salt", F.pmod(F.xxhash64(large_key), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*large.columns), F.lit(buckets))
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

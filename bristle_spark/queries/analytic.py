@@ -1828,3 +1828,49 @@ def r_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+# ------------------------------------------------- salted skew join
+SALT_JOIN_BUCKETS = 8
+
+
+@register(
+    "r_skew_salted_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT)                              AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def r_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi join: the fact side carries a row-level
+    salt, the dimension side is replicated across all
+    {SALT_JOIN_BUCKETS} salt values, and the join key becomes
+    (key, salt) — the explicit lever for a hot key that AQE's skew
+    split cannot always save (e.g. a single key holding >spill-size
+    rows inside one task).  Results must be IDENTICAL to the plain
+    join, which is exactly what the oracle states.
+
+    Scale shape: the cost is |dim| x buckets replicated rows against
+    an even spread of the hot key over {SALT_JOIN_BUCKETS} reducers;
+    the revenue rollup is map-side combinable on top.  The salt is a
+    deterministic hash of the whole fact row — NOT of the join key
+    (same-key rows must scatter; and retries/speculative tasks must
+    salt identically, so no rand())."""
+    from bristle_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, p, F.col("l_partkey"), F.col("p_partkey"), buckets=SALT_JOIN_BUCKETS
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -1392,3 +1392,134 @@ def _install_calibration_oracle() -> None:
 
 
 _install_calibration_oracle()
+
+
+# ------------------------------------------------------ OOV coverage
+VOCAB_TOP_N = 1000  # tokenizer vocabulary: the N most frequent words
+
+
+@register(
+    "l_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    vocab AS (
+        SELECT tk FROM (
+            SELECT tk, row_number() OVER (ORDER BY c DESC, tk) AS rn FROM freq
+        ) WHERE rn <= {VOCAB_TOP_N}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           {r6_sql("CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+               AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
+    GROUP BY t.doc_id
+    """,
+)
+def l_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-{VOCAB_TOP_N}
+    corpus vocabulary by word frequency (count-then-word tiebreak, so
+    the vocab is deterministic) and score every document's
+    out-of-vocabulary token fraction — the fertility/coverage check
+    run before fixing a tokenizer vocabulary, and the standard proxy
+    for how much of a corpus a fixed vocab will shred into rare-piece
+    sequences.
+
+    Scale shape: one (token) frequency aggregation — map-side
+    combinable — funnels through TakeOrderedAndProject to
+    {VOCAB_TOP_N} rows, which then BROADCAST to the membership join
+    (never a shuffle of the token stream against the vocab); the
+    per-doc rollup is the second and last corpus-sized aggregation.
+    At 100 TB the vocab table is fixed and tiny; only the two
+    aggregations touch the corpus.
+
+    Cites reference scope: the reference ships no text ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.orderBy(F.col("c").desc(), "tk")
+        .limit(VOCAB_TOP_N)
+        .select("tk", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            r6(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------- lang confusion
+@register(
+    "l_lang_confusion",
+    oracle="""
+    WITH pred AS ({pred}),
+    tot AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+        FROM pred GROUP BY lang
+    )
+    SELECT p.lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           {frac} AS frac_of_true
+    FROM pred p JOIN tot USING (lang)
+    GROUP BY p.lang, p.pred_lang, tot.n_true
+    """,
+)
+def l_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the char-trigram language classifier
+    against the tagged lang: per (true, predicted) cell counts and the
+    row-normalized fraction — the diagnostic behind l_lang_id_eval's
+    single accuracy number (which cells leak into which is what
+    actually drives threshold tuning).
+
+    Scale shape: the classifier keeps its own audited plan; the
+    confusion rollup is one |langs|^2-group map-side-combinable
+    aggregation plus a broadcast join of the |langs|-row true-count
+    frame.  The oracle composes l_char_ngram_lang_id's REGISTERED SQL
+    verbatim, so matrix and classifier can never drift.
+
+    Cites reference scope: the reference ships no text ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    pred = l_char_ngram_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    tot = pred.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        pred.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "pred_lang", "n_true")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            r6(F.col("n").cast("double") / F.col("n_true")).alias("frac_of_true"),
+        )
+    )
+
+
+def _install_lang_confusion_oracle() -> None:
+    from bristle_spark import registry
+
+    spec = registry._REGISTRY["l_lang_confusion"]
+    filled = spec.oracle.replace(
+        "{pred}", registry._REGISTRY["l_char_ngram_lang_id"].oracle
+    ).replace("{frac}", r6_sql("CAST(count(*) AS DOUBLE) / tot.n_true"))
+    registry._REGISTRY["l_lang_confusion"] = registry.QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=filled, group=spec.group, doc=spec.doc
+    )
+
+
+_install_lang_confusion_oracle()

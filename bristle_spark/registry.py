@@ -105,12 +105,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_kneser_ney",
     "r_scd2",
     "l_score_calibration",
+    "r_skew_salted_join",
+    "l_oov_rate",
+    "l_lang_confusion",
     # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
     # --- one-for-one as round-8 additions land) ---
-    "r_filter_predicates",
     "r_hash_agg",
-    "l_dedup_exact",
-    "s_late_data",
 )
 
 

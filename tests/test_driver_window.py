@@ -55,13 +55,14 @@ NEW_R8_KEYS = {
     "l_kneser_ney",          # interpolated KN bigram LM (KenLM smoothing)
     "r_scd2",                # SCD type-2 validity-interval history build
     "l_score_calibration",   # reliability-diagram bins for quality score
+    "r_skew_salted_join",    # row-level-salt skew join (post-fix)
+    "l_oov_rate",            # top-N vocab coverage / OOV fraction
+    "l_lang_confusion",      # classifier confusion matrix (composed SQL)
 }
 
 # multiply-confirmed SURVEY §2.D ballast filling the remaining slots
 BALLAST_KEYS = {
-    "r_filter_predicates", "r_hash_agg",
-    "l_dedup_exact",
-    "s_late_data",
+    "r_hash_agg",
 }
 
 
@@ -106,6 +107,7 @@ def test_beyond_window_queries_still_registered():
                 "r_tumbling_window", "s_microbatch_flush",
                 "s_drop_policies", "s_proto_roundtrip",
                 "t_array_ops", "r_join_inner", "l_similarity_cosine",
+                "r_filter_predicates", "l_dedup_exact", "s_late_data",
                 "t_project_rename", "t_cast_int_widths", "t_timestamp_epoch",
                 "t_json_props_extract", "t_map_to_arrays",
                 "l_dedup_minhash", "l_dedup_simhash", "l_ann_lsh",

@@ -58,6 +58,21 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The whole point of the salt: a single hot join key must scatter
+    across (nearly) all salt buckets. The original implementation
+    hashed the KEY for the salt — constant per key, zero skew relief
+    (r8 fix); this pins the row-level salt."""
+    from pyspark.sql import functions as F2
+
+    hot = spark.range(10_000).select(
+        F2.lit(42).alias("k"), F2.col("id").alias("payload")
+    )
+    salted = hot.withColumn("_salt", F2.pmod(F2.xxhash64(*hot.columns), F2.lit(8)))
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets >= 7  # 10k rows over 8 buckets: all (or near-all) hit
+
+
 def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     from bristle_spark.functions.skew import salted_agg
 
