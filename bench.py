@@ -216,6 +216,12 @@ HEADLINE = [
     "r_skew_salted_join",
     "l_oov_rate",
     "l_lang_confusion",
+    # round-8 third batch: distributed statistical analytics
+    "r_mode_per_group",
+    "r_weighted_median",
+    "r_pareto_share",
+    "r_market_basket",
+    "r_cusum_changepoint",
 ]
 
 

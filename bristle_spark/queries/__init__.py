@@ -9,6 +9,7 @@ from importlib import import_module
 _MODULES = (
     "relational",
     "analytic",
+    "stats_q",
     "transcode_q",
     "llm",
     "dedup",

@@ -1,0 +1,419 @@
+"""Group R round-8 additions — distributed statistical analytics:
+exact mode per group, weighted median, Pareto (80/20) concentration,
+market-basket co-occurrence with lift, and CUSUM change-point scan.
+
+These are the ClickHouse-analytics staples the reference's downstream
+warehouse serves (`SURVEY.md` §2.C: the reference delegates ALL
+relational compute to ClickHouse — `clickhouse_table_writer.go:115-149`
+lands rows and every query below runs on the landed tables).
+
+Cross-engine determinism notes (the recurring oracle-parity trap is
+float summation order): every cumulative / boundary comparison here is
+INTEGER-exact — quantities are integral (cast to BIGINT), prices are
+2-dp (cast to cents via half-up `rN`), and the CUSUM statistic is
+multiplied through by the day count so no ratio is ever materialized.
+Ratios appear only in final reported columns, rounded with `r6`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.rounding import r6, r6_sql
+from bristle_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# r_mode_per_group
+
+
+@register(
+    "r_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_event_type, n
+    FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY count(*) DESC, event_type
+               ) AS rk
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rk = 1
+    """,
+)
+def r_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group, ties broken by the
+    smallest value — the one 'top-1 per key' statistic no sketch can
+    approximate away when the contract is exactness.
+
+    Scale shape: two map-side-combined aggregations and NO per-key
+    window. The (user, type) counts reduce to the per-user argmax via
+    ``min(struct(-n, event_type))`` — struct ordering gives 'highest
+    count, then lexicographically smallest type' in one partial-aggregable
+    ``min`` (Spark compiles struct-min to a SortAggregate whose sort is
+    by the grouping key over the already-compressed counts frame — NOT a
+    window sort of raw events, which would spill on hot users at
+    100 TB). The second shuffle moves one struct per (user, type) group.
+    The oracle states the same semantics as the obvious window query;
+    the engine picks the plan that survives scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    best = counts.groupBy("user_id").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("et"))
+        ).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.et").alias("mode_event_type"),
+        (-F.col("m.neg_n")).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_weighted_median
+
+
+@register(
+    "r_weighted_median",
+    oracle="""
+    WITH wp AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+        SELECT l_returnflag, price, w,
+               sum(w) OVER (
+                   PARTITION BY l_returnflag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM wp
+    )
+    SELECT l_returnflag, min(price) AS weighted_median
+    FROM cum
+    WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def r_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: smallest price whose cumulative quantity-weight
+    reaches half the group total (quantity-weighted median unit price
+    per return flag).
+
+    Determinism: weights are integral quantities summed as BIGINT, so
+    the half-total boundary test ``2*cw >= tot`` is integer-exact in
+    both engines — no float-summation-order hazard at the median
+    boundary. Scale shape: prices are pre-aggregated per (flag, price)
+    BEFORE the window (the cumsum runs over the compressed distribution,
+    not the raw rows), and the per-flag window partition is bounded by
+    the distinct-price count, not the corpus. The final min() per flag
+    is a map-side-combined aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wp = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = wp.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_pareto_share
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "r_pareto_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               CAST(sum({_CENTS}) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               sum(cents) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents,
+               sum(cents) OVER (PARTITION BY c_mktsegment) AS tot_cents,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+        FROM rev
+    )
+    SELECT c_mktsegment,
+           CAST(max(n_customers) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE 5 * (cum_cents - cents) < 4 * tot_cents)
+                AS BIGINT) AS n_top80,
+           {r6_sql('CAST(count(*) FILTER (WHERE 5 * (cum_cents - cents) < 4 * tot_cents) AS DOUBLE) / max(n_customers)')}
+               AS top80_frac
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def r_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: per market segment, how many
+    customers (ranked by revenue) it takes to cover 80 % of segment
+    revenue, and what fraction of the customer base that is.
+
+    A customer is 'inside the top-80 set' iff the revenue accumulated
+    BEFORE them is still short of 80 % (``5*(cum - own) < 4*tot``), so
+    the set is the minimal prefix that reaches 80 %. All arithmetic is
+    BIGINT cents (prices are 2-dp; half-up via the shared ``rN``
+    identity), so the prefix boundary cannot flip on float order.
+
+    Scale shape: revenue pre-aggregates per (segment, customer) with
+    map-side combine; the ranking window partitions by segment (bounded
+    per-segment customer counts — never a global window, per
+    `tests/test_no_global_windows.py`); the final rollup is one more
+    combinable aggregation on the already-small ranked frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("tot_cents"),
+        F.count(F.lit(1)).over(w_all).alias("n_customers"),
+    )
+    in_top80 = 5 * (F.col("cum_cents") - F.col("cents")) < 4 * F.col("tot_cents")
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.count_if(in_top80).cast("bigint").alias("n_top80"),
+        r6(
+            F.count_if(in_top80).cast("double") / F.max("n_customers")
+        ).alias("top80_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_market_basket
+
+BASKET_TOP = 50
+
+
+@register(
+    "r_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey, count(*) AS n_item FROM items GROUP BY l_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_pair
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_pair,
+           {r6_sql('CAST(n_pair AS DOUBLE) / n_orders')} AS support,
+           {r6_sql('CAST(n_pair AS DOUBLE) * n_orders / (fa.n_item * fb.n_item)')}
+               AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY n_pair DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def r_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top pairs of parts bought in the
+    same order, with support and lift — the association-rule primer
+    (frequent-itemset k=2) every retail warehouse runs.
+
+    Scale shape: the self-join is keyed on l_orderkey, so pair
+    generation is LOCAL per order and bounded by basket size squared —
+    never all-pairs over the catalog. Item frequencies and the order
+    count are |parts|-row / 1-row frames broadcast to the pair counts
+    (the part dimension is bounded; pairs are the corpus-sized side and
+    are never re-shuffled for the enrichment). The top-K funnel is a
+    TakeOrderedAndProject, with (part_a, part_b) tie-breaks so the cut
+    is deterministic. Ratios round via the shared half-up `r6`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(freq.withColumnRenamed("n_item", "n_a")),
+            F.col("part_a") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(
+                freq.withColumnRenamed("n_item", "n_b").withColumnRenamed(
+                    "l_partkey", "pk_b"
+                )
+            ),
+            F.col("part_b") == F.col("pk_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            r6(F.col("n_pair").cast("double") / F.col("n_orders")).alias("support"),
+            r6(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_cusum_changepoint
+
+
+@register(
+    "r_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scanned AS (
+        SELECT event_type, day,
+               sum(x) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               sum(x) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+           CAST(abs(n_days * prefix - t * total) AS BIGINT) AS cusum_score
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n_days * prefix - t * total) DESC, day
+               ) AS rk
+        FROM scanned
+    )
+    WHERE rk = 1
+    """,
+)
+def r_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan: per event type, the day where the
+    cumulative deviation of the daily count from the type's mean peaks —
+    the classic level-shift detector over a landed event table.
+
+    Integer-exact statistic: CUSUM_t = prefix_t − t·mean would be a
+    float; multiplying through by the day count gives
+    ``|n_days·prefix_t − t·total|`` which is pure BIGINT, so the argmax
+    (ties → earliest day) cannot flip on float rounding in either
+    engine.
+
+    Scale shape: the corpus-sized shuffle is the per-(type, day) count
+    with map-side combine; every window after that runs on the
+    |types|×|days| frame, partitioned by type (bounded rows per
+    partition — the day axis, never raw events).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    scanned = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w_cum).alias("prefix"),
+        F.row_number().over(w_seq).alias("t"),
+        F.sum("x").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    score = F.abs(
+        F.col("n_days") * F.col("prefix") - F.col("t") * F.col("total")
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(score), F.asc("day")
+    )
+    return (
+        scanned.withColumn("cusum_score", score.cast("bigint"))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            "cusum_score",
+        )
+    )

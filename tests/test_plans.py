@@ -443,3 +443,58 @@ def test_hard_negatives_broadcast_probes(spark, sf_dir):
     assert not plans.has_node(df, "SortMergeJoin")
     assert not plans.has_node(df, "CartesianProduct")
     assert plans.node_count(df, "Window") == 1
+
+
+def test_mode_per_group_avoids_window_sort(spark, sf_dir):
+    """r_mode_per_group's engine plan is the min(struct) argmax — two
+    map-side-combined aggregations, never a per-key window sort (which
+    would spill on hot users at 100 TB)."""
+    df = SPECS["r_mode_per_group"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "Window")
+    assert plans.exchange_count(df) == 2
+    # counts: hash partial+final; argmax: struct-min SortAggregate
+    # partial+final (its Sort is by grouping key over the compressed
+    # counts frame, not a per-key window sort of raw events)
+    assert plans.node_count(df, "HashAggregate") >= 2
+    assert plans.node_count(df, "SortAggregate") >= 2
+
+
+def test_weighted_median_windows_compressed_distribution(spark, sf_dir):
+    """The cumulative-weight window must run over the per-(flag, price)
+    aggregate, not raw lineitem — pin the aggregation-before-window
+    order and the bounded exchange count (the final per-flag groupBy
+    rides the window's partitioning)."""
+    df = SPECS["r_weighted_median"].fn(spark, sf_dir)
+    # pre-aggregation (partial+final) exists, bounded exchanges, and
+    # every window is partitioned (enforced repo-wide too)
+    assert plans.node_count(df, "HashAggregate") >= 2
+    assert plans.has_node(df, "Window")
+    assert plans.exchange_count(df) <= 3
+    assert plans.unpartitioned_windows(df) == []
+
+
+def test_pareto_share_broadcasts_customer_dim(spark, sf_dir):
+    df = SPECS["r_pareto_share"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastHashJoin")
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert plans.unpartitioned_windows(df) == []
+
+
+def test_market_basket_broadcasts_marginals_and_funnels_topk(spark, sf_dir):
+    """Pair generation is keyed on l_orderkey (corpus-sized, shuffled —
+    correct); the |parts|-row frequency table and 1-row order count are
+    broadcast so the pair frame is never re-shuffled for enrichment;
+    the top-K cut is a TakeOrderedAndProject."""
+    df = SPECS["r_market_basket"].fn(spark, sf_dir)
+    assert plans.node_count(df, "BroadcastHashJoin") >= 2
+    assert plans.has_node(df, "BroadcastNestedLoopJoin")  # 1-row order count
+    assert plans.has_node(df, "TakeOrderedAndProject")
+
+
+def test_cusum_windows_post_aggregate(spark, sf_dir):
+    """The corpus-sized shuffle is the (type, day) count with map-side
+    combine; every window runs on the |types|x|days| frame after it."""
+    df = SPECS["r_cusum_changepoint"].fn(spark, sf_dir)
+    assert plans.node_count(df, "HashAggregate") >= 2
+    assert plans.has_node(df, "Window")
+    assert plans.unpartitioned_windows(df) == []
