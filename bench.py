@@ -222,6 +222,8 @@ HEADLINE = [
     "r_pareto_share",
     "r_market_basket",
     "r_cusum_changepoint",
+    "l_edit_distance_dedup",
+    "l_vocab_growth",
 ]
 
 

@@ -1699,3 +1699,121 @@ def l_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+# --- Heaps-law vocabulary growth ------------------------------------------
+
+HEAPS_DECILES = 10
+
+
+@register(
+    "l_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    d AS (
+        SELECT greatest(1, (doc_id * {HEAPS_DECILES} + m - 1) // m) AS bkt,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents CROSS JOIN mx
+    ),
+    nb AS (SELECT bkt, CAST(sum(n_tok) AS BIGINT) AS ntok FROM d GROUP BY bkt),
+    tf AS (
+        SELECT t, min(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ),
+    vb AS (
+        SELECT greatest(1, (fd * {HEAPS_DECILES} + m - 1) // m) AS bkt,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM tf CROSS JOIN mx GROUP BY 1
+    ),
+    grid AS (SELECT CAST(k AS BIGINT) AS decile FROM range(1, {HEAPS_DECILES + 1}) t(k)),
+    cum AS (
+        SELECT g.decile,
+               CAST((SELECT coalesce(sum(ntok), 0) FROM nb WHERE bkt <= g.decile) AS BIGINT) AS n_tokens,
+               CAST((SELECT coalesce(sum(nv), 0) FROM vb WHERE bkt <= g.decile) AS BIGINT) AS vocab
+        FROM grid g
+    ),
+    pts AS (
+        SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+        FROM cum WHERE n_tokens > 0 AND vocab > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT decile, n_tokens, vocab,
+           {r6_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS heaps_beta
+    FROM cum CROSS JOIN s
+    ORDER BY decile
+    """,
+)
+def l_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count V(N) at
+    each corpus decile (corpus order = doc_id order) plus the fitted
+    Heaps exponent beta from ln V ~ beta * ln N — the companion audit to
+    l_zipf_slope (natural corpora grow vocab at beta ~ 0.4-0.6; template
+    spam flattens the curve, boilerplate-free crawls steepen it).
+
+    Scale shape: each document's decile bucket is a row-local INTEGER
+    formula (ceil via (id*10+m-1) div m — never float division, so the
+    bucket boundary cannot flip between engines); token first-occurrence
+    is ONE vocab-sized min-aggregation; after that everything operates
+    on the <= {HEAPS_DECILES}-row bucket frames: the cumulative ladder
+    is a broadcast triangular join (grid x buckets), NOT a window — no
+    unpartitioned WindowExec, no corpus-sized replication. The fit
+    reuses l_zipf_slope's explicit normal-equation arithmetic with
+    identical operand order in both engines, rounded half-up to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    bkt = F.greatest(
+        F.lit(1), F.expr(f"(doc_id * {HEAPS_DECILES} + m - 1) div m")
+    )
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).crossJoin(F.broadcast(mx))
+    nb = d.select(bkt.alias("bkt"), "n_tok").groupBy("bkt").agg(
+        F.sum("n_tok").cast("bigint").alias("ntok")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(mx))
+    )
+    vb = tf.select(bkt.alias("bkt")).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    grid = spark.range(1, HEAPS_DECILES + 1).select(
+        F.col("id").cast("bigint").alias("decile")
+    )
+    cum = (
+        grid.join(F.broadcast(nb), nb.bkt <= grid.decile, "left")
+        .groupBy("decile")
+        .agg(F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("n_tokens"))
+        .join(
+            grid.join(F.broadcast(vb), vb.bkt <= grid.decile, "left")
+            .groupBy("decile")
+            .agg(F.coalesce(F.sum("nv"), F.lit(0)).cast("bigint").alias("vocab")),
+            "decile",
+        )
+    )
+    pts = cum.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    beta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return (
+        cum.crossJoin(F.broadcast(s.select(r6(beta).alias("heaps_beta"))))
+        .select("decile", "n_tokens", "vocab", "heaps_beta")
+        .orderBy("decile")
+    )

@@ -922,3 +922,84 @@ def l_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --- blocked edit-distance (fuzzy) dedup -----------------------------------
+
+EDIT_PFX = 16  # blocking prefix length (equi-join key)
+EDIT_LEN_BAND = 8  # max |len(a) - len(b)| inside a block
+EDIT_CMP = 128  # chars compared by the verifier
+EDIT_MAX = 24  # max edit distance to call a pair near-dup
+
+
+@register(
+    "l_edit_distance_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, {EDIT_CMP}) AS head, n_chars,
+               substr(text, 1, {EDIT_PFX}) AS pfx
+        FROM documents
+        WHERE n_chars >= {EDIT_PFX * 2}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_BAND}
+    WHERE levenshtein(a.head, b.head) <= {EDIT_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def l_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup detection with prefix blocking:
+    candidate pairs share the first {EDIT_PFX} characters and differ by
+    at most {EDIT_LEN_BAND} chars in length; the verifier is Levenshtein
+    over the first {EDIT_CMP} chars, kept at distance <= {EDIT_MAX}.
+    The blocking contract is declared, not hidden: a near-dup whose
+    edits touch the blocking prefix is out of recall scope (production
+    pipelines union several blocking passes — this is one pass).
+
+    Scale shape: only (doc_id, 16-char prefix, {EDIT_CMP}-char head,
+    length) ever shuffles — never full documents. The self-join is an
+    equi-join on the prefix with the length band as a residual filter,
+    so pair generation is block-local; the O(len^2) Levenshtein runs on
+    the bounded {EDIT_CMP}-char heads only. Caveat named for 100 TB: a
+    boilerplate-heavy corpus makes hot prefix blocks — the mitigation
+    is a longer/hashed prefix or a pre-filter on block size, both
+    rate-tunable on this same plan.
+
+    Reference parity: the reference has no fuzzy dedup (it is an ingest
+    pipe — `ingest_service.go`); this is pipeline surface the Spark
+    engine adds, validated purely against the DuckDB oracle.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= EDIT_PFX * 2)
+        .select(
+            "doc_id",
+            F.substring("text", 1, EDIT_CMP).alias("head"),
+            "n_chars",
+            F.substring("text", 1, EDIT_PFX).alias("pfx"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= EDIT_LEN_BAND
+            ),
+        )
+        .filter(dist <= EDIT_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -498,3 +498,27 @@ def test_cusum_windows_post_aggregate(spark, sf_dir):
     assert plans.node_count(df, "HashAggregate") >= 2
     assert plans.has_node(df, "Window")
     assert plans.unpartitioned_windows(df) == []
+
+
+def test_edit_distance_dedup_shuffles_heads_only(spark, sf_dir):
+    """Only (doc_id, prefix, 128-char head, length) may reach the
+    self-join — never the full text column."""
+    df = SPECS["l_edit_distance_dedup"].fn(spark, sf_dir)
+    schemas = plans.read_schemas(df)
+    assert schemas and all("text" in s for s in schemas)  # scan reads text...
+    s = plans.plan_string(df)
+    # ...but every exchange ships the projected head/pfx, not text
+    assert "Exchange" in s
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+def test_vocab_growth_ladder_is_broadcast_triangular(spark, sf_dir):
+    """The cumulative decile ladder must be a broadcast nested-loop join
+    over the <=10-row bucket frames — never an unpartitioned window and
+    never a corpus-sized replication."""
+    df = SPECS["l_vocab_growth"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastNestedLoopJoin")
+    assert not plans.has_node(df, "Window")
+    assert plans.unpartitioned_windows(df) == []
