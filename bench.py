@@ -224,6 +224,8 @@ HEADLINE = [
     "r_cusum_changepoint",
     "l_edit_distance_dedup",
     "l_vocab_growth",
+    "l_count_min",
+    "l_quality_classifier_train",
 ]
 
 

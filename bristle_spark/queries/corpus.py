@@ -1817,3 +1817,214 @@ def l_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("decile", "n_tokens", "vocab", "heaps_beta")
         .orderBy("decile")
     )
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOP = 20  # probed heavy hitters
+CMS_SLACK = 8  # bound multiplier on the expected N/W overcount
+
+
+@register(
+    "l_count_min",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM exact),
+    cms AS (
+        SELECT r.i AS i,
+               {hash60_sql("r.i || ':' || tok.t")} % {CMS_W} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM tok CROSS JOIN range({CMS_D}) r(i)
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT t, n FROM exact ORDER BY n DESC, t LIMIT {CMS_TOP}),
+    est AS (
+        SELECT p.t, min(c.c) AS est
+        FROM probes p CROSS JOIN range({CMS_D}) r(i)
+        JOIN cms c
+          ON c.i = r.i
+         AND c.bucket = {hash60_sql("r.i || ':' || p.t")} % {CMS_W}
+        GROUP BY p.t
+    )
+    SELECT p.t AS token, p.n AS exact_n, e.est AS cms_est,
+           CAST(CASE WHEN e.est - p.n <= {CMS_SLACK} * ((total + {CMS_W - 1}) // {CMS_W})
+                THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM probes p JOIN est e ON p.t = e.t CROSS JOIN nn
+    ORDER BY exact_n DESC, token
+    """,
+)
+def l_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch: a {CMS_D}x{CMS_W} counter matrix over the token
+    stream, probed at the top-{CMS_TOP} exact heavy hitters — the
+    mergeable frequency sketch (companion to r_hll_merge's mergeable
+    distinct sketch) a pipeline persists per shard and merges by cell
+    addition, answering any-token frequency without a vocab-sized state.
+
+    Unlike the HLL CONTRACT gate, the estimates here hash-match
+    bit-for-bit: every counter is an integer count under the shared
+    md5 hash family (hash60(i || ':' || token) % {CMS_W}), so the
+    DuckDB oracle rebuilds the identical sketch. ``within_bound``
+    additionally asserts the classic CMS guarantee shape
+    (overcount <= {CMS_SLACK}x the expected N/W collision mass).
+
+    Scale shape: the build is ONE shuffle of (row, bucket) partial
+    counts — map-side combine caps each task's contribution at
+    {CMS_D}x{CMS_W} cells regardless of input size, the defining CMS
+    property; the probe side broadcast-joins the {CMS_D * CMS_W}-row
+    sketch. The exact branch exists only for the probe set + gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = exact.agg(F.sum("n").cast("bigint").alias("total"))
+
+    def bucket(i: int, col: F.Column) -> F.Column:
+        return hash60(F.concat(F.lit(str(i)), F.lit(":"), col)) % CMS_W
+
+    buckets = F.array(*[bucket(i, F.col("t")) for i in range(CMS_D)])
+    cms = (
+        tok.select(F.posexplode(buckets).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probes = exact.orderBy(F.desc("n"), "t").limit(CMS_TOP)
+    probe_cells = probes.select(
+        "t", "n", F.posexplode(buckets).alias("i", "bucket")
+    )
+    est = (
+        cms.join(F.broadcast(probe_cells), ["i", "bucket"])
+        .groupBy("t", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    # floor(x / CMS_W) in double is exact ONLY because CMS_W is a power
+    # of two (exponent shift); the oracle's integer // relies on that
+    bound = CMS_SLACK * F.floor(
+        (F.col("total") + F.lit(CMS_W - 1)) / F.lit(CMS_W)
+    ).cast("bigint")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").alias("exact_n"),
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("n") <= bound).cast("int").alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+# --- quality-classifier training (distributed logistic regression) ---------
+
+LOGREG_ITERS = 6  # fixed full-batch GD rounds -> deterministic trajectory
+LOGREG_LR = 1.0
+LOGREG_DIM = 5  # [bias, n_words/50, ttr, avg_word_len/5, stop_frac*10]
+
+
+@register("l_quality_classifier_train", oracle=None)
+def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill an expensive quality gate into a cheap linear model:
+    full-batch logistic regression trained to mimic a box-rule
+    pseudo-label (40 <= n_words <= 80 AND type-token-ratio >= 0.5 — a
+    conjunction of ranges, deliberately NOT linearly separable), the
+    CCNet/LLaMA-style 'train a fast classifier on rule-labeled docs,
+    then gate the crawl with the classifier' pipeline step.
+
+    Spark-first iteration (the l_ivf_train_kmeans shape): features and
+    labels are computed ONCE row-locally and localCheckpoint'd; weights
+    live in a {LOGREG_DIM}-row (pos, w) frame, collapsed to a 1-row
+    broadcast array each round; the gradient is a posexplode +
+    per-dimension map-side-combined sum — the shuffle output per round
+    is {LOGREG_DIM} rows regardless of corpus size; localCheckpoint
+    truncates lineage per round. {LOGREG_ITERS} fixed rounds, lr
+    {LOGREG_LR}, zero init. Rows-only (iterative sigmoid floats have no
+    SQL oracle); pinned to a numpy reference in tests/test_logreg.py.
+    Output: one row per weight plus the training accuracy and class
+    balance of the final model (~10% positives on the fixture corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nw = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / nw
+    awl = (
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / nw
+    )
+    stopf = (
+        F.size(F.filter(toks, lambda w: w.isin("the", "a"))) / nw
+    )
+    y = (
+        (F.size(toks).between(40, 80)) & (ttr >= 0.5)
+    ).cast("double")
+    feats = docs.select(
+        y.alias("y"),
+        F.array(
+            F.lit(1.0), nw / 50.0, ttr, awl / 5.0, stopf * 10.0
+        ).alias("x"),
+    ).localCheckpoint()
+    n_docs = feats.count()  # action on the checkpointed frame; reused below
+
+    w_frame = spark.range(LOGREG_DIM).select(
+        F.col("id").cast("int").alias("pos"), F.lit(0.0).alias("w")
+    ).localCheckpoint()
+
+    def w_array(wf: DataFrame) -> DataFrame:
+        return wf.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda p: p["w"],
+            ).alias("warr")
+        )
+
+    for _ in range(LOGREG_ITERS):
+        z = F.aggregate(
+            F.zip_with("x", "warr", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        grad = (
+            feats.crossJoin(F.broadcast(w_array(w_frame)))
+            .select(F.posexplode(F.transform("x", lambda xi: err * xi)).alias("pos", "g"))
+            .groupBy("pos")
+            .agg((F.sum("g") / n_docs).alias("g"))
+        )
+        w_frame = (
+            w_frame.join(grad, "pos", "left")
+            .select(
+                "pos",
+                (F.col("w") - LOGREG_LR * F.coalesce("g", F.lit(0.0))).alias("w"),
+            )
+            .localCheckpoint()
+        )
+
+    z = F.aggregate(
+        F.zip_with("x", "warr", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    metrics = (
+        feats.crossJoin(F.broadcast(w_array(w_frame)))
+        .agg(
+            F.avg(((z >= 0).cast("double") == F.col("y")).cast("double")).alias("acc"),
+            F.avg("y").alias("pos_rate"),
+        )
+    )
+    return (
+        w_frame.crossJoin(F.broadcast(metrics))
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
+            F.round("w", 6).alias("weight"),
+            F.round("acc", 6).alias("train_acc"),
+            F.round("pos_rate", 6).alias("pos_rate"),
+        )
+        .orderBy("pos")
+    )
