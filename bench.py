@@ -226,6 +226,8 @@ HEADLINE = [
     "l_vocab_growth",
     "l_count_min",
     "l_quality_classifier_train",
+    "l_pagerank",
+    "l_uncertainty_sample",
 ]
 
 

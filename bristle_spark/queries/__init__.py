@@ -16,6 +16,7 @@ _MODULES = (
     "textops",
     "corpus",
     "similarity",
+    "graph",
     "streaming_q",
     "multimodal_q",
 )

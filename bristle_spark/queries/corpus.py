@@ -2028,3 +2028,82 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# --- uncertainty sampling (active learning) ---------------------------------
+
+# a plausible trained model over the l_quality_classifier_train feature
+# map, pinned as literals so the scoring pass is fully oracle-checkable
+UNC_W = (-3.0, 1.2, 2.5, 0.4, -0.8)
+UNC_TOP = 20
+
+_UNC_FEATS_SQL = """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE) AS sl,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns
+        FROM documents
+"""
+
+
+@register(
+    "l_uncertainty_sample",
+    oracle=f"""
+    WITH f AS ({_UNC_FEATS_SQL}),
+    scored AS (
+        SELECT doc_id,
+               {UNC_W[0]} + {UNC_W[1]} * (nw / 50.0) + {UNC_W[2]} * (nd / nw)
+                 + {UNC_W[3]} * ((sl / nw) / 5.0) + {UNC_W[4]} * ((ns / nw) * 10.0)
+                 AS z
+        FROM f
+    )
+    SELECT doc_id,
+           {r6_sql("z")} AS score,
+           {r6_sql("abs(z)")} AS uncertainty
+    FROM scored
+    ORDER BY {r6_sql("abs(z)")}, doc_id
+    LIMIT {UNC_TOP}
+    """,
+)
+def l_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning uncertainty sampling: score every document with a
+    pinned linear quality model (the l_quality_classifier_train feature
+    map) and pick the {UNC_TOP} docs the model is LEAST sure about — the
+    batch a pipeline sends for human/LLM labeling to improve the gate
+    where it is weakest. Margin |z| orders identically to
+    |sigma(z) - 0.5| (sigmoid is monotone), so no transcendental is ever
+    evaluated — exp() is not bit-portable across engines, |z| is.
+
+    Determinism: features reduce to integer counts; z is a fixed-order
+    multiply-add chain of literals evaluated identically in both
+    engines; the sort key is the 6-dp half-up-rounded margin with
+    doc_id tiebreak. Scale shape: scoring is row-local (one scan, no
+    shuffle); the cut is a TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nw = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    sl = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    ns = F.size(F.filter(toks, lambda w: w.isin("the", "a"))).cast("double")
+    z = (
+        F.lit(UNC_W[0])
+        + F.lit(UNC_W[1]) * (nw / 50.0)
+        + F.lit(UNC_W[2]) * (nd / nw)
+        + F.lit(UNC_W[3]) * ((sl / nw) / 5.0)
+        + F.lit(UNC_W[4]) * ((ns / nw) * 10.0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            r6(z).alias("score"),
+            r6(F.abs(z)).alias("uncertainty"),
+        )
+        .orderBy("uncertainty", "doc_id")
+        .limit(UNC_TOP)
+    )

@@ -522,3 +522,20 @@ def test_vocab_growth_ladder_is_broadcast_triangular(spark, sf_dir):
     assert plans.has_node(df, "BroadcastNestedLoopJoin")
     assert not plans.has_node(df, "Window")
     assert plans.unpartitioned_windows(df) == []
+
+
+def test_pagerank_edges_are_id_keyed(spark, sf_dir):
+    """The edge build and every per-round shuffle must key on shingle
+    hash / doc ids — no cartesian, no nested-loop except the 1-row
+    dangling-mass broadcast."""
+    from bristle_spark.queries.graph import doc_graph_edges
+
+    df = doc_graph_edges(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_uncertainty_sample_is_scan_plus_takeordered(spark, sf_dir):
+    df = SPECS["l_uncertainty_sample"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+    assert plans.exchange_count(df) == 0  # row-local scoring, no shuffle
