@@ -228,6 +228,7 @@ HEADLINE = [
     "l_quality_classifier_train",
     "l_pagerank",
     "l_uncertainty_sample",
+    "r_sliding_distinct",
 ]
 
 

@@ -417,3 +417,70 @@ def r_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r_sliding_distinct
+
+SLIDE_DAYS = 7
+
+
+@register(
+    "r_sliding_distinct",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT CASE WHEN d.day = g.day THEN d.user_id END)
+                AS BIGINT) AS n_users_1d,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
+    FROM grid g
+    JOIN du d ON d.day BETWEEN g.day - {SLIDE_DAYS - 1} AND g.day
+    GROUP BY g.day
+    ORDER BY day
+    """,
+)
+def r_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {SLIDE_DAYS}-day distinct active users per day (the
+    rolling-DAU/WAU dashboard staple). Distinct-over-sliding-windows
+    cannot ride a window function (distinct does not decompose), so the
+    scale-correct plan materializes the (day, user) DISTINCT pairs ONCE
+    (the corpus-sized shuffle, map-side combined), then EXPLODES each
+    pair to the {SLIDE_DAYS} window-end days it contributes to — an
+    equi-keyed aggregation on (target_day, user), never a range join of
+    raw events and never a per-day rescan. The {SLIDE_DAYS}x replication
+    happens on the already-compressed day-user frame, bounded by
+    |days| x |users|. The oracle states the same semantics as the
+    obvious BETWEEN range join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    grid = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), SLIDE_DAYS - 1))
+        ).alias("tday"),
+        "day",
+        "user_id",
+    ).join(F.broadcast(grid.withColumnRenamed("day", "tday")), "tday")
+    return (
+        contrib.groupBy("tday")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("tday"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_users_1d"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users_7d"),
+        )
+        .select(
+            F.date_format("tday", "yyyy-MM-dd").alias("day"),
+            "n_users_1d",
+            "n_users_7d",
+        )
+        .orderBy("day")
+    )

@@ -1047,3 +1047,124 @@ def s_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------ streaming Count-Min merge
+STREAM_CMS_TOP = 10
+
+
+def _cms_partials(df: DataFrame) -> DataFrame:
+    """Per-batch Count-Min partials over user_id: (i, bucket, c) cells."""
+    from bristle_spark.functions.hashing import hash60
+    from bristle_spark.queries.corpus import CMS_D, CMS_W
+
+    k = F.col("user_id").cast("string")
+    buckets = F.array(
+        *[
+            hash60(F.concat(F.lit(str(i)), F.lit(":"), k)) % CMS_W
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from bristle_spark.functions.hashing import hash60_sql
+    from bristle_spark.queries.corpus import CMS_D, CMS_W
+
+    return f"""
+    WITH exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    cms AS (
+        SELECT r.i AS i,
+               {hash60_sql("r.i || ':' || CAST(e.user_id AS VARCHAR)")} % {CMS_W} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events e CROSS JOIN range({CMS_D}) r(i)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT user_id, n FROM exact ORDER BY n DESC, user_id LIMIT {STREAM_CMS_TOP}
+    ),
+    est AS (
+        SELECT p.user_id, min(c.c) AS est
+        FROM probes p CROSS JOIN range({CMS_D}) r(i)
+        JOIN cms c
+          ON c.i = r.i
+         AND c.bucket = {hash60_sql("r.i || ':' || CAST(p.user_id AS VARCHAR)")} % {CMS_W}
+        GROUP BY p.user_id
+    )
+    SELECT p.user_id, p.n AS exact_n, e.est AS cms_est
+    FROM probes p JOIN est e USING (user_id)
+    ORDER BY exact_n DESC, user_id
+    """
+
+
+@register("s_stream_count_min", oracle=_stream_cms_oracle())
+def s_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Count-Min sketch: each micro-batch lands
+    its own d x w partial cell counts, and the served sketch is the
+    CELL-WISE SUM of all landed partials — the defining mergeability of
+    CMS (merge(partials) == sketch(union)), which is why a pipeline can
+    sketch per shard / per micro-batch and never rescan. Because the
+    merge is exact integer addition under the same md5 hash family, the
+    streamed sketch equals the batch-built sketch BIT-FOR-BIT, so this
+    is oracle-backed (DuckDB rebuilds the batch sketch and probes the
+    same top-{STREAM_CMS_TOP} heavy users), not a rows-only check —
+    the streaming analog of l_count_min exactly as s_stream_rollup is
+    the streaming analog of r_incremental_rollup.
+
+    Scale shape: the per-batch partial is map-side-combined to at most
+    d x w cells per task regardless of batch size; the stateless
+    foreachBatch sink keeps no state store; the merge aggregates
+    |batches| x d x w cells, never raw events."""
+    work = _workdir(sf_dir, "cms")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = os.path.join(work, f"partials_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _cms_partials(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    from bristle_spark.functions.hashing import hash60
+    from bristle_spark.queries.corpus import CMS_D, CMS_W
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    probes = exact.orderBy(F.desc("exact_n"), "user_id").limit(STREAM_CMS_TOP)
+    k = F.col("user_id").cast("string")
+    buckets = F.array(
+        *[
+            hash60(F.concat(F.lit(str(i)), F.lit(":"), k)) % CMS_W
+            for i in range(CMS_D)
+        ]
+    )
+    probe_cells = probes.select(
+        "user_id", "exact_n", F.posexplode(buckets).alias("i", "bucket")
+    )
+    return (
+        merged.join(F.broadcast(probe_cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .orderBy(F.desc("exact_n"), "user_id")
+    )

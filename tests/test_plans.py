@@ -539,3 +539,13 @@ def test_uncertainty_sample_is_scan_plus_takeordered(spark, sf_dir):
     df = SPECS["l_uncertainty_sample"].fn(spark, sf_dir)
     assert plans.has_node(df, "TakeOrderedAndProject")
     assert plans.exchange_count(df) == 0  # row-local scoring, no shuffle
+
+
+def test_sliding_distinct_is_equi_keyed(spark, sf_dir):
+    """The 7-day window must come from exploding the compressed
+    (day, user) pairs to their window-end days — an equi-join/equi-agg
+    plan, never a range nested-loop over raw events."""
+    df = SPECS["r_sliding_distinct"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "CartesianProduct")
+    assert plans.has_node(df, "Generate")  # the explode
+    assert plans.unpartitioned_windows(df) == []
