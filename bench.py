@@ -229,6 +229,9 @@ HEADLINE = [
     "l_pagerank",
     "l_uncertainty_sample",
     "r_sliding_distinct",
+    "m_patchify",
+    "l_cluster_size_histogram",
+    "l_poisson_bootstrap",
 ]
 
 

@@ -1971,6 +1971,13 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).localCheckpoint()
     n_docs = feats.count()  # action on the checkpointed frame; reused below
+    if n_docs == 0:  # empty corpus: report the zero-init weights
+        return spark.range(LOGREG_DIM).select(
+            (F.col("id") + 1).cast("bigint").alias("pos"),
+            F.lit(0.0).alias("weight"),
+            F.lit(None).cast("double").alias("train_acc"),
+            F.lit(None).cast("double").alias("pos_rate"),
+        )
 
     w_frame = spark.range(LOGREG_DIM).select(
         F.col("id").cast("int").alias("pos"), F.lit(0.0).alias("w")
@@ -2106,4 +2113,98 @@ def l_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("uncertainty", "doc_id")
         .limit(UNC_TOP)
+    )
+
+
+# --- one-pass Poisson bootstrap ---------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+BOOT_SCALE = 1 << 40  # uniform resolution (dyadic -> exact in double)
+# Poisson(1) CDF at k = 0..6, scaled to 2^40 and truncated to ints —
+# the SAME literals drive both engines, so replica weights are pure
+# integer comparisons (no transcendental is evaluated at query time)
+BOOT_CDF = (
+    404487723187,
+    808975446375,
+    1011219307969,
+    1078633928500,
+    1095487583633,
+    1098858314660,
+    1099420103164,
+)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE {len(BOOT_CDF)} END)"
+
+
+@register(
+    "l_poisson_bootstrap",
+    oracle=f"""
+    WITH rep AS (
+        SELECT d.doc_id, d.n_chars, r.b,
+               {hash60_sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)")}
+                   % {BOOT_SCALE} AS u
+        FROM documents d CROSS JOIN range({BOOT_B}) r(b)
+    )
+    SELECT CAST(b AS BIGINT) AS replica,
+           CAST(sum({_boot_weight_sql("u")}) AS BIGINT) AS n_eff,
+           {r6_sql(f"CAST(sum({_boot_weight_sql('u')} * n_chars) AS DOUBLE) / sum({_boot_weight_sql('u')})")}
+               AS boot_mean_chars
+    FROM rep
+    GROUP BY b
+    ORDER BY replica
+    """,
+)
+def l_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap: {BOOT_B} resampled replicas of the
+    corpus mean-document-length statistic in a SINGLE scan — each (doc,
+    replica) draws a Poisson(1) weight, the large-N limit of multinomial
+    resampling, so no replica ever materializes and the spread of the
+    replica means IS the statistic's sampling uncertainty. This is how
+    error bars are put on corpus stats at 100 TB, where B full rescans
+    are unthinkable.
+
+    Determinism: the weight is an integer CASE over
+    hash60(doc_id:replica) mod 2^{{40}} against pre-scaled integer
+    Poisson CDF literals — no float, no exp(), both engines compare the
+    same integers. The replica sums are BIGINT-exact; only the final
+    mean divides (rounded half-up 6 dp). Scale shape: the {BOOT_B}x
+    explode is map-local and the groupBy(replica) map-side combine caps
+    each task's shuffle output at {BOOT_B} rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % BOOT_SCALE,
+    )
+    w = F.lit(len(BOOT_CDF))
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < BOOT_CDF[k], F.lit(k)).otherwise(w)
+    return (
+        rep.select("b", "n_chars", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            r6(
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w")
+            ).alias("boot_mean_chars"),
+        )
+        .select(F.col("b").cast("bigint").alias("replica"), "n_eff", "boot_mean_chars")
+        .orderBy("replica")
     )

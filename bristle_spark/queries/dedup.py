@@ -1003,3 +1003,66 @@ def l_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- duplicate-cluster size distribution ------------------------------------
+
+
+@register(
+    "l_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM nodes
+        UNION
+        SELECT e.dst AS doc, r.root
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    clusters AS (
+        SELECT doc, min(root) AS cluster_id FROM reach GROUP BY doc
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def l_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup components
+    of each size the corpus carries and how many documents they absorb —
+    the first chart a dedup audit draws (a fat tail of large clusters
+    means template spam; all-pairs-of-2 means benign near-misses).
+
+    Composes the SAME iterative min-label propagation as
+    l_dedup_clusters (O(component diameter) rounds, localCheckpoint'd),
+    then two map-side-combined aggregations over the |docs-in-dups|-row
+    label frame — the histogram costs nothing beyond the propagation.
+    The oracle composes the registered recursive-CTE transitive closure
+    verbatim and rolls it up the same way."""
+    labels = l_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -89,6 +89,12 @@ def l_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("deg", F.lit(0)).alias("deg")
     ).persist()
     n_docs = verts.count()  # also materializes verts/edges for the loop
+    if n_docs == 0:  # empty corpus: no vertices, nothing to iterate
+        return verts.select(
+            "doc_id",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.lit(0.0).alias("pagerank"),
+        )
 
     pr = verts.select("doc_id", "deg", F.lit(1.0 / n_docs).alias("pr"))
     for _ in range(PAGERANK_ITERS):

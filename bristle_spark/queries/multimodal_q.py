@@ -446,3 +446,46 @@ def m_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
     return multimodal.scene_cuts(payloads).orderBy("doc_id")
+
+
+_PATCHIFY_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    p AS (
+        SELECT doc_id, r.k AS patch_id,
+               list_transform(range(0, 16),
+                   j -> bytes[((r.k // 4) * 4 + j // 4) * 16
+                              + (r.k % 4) * 4 + (j % 4) + 1]) AS pb
+        FROM f CROSS JOIN range(0, 16) r(k)
+    )
+    SELECT doc_id, CAST(patch_id AS INT) AS patch_id,
+           array_to_string(list_transform(pb, b -> printf('%02x', b)), '')
+               AS patch_hex,
+           list_sum(pb) / 16.0 AS patch_mean
+    FROM p
+    ORDER BY doc_id, patch_id
+"""
+
+
+@register("m_patchify", oracle=_PATCHIFY_ORACLE)
+def m_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch tokenization: every 16x16 fake image splits into 16
+    non-overlapping 4x4 patches, one row per patch (row-major ids) with
+    the flattened patch bytes and the patch mean — the image->patch-
+    sequence step in front of a vision-transformer embedding stage.
+
+    Oracle-backed: patches emitted as lowercase hex; DuckDB re-derives
+    every patch byte from the hex-side payload construction, verifying
+    the numpy reshape/transpose kernel byte-for-byte. patch_mean is
+    sum/16 — a power-of-two division, exact in IEEE double on both
+    sides. Scale shape: one partition-local mapInPandas pass (zero-copy
+    tensor views, no per-pixel Python), no shuffle — the patch stream
+    inherits the scan's partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(d)
+    patches = multimodal.patchify(payloads, patch=4)
+    return patches.select(
+        "doc_id",
+        "patch_id",
+        F.lower(F.hex("patch")).alias("patch_hex"),
+        "patch_mean",
+    ).orderBy("doc_id", "patch_id")

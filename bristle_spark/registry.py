@@ -108,9 +108,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_skew_salted_join",
     "l_oov_rate",
     "l_lang_confusion",
-    # --- SURVEY §2.D ballast (multiply-confirmed; swapped out
-    # --- one-for-one as round-8 additions land) ---
-    "r_hash_agg",
+    # --- round-8 second-wave addition (took the ballast slot per the
+    # --- swap-one-for-one note; r_hash_agg is multiply-confirmed in
+    # --- r01–r07 and keeps local parity coverage). The other 12
+    # --- second-wave keys (r_weighted_median, r_pareto_share,
+    # --- r_market_basket, r_cusum_changepoint, l_edit_distance_dedup,
+    # --- l_vocab_growth, l_count_min, l_quality_classifier_train,
+    # --- l_pagerank, l_uncertainty_sample, r_sliding_distinct,
+    # --- s_stream_count_min) queue for the ROUND-9 window. ---
+    "r_mode_per_group",
 )
 
 

@@ -60,9 +60,11 @@ NEW_R8_KEYS = {
     "l_lang_confusion",      # classifier confusion matrix (composed SQL)
 }
 
-# multiply-confirmed SURVEY §2.D ballast filling the remaining slots
+# the round-8 second wave took the single ballast slot (r_hash_agg is
+# multiply-confirmed across r01-r07 and keeps local parity coverage);
+# the remaining second-wave keys queue for the round-9 window
 BALLAST_KEYS = {
-    "r_hash_agg",
+    "r_mode_per_group",
 }
 
 
