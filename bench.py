@@ -232,6 +232,8 @@ HEADLINE = [
     "m_patchify",
     "l_cluster_size_histogram",
     "l_poisson_bootstrap",
+    "r_bitmap_distinct",
+    "l_pca_project",
 ]
 
 

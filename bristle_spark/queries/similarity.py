@@ -1933,3 +1933,111 @@ def l_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="step bigint, vec_id bigint, label bigint, "
         "cos_sim double, mmr_score double",
     )
+
+
+# ------------------------------------------------- 2-component PCA map
+
+
+def _deflated_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by power iteration on the DEFLATED
+    matrix (every vector's v1-component removed before the mat-vec) —
+    memoized like _top_direction, 1-row frame with column ``v2``."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir + "#pc2")
+    hit = _POWER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = _embeddings(spark, sf_dir)
+    v1 = _top_direction(spark, sf_dir)
+    dim = 64
+    # deterministic init orthogonal-ish to the uniform vector: alternate
+    # signs so the start never collapses onto v1's init
+    init = [((-1.0) ** i) / dim**0.5 for i in range(dim)]
+    w = spark.range(1).select(
+        F.array(*[F.lit(x) for x in init]).alias("w")
+    ).localCheckpoint()
+    for _ in range(POWER_ITERS):
+        p1 = F.aggregate(
+            F.zip_with("emb", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # residual r = x - (x.v1) v1, computed row-locally
+        r = F.zip_with("emb", "v", lambda a, b: a - p1 * b)
+        pw = F.aggregate(
+            F.zip_with(r, F.col("w"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = (
+            e.select(F.col("v").alias("emb"))
+            .crossJoin(F.broadcast(v1))
+            .crossJoin(F.broadcast(w))
+            .select(F.posexplode(F.transform(r, lambda x: x * pw)).alias("pos", "c"))
+            .groupBy("pos")
+            .agg(F.sum("c").alias("s"))
+        )
+        packed = contrib.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        ).select(F.transform("ps", lambda p: p["s"]).alias("w0"))
+        norm = F.sqrt(
+            F.aggregate("w0", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        w = packed.select(
+            F.transform("w0", lambda x: x / norm).alias("w")
+        ).localCheckpoint()
+    w = w.select(F.col("w").alias("v2"))
+    _POWER_CACHE[key] = w
+    return w
+
+
+@register("l_pca_project", oracle=None)
+def l_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA projection of the embedding corpus: every vector's
+    coordinates along the top principal direction and the second
+    (deflation) direction — the corpus-visualization / drift-monitoring
+    map every embedding pipeline plots, and the first two steps of PCA
+    whitening. Components are sign-canonicalized (first nonzero
+    coordinate positive) so the map is unique.
+
+    Spark-first: v1 reuses the memoized _top_direction run
+    (l_embedding_top_component / l_abtt_residual share it); v2 runs the
+    SAME broadcast-direction power iteration on the row-locally deflated
+    vectors (residual r = x - (x.v1) v1 computed inside the scan - the
+    deflated matrix is never materialized). The projection pass is one
+    scan with two 1-row broadcasts and zero shuffles. Rows-only
+    (iterative); pinned to a numpy deflated-power reference in
+    tests/test_pca_project.py."""
+    e = _embeddings(spark, sf_dir)
+    v1 = _top_direction(spark, sf_dir)
+    v2 = _deflated_direction(spark, sf_dir)
+
+    # sign canonicalization factors (first nonzero coordinate positive)
+    def sign_of(col: str) -> F.Column:
+        first_nz = F.element_at(F.filter(F.col(col), lambda x: x != 0.0), 1)
+        return F.when(first_nz < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+
+    p1 = F.aggregate(
+        F.zip_with("emb", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # pc2 is the RESIDUAL's coordinate along v2 (the orthogonalized
+    # basis), not raw x.v2 — matches the deflated reference definition
+    resid = F.zip_with("emb", "v", lambda a, b: a - p1 * b)
+    p2 = F.aggregate(
+        F.zip_with(resid, F.col("v2"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", "label", F.col("v").alias("emb"))
+        .crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(v2))
+        .select(
+            "vec_id",
+            "label",
+            F.round(p1 * sign_of("v"), 6).alias("pc1"),
+            F.round(p2 * sign_of("v2"), 6).alias("pc2"),
+        )
+    )

@@ -484,3 +484,91 @@ def r_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_bitmap_distinct
+
+BITMAP_WORD_BITS = 32  # bits per bitmap word (avoids the sign bit entirely)
+
+
+@register(
+    "r_bitmap_distinct",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               user_id // {BITMAP_WORD_BITS} AS w,
+               bit_or(1::BIGINT << CAST(user_id % {BITMAP_WORD_BITS} AS INT)) AS bm
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, w, bit_or(bm) AS bm,
+               count(*) AS n_partials
+        FROM daily GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(sum(bit_count(bm)) AS BIGINT) AS n_users_bitmap,
+               CAST(sum(n_partials) AS BIGINT) AS n_partials
+        FROM merged GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_users_bitmap, x.n_partials, e.n_users_exact,
+           CAST(x.n_users_bitmap = e.n_users_exact AS INT) AS bitmap_ok
+    FROM exact e JOIN est x USING (event_type)
+    """,
+)
+def r_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via integer bitmaps (the
+    ClickHouse groupBitmap / roaring-bitmap pattern, r_hll_merge's
+    exact sibling): per (type, day) the user space packs into
+    {BITMAP_WORD_BITS}-bit words with bit_or — partials a pipeline
+    persists at ingest — and any date range answers distinct-users by
+    OR-merging word partials and summing popcounts. Unlike HLL this is
+    exact, so the gate column asserts EQUALITY with count(distinct),
+    not a contract band.
+
+    Determinism: pure integer bit arithmetic; {BITMAP_WORD_BITS}-bit
+    words never touch the sign bit, so Spark/DuckDB shift semantics
+    cannot diverge. Scale shape: the daily build is one
+    map-side-combined shuffle of (type, day, word) words (bit_or
+    combines map-side — constant bytes per group per task); the merge
+    shuffles |types| x |days| x |words| BIGINTs, never rows. Dense user
+    spaces cost |users|/{BITMAP_WORD_BITS} words per group — the
+    roaring-style chunking lever (drop empty words) is exactly what the
+    word grouping provides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # F.shiftleft only takes a literal bit count; the SQL form shifts by
+    # a per-row column
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") / BITMAP_WORD_BITS).cast("bigint").alias("w"),
+    ).agg(F.bit_or(bit).alias("bm"))
+    merged = daily.groupBy("event_type", "w").agg(
+        F.bit_or("bm").alias("bm"), F.count(F.lit(1)).alias("n_partials")
+    )
+    est = merged.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_users_bitmap"),
+        F.sum("n_partials").cast("bigint").alias("n_partials"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_partials",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact"))
+        .cast("int")
+        .alias("bitmap_ok"),
+    )

@@ -1168,3 +1168,198 @@ def s_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+# ------------------------------------------------ streaming Bloom merge
+SBLOOM_M = 4096  # filter bits (64 words)
+SBLOOM_SEEDS = (1, 2)
+SBLOOM_ABSENT = 100  # synthetic absent probes for the FP measurement
+
+
+def _sbloom_word_partials(df: DataFrame) -> DataFrame:
+    """Per-batch Bloom word partials over user_id (md5 hash family so
+    the oracle can rebuild the identical filter)."""
+    from bristle_spark.functions.hashing import hash60
+
+    pos = F.explode(
+        F.array(
+            *[
+                hash60(
+                    F.concat(
+                        F.lit(str(sd)),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % SBLOOM_M
+                for sd in SBLOOM_SEEDS
+            ]
+        )
+    ).alias("p")
+    return (
+        df.select(pos)
+        .select(
+            # 32-bit words: DuckDB rejects 1::BIGINT << 63 (signed
+            # overflow), so the word layout must never touch bit 63
+            (F.col("p") / 32).cast("bigint").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+
+
+def _sbloom_oracle() -> str:
+    from bristle_spark.functions.hashing import hash60_sql
+
+    def pos_sql(seed: int, ucol: str) -> str:
+        key = f"'{seed}:' || CAST({ucol} AS VARCHAR)"
+        return f"({hash60_sql(key)} % {SBLOOM_M})"
+
+    seed_union = " UNION ALL ".join(
+        f"SELECT user_id, {pos_sql(sd, 'user_id')} AS p FROM users"
+        for sd in SBLOOM_SEEDS
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT uid, {pos_sql(sd, 'uid')} AS p, present FROM probes"
+        for sd in SBLOOM_SEEDS
+    )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    mx AS (SELECT max(user_id) AS mu FROM events),
+    pos AS ({seed_union}),
+    words AS (
+        SELECT p // 32 AS w,
+               bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bm
+        FROM pos GROUP BY 1
+    ),
+    probes AS (
+        SELECT user_id AS uid, 1 AS present FROM users
+        UNION ALL
+        SELECT mu + r.k AS uid, 0 AS present
+        FROM mx CROSS JOIN range(1, {SBLOOM_ABSENT + 1}) r(k)
+    ),
+    ppos AS ({probe_union}),
+    checked AS (
+        SELECT uid, present,
+               bool_and(coalesce(words.bm & (1::BIGINT << CAST(p % 32 AS INT)), 0) <> 0)
+                   AS contained
+        FROM ppos LEFT JOIN words ON words.w = p // 32
+        GROUP BY uid, present
+    )
+    SELECT CAST(count(*) FILTER (WHERE present = 1) AS BIGINT) AS n_users,
+           (SELECT CAST(sum(bit_count(bm)) AS BIGINT) FROM words) AS n_set_bits,
+           CAST(count(*) FILTER (WHERE present = 1 AND NOT contained) AS BIGINT)
+               AS n_missing_present,
+           CAST(count(*) FILTER (WHERE present = 0 AND contained) AS BIGINT)
+               AS n_false_positives
+    FROM checked
+    """
+
+
+@register("s_stream_bloom_merge", oracle=_sbloom_oracle())
+def s_stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-built Bloom membership filter: each micro-batch
+    lands its own word partials (bit_or of the k={len(SBLOOM_SEEDS)}
+    hash positions of every user in the batch) and the served filter is
+    the word-wise OR of all partials. OR is idempotent and commutative,
+    so the streamed filter equals the batch-built filter BIT-FOR-BIT
+    regardless of batching — like s_stream_count_min this makes the
+    query oracle-backed: DuckDB rebuilds the same md5-positioned filter
+    and probes it identically. The gate asserts the Bloom contract:
+    ZERO false negatives over every present user (n_missing_present =
+    0), and the measured false-positive count over {SBLOOM_ABSENT}
+    synthetic absent ids — the at-scale pre-join pruning filter
+    (r_bloom_prune) built incrementally at ingest instead of by a batch
+    pass.
+
+    Scale shape: per-batch partials are map-side-combined to at most
+    m/32 = {SBLOOM_M // 32} words per task regardless of batch size
+    (32-bit words keep the sign bit untouched in both engines);
+    the sink is stateless foreachBatch; the merge aggregates
+    |batches| x m/64 words; probing broadcasts the {SBLOOM_M // 64}-row
+    word table."""
+    work = _workdir(sf_dir, "sbloom")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = os.path.join(work, f"partials_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _sbloom_word_partials(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    from bristle_spark.functions.hashing import hash60
+
+    words = (
+        spark.read.parquet(out_dir).groupBy("w").agg(F.bit_or("bm").alias("bm"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    mx = ev.agg(F.max("user_id").alias("mu"))
+    absent = (
+        spark.range(1, SBLOOM_ABSENT + 1)
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("mu") + F.col("id")).alias("uid"), F.lit(0).alias("present"))
+    )
+    probes = users.select(
+        F.col("user_id").alias("uid"), F.lit(1).alias("present")
+    ).union(absent)
+    ppos = probes.select(
+        "uid",
+        "present",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash60(
+                            F.concat(
+                                F.lit(str(sd)),
+                                F.lit(":"),
+                                F.col("uid").cast("string"),
+                            )
+                        )
+                        % SBLOOM_M
+                    )
+                    for sd in SBLOOM_SEEDS
+                ]
+            )
+        ).alias("p"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+    checked = (
+        ppos.withColumn("pw", (F.col("p") / 32).cast("bigint"))
+        .join(F.broadcast(words), F.col("pw") == F.col("w"), "left")
+        .select(
+            "uid",
+            "present",
+            (F.coalesce(F.col("bm").bitwiseAND(mask), F.lit(0)) != 0).alias("hit"),
+        )
+        .groupBy("uid", "present")
+        .agg(F.min(F.col("hit").cast("int")).alias("contained"))
+    )
+    n_set_bits = words.agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_set_bits")
+    )
+    return (
+        checked.agg(
+            F.count_if(F.col("present") == 1).cast("bigint").alias("n_users"),
+            F.count_if((F.col("present") == 1) & (F.col("contained") == 0))
+            .cast("bigint")
+            .alias("n_missing_present"),
+            F.count_if((F.col("present") == 0) & (F.col("contained") == 1))
+            .cast("bigint")
+            .alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(n_set_bits))
+        .select("n_users", "n_set_bits", "n_missing_present", "n_false_positives")
+    )
