@@ -74,6 +74,21 @@ SAMPLE = [
     "r_robust_stats",
     "r_attribution",
     "l_span_corruption",
+    # round-8 session-2 newcomers: struct-min argmax, integer-cents
+    # prefix windows, basket pair mining, iterative trainers/graph,
+    # one-pass bootstrap, bit-exact sketches, deflated PCA
+    "r_mode_per_group",
+    "r_pareto_share",
+    "r_market_basket",
+    "l_edit_distance_dedup",
+    "l_vocab_growth",
+    "l_count_min",
+    "l_quality_classifier_train",
+    "l_pagerank",
+    "l_poisson_bootstrap",
+    "r_bitmap_distinct",
+    "l_pca_project",
+    "l_cluster_size_histogram",
 ]
 
 

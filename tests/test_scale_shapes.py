@@ -41,6 +41,13 @@ SCALE_FAMILY = [
     "l_dedup_ngram_jaccard",
     "l_ann_lsh",
     "l_ann_knn_join",
+    # round-8 session-2: pair mining, iterative graph/trainer, sketches
+    "r_market_basket",
+    "r_mode_per_group",
+    "l_count_min",
+    "l_pagerank",
+    "r_bitmap_distinct",
+    "l_poisson_bootstrap",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
