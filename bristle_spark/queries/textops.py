@@ -1495,7 +1495,14 @@ def l_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites reference scope: the reference ships no text ops; this
     extends the engine's LLM-pipeline surface (BASELINE.json)."""
-    pred = l_char_ngram_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    # materialize predictions ONCE: they feed both the true-count frame
+    # and the join side, and without this the full train+score classifier
+    # plan executes twice (measured 5.4s -> ~3s at sf0.1 idle)
+    pred = (
+        l_char_ngram_lang_id(spark, sf_dir)
+        .select("lang", "pred_lang")
+        .localCheckpoint()
+    )
     tot = pred.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
     return (
         pred.join(F.broadcast(tot), "lang")
