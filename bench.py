@@ -234,6 +234,8 @@ HEADLINE = [
     "l_poisson_bootstrap",
     "r_bitmap_distinct",
     "l_pca_project",
+    "r_time_weighted_avg",
+    "l_rank_fusion",
 ]
 
 

@@ -572,3 +572,75 @@ def r_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bitmap_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_time_weighted_avg
+
+_V_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "r_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               {_V_CENTS} AS v_cents,
+               epoch_ms(ts) AS t_ms,
+               lead(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS next_ms
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v_cents, next_ms - t_ms AS dt_ms
+        FROM seq WHERE next_ms IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           {r6_sql("CAST(sum(v_cents * dt_ms) AS DOUBLE) / (100.0 * sum(dt_ms))")}
+               AS twa_value
+    FROM seg
+    GROUP BY user_id
+    HAVING sum(dt_ms) > 0
+    """,
+)
+def r_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per user
+    (each observation holds until the next one — the zero-order-hold
+    TWA every metering/sensor/billing warehouse computes; a plain avg
+    over-weights bursts). The last observation has no successor and
+    drops out; single-event users have no observed span.
+
+    Determinism: values are 2-dp (half-up to BIGINT cents), durations
+    are integer epoch-milliseconds from lead(), so Σ(v·dt) and Σdt are
+    BIGINT-exact; the single ratio rounds half-up at 6 dp. Scale shape:
+    ONE user-keyed exchange feeds the lead() window (per-user partition,
+    the r_window_lag shape) and the subsequent per-user aggregation
+    rides the same partitioning with map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(t_ms, "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        t_ms.alias("t_ms"),
+        F.lead(t_ms).over(w).alias("next_ms"),
+    )
+    seg = seq.filter(F.col("next_ms").isNotNull()).select(
+        "user_id", "v_cents", (F.col("next_ms") - F.col("t_ms")).alias("dt_ms")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt_ms").cast("bigint").alias("span_ms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            r6(
+                F.sum(F.col("v_cents") * F.col("dt_ms")).cast("double")
+                / (100.0 * F.sum("dt_ms"))
+            ).alias("twa_value"),
+        )
+        .filter(F.col("span_ms") > 0)
+    )

@@ -1530,3 +1530,139 @@ def _install_lang_confusion_oracle() -> None:
 
 
 _install_lang_confusion_oracle()
+
+
+# --------------------------------------------------- reciprocal-rank fusion
+RRF_K = 60  # the canonical RRF damping constant
+
+
+def _rank_by(df, score_col: str):
+    """Rank a BOUNDED top-k frame by (score desc, doc_id) via a
+    broadcast self-join count — no window, no single-partition funnel:
+    rank(d) = 1 + |{d': score' > score or (score' = score and id' < id)}|.
+    O(k^2) comparisons on a k<=10-row frame."""
+    x = df.select(F.col("doc_id").alias("xid"), F.col(score_col).alias("xs"))
+    y = df.select(F.col("doc_id").alias("yid"), F.col(score_col).alias("ys"))
+    better = (F.col("ys") > F.col("xs")) | (
+        (F.col("ys") == F.col("xs")) & (F.col("yid") < F.col("xid"))
+    )
+    return (
+        x.join(F.broadcast(y), better, "left")
+        .groupBy("xid")
+        .agg((F.count("yid") + 1).cast("bigint").alias("r"))
+        .select(F.col("xid").alias("doc_id"), "r")
+    )
+
+
+@register(
+    "l_rank_fusion",
+    oracle="""
+    WITH bm AS ({bm25}),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    qlh AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+               CAST(max(dl) AS BIGINT) AS dl
+        FROM tok WHERE term IN ({terms})
+        GROUP BY doc_id
+    ),
+    ql AS (
+        SELECT doc_id, {ql_expr} AS ql
+        FROM qlh
+        ORDER BY {ql_expr} DESC, doc_id LIMIT {topk}
+    ),
+    ra AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+        FROM bm
+    ),
+    rb AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY ql DESC, doc_id) AS BIGINT) AS r
+        FROM ql
+    )
+    SELECT doc_id, ra.r AS bm25_rank, rb.r AS ql_rank,
+           {rrf_expr} AS rrf
+    FROM ra FULL JOIN rb USING (doc_id)
+    ORDER BY {rrf_expr} DESC, doc_id
+    """,
+)
+def l_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings for the same
+    query — Okapi BM25 (l_bm25's registered plan) and a length-
+    normalized query-likelihood ranker — RRF(d) = sum_r 1/({RRF_K} +
+    rank_r(d)), the standard zero-tuning way to combine lexical and
+    secondary rankers in a retrieval stack (hybrid-search serving
+    path). Docs absent from one list contribute nothing for it.
+
+    Determinism: both input rankings order by (6-dp half-up score,
+    doc_id); the query-likelihood score is a single ratio of BIGINTs;
+    the RRF sum is two fixed-order terms. Ranks within each BOUNDED
+    top-{topk} list come from a broadcast self-join count (no window,
+    no single-partition funnel). The oracle composes l_bm25's
+    REGISTERED SQL verbatim, so fused and source rankings cannot
+    drift. Scale shape: everything after the two top-k funnels
+    (TakeOrderedAndProject each) operates on <= 2x{topk} rows."""
+    bm = l_bm25(spark, sf_dir).select("doc_id", "bm25").localCheckpoint()
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    qlh = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    ql = (
+        qlh.select(
+            "doc_id",
+            r6(F.col("hits").cast("double") / F.col("dl")).alias("ql"),
+        )
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(BM25_TOP_K)
+        .localCheckpoint()
+    )
+    ra = _rank_by(bm, "bm25").withColumnRenamed("r", "bm25_rank")
+    rb = _rank_by(ql, "ql").withColumnRenamed("r", "ql_rank")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("ql_rank")), F.lit(0.0)
+    )
+    return (
+        ra.join(rb, "doc_id", "full")
+        .select("doc_id", "bm25_rank", "ql_rank", r6(rrf).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
+def _install_rank_fusion_oracle() -> None:
+    from bristle_spark import registry
+
+    spec = registry._REGISTRY["l_rank_fusion"]
+    ql_expr = r6_sql("CAST(hits AS DOUBLE) / dl")
+    rrf_raw = (
+        f"coalesce(1.0 / ({RRF_K} + ra.r), 0.0)"
+        f" + coalesce(1.0 / ({RRF_K} + rb.r), 0.0)"
+    )
+    rrf_expr = r6_sql(rrf_raw)
+    filled = (
+        spec.oracle.replace("{bm25}", registry._REGISTRY["l_bm25"].oracle)
+        .replace("{terms}", ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS))
+        .replace("{ql_expr}", ql_expr)
+        .replace("{topk}", str(BM25_TOP_K))
+        .replace("{rrf_expr}", rrf_expr)
+    )
+    registry._REGISTRY["l_rank_fusion"] = registry.QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=filled, group=spec.group, doc=spec.doc
+    )
+
+
+_install_rank_fusion_oracle()
