@@ -53,9 +53,13 @@ SUITE_WEIGHTS = {
     "test_ingest_pipeline.py": 6,
     "test_server_reload.py": 5,
     "test_forwarder.py": 4,
+    # round-8 session-2 additions (measured single-file, idle)
+    "test_logreg.py": 110,
+    "test_pagerank.py": 60,
+    "test_pca_project.py": 70,
 }
 FALLBACK_WEIGHT = 5
-PARITY_SHARDS = 2  # per scale factor
+PARITY_SHARDS = 3  # per scale factor (186 keys; 2 shards made one parity job the 1000s critical path)
 
 
 def shard_suite(jobs: int) -> list[list[str]]:
