@@ -236,6 +236,8 @@ HEADLINE = [
     "l_pca_project",
     "r_time_weighted_avg",
     "l_rank_fusion",
+    "l_source_overlap",
+    "r_markov_transitions",
 ]
 
 

@@ -1085,3 +1085,86 @@ def l_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- cross-source shingle overlap (contamination map) -----------------------
+
+
+@register(
+    "l_source_overlap",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    ss AS (
+        SELECT DISTINCT src.source, {hash60_sql("s")} AS hs
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok) sh
+        JOIN src ON src.doc_id = sh.doc_id
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM ss a JOIN ss b ON a.hs = b.hs AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           {r6_sql("CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)")}
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def l_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination map: shingle-set Jaccard between every
+    pair of corpus sources — the audit that catches one crawl snapshot
+    republishing another (or an eval set leaking into a training
+    source) at the SOURCE level, before any per-document dedup runs.
+
+    Scale shape: documents compress to DISTINCT (source, shingle-hash)
+    rows first (the corpus-sized shuffle, map-side combined; 8-byte
+    keys); the self-join keys on the shingle hash, and a shingle shared
+    by d sources emits d(d-1)/2 pairs — bounded by the SOURCE count
+    squared, not the corpus, so no df cap is needed (contrast
+    l_dedup_ngram_jaccard, where the join is per-document). The final
+    matrix is |sources|^2 rows with broadcast size lookups.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        _shingle_rows(d)
+        .join(src, "doc_id")
+        .select("source", hash60(F.col("s")).alias("hs"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            r6(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

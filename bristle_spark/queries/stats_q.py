@@ -644,3 +644,67 @@ def r_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_ms") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# r_markov_transitions
+
+
+@register(
+    "r_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS next_state
+        FROM events
+    ),
+    trans AS (
+        SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_state IS NOT NULL
+        GROUP BY state, next_state
+    ),
+    marg AS (SELECT state, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY state)
+    SELECT t.state, t.next_state, t.n,
+           {r6_sql("CAST(t.n AS DOUBLE) / m.tot")} AS p
+    FROM trans t JOIN marg m USING (state)
+    ORDER BY state, next_state
+    """,
+)
+def r_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (state = event_type, ordered by event time): transition counts and
+    row-normalized probabilities — the empirical behavior model behind
+    next-action prediction and funnel-anomaly alerts.
+
+    Determinism: the successor comes from lead() over (epoch-ms,
+    event_id) — a total order; counts are BIGINT and the only ratio
+    rounds half-up at 6 dp. Scale shape: ONE user-keyed exchange feeds
+    the lead() window; the transition rollup is a |types|^2
+    map-side-combined aggregation, and the marginals re-aggregate the
+    counts table (|types|^2 rows) rather than rescanning events — the
+    r_cusum_changepoint discipline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    )
+    trans = (
+        seq.filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    marg = trans.groupBy("state").agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        trans.join(F.broadcast(marg), "state")
+        .select(
+            "state",
+            "next_state",
+            "n",
+            r6(F.col("n").cast("double") / F.col("tot")).alias("p"),
+        )
+        .orderBy("state", "next_state")
+    )
