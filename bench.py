@@ -238,6 +238,7 @@ HEADLINE = [
     "l_rank_fusion",
     "l_source_overlap",
     "r_markov_transitions",
+    "r_theil_sen",
 ]
 
 
