@@ -111,7 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-8 second-wave addition (took the ballast slot per the
     # --- swap-one-for-one note; r_hash_agg is multiply-confirmed in
     # --- r01–r07 and keeps local parity coverage).
-    # --- ROUND-9 NOTE: the other 22 second-wave keys have no driver
+    # --- ROUND-9 NOTE: the other 23 second-wave keys have no driver
     # --- row yet and take the round-9 window's front slots:
     # --- r_weighted_median, r_pareto_share, r_market_basket,
     # --- r_cusum_changepoint, l_edit_distance_dedup, l_vocab_growth,
@@ -120,7 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- m_patchify, l_cluster_size_histogram, l_poisson_bootstrap,
     # --- r_bitmap_distinct, s_stream_bloom_merge, l_pca_project,
     # --- r_time_weighted_avg, l_rank_fusion, l_source_overlap,
-    # --- r_markov_transitions. All are green in the
+    # --- r_markov_transitions, r_theil_sen. All are green in the
     # --- local parity suite at sf0.001/0.01/0.1. Balance =
     # --- multiply-confirmed §2.D ballast, as this round. ---
     "r_mode_per_group",
