@@ -239,6 +239,13 @@ HEADLINE = [
     "l_source_overlap",
     "r_markov_transitions",
     "r_theil_sen",
+    # round-8 third wave: hypothesis tests / conformity statistics
+    "r_ols_by_group",
+    "r_welch_ttest",
+    "l_ks_test",
+    "l_chi2_terms",
+    "r_benford",
+    "r_gini",
 ]
 
 

@@ -10,6 +10,7 @@ _MODULES = (
     "relational",
     "analytic",
     "stats_q",
+    "stats_tests",
     "transcode_q",
     "llm",
     "dedup",

@@ -1,0 +1,606 @@
+"""Group R/L round-8 third wave — distributed hypothesis tests and
+conformity / inequality / association measures: per-group OLS, Welch's
+t-test, two-sample Kolmogorov-Smirnov over source pairs, one-vs-rest
+chi-squared term-language association, Benford first-digit conformity,
+and the Gini coefficient.
+
+These are the statistical-QA queries a training-data warehouse runs on
+landed tables (the reference delegates all relational compute to
+ClickHouse — `clickhouse_table_writer.go:115-149` lands rows; SURVEY.md
+§2.C): drift tests between sources (KS), feature selection for quality
+classifiers (chi²), fraud/synthetic-data screens (Benford), trend and
+A/B readouts (OLS, Welch), concentration dashboards (Gini).
+
+Cross-engine determinism contract (same discipline as stats_q.py):
+every sufficient statistic is an EXACT BIGINT sum (cents, counts,
+integer day indexes); doubles appear only in final closed-form ratios
+whose operand order is written identically in the Spark expression and
+the oracle SQL, so IEEE arithmetic reproduces bit-for-bit; `sqrt` is
+correctly rounded by IEEE-754 and therefore safe; transcendental
+constants (Benford's log10(1+1/d)) are inlined as shared literals
+computed ONCE in Python rather than evaluated per-engine. Results round
+with the shared half-up ``r6``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bristle_spark.catalog import load_table
+from bristle_spark.functions.rounding import r6, r6_sql
+from bristle_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# r_ols_by_group
+
+# Fixed x-axis epoch: day index relative to 2020-01-01.  OLS slope is
+# shift-invariant; the shift keeps every BIGINT moment (Σd, Σd², Σc·Σd²)
+# orders of magnitude inside int64 even at large SF, and pins the
+# intercept's meaning ("daily cents at 2020-01-01") identically in both
+# engines.
+_OLS_EPOCH = "2020-01-01"
+
+
+@register(
+    "r_ols_by_group",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d * d) AS BIGINT) AS sdd,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc,
+               CAST(sum(d * c) AS BIGINT) AS sdc
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           {r6_sql('CAST(n * sdc - sd * sc AS DOUBLE) / CAST(n * sdd - sd * sd AS DOUBLE)')} AS slope_cents,
+           {r6_sql('CAST(sc * sdd - sd * sdc AS DOUBLE) / CAST(n * sdd - sd * sd AS DOUBLE)')} AS intercept_cents,
+           {r6_sql('CAST(n * sdc - sd * sc AS DOUBLE) * CAST(n * sdc - sd * sc AS DOUBLE)'
+                   ' / (CAST(n * sdd - sd * sd AS DOUBLE) * CAST(n * scc - sc * sc AS DOUBLE))')} AS r2
+    FROM m
+    WHERE n * sdd - sd * sd > 0 AND n * scc - sc * sc > 0
+    """,
+)
+def r_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope / intercept / R²)
+    of daily spend vs calendar day — the exact closed-form sibling of
+    `r_theil_sen`'s robust estimate, and what warehouses reach
+    `regr_slope` for.  Native regr_* aggregates accumulate FLOATS in
+    shuffle order, which is non-deterministic across engines AND across
+    reruns; here every sufficient statistic (n, Σd, Σd², Σc, Σc², Σdc)
+    is an exact BIGINT sum over integer day indexes and BIGINT daily
+    cents, and the three estimates are closed-form double ratios of
+    those exact moments — bit-identical in any execution order.
+
+    Scale shape: one corpus-sized map-side-combined shuffle to daily
+    (type, day) cents; the moment rollup re-aggregates the |types|×|days|
+    frame.  No windows, no joins.  (At extreme per-day magnitudes the
+    Σc² moment is the first to approach int64 — the standard fix is
+    centering c by a per-group first pass, trading one more tiny
+    aggregation for headroom.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("sdc"),
+    )
+    sxx = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    syy = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    sxy = F.col("n") * F.col("sdc") - F.col("sd") * F.col("sc")
+    return (
+        m.filter((sxx > 0) & (syy > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            r6(sxy.cast("double") / sxx.cast("double")).alias("slope_cents"),
+            r6(
+                (F.col("sc") * F.col("sdd") - F.col("sd") * F.col("sdc")).cast("double")
+                / sxx.cast("double")
+            ).alias("intercept_cents"),
+            r6(
+                sxy.cast("double") * sxy.cast("double")
+                / (sxx.cast("double") * syy.cast("double"))
+            ).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_welch_ttest
+
+
+@register(
+    "r_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS svv
+        FROM events GROUP BY event_type
+    ),
+    st AS (
+        SELECT event_type, n, CAST(sv AS DOUBLE) / n AS mean_c,
+               CAST(n * svv - sv * sv AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS var_c
+        FROM m WHERE n >= 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           {r6_sql('(a.mean_c - b.mean_c) / 100.0')} AS mean_diff,
+           {r6_sql('(a.mean_c - b.mean_c) / sqrt(a.var_c / a.n + b.var_c / b.n)')} AS t_stat,
+           {r6_sql('(a.var_c / a.n + b.var_c / b.n) * (a.var_c / a.n + b.var_c / b.n)'
+                   ' / ((a.var_c / a.n) * (a.var_c / a.n) / (a.n - 1)'
+                   '    + (b.var_c / b.n) * (b.var_c / b.n) / (b.n - 1))')} AS df_welch
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+)
+def r_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of event
+    types on the event value — the A/B readout that doesn't assume
+    pooled variance, with the Welch–Satterthwaite effective df.
+
+    Sufficient statistics (n, Σv, Σv² in BIGINT cents) reduce in one
+    map-side-combined pass; mean and sample variance are closed-form
+    double ratios of exact integers, so the t statistic cannot drift
+    with shuffle order (the reason this is NOT var_samp()+avg(), whose
+    float accumulation differs run to run).  The pair frame is the
+    |types|² self-join of a |types|-row aggregate — broadcast, bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sv"),
+        F.sum(cents * cents).cast("bigint").alias("svv"),
+    )
+    st = m.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean_c"),
+        (
+            (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_c"),
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    se2 = F.col("a.var_c") / F.col("a.n") + F.col("b.var_c") / F.col("b.n")
+    return a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        r6((F.col("a.mean_c") - F.col("b.mean_c")) / 100.0).alias("mean_diff"),
+        r6((F.col("a.mean_c") - F.col("b.mean_c")) / F.sqrt(se2)).alias("t_stat"),
+        r6(
+            se2
+            * se2
+            / (
+                (F.col("a.var_c") / F.col("a.n"))
+                * (F.col("a.var_c") / F.col("a.n"))
+                / (F.col("a.n") - 1)
+                + (F.col("b.var_c") / F.col("b.n"))
+                * (F.col("b.var_c") / F.col("b.n"))
+                / (F.col("b.n") - 1)
+            )
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_ks_test
+
+
+@register(
+    "l_ks_test",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, g.v, COALESCE(cnt.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN (SELECT DISTINCT n_chars AS v FROM documents) g
+        LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = g.v
+    ),
+    ecdf AS (
+        SELECT source, v,
+               sum(c) OVER (
+                   PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM grid
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+           CAST(max(abs(b.n * a.cum - a.n * b.cum)) AS BIGINT) AS d_num,
+           {r6_sql('CAST(max(abs(b.n * a.cum - a.n * b.cum)) AS DOUBLE)'
+                   ' / (max(a.n) * max(b.n))')} AS d_stat,
+           {r6_sql('CAST(max(abs(b.n * a.cum - a.n * b.cum)) AS DOUBLE)'
+                   ' / (max(a.n) * max(b.n))'
+                   ' * sqrt(CAST(max(a.n) * max(b.n) AS DOUBLE) / (max(a.n) + max(b.n)))')}
+               AS ks_scaled
+    FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def l_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of every pair of sources — the standard drift
+    detector for "did source X start shipping different-shaped docs".
+    D = max |ECDF_a − ECDF_b|; `ks_scaled` = D·sqrt(n_a·n_b/(n_a+n_b))
+    is the statistic compared against the Kolmogorov critical values.
+
+    Integer-exactness: the sup runs over |n_b·cum_a − n_a·cum_b| — pure
+    BIGINT, so the argmax cannot flip on float rounding; the two final
+    ratios are closed-form doubles of exact integers (sqrt is IEEE
+    correctly-rounded).
+
+    Scale shape: the ONLY corpus-sized shuffle is the (source, length)
+    count; everything downstream operates on the distribution grid
+    (|sources| × |distinct lengths|), with per-source window partitions
+    bounded by the distinct-value count.  The pair join is
+    grid-vs-grid, never row-vs-row — the ECDF alignment trick that
+    makes all-pairs KS affordable at any corpus size (pair count is a
+    property of the source dimension, not the data volume).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sources = docs.select("source").distinct()
+    values = docs.select(F.col("n_chars").alias("v")).distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(values))
+        .join(cnt, ["source", "v"], "left")
+        .select("source", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ecdf = grid.select(
+        "source",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    a = ecdf.alias("a")
+    b = ecdf.alias("b")
+    diff = F.abs(F.col("b.n") * F.col("a.cum") - F.col("a.n") * F.col("b.cum"))
+    paired = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.source") < F.col("b.source"))
+    ).groupBy(
+        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    ).agg(
+        F.max(F.col("a.n")).cast("bigint").alias("n_a"),
+        F.max(F.col("b.n")).cast("bigint").alias("n_b"),
+        F.max(diff).cast("bigint").alias("d_num"),
+    )
+    d_stat = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))
+    return paired.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "d_num",
+        r6(d_stat).alias("d_stat"),
+        r6(
+            d_stat
+            * F.sqrt(
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / (F.col("n_a") + F.col("n_b"))
+            )
+        ).alias("ks_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_chi2_terms
+
+CHI2_TOP_TERMS = 200
+
+
+@register(
+    "l_chi2_terms",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tl AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2),
+    tf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df_term FROM tl GROUP BY term),
+    lf AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total FROM documents),
+    top AS (
+        SELECT term, df_term FROM tf, tot
+        WHERE df_term < n_total
+        ORDER BY df_term DESC, term
+        LIMIT {CHI2_TOP_TERMS}
+    ),
+    cells AS (
+        SELECT top.term, lf.lang, top.df_term, lf.n_lang, tot.n_total,
+               COALESCE(tl.a, 0) AS a
+        FROM top CROSS JOIN lf CROSS JOIN tot
+        LEFT JOIN tl ON tl.term = top.term AND tl.lang = lf.lang
+    )
+    SELECT term, lang, a AS df_term_lang, df_term, n_lang,
+           {r6_sql('CAST(df_term AS DOUBLE) * n_lang / n_total')} AS expected,
+           {r6_sql('CAST(n_total AS DOUBLE)'
+                   ' * CAST(a * (n_total - df_term - n_lang + a) - (df_term - a) * (n_lang - a) AS DOUBLE)'
+                   ' * CAST(a * (n_total - df_term - n_lang + a) - (df_term - a) * (n_lang - a) AS DOUBLE)'
+                   ' / (CAST(df_term AS DOUBLE) * CAST(n_total - df_term AS DOUBLE)'
+                   '    * CAST(n_lang AS DOUBLE) * CAST(n_total - n_lang AS DOUBLE))')} AS chi2
+    FROM cells
+    """,
+)
+def l_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest chi-squared association between term presence and
+    language for the {CHI2_TOP_TERMS} highest-document-frequency terms —
+    the classic feature-selection statistic for building language /
+    quality classifiers from a corpus (each (term, lang) cell scores a
+    2x2 presence table with the closed form
+    chi² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))).
+
+    Determinism: a (doc-frequency of term IN lang) and all margins are
+    exact BIGINT counts over DISTINCT (doc, term) pairs; (ad−bc) is
+    computed IN BIGINT (|ad−bc| ≤ N² /4 fits comfortably), and only the
+    final single-ratio chi² is a double — no cross-cell float summation
+    anywhere, which is why the 2x2 closed form beats the L-cell Σ(O−E)²/E
+    formulation for cross-engine parity.  Terms present in EVERY doc
+    carry zero information and a zero (c+d) margin, so they are excluded
+    in the top-term selection.
+
+    Scale shape: the corpus-sized shuffles are the distinct (doc, lang,
+    term) explode and its (term, lang) rollup, both map-side combined;
+    the top-K funnel is a TakeOrderedAndProject with (df desc, term)
+    tie-breaks; the cell frame is top-K × |langs| built from broadcast
+    dimension frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    tf = tl.groupBy("term").agg(F.sum("a").cast("bigint").alias("df_term"))
+    lf = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_lang")
+    )
+    tot = docs.agg(F.countDistinct("doc_id").cast("bigint").alias("n_total"))
+    top = (
+        tf.crossJoin(F.broadcast(tot))
+        .filter(F.col("df_term") < F.col("n_total"))
+        .orderBy(F.desc("df_term"), "term")
+        .limit(CHI2_TOP_TERMS)
+        .select("term", "df_term")
+    )
+    cells = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(lf))
+        .crossJoin(F.broadcast(tot))
+        .join(tl, ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            "df_term",
+            "n_lang",
+            "n_total",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        )
+    )
+    # x = ad - bc over the 2x2 presence table, kept in BIGINT
+    x = (
+        F.col("a") * (F.col("n_total") - F.col("df_term") - F.col("n_lang") + F.col("a"))
+        - (F.col("df_term") - F.col("a")) * (F.col("n_lang") - F.col("a"))
+    )
+    return cells.select(
+        "term",
+        "lang",
+        F.col("a").alias("df_term_lang"),
+        "df_term",
+        "n_lang",
+        r6(F.col("df_term").cast("double") * F.col("n_lang") / F.col("n_total")).alias(
+            "expected"
+        ),
+        r6(
+            F.col("n_total").cast("double")
+            * x.cast("double")
+            * x.cast("double")
+            / (
+                F.col("df_term").cast("double")
+                * (F.col("n_total") - F.col("df_term")).cast("double")
+                * F.col("n_lang").cast("double")
+                * (F.col("n_total") - F.col("n_lang")).cast("double")
+            )
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_benford
+
+# Benford shares inlined ONCE from Python so both engines parse the SAME
+# double literal instead of each evaluating log10 (whose last ulp is not
+# guaranteed to agree across runtimes).
+_BENFORD_P = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    # CAST keeps both parsers in IEEE double — a bare decimal literal is
+    # DECIMAL in Spark SQL and DuckDB alike, and decimal math overflows
+    # under the r6 floor(x*1e6) identity.
+    + " ".join(f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@register(
+    "r_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+        FROM orders
+        WHERE floor(o_totalprice * 100 + 0.5) > 0
+    ),
+    cnt AS (SELECT first_digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY first_digit),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits)
+    SELECT first_digit, n,
+           {r6_sql('CAST(n AS DOUBLE) / n_total')} AS obs_share,
+           {r6_sql(_BENFORD_CASE)} AS benford_share,
+           {r6_sql(f'(CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * ({_BENFORD_CASE}))'
+                   f' * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * ({_BENFORD_CASE}))'
+                   f' / (CAST(n_total AS DOUBLE) * ({_BENFORD_CASE}))')} AS chi2_term
+    FROM cnt CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+)
+def r_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformity of order totals: the
+    observed digit distribution vs Benford's law log10(1+1/d), with the
+    per-digit chi-squared contribution — the screen auditors run for
+    fabricated or synthetically-generated monetary data.
+
+    Determinism: the first digit comes from the decimal string of exact
+    BIGINT cents (no float log extraction); the Benford shares are
+    17-significant-digit literals rendered ONCE in Python and inlined
+    into BOTH the Spark expression and the oracle SQL, so neither engine
+    evaluates log10 at run time.  Per-digit chi² terms are reported
+    per-row (the 9-row frame) rather than float-summed across rows.
+
+    Scale shape: one map-side-combined count per digit (9 groups); the
+    grand total is a broadcast 1-row aggregate joined to the digit frame
+    (the no-global-window discipline).  Nothing else touches the corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digits = orders.filter(cents > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("first_digit")
+    )
+    cnt = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cnt = cnt.crossJoin(F.broadcast(tot))
+    p = F.expr(_BENFORD_CASE)
+    dev = F.col("n").cast("double") - F.col("n_total").cast("double") * p
+    return cnt.select(
+        "first_digit",
+        "n",
+        r6(F.col("n").cast("double") / F.col("n_total")).alias("obs_share"),
+        r6(p).alias("benford_share"),
+        r6(dev * dev / (F.col("n_total").cast("double") * p)).alias("chi2_term"),
+    ).orderBy("first_digit")
+
+
+# ---------------------------------------------------------------------------
+# r_gini
+
+
+@register(
+    "r_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY cents, o_custkey
+               ) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(i * cents) AS BIGINT) AS swx
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers, total_cents,
+           {r6_sql('CAST(2 * swx - (n_customers + 1) * total_cents AS DOUBLE)'
+                   ' / CAST(n_customers * total_cents AS DOUBLE)')} AS gini
+    FROM agg
+    WHERE total_cents > 0
+    """,
+)
+def r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality/concentration scalar behind `r_pareto_share`'s prefix
+    view, via the rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) over
+    ascending-sorted revenues.
+
+    Determinism: revenues are BIGINT cents; the rank weights come from
+    row_number over (cents, custkey) — within a tie block Σi·x is
+    invariant to tie order, so the custkey tie-break only pins engine
+    plans, not the result; the single ratio is exact-BIGINT numerator
+    and denominator cast to double.  Scale shape: revenue pre-aggregates
+    per (segment, customer) with map-side combine; the ranking window
+    partitions by segment (never global); the moment rollup rides the
+    same segment keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "c_mktsegment", "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("swx"),
+    )
+    return agg.filter(F.col("total_cents") > 0).select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        r6(
+            (
+                2 * F.col("swx") - (F.col("n_customers") + 1) * F.col("total_cents")
+            ).cast("double")
+            / (F.col("n_customers") * F.col("total_cents")).cast("double")
+        ).alias("gini"),
+    )

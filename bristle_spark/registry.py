@@ -120,8 +120,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- m_patchify, l_cluster_size_histogram, l_poisson_bootstrap,
     # --- r_bitmap_distinct, s_stream_bloom_merge, l_pca_project,
     # --- r_time_weighted_avg, l_rank_fusion, l_source_overlap,
-    # --- r_markov_transitions, r_theil_sen. All are green in the
-    # --- local parity suite at sf0.001/0.01/0.1. Balance =
+    # --- r_markov_transitions, r_theil_sen, plus the third-wave
+    # --- hypothesis-test family: r_ols_by_group, r_welch_ttest,
+    # --- l_ks_test, l_chi2_terms, r_benford, r_gini. All are green in
+    # --- the local parity suite at sf0.001/0.01/0.1. Balance =
     # --- multiply-confirmed §2.D ballast, as this round. ---
     "r_mode_per_group",
 )

@@ -89,6 +89,11 @@ SAMPLE = [
     "r_bitmap_distinct",
     "l_pca_project",
     "l_cluster_size_histogram",
+    # round-8 third wave: ECDF-grid pair join (window + self-join), 2x2
+    # closed-form chi2 with top-K term cut, rank-formula Gini
+    "l_ks_test",
+    "l_chi2_terms",
+    "r_gini",
 ]
 
 
