@@ -246,6 +246,8 @@ HEADLINE = [
     "l_chi2_terms",
     "r_benford",
     "r_gini",
+    "l_dedup_sorted_neighborhood",
+    "r_top_paths",
 ]
 
 

@@ -1874,3 +1874,99 @@ def r_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ------------------------------------------------------------ r_top_paths
+
+PATHS_TOP = 20
+PATH_LEN = 3
+
+
+@register(
+    "r_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY epoch_ms(ts), event_id
+               ) AS rn
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, day,
+               concat_ws('>',
+                   max(CASE WHEN rn = 1 THEN event_type END),
+                   max(CASE WHEN rn = 2 THEN event_type END),
+                   max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM seq WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, day
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM sessions GROUP BY path
+    ),
+    tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM counted)
+    SELECT path, n_sessions,
+           {r6_sql('CAST(n_sessions AS DOUBLE) / n_total')} AS share
+    FROM counted CROSS JOIN tot
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATHS_TOP}
+    """,
+)
+def r_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the {PATHS_TOP} most frequent opening
+    event-type paths (first {PATH_LEN} events of each user-day
+    session, joined with '>'), with each path's share of all sessions —
+    the path-analysis / Sankey-source query every product-analytics
+    warehouse runs next to `r_funnel` (which checks ONE fixed path;
+    this discovers which paths dominate).
+
+    Determinism: the event order inside a session is (epoch-ms,
+    event_id) — total; short sessions yield length-1/2 paths because
+    concat_ws skips the NULL slots identically in both engines; counts
+    are BIGINT, the share ratio rounds half-up at 6 dp, and the top-K
+    cut breaks ties by path text.
+
+    Scale shape: the row_number window partitions by (user, day) —
+    bounded per-session event counts, never global; the first-
+    {PATH_LEN} pivot is a map-side-combinable MAX-CASE aggregation on
+    the same keys (no collect_list of whole sessions); the path rollup
+    shuffles one row per session; the grand total is a broadcast 1-row
+    aggregate and the final cut a TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy(F.unix_millis("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        day.alias("day"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    sessions = (
+        seq.filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                *[
+                    F.max(F.when(F.col("rn") == i, F.col("event_type")))
+                    for i in range(1, PATH_LEN + 1)
+                ],
+            ).alias("path")
+        )
+    )
+    counted = sessions.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    tot = counted.agg(F.sum("n_sessions").cast("bigint").alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            r6(F.col("n_sessions").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATHS_TOP)
+    )

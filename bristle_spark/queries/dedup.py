@@ -1168,3 +1168,135 @@ def l_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ------------------------------------------------- Sorted-neighborhood
+
+# Sorted-Neighborhood Method (Hernandez & Stolfo, SIGMOD '95): sort by a
+# discriminating key, compare each record only to its next few neighbors.
+SNM_BLOCK_CHARS = 16  # block = text prefix; bounds every window partition
+SNM_WINDOW = 3  # successors compared per record (window size w-1)
+
+
+@register(
+    "l_dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+    ),
+    sets AS (
+        SELECT doc_id, text, substr(text, 1, {SNM_BLOCK_CHARS}) AS blk,
+               list_distinct(list_transform({_SHINGLES_SQL}, s -> {hash31_sql('s')})) AS hs
+        FROM tok
+    ),
+    nbr AS (
+        SELECT doc_id, hs, blk,
+               lead(doc_id, 1) OVER w AS d1, lead(hs, 1) OVER w AS h1,
+               lead(doc_id, 2) OVER w AS d2, lead(hs, 2) OVER w AS h2,
+               lead(doc_id, 3) OVER w AS d3, lead(hs, 3) OVER w AS h3
+        FROM sets
+        WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)
+    ),
+    pairs AS (
+        SELECT doc_id AS doc_a, d1 AS doc_b, CAST(1 AS BIGINT) AS neighbor_gap,
+               hs, h1 AS hsb FROM nbr WHERE d1 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, d2, 2, hs, h2 FROM nbr WHERE d2 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, d3, 3, hs, h3 FROM nbr WHERE d3 IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, neighbor_gap,
+               CAST(len(list_intersect(hs, hsb)) AS BIGINT) AS n_common,
+               CAST(len(hs) + len(hsb) - len(list_intersect(hs, hsb)) AS BIGINT) AS n_union
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, neighbor_gap, n_common, n_union,
+           {r6_sql('CAST(n_common AS DOUBLE) / n_union')} AS jaccard
+    FROM scored
+    WHERE 10 * n_common >= 8 * n_union
+    """,
+)
+def l_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup blocking (Hernandez-Stolfo): sort
+    documents by a discriminating key (here the text itself), compare
+    each doc only to its {SNM_WINDOW} successors in key order, and keep
+    pairs whose exact shingle-set Jaccard clears the {JACCARD_THRESHOLD}
+    bar.  This is the blocking strategy the LSH/minhash family does NOT
+    cover: it needs no hash tuning, and catches prefix-preserving edits
+    with a w-row comparison budget per record.
+
+    The 100 TB adaptation: a truly global sort would funnel the corpus
+    through one ordering (the classic SNM scale flaw), so the sort is
+    scoped INSIDE {SNM_BLOCK_CHARS}-char prefix blocks — windows
+    partition by block (bounded per-block doc counts, never a global
+    window), the standard blocked-SNM hybrid; cross-block neighbors are
+    forgone by design and the prefix length is the recall/parallelism
+    dial.  Shingle sets are built once via the codegen'd explode+window
+    path and carried through lead() as hash arrays, so the verify step
+    is row-local array math — no second join back to the corpus.
+
+    Determinism: the neighbor order is (text, doc_id) — total; Jaccard
+    is a ratio of BIGINT set sizes (hashed shingle space, as
+    l_dedup_ngram_jaccard) and the >= {JACCARD_THRESHOLD} cut is the
+    integer cross-multiplication ``10*n_common >= 8*n_union`` — no
+    float threshold boundary in either engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = _tokens(docs.select("doc_id", "text"))
+    sh = _shingle_rows(d)
+    sets = sh.select("doc_id", hash60(F.col("s")).alias("h")).select(
+        "doc_id", (F.col("h") % MINHASH_P).alias("h")
+    ).groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    keyed = d.select(
+        "doc_id", "text", F.substring("text", 1, SNM_BLOCK_CHARS).alias("blk")
+    ).join(sets, "doc_id")
+    w = Window.partitionBy("blk").orderBy("text", "doc_id")
+    leads = [
+        c
+        for i in range(1, SNM_WINDOW + 1)
+        for c in (
+            F.lead("doc_id", i).over(w).alias(f"d{i}"),
+            F.lead("hs", i).over(w).alias(f"h{i}"),
+        )
+    ]
+    nbr = keyed.select("doc_id", "hs", *leads)
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("neighbor_gap"),
+                F.col(f"d{i}").alias("doc_b"),
+                F.col(f"h{i}").alias("hsb"),
+            )
+            for i in range(1, SNM_WINDOW + 1)
+        ]
+    )
+    pairs = (
+        nbr.select(F.col("doc_id").alias("doc_a"), "hs", F.explode(cand).alias("p"))
+        .filter(F.col("p.doc_b").isNotNull())
+        .select(
+            "doc_a",
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.neighbor_gap").alias("neighbor_gap"),
+            "hs",
+            F.col("p.hsb").alias("hsb"),
+        )
+    )
+    n_common = F.size(F.array_intersect("hs", "hsb")).cast("bigint")
+    n_union = (F.size("hs") + F.size("hsb")).cast("bigint") - n_common
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        "neighbor_gap",
+        n_common.alias("n_common"),
+        n_union.alias("n_union"),
+    )
+    return scored.filter(10 * F.col("n_common") >= 8 * F.col("n_union")).select(
+        "doc_a",
+        "doc_b",
+        "neighbor_gap",
+        "n_common",
+        "n_union",
+        r6(F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+    )

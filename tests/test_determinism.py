@@ -94,6 +94,10 @@ SAMPLE = [
     "l_ks_test",
     "l_chi2_terms",
     "r_gini",
+    # blocked-SNM lead() pairs (collect_set order must not leak), MAX-CASE
+    # path pivot with top-K cut
+    "l_dedup_sorted_neighborhood",
+    "r_top_paths",
 ]
 
 
