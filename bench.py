@@ -248,6 +248,7 @@ HEADLINE = [
     "r_gini",
     "l_dedup_sorted_neighborhood",
     "r_top_paths",
+    "l_sparse_cosine_topk",
 ]
 
 

@@ -1300,3 +1300,126 @@ def l_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union",
         r6(F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
     )
+
+
+# ------------------------------------------------- Sparse lexical cosine
+
+SPARSE_COS_TOP = 50
+
+
+@register(
+    "l_sparse_cosine_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+    ),
+    shn AS (
+        SELECT doc_id, {hash60_sql("s")} AS hs, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(t) - {SHINGLE_WORDS - 2}),
+                i -> {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(SHINGLE_WORDS))}
+            )) AS s
+            FROM tok
+        )
+        GROUP BY 1, 2
+    ),
+    rare AS (SELECT hs FROM shn GROUP BY hs HAVING count(*) <= {MAX_SHINGLE_DF}),
+    tfr AS (SELECT shn.doc_id, shn.hs, shn.tf FROM shn JOIN rare USING (hs)),
+    norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tfr GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tfr a JOIN tfr b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, dot,
+           {r6_sql('CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))')}
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+             doc_a, doc_b
+    LIMIT {SPARSE_COS_TOP}
+    """,
+)
+def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse LEXICAL cosine similarity — the inverted-index top-k pair
+    search over term-frequency vectors that complements the dense
+    similarity family (l_similarity_cosine / l_ann_* operate on
+    embeddings; BM25 ranks query->doc; this finds the most lexically
+    similar DOC PAIRS).  Vector space = {SHINGLE_WORDS}-word shingle
+    counts restricted to shingles with document frequency <=
+    {MAX_SHINGLE_DF} (the df cap is simultaneously the stop-shingle
+    filter and the join-blowup bound — the same scale lever as
+    l_dedup_ngram_jaccard, reference-free).
+
+    Determinism: tf counts, dot products (Σ tf_a·tf_b via map-side-
+    combined partial products riding the inverted-index join) and
+    norms (Σ tf²) are all exact BIGINT; the cosine is a single double
+    ratio with IEEE-exact sqrt, so the ORDER BY ... LIMIT cut (ties →
+    doc ids) lands identically in both engines.
+
+    Scale shape: one shuffle to (doc, shingle, tf); the df-capped
+    self-join shuffles only pruned postings (each rare shingle
+    contributes <= df² pairs); per-pair partial products reduce with
+    map-side combine; the two norm joins key on doc ids of the
+    already-small pair frame; the final cut is a
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = _tokens(docs.select("doc_id", "text"))
+    # non-distinct shingle rows -> term frequencies (codegen'd
+    # posexplode+lead path, same as _shingle_rows minus the distinct)
+    tokp = d.select("doc_id", F.posexplode(F.col("t")).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tk")] + [
+        F.lead("tk", j).over(w) for j in range(1, SHINGLE_WORDS)
+    ]
+    shn = (
+        tokp.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("tk", SHINGLE_WORDS - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .groupBy("doc_id", hash60(F.col("s")).alias("hs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    rare = shn.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    tfr = shn.join(rare.select("hs"), "hs")
+    norms = tfr.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a = tfr.alias("a")
+    b = tfr.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    scored = dots.join(na, "doc_a").join(nb, "doc_b")
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        scored.orderBy(F.desc(cos), "doc_a", "doc_b")
+        .limit(SPARSE_COS_TOP)
+        .select("doc_a", "doc_b", "n_shared", "dot", r6(cos).alias("cosine"))
+    )

@@ -123,7 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r_markov_transitions, r_theil_sen, plus the third-wave
     # --- hypothesis-test family: r_ols_by_group, r_welch_ttest,
     # --- l_ks_test, l_chi2_terms, r_benford, r_gini,
-    # --- l_dedup_sorted_neighborhood, r_top_paths. All are green in
+    # --- l_dedup_sorted_neighborhood, r_top_paths,
+    # --- l_sparse_cosine_topk. All are green in
     # --- the local parity suite at sf0.001/0.01/0.1. Balance =
     # --- multiply-confirmed §2.D ballast, as this round. ---
     "r_mode_per_group",

@@ -98,6 +98,8 @@ SAMPLE = [
     # path pivot with top-K cut
     "l_dedup_sorted_neighborhood",
     "r_top_paths",
+    # double-ordered top-K cut over inverted-index dot products
+    "l_sparse_cosine_topk",
 ]
 
 
