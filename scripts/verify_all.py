@@ -14,6 +14,16 @@ separate pytest processes with their own Spark JVMs (ephemeral ports,
 tempdir Derby/checkpoints — no shared mutable state between shards).
 The bench still runs alone at the end so its timings see an idle
 machine. --serial restores the old one-at-a-time behavior.
+
+ROUND-8 closing profile (198 keys, 1200+ tests, idle host): wall 1342s.
+Suite shards finished 363/1166/1331/1341s; parity shards 185-398s
+except sf0.1-shard1 at 1143s (it hash-draws the iterative trainers).
+The single-file SUITE_WEIGHTS under-predict ~6x under the 10-way JVM
+concurrency — the sweep is CPU-BOUND, so raising --jobs won't cut the
+wall; cutting total CPU (e.g. capping the executor pool so suite
+shards start after the short parity shards drain, or trimming the
+heaviest iterative tests' round counts) is the lever if round 9 needs
+the wall back under 15 min.
 """
 
 from __future__ import annotations

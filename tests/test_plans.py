@@ -549,3 +549,43 @@ def test_sliding_distinct_is_equi_keyed(spark, sf_dir):
     assert not plans.has_node(df, "CartesianProduct")
     assert plans.has_node(df, "Generate")  # the explode
     assert plans.unpartitioned_windows(df) == []
+
+
+def test_stats_tests_family_plan_shapes(spark, sf_dir):
+    """Round-8 third wave: the hypothesis-test family must keep its
+    100 TB shapes — tiny-frame enrichments ride broadcasts, never a
+    SortMergeJoin of the corpus against a 1/5/9-row aggregate."""
+    # Welch pairs: |types|^2 self-join of a 5-row aggregate — broadcast
+    df = SPECS["r_welch_ttest"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastNestedLoopJoin") or plans.has_node(
+        df, "BroadcastHashJoin"
+    )
+    assert not plans.has_node(df, "SortMergeJoin")
+    # Benford: grand total is a broadcast 1-row join, 9-row result
+    df = SPECS["r_benford"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastNestedLoopJoin")
+    assert not plans.has_node(df, "SortMergeJoin")
+    # chi2: top-K term cut is a TakeOrderedAndProject; every dimension
+    # enrichment (top terms x langs x total) broadcasts
+    df = SPECS["l_chi2_terms"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+    assert plans.has_node(df, "BroadcastHashJoin")
+
+
+def test_sparse_cosine_topk_is_take_ordered(spark, sf_dir):
+    """The top-50 cosine cut must be a per-partition top-k merge, not a
+    global sort of the pair frame."""
+    df = SPECS["l_sparse_cosine_topk"].fn(spark, sf_dir)
+    assert plans.has_node(df, "TakeOrderedAndProject")
+
+
+def test_ks_test_windows_partition_by_source(spark, sf_dir):
+    """The ECDF cumsum windows must partition by source (grid-bounded
+    partitions); the no-global-window sweep covers the partitioning,
+    this pins that the value grid reaches the window via a broadcast
+    (distribution-sized frames, never a corpus shuffle)."""
+    df = SPECS["l_ks_test"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastNestedLoopJoin") or plans.has_node(
+        df, "BroadcastHashJoin"
+    )
+    assert not plans.unpartitioned_windows(df)
