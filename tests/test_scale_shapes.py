@@ -48,6 +48,11 @@ SCALE_FAMILY = [
     "l_pagerank",
     "r_bitmap_distinct",
     "l_poisson_bootstrap",
+    # round-8 third wave: blocked-SNM lead() pairs, inverted-index
+    # dot-product top-k, ECDF-grid pair sup
+    "l_dedup_sorted_neighborhood",
+    "l_sparse_cosine_topk",
+    "l_ks_test",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
