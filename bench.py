@@ -23,6 +23,10 @@ per-query comparisons):
                           listener/UI/broadcast-cleanup state does not
                           accumulate across the whole suite)
   --runs N                min-of-N per query (default 2)
+  --cold                  fresh SparkSession per run — memo-consumer
+                          rows (propagation / power-iteration / BPE
+                          families) become independent of suite order;
+                          BASELINE.md records cold figures separately
 
 Defaults (no flags) are exactly what the per-round driver records.
 """
@@ -249,6 +253,8 @@ HEADLINE = [
     "l_dedup_sorted_neighborhood",
     "r_top_paths",
     "l_sparse_cosine_topk",
+    # round-9 additions
+    "r_ttl_rollup",
 ]
 
 
@@ -272,6 +278,14 @@ def main() -> None:
     sel.add_argument("--queries", default=None)
     ap.add_argument("--recycle", type=int, default=0, metavar="N",
                     help="rebuild the SparkSession every N queries")
+    ap.add_argument("--cold", action="store_true",
+                    help="fresh SparkSession per RUN: the cross-query "
+                         "memo caches key on applicationId, so a memo "
+                         "consumer (l_dedup_clusters, l_pagerank, ...) "
+                         "benched after its producer in one session "
+                         "reads the memo and its row is not independent "
+                         "(VERDICT r8 #6); --cold makes every run pay "
+                         "the full propagation")
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
@@ -307,6 +321,9 @@ def main() -> None:
         best = float("inf")
         try:
             for _ in range(args.runs):
+                if args.cold:
+                    spark.stop()
+                    spark = fresh_session()
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)

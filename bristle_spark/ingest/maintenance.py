@@ -22,7 +22,9 @@ partition.
 
 from __future__ import annotations
 
+import datetime
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,4 +92,39 @@ def compact_sink(
         "files_before": files_before,
         "files_after": sum(after[d] for d in days),
         "rows": n_rows,
+    }
+
+
+def ttl_sweep(path: str, keep_days: int, as_of: str | None = None) -> dict:
+    """Drop whole day partitions older than the retention window — the
+    ClickHouse ``TTL toDate(ts) + INTERVAL N DAY DELETE`` policy in its
+    ``ttl_only_drop_parts`` mode (expiry = cheap part drop, never a
+    row-level rewrite; the mode every high-volume MergeTree deployment
+    runs because mutation-based TTL rewrites are the expensive path).
+
+    Pure filesystem operation: the day value is IN the partition path
+    (``_day=YYYY-MM-DD``), so expiry neither lists file contents nor
+    reads a byte of data — at 100 TB this is O(days) directory renames
+    regardless of table size, which is the entire point of partitioning
+    the sink by day (write_sink's layout).  ``as_of`` defaults to the
+    newest landed day so retention is data-relative and deterministic in
+    tests; a scheduler would pass today's date.  Returns accounting;
+    the row-level TTL-with-aggregation analog is the registered
+    ``r_ttl_rollup`` query."""
+    stats = partition_file_stats(path)
+    if not stats:
+        return {"dropped_partitions": 0, "kept_partitions": 0, "dropped_days": []}
+    anchor = as_of or max(stats)
+    # lexicographic compare is date order for ISO yyyy-mm-dd values
+    cutoff = (
+        datetime.date.fromisoformat(anchor)
+        - datetime.timedelta(days=keep_days - 1)
+    ).isoformat()
+    dropped = sorted(d for d in stats if d < cutoff)
+    for day in dropped:
+        shutil.rmtree(os.path.join(path, f"_day={day}"))
+    return {
+        "dropped_partitions": len(dropped),
+        "kept_partitions": len(stats) - len(dropped),
+        "dropped_days": dropped,
     }

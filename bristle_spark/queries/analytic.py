@@ -1406,6 +1406,88 @@ def r_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TTL retention rollup (ClickHouse TTL ... GROUP BY ... SET analog) ----
+TTL_RAW_DAYS = 7  # raw-row retention window, relative to the newest day
+
+
+@register(
+    "r_ttl_rollup",
+    oracle=f"""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+    tagged AS (
+        SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.event_type,
+               e.value, mx.max_day
+        FROM events e CROSS JOIN mx
+    )
+    SELECT event_id, CAST(day AS TIMESTAMP) AS day, event_type,
+           CAST(1 AS BIGINT) AS n_rows,
+           {rN_sql("value", 2)} AS sum_value
+    FROM tagged WHERE day > max_day - {TTL_RAW_DAYS}
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS event_id, CAST(day AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {rN_sql("sum(value)", 2)} AS sum_value
+    FROM tagged WHERE day <= max_day - {TTL_RAW_DAYS}
+    GROUP BY day, event_type
+    """,
+)
+def r_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep with TTL aggregation — ClickHouse's
+    ``TTL ts + INTERVAL N DAY GROUP BY day, type SET v = sum(v)``
+    (the MergeTree age-out the reference's deployment story leans on
+    for unbounded ingest; `examples/binance.sql:14-16` declares the
+    day-partitioned MergeTree this policy attaches to): rows newer
+    than the {TTL_RAW_DAYS}-day raw window survive as-is, older rows
+    collapse to one aggregate row per (day, event_type).  The output
+    is the post-sweep table state — raw tier keeps event_id with
+    n_rows = 1, rolled tier has NULL event_id and the partial
+    aggregates (count + 2-dp sum) further rollups can still merge
+    (the r_incremental_rollup algebra).
+
+    Scale shape: the cutoff is a broadcast 1-row max-day aggregate
+    (no global window); the raw tier is a pure filter — on the
+    day-partitioned sink it is PARTITION PRUNING, no data moves — and
+    the rolled tier is one map-side-combined aggregation over only the
+    expired days.  The engine-side partition-drop twin (whole-day
+    expiry as an fs-level delete, ClickHouse ttl_only_drop_parts) is
+    ``ingest.maintenance.ttl_sweep``, tested in test_maintenance.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    tagged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+        "max_day",
+    )
+    cutoff = F.date_sub(F.col("max_day"), TTL_RAW_DAYS)
+    raw = tagged.filter(F.col("day") > cutoff).select(
+        "event_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        F.lit(1).cast("bigint").alias("n_rows"),
+        rN(F.col("value"), 2).alias("sum_value"),
+    )
+    rolled = (
+        tagged.filter(F.col("day") <= cutoff)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            rN(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            "n_rows",
+            "sum_value",
+        )
+    )
+    return raw.unionByName(rolled)
+
+
 # --- time-series gap fill + forward fill ----------------------------------
 
 

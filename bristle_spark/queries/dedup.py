@@ -776,13 +776,13 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l_minhash_error",
     oracle=f"""
     WITH {_MINHASH_CTES},
-    shs AS (SELECT DISTINCT doc_id, unnest(bhs) AS h FROM bh),
+    shs AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM tok),
     sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS ni
         FROM cand c
         JOIN shs a ON a.doc_id = c.doc_a
-        JOIN shs b ON b.doc_id = c.doc_b AND b.h = a.h
+        JOIN shs b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT s.doc_a, s.doc_b,
@@ -799,24 +799,24 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every LSH-banded candidate
-    pair, the signature-estimated Jaccard next to the exact Jaccard
-    over the HASHED shingle space (hash60(shingle) mod MINHASH_P — the
-    same keyed universe the signatures sample, so rare hash collisions
-    are shared with the estimator rather than counted as estimator
-    error) and the absolute estimation error — the sketch-quality
-    harness a pipeline runs before trusting a MinHash threshold at
-    scale (the companion of r_approx_percentiles' rank-contract check,
-    applied to the dedup family's own sketch).
+    pair, the signature-estimated Jaccard next to the EXACT Jaccard
+    over the raw shingle strings — a baseline fully independent of the
+    estimator's hash60 mod MINHASH_P universe, so hash-collision bias
+    shows up as estimator error instead of cancelling out of the
+    calibration (ADVICE r8) — and the absolute estimation error: the
+    sketch-quality harness a pipeline runs before trusting a MinHash
+    threshold at scale (the companion of r_approx_percentiles'
+    rank-contract check, applied to the dedup family's own sketch).
 
     Scale shape: identical candidate generation to l_dedup_minhash
-    (banded, never all-pairs); the exact-Jaccard side joins the hashed
-    shingle index on 8-byte keys for CANDIDATE pairs only — the
-    quadratic term stays band-bounded, and the intersection count is
-    one map-side-combinable aggregation per pair."""
+    (banded, never all-pairs); the exact-Jaccard side joins the raw
+    shingle index for CANDIDATE pairs only — the quadratic term stays
+    band-bounded, the shuffled keys are the ~5-word shingle strings of
+    candidate docs only, and the intersection count is one
+    map-side-combinable aggregation per pair."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
-    shh = _shingle_rows(d).select(
-        "doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h")
-    )
+    sh = _shingle_rows(d)
+    shh = sh.select("doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h"))
     mh = shh.groupBy("doc_id").agg(
         *[minhash_min_agg(j, F.col("h")).alias(f"m{j}") for j in range(NUM_HASHES)]
     )
@@ -848,11 +848,15 @@ def l_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = shh.distinct().persist()
+    # exact baseline over RAW shingle strings — independent of the
+    # estimator's hash60 % MINHASH_P universe, so hash collisions count
+    # AS estimator error instead of silently cancelling (ADVICE r8;
+    # _shingle_rows is already distinct per doc)
+    sets = sh.persist()
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )

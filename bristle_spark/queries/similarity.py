@@ -1947,6 +1947,8 @@ def _deflated_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _POWER_CACHE.get(key)
     if hit is not None:
         return hit
+    for stale in [k for k in _POWER_CACHE if k[0] != app_id]:
+        del _POWER_CACHE[stale]
     e = _embeddings(spark, sf_dir)
     v1 = _top_direction(spark, sf_dir)
     dim = 64

@@ -495,11 +495,18 @@ BITMAP_WORD_BITS = 32  # bits per bitmap word (avoids the sign bit entirely)
 @register(
     "r_bitmap_distinct",
     oracle=f"""
-    WITH daily AS (
+    WITH bits AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               user_id // {BITMAP_WORD_BITS} AS w,
-               bit_or(1::BIGINT << CAST(user_id % {BITMAP_WORD_BITS} AS INT)) AS bm
+               ((user_id % {BITMAP_WORD_BITS}) + {BITMAP_WORD_BITS})
+                   % {BITMAP_WORD_BITS} AS r,
+               user_id
         FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               (user_id - r) // {BITMAP_WORD_BITS} AS w,
+               bit_or(1::BIGINT << CAST(r AS INT)) AS bm
+        FROM bits
         GROUP BY 1, 2, 3
     ),
     merged AS (
@@ -534,7 +541,15 @@ def r_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integer bit arithmetic; {BITMAP_WORD_BITS}-bit
     words never touch the sign bit, so Spark/DuckDB shift semantics
-    cannot diverge. Scale shape: the daily build is one
+    cannot diverge.  Word/bit addressing uses a pmod-style
+    non-negative remainder r = ((uid % W) + W) % W and
+    w = (uid - r) div W: both engines truncate integer division toward
+    zero and give % the dividend's sign, and uid - r is an exact
+    multiple of W, so truncation equals floor and (w, r) is the same
+    bijection of uid in Spark and DuckDB for NEGATIVE ids too — unlike
+    double-division-then-cast (precision loss above 2^53) or a raw
+    uid % W shift (negative count: Java masks, DuckDB errors).
+    Sole residual edge: uid within W of INT64_MIN overflows uid - r. Scale shape: the daily build is one
     map-side-combined shuffle of (type, day, word) words (bit_or
     combines map-side — constant bytes per group per task); the merge
     shuffles |types| x |days| x |words| BIGINTs, never rows. Dense user
@@ -544,14 +559,17 @@ def r_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     # F.shiftleft only takes a literal bit count; the SQL form shifts by
-    # a per-row column
+    # a per-row column.  r/w per the docstring's integer-exact addressing.
     bit = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, {BITMAP_WORD_BITS}) AS INT))"
+    )
+    w = F.expr(
+        f"(user_id - pmod(user_id, {BITMAP_WORD_BITS})) div {BITMAP_WORD_BITS}"
     )
     daily = ev.groupBy(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        (F.col("user_id") / BITMAP_WORD_BITS).cast("bigint").alias("w"),
+        w.alias("w"),
     ).agg(F.bit_or(bit).alias("bm"))
     merged = daily.groupBy("event_type", "w").agg(
         F.bit_or("bm").alias("bm"), F.count(F.lit(1)).alias("n_partials")

@@ -171,6 +171,16 @@ def r_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with shuffle order (the reason this is NOT var_samp()+avg(), whose
     float accumulation differs run to run).  The pair frame is the
     |types|² self-join of a |types|-row aggregate — broadcast, bounded.
+
+    Int64 headroom (mirrors r_ols_by_group's note): the raw Σc² moment
+    is bounded by n·C² and the variance numerator n·Σc² − (Σc)² by
+    n²·C², C = max |cents|; with C ≤ 10⁶ (|value| ≤ $10k) the bound
+    stays inside 2⁶³ up to n ≈ 3·10⁶ rows per event_type, several
+    orders beyond the fixture SFs.  Beyond that, Spark's non-ANSI sum
+    would wrap silently while DuckDB widens to HUGEINT — the standard
+    fix is centering cents by a per-group first pass (one extra tiny
+    aggregation) before squaring, exactly as r_ols_by_group documents
+    for its Σc² moment.
     """
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
@@ -342,8 +352,9 @@ CHI2_TOP_TERMS = 200
     ),
     tl AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2),
     tf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df_term FROM tl GROUP BY term),
-    lf AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+    lf0 AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
     tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total FROM documents),
+    lf AS (SELECT lang, n_lang FROM lf0, tot WHERE n_lang < n_total),
     top AS (
         SELECT term, df_term FROM tf, tot
         WHERE df_term < n_total
@@ -381,7 +392,9 @@ def l_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, which is why the 2x2 closed form beats the L-cell Σ(O−E)²/E
     formulation for cross-engine parity.  Terms present in EVERY doc
     carry zero information and a zero (c+d) margin, so they are excluded
-    in the top-term selection.
+    in the top-term selection; symmetrically, a lang covering EVERY doc
+    zeroes the (b+d) margin and is excluded from the lang frame (both
+    guards live in the Spark plan AND the oracle SQL).
 
     Scale shape: the corpus-sized shuffles are the distinct (doc, lang,
     term) explode and its (term, lang) rollup, both map-side combined;
@@ -395,10 +408,17 @@ def l_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     tf = tl.groupBy("term").agg(F.sum("a").cast("bigint").alias("df_term"))
-    lf = docs.groupBy("lang").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_lang")
-    )
     tot = docs.agg(F.countDistinct("doc_id").cast("bigint").alias("n_total"))
+    # Langs covering EVERY doc zero the (n_total - n_lang) margin — Spark's
+    # non-ANSI divide NULLs where DuckDB's double division yields inf, so
+    # the guard mirrors the df_term < n_total one (ADVICE r8).
+    lf = (
+        docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_lang"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_lang") < F.col("n_total"))
+        .select("lang", "n_lang")
+    )
     top = (
         tf.crossJoin(F.broadcast(tot))
         .filter(F.col("df_term") < F.col("n_total"))

@@ -69,7 +69,11 @@ SUITE_WEIGHTS = {
     "test_pca_project.py": 70,
 }
 FALLBACK_WEIGHT = 5
-PARITY_SHARDS = 3  # per scale factor (186 keys; 2 shards made one parity job the 1000s critical path)
+# per scale factor.  4 weight-BALANCED shards (round 9): the old
+# stable-hash split drew all iterative trainers into one shard, making
+# it the 1143s critical path; test_oracle_parity.py now bin-packs keys
+# by measured weight, so each shard carries ~1/4 of the trainer cost.
+PARITY_SHARDS = 4
 
 
 def shard_suite(jobs: int) -> list[list[str]]:

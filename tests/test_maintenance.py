@@ -193,3 +193,57 @@ def test_oversized_day_splits_under_row_cap(spark, sf_dir, tmp_path):
             rows = spark.read.parquet(os.path.join(pdir, f)).select("ts", "event_id").collect()
             keys = [(r["ts"], r["event_id"]) for r in rows]
             assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------- ttl_sweep
+
+
+def test_ttl_sweep_drops_expired_partitions(spark, sf_dir, tmp_path):
+    """Partition-level TTL (ClickHouse ttl_only_drop_parts analog):
+    days older than the window vanish as whole directories, surviving
+    days keep byte-identical content, and the sweep never reads data."""
+    from bristle_spark.ingest.maintenance import ttl_sweep
+
+    path = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    write_sink(ev, path, ts_column="ts", order_by=["ts", "event_id"])
+    before = partition_file_stats(path)
+    days = sorted(before)
+    assert len(days) > 3, "fixture too narrow for a retention test"
+    keep = 3
+    survivors_expected = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("_day") >= F.date_sub(F.lit(days[-1]).cast("date"), keep - 1))
+        .collect()
+    )
+
+    result = ttl_sweep(path, keep_days=keep)
+
+    after = partition_file_stats(path)
+    assert sorted(after) == days[-keep:]
+    assert result["dropped_partitions"] == len(days) - len(after)
+    assert sorted(result["dropped_days"]) == days[: len(days) - len(after)]
+    survivors = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+    assert survivors == survivors_expected
+
+
+def test_ttl_sweep_as_of_and_noop(spark, sf_dir, tmp_path):
+    """An as_of far in the future expires everything; a window wider
+    than the data drops nothing (idempotent no-op)."""
+    from bristle_spark.ingest.maintenance import ttl_sweep
+
+    path = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    write_sink(ev, path, ts_column="ts", order_by=["ts", "event_id"])
+    n_days = len(partition_file_stats(path))
+
+    wide = ttl_sweep(path, keep_days=10_000)
+    assert wide["dropped_partitions"] == 0
+    assert len(partition_file_stats(path)) == n_days
+
+    gone = ttl_sweep(path, keep_days=1, as_of="2099-01-01")
+    assert gone["dropped_partitions"] == n_days
+    assert partition_file_stats(path) == {}
+    # empty sink: a further sweep is a clean no-op, not an error
+    assert ttl_sweep(path, keep_days=1)["dropped_partitions"] == 0
