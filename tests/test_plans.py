@@ -589,3 +589,21 @@ def test_ks_test_windows_partition_by_source(spark, sf_dir):
         df, "BroadcastHashJoin"
     )
     assert not plans.unpartitioned_windows(df)
+
+
+def test_ttl_rollup_cutoff_broadcasts_and_rolled_tier_combines(spark, sf_dir):
+    """The max-day cutoff is a broadcast 1-row aggregate (no global
+    window, no sort-merge join anywhere), the raw tier is a pure
+    filter+project, and the rolled tier is a map-side-combined
+    aggregation — at 100 TB on the day-partitioned sink the raw-tier
+    predicate is partition pruning, so only expired days are scanned
+    for the rollup."""
+    df = SPECS["r_ttl_rollup"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastNestedLoopJoin") or plans.has_node(
+        df, "BroadcastHashJoin"
+    )
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "Window")
+    # partial + final HashAggregate for the rolled tier (plus the 1-row
+    # max-day aggregate); the raw tier adds none
+    assert plans.node_count(df, "HashAggregate") >= 2
