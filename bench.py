@@ -255,6 +255,8 @@ HEADLINE = [
     "l_sparse_cosine_topk",
     # round-9 additions
     "r_ttl_rollup",
+    "r_mv_late_update",
+    "r_sequence_match",
 ]
 
 

@@ -2052,3 +2052,186 @@ def r_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATHS_TOP)
     )
+
+
+# --- delta-pruned materialized-view maintenance ---------------------------
+# Late-arrival simulation: whole-day late file landings (day-of-month
+# divisible by 7) deliver a third of their events (event_id % 3 == 0)
+# after the MV was built — SF-invariant: exactly 4 of 30 days, 20 of
+# 150 (day, event_type) keys are touched at every scale factor, and
+# within each touched key BOTH sides hold a genuine partial.
+MV_LATE_DAY_MOD = 7
+MV_LATE_EVENT_MOD = 3
+
+
+@register(
+    "r_mv_late_update",
+    oracle=f"""
+    SELECT date_trunc('day', ts)        AS day,
+           event_type,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           {rN_sql("sum(value)", 2)}    AS total_value,
+           CAST(max(CASE WHEN day(ts) % {MV_LATE_DAY_MOD} = 0
+                          AND event_id % {MV_LATE_EVENT_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS touched
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def r_mv_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-pruned materialized-view maintenance (VERDICT r8 ask #7):
+    the daily rollup is an EXISTING materialized table of partial
+    aggregates; a late delta arrives for a few (day, event_type) keys;
+    maintenance re-aggregates ONLY the affected keys and passes every
+    untouched MV row through VERBATIM — the ClickHouse materialized-
+    view / AggregatingMergeTree repair loop, and the shape that matters
+    at 100 TB, where the delta touches a handful of day partitions and
+    the other ~10k must not be rescanned or even re-hashed.
+
+    Plan shape: the affected-key set is a distinct over the (tiny)
+    delta, BROADCAST to both the semi-join (pick MV rows to merge) and
+    the anti-join (pass-through rows) — no shuffle of the MV on either
+    path; the merge re-aggregation runs over delta-key-sized data only.
+    The `touched` flag is recomputed independently by the oracle from
+    the raw arrival predicate, so the driver hash-checks that the
+    maintenance touched EXACTLY the affected keys — a wrong semi/anti
+    split flips a flag and fails the gate, not just a value.
+
+    Differs from r_incremental_rollup (merge algebra for ALL keys):
+    this key proves the PRUNING — merge(base ∪ delta) restricted to
+    affected keys + verbatim pass-through elsewhere == full recompute.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_late = (F.dayofmonth("ts") % MV_LATE_DAY_MOD == 0) & (
+        F.pmod(F.col("event_id"), MV_LATE_EVENT_MOD) == 0
+    )
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    base = partials(ev.filter(~is_late))  # the MV as built
+    delta = partials(ev.filter(is_late))  # the late arrivals
+
+    affected = delta.select("day", "event_type")  # distinct by construction
+    untouched = base.join(
+        F.broadcast(affected), ["day", "event_type"], "left_anti"
+    ).withColumn("touched", F.lit(0).cast("bigint"))
+    merged = (
+        base.join(F.broadcast(affected), ["day", "event_type"], "left_semi")
+        .unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .withColumn("touched", F.lit(1).cast("bigint"))
+    )
+    # Final rounding only after the merge (partials stay raw).
+    return untouched.unionByName(merged).select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        rN(F.col("sum_value"), 2).alias("total_value"),
+        "touched",
+    )
+
+
+# --- ordered-sequence pattern match (ClickHouse sequenceMatch) ------------
+SEQ_MATCH_WINDOW_S = 3 * 3600  # signup -> purchase conversion window
+
+
+@register(
+    "r_sequence_match",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS ts_s,
+               event_id
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, event_type, ts_s,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id) AS ord
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, event_type, ts_s,
+               last_value(CASE WHEN event_type IN ('signup', 'error')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ord
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_marker,
+               last_value(CASE WHEN event_type IN ('signup', 'error')
+                               THEN ts_s END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ord
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_ts
+        FROM o
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                          AND prev_marker = 'signup'
+                          AND date_diff('second', prev_ts, ts_s)
+                              <= {SEQ_MATCH_WINDOW_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matched
+    FROM m
+    GROUP BY user_id
+    """,
+)
+def r_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern match — ClickHouse
+    ``sequenceMatch('(?1)(?t<=3h)(?2)')(ts, signup, purchase)`` with an
+    ``error`` reset condition: per user, does a *purchase* follow a
+    *signup* within {SEQ_MATCH_WINDOW_S}s with no *error* strictly
+    between?  (r_funnel is the cousin without the negative condition or
+    the time window; the ``(?t<=N)`` window and the reset marker are
+    what production sequenceMatch deployments actually use.)
+
+    Single-pass shape: ONE shuffle on user_id, one in-partition sort;
+    a running ``last(marker) IGNORE NULLS`` over the 1-preceding frame
+    carries "what was the most recent signup-or-error and when" to each
+    purchase — no self-join, no per-pattern rescan, so at 100 TB the
+    cost is exactly one sort-based window over the event log, and the
+    per-user state is O(1) exactly like ClickHouse's sequence automaton.
+    Event order is (ts_s, event_id) — deterministic under same-second
+    ties in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marker = F.when(
+        F.col("event_type").isin("signup", "error"), F.col("event_type")
+    )
+    marker_ts = F.when(
+        F.col("event_type").isin("signup", "error"), F.col("ts_s")
+    )
+    m = e.select(
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.last(marker, ignorenulls=True).over(w).alias("prev_marker"),
+        F.last(marker_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    hit = (
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_marker") == "signup")
+        & (
+            F.col("ts_s").cast("long") - F.col("prev_ts").cast("long")
+            <= SEQ_MATCH_WINDOW_S
+        )
+    )
+    return m.groupBy("user_id").agg(
+        F.max(F.when(hit, 1).otherwise(0)).cast("bigint").alias("matched")
+    )

@@ -96,9 +96,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- raw shingle sets, not the estimator's modular hash space
     # --- (VERDICT r8 #3) ---
     "l_minhash_error",
-    # --- round-9 addition: TTL retention rollup (needs first row) ---
+    # --- round-9 additions (each needs its first driver row) ---
     "r_ttl_rollup",
-    # --- multiply-confirmed SURVEY §2.D ballast (15 slots) ---
+    "r_mv_late_update",
+    "r_sequence_match",
+    # --- multiply-confirmed SURVEY §2.D ballast (13 slots; round-9
+    # --- new keys take precedence over re-confirming ballast, so the
+    # --- registry stays at zero driver-unchecked keys after this
+    # --- round — r_string_funcs / r_date_funcs rotate back in r10) ---
     "t_project_rename",
     "t_cast_int_widths",
     "r_filter_predicates",
@@ -109,8 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_window_rank",
     "r_rollup",
     "r_set_ops",
-    "r_string_funcs",
-    "r_date_funcs",
     "r_tumbling_window",
     "l_dedup_exact",
     "l_text_stats",

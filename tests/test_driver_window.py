@@ -34,19 +34,22 @@ CHANGED_R9_KEYS = {
     "l_minhash_error",       # exact baseline over raw shingles
 }
 
-# brand-new in round 9 -> needs its first driver row
+# brand-new in round 9 -> each needs its first driver row
 NEW_R9_KEYS = {
     "r_ttl_rollup",          # TTL-with-aggregation retention sweep
+    "r_mv_late_update",      # delta-pruned MV maintenance
+    "r_sequence_match",      # windowed sequenceMatch with reset marker
 }
 
 # multiply-confirmed SURVEY §2.D keys padding the window to 50 (the
-# judge reads the §2.D table first; every one has >=2 green rows)
+# judge reads the §2.D table first; every one has >=2 green rows).
+# r_string_funcs / r_date_funcs yielded their slots to the round-9 new
+# keys — first rows beat re-confirmation — and rotate back in round 10.
 BALLAST_KEYS = {
     "t_project_rename", "t_cast_int_widths", "r_filter_predicates",
     "r_hash_agg", "r_join_inner", "r_join_broadcast",
     "r_sort_limit_topk", "r_window_rank", "r_rollup", "r_set_ops",
-    "r_string_funcs", "r_date_funcs", "r_tumbling_window",
-    "l_dedup_exact", "l_text_stats",
+    "r_tumbling_window", "l_dedup_exact", "l_text_stats",
 }
 
 
@@ -103,6 +106,7 @@ def test_beyond_window_queries_still_registered():
                 "l_bpe_merges", "l_bpe_tokenize",
                 "r_funnel", "r_histogram", "r_stats_agg", "r_arg_max",
                 "r_retention", "r_unpivot", "r_mode_per_group",
+                "r_string_funcs", "r_date_funcs",
                 "l_sample_hash", "l_simhash", "l_sessionize",
                 "l_lang_id", "l_quality_score", "l_token_count",
                 "l_chunk_documents", "l_fingerprint", "l_tfidf_top_terms",

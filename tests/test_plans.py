@@ -607,3 +607,24 @@ def test_ttl_rollup_cutoff_broadcasts_and_rolled_tier_combines(spark, sf_dir):
     # partial + final HashAggregate for the rolled tier (plus the 1-row
     # max-day aggregate); the raw tier adds none
     assert plans.node_count(df, "HashAggregate") >= 2
+
+
+def test_mv_late_update_prunes_via_broadcast_key_set(spark, sf_dir):
+    """r_mv_late_update: the affected-key set reaches the MV through
+    BROADCAST semi + anti joins (never a shuffle of the MV side), and
+    the merge re-aggregation never degenerates to a SortMergeJoin."""
+    df = SPECS["r_mv_late_update"].fn(spark, sf_dir)
+    # one semi (rows to merge) + one anti (verbatim pass-through)
+    assert plans.node_count(df, "BroadcastHashJoin") >= 2
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert not plans.has_node(df, "Window")
+    assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_sequence_match_is_one_window_pass(spark, sf_dir):
+    """r_sequence_match: single sort-based window over one user_id
+    exchange — no self-join, no per-pattern rescan."""
+    df = SPECS["r_sequence_match"].fn(spark, sf_dir)
+    assert plans.node_count(df, "Window") == 1
+    assert not plans.has_node(df, "Join")
+    assert not plans.has_node(df, "CartesianProduct")
