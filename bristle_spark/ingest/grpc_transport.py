@@ -1,0 +1,455 @@
+"""BristleIngestService over real HTTP/2-gRPC framing.
+
+The reference mounts its service on a stock gRPC server
+(ingest_service.go:63-65, bristle.proto:117-123); grpcio is
+env-blocked here (PARITY.md), so this transport implements the gRPC
+wire protocol itself on the repo's own RFC-7540/7541 stack (h2.py,
+hpack.py): HTTP/2 preface + SETTINGS, HPACK-compressed request and
+response headers, the 5-byte (compressed-flag + u32 length) gRPC
+message framing inside DATA frames, and grpc-status trailers. The
+``Streaming`` bidi RPC carries exactly the same
+``StreamingClientMessage`` / ``StreamingServerMessage`` envelopes as
+the TCP front door (service.py) and drives the SAME transport-agnostic
+batch semantics (service.process_batch): register-type handshake,
+per-batch BatchResult acks, max_in_flight admission, ErrUnsupported
+terminations — so a stock gRPC client implementing bristle.proto can
+connect to this endpoint without speaking anything repo-specific.
+
+gRPC protocol details follow the public gRPC-over-HTTP/2 spec
+(PROTOCOL-HTTP2.md in grpc/grpc): path = /<package>.<Service>/<Method>,
+content-type application/grpc, trailers-only responses for unknown
+methods (UNIMPLEMENTED), INTERNAL for an unsupported compressed-flag.
+
+100 TB shape: identical to the socket front door — the transport
+validates and durably lands payload files; the distributed streaming
+job drains them. N transports behind a load balancer scale ingest
+horizontally; nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+from bristle_spark.ingest import h2
+from bristle_spark.ingest import service as svc
+
+STREAMING_PATH = b"/bristle.BristleIngestService/Streaming"
+GRPC_CONTENT_TYPE = b"application/grpc"
+
+# gRPC status codes (status.proto — public gRPC API)
+GRPC_OK = 0
+GRPC_UNKNOWN = 2
+GRPC_UNIMPLEMENTED = 12
+GRPC_INTERNAL = 13
+
+
+def frame_message(msg: bytes) -> bytes:
+    """gRPC length-prefixed message: compressed-flag (0) + u32 length."""
+    return b"\x00" + len(msg).to_bytes(4, "big") + msg
+
+
+def split_messages(buf: bytearray) -> list[bytes]:
+    """Pop every complete gRPC message off ``buf`` (mutates it).
+    Raises ValueError on a set compressed-flag — no encoding is
+    negotiated (no grpc-encoding header is ever sent)."""
+    out: list[bytes] = []
+    while len(buf) >= 5:
+        if buf[0] != 0:
+            raise ValueError("compressed gRPC message without grpc-encoding")
+        length = int.from_bytes(buf[1:5], "big")
+        if len(buf) < 5 + length:
+            break
+        out.append(bytes(buf[5 : 5 + length]))
+        del buf[: 5 + length]
+    return out
+
+
+class _Rpc:
+    """Per-stream Streaming-RPC state (the gRPC twin of service._Session)."""
+
+    def __init__(self, stream_id: int, max_in_flight: int) -> None:
+        self.stream_id = stream_id
+        self.sem = threading.Semaphore(max_in_flight)
+        self.type_ids: dict[int, str] = {}
+        self.next_type_id = 0
+        self.buf = bytearray()
+        self.in_flight = 0
+        self.recv_done = False
+        self.finished = False  # trailers sent
+
+
+class GrpcIngestService:
+    """HTTP/2-gRPC front door bound to an IngestServer's binding
+    registry and payload landing zones (same backend as
+    IngestSocketService; only the transport differs)."""
+
+    def __init__(
+        self,
+        server,  # ingest.server.IngestServer
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_in_flight: int = 12,  # reference NewStreamingClientSession(stream, 12)
+        max_batch_len: int = 10_000,
+    ) -> None:
+        self.server = server
+        self.host = host
+        self.max_in_flight = max_in_flight
+        self.max_batch_len = max_batch_len
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._accept_thread: threading.Thread | None = None
+        self._pool = ThreadPoolExecutor(max_workers=max(1, max_in_flight))
+
+    # -- lifecycle
+
+    def start(self) -> "GrpcIngestService":
+        self._sock.listen()
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self) -> "GrpcIngestService":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _accept_loop(self) -> None:
+        import time as _time
+
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._sock.accept()
+            except OSError:
+                if self._stop.is_set():
+                    return
+                _time.sleep(0.05)
+                continue
+            threading.Thread(
+                target=self._serve_connection, args=(conn,), daemon=True
+            ).start()
+
+    # -- connection handling
+
+    def _serve_connection(self, conn: socket.socket) -> None:
+        h2c = h2.H2Connection(client_side=False)
+        lock = threading.Lock()
+        rpcs: dict[int, _Rpc] = {}
+
+        def flush_locked() -> None:
+            out = h2c.data_to_send()
+            if out:
+                conn.sendall(out)
+
+        try:
+            with conn:
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        return
+                    with lock:
+                        try:
+                            events = h2c.receive_data(chunk)
+                        except h2.H2ConnectionError as exc:
+                            h2c.send_goaway(exc.code)
+                            flush_locked()
+                            return
+                        flush_locked()
+                    for ev in events:
+                        self._handle_event(ev, h2c, lock, conn, rpcs, flush_locked)
+                        if h2c.closed:
+                            return
+        except (ConnectionError, OSError, ValueError):
+            return  # client gone / malformed: drop the connection
+
+    # -- event handling (reader thread)
+
+    def _handle_event(self, ev, h2c, lock, conn, rpcs, flush_locked) -> None:
+        if isinstance(ev, h2.HeadersReceived):
+            headers = dict(ev.headers)
+            sid = ev.stream_id
+            if headers.get(b":path") != STREAMING_PATH:
+                with lock:
+                    # trailers-only response (gRPC spec: UNIMPLEMENTED)
+                    h2c.send_headers(
+                        sid,
+                        [
+                            (b":status", b"200"),
+                            (b"content-type", GRPC_CONTENT_TYPE),
+                            (b"grpc-status", str(GRPC_UNIMPLEMENTED).encode()),
+                            (b"grpc-message", b"unknown method"),
+                        ],
+                        end_stream=True,
+                    )
+                    flush_locked()
+                return
+            rpc = _Rpc(sid, self.max_in_flight)
+            rpcs[sid] = rpc
+            with lock:
+                h2c.send_headers(
+                    sid,
+                    [(b":status", b"200"), (b"content-type", GRPC_CONTENT_TYPE)],
+                )
+                flush_locked()
+            if ev.end_stream:
+                rpc.recv_done = True
+                self._maybe_finish(rpc, h2c, lock, flush_locked)
+        elif isinstance(ev, h2.DataReceived):
+            rpc = rpcs.get(ev.stream_id)
+            if rpc is None or rpc.finished:
+                return
+            rpc.buf += ev.data
+            try:
+                msgs = split_messages(rpc.buf)
+            except ValueError:
+                self._finish(
+                    rpc, h2c, lock, flush_locked,
+                    GRPC_INTERNAL, b"unsupported compressed message",
+                )
+                return
+            for msg in msgs:
+                if rpc.finished:
+                    return
+                self._handle_envelope(rpc, msg, h2c, lock, flush_locked)
+            if ev.end_stream:
+                rpc.recv_done = True
+                self._maybe_finish(rpc, h2c, lock, flush_locked)
+        elif isinstance(ev, h2.StreamReset):
+            rpc = rpcs.pop(ev.stream_id, None)
+            if rpc is not None:
+                rpc.finished = True
+
+    # -- the Streaming session semantics (ingest_service.go:184-234)
+
+    def _handle_envelope(self, rpc, msg, h2c, lock, flush_locked) -> None:
+        try:
+            kind, body = svc._decode_client_message(msg)
+        except (ValueError, IndexError):
+            self._finish(
+                rpc, h2c, lock, flush_locked, GRPC_INTERNAL, b"malformed envelope"
+            )
+            return
+        if kind == "register_message_type":
+            if body["descriptor"]:
+                # ErrUnsupported terminates the RPC (ingest_service.go:199-202)
+                self._finish(
+                    rpc, h2c, lock, flush_locked,
+                    GRPC_UNKNOWN, b"descriptor registration unsupported",
+                )
+                return
+            rpc.next_type_id += 1
+            rpc.type_ids[rpc.next_type_id] = body["type"]
+            self._send_msg(
+                rpc, svc._encode_identify(body["type"], rpc.next_type_id),
+                h2c, lock, flush_locked,
+            )
+        elif kind == "write_batch":
+            if not rpc.sem.acquire(blocking=False):
+                self._send_msg(
+                    rpc,
+                    svc._encode_batch_result(
+                        body["id"], svc.TOO_MANY_IN_FLIGHT_BATCHES
+                    ),
+                    h2c, lock, flush_locked,
+                )
+                return
+            rpc.in_flight += 1
+            self._pool.submit(
+                self._write_batch, rpc, body, h2c, lock, flush_locked
+            )
+        elif kind == "update_default":
+            # ErrUnsupported (ingest_service.go:228-230, S13)
+            self._finish(
+                rpc, h2c, lock, flush_locked,
+                GRPC_UNKNOWN, b"update_default unsupported",
+            )
+
+    def _write_batch(self, rpc, batch, h2c, lock, flush_locked) -> None:
+        try:
+            result = svc.process_batch(
+                self.server, rpc.type_ids, batch, self.max_batch_len
+            )
+        except Exception:
+            result = svc.FULL  # server-side failure: retryable, not DECODE_ERR
+        finally:
+            rpc.sem.release()
+        try:
+            self._send_msg(
+                rpc, svc._encode_batch_result(batch["id"], result),
+                h2c, lock, flush_locked,
+            )
+        except OSError:
+            pass  # client hung up before the ack
+        with lock:
+            rpc.in_flight -= 1
+        self._maybe_finish(rpc, h2c, lock, flush_locked)
+
+    # -- response plumbing
+
+    def _send_msg(self, rpc, envelope, h2c, lock, flush_locked) -> None:
+        with lock:
+            if rpc.finished:
+                return
+            h2c.send_data(rpc.stream_id, frame_message(envelope))
+            flush_locked()
+
+    def _maybe_finish(self, rpc, h2c, lock, flush_locked) -> None:
+        with lock:
+            if rpc.finished or not rpc.recv_done or rpc.in_flight > 0:
+                return
+        self._finish(rpc, h2c, lock, flush_locked, GRPC_OK, b"")
+
+    def _finish(self, rpc, h2c, lock, flush_locked, status, message) -> None:
+        with lock:
+            if rpc.finished:
+                return
+            rpc.finished = True
+            trailers = [(b"grpc-status", str(status).encode())]
+            if message:
+                trailers.append((b"grpc-message", bytes(message)))
+            h2c.send_headers(rpc.stream_id, trailers, end_stream=True)
+            try:
+                flush_locked()
+            except OSError:
+                pass
+
+
+class GrpcIngestClient:
+    """Synchronous gRPC Streaming client over the same stack — the
+    loopback stand-in for a stock bristle client (client/client.go),
+    API-identical to IngestSocketClient. ``huffman=True`` exercises the
+    server's Huffman decode path with realistically-compressed headers."""
+
+    def __init__(
+        self, host: str, port: int, timeout: float = 30.0, huffman: bool = True
+    ) -> None:
+        self.conn = socket.create_connection((host, port), timeout=timeout)
+        self._h2 = h2.H2Connection(client_side=True)
+        self._h2._encoder.huffman = huffman
+        self._h2.initiate()
+        self._next_batch = 0
+        self._results: dict[int, int] = {}
+        self._envelopes: list[tuple[str, dict]] = []
+        self._buf = bytearray()
+        self.trailers: dict[bytes, bytes] | None = None
+        self._headers_seen = False
+        self.stream_id = self._h2.next_stream_id()
+        self._h2.send_headers(
+            self.stream_id,
+            [
+                (b":method", b"POST"),
+                (b":scheme", b"http"),
+                (b":path", STREAMING_PATH),
+                (b":authority", f"{host}:{port}".encode()),
+                (b"content-type", GRPC_CONTENT_TYPE),
+                (b"te", b"trailers"),
+            ],
+        )
+        self._flush()
+
+    # -- lifecycle
+
+    def close(self) -> None:
+        try:
+            self._h2.send_data(self.stream_id, b"", end_stream=True)
+            self._h2.send_goaway(h2.NO_ERROR)
+            self._flush()
+        except OSError:
+            pass
+        finally:
+            self.conn.close()
+
+    def __enter__(self) -> "GrpcIngestClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- plumbing
+
+    def _flush(self) -> None:
+        out = self._h2.data_to_send()
+        if out:
+            self.conn.sendall(out)
+
+    def _send_envelope(self, envelope: bytes) -> None:
+        self._h2.send_data(self.stream_id, frame_message(envelope))
+        self._flush()
+
+    def _pump(self) -> None:
+        chunk = self.conn.recv(65536)
+        if not chunk:
+            raise ConnectionError("server closed the connection")
+        events = self._h2.receive_data(chunk)
+        self._flush()  # auto-replies: SETTINGS ack, WINDOW_UPDATE
+        for ev in events:
+            if isinstance(ev, h2.DataReceived) and ev.stream_id == self.stream_id:
+                self._buf += ev.data
+                for msg in split_messages(self._buf):
+                    self._envelopes.append(svc.decode_server_message(msg))
+            elif isinstance(ev, h2.HeadersReceived) and ev.stream_id == self.stream_id:
+                hdrs = dict(ev.headers)
+                if not self._headers_seen and b":status" in hdrs:
+                    self._headers_seen = True
+                    if b"grpc-status" not in hdrs:
+                        continue  # plain response headers
+                self.trailers = hdrs
+                status = int(hdrs.get(b"grpc-status", b"0"))
+                if status != GRPC_OK:
+                    raise ConnectionError(
+                        f"rpc terminated: grpc-status {status} "
+                        f"{hdrs.get(b'grpc-message', b'').decode()}"
+                    )
+                if ev.end_stream:
+                    raise ConnectionError("server closed the session")
+            elif isinstance(ev, h2.ConnectionTerminated):
+                raise ConnectionError("server sent GOAWAY")
+
+    def _recv(self) -> tuple[str, dict]:
+        while not self._envelopes:
+            self._pump()
+        return self._envelopes.pop(0)
+
+    # -- the client API (mirrors IngestSocketClient)
+
+    def register_type(self, type_name: str) -> int:
+        self._send_envelope(svc.encode_register_type(type_name))
+        while True:
+            kind, body = self._recv()
+            if kind == "identify_message_type" and body["type"] == type_name:
+                return body["id"]
+            if kind == "write_batch_result":
+                self._results[body["id"]] = body["result"]
+
+    def write_batch(
+        self,
+        bodies: list[bytes],
+        type_name: str | None = None,
+        type_id: int | None = None,
+    ) -> int:
+        self._next_batch += 1
+        batch_id = self._next_batch
+        self._send_envelope(
+            svc.encode_write_batch(batch_id, bodies, type_name, type_id)
+        )
+        while batch_id not in self._results:
+            kind, body = self._recv()
+            if kind == "write_batch_result":
+                self._results[body["id"]] = body["result"]
+        return self._results.pop(batch_id)
+
+    def update_default(self, type_name: str, default: bytes = b"") -> None:
+        self._send_envelope(svc.encode_update_default(type_name, default))

@@ -1,0 +1,547 @@
+"""HTTP/2 framing layer (RFC 7540) — sans-IO, pure Python.
+
+The transport under `grpc_transport.py`: the reference serves its
+``BristleIngestService`` on a stock gRPC server (ingest_service.go:
+63-65), i.e. over HTTP/2. grpcio / h2 wheels are env-blocked
+(PARITY.md), so this module implements the connection state machine
+from the public RFC directly. Sans-IO: `receive_data(bytes)` returns
+protocol events and queues any protocol-mandated replies (SETTINGS
+acks, PING acks, WINDOW_UPDATE replenishment); `data_to_send()` drains
+the outbound buffer. One class serves both roles — the server side of
+the ingest front door and the loopback test client.
+
+Scope is the surface a gRPC bidi-streaming exchange touches, done
+correctly rather than a full general-purpose stack: preface + SETTINGS
+handshake, HEADERS/CONTINUATION assembly with HPACK, DATA with padding,
+REAL flow control in both directions (send-side windows honoured with
+per-stream pending queues, recv-side windows replenished), RST_STREAM,
+PING, GOAWAY, INITIAL_WINDOW_SIZE retuning of live streams, and frame
+size validation. PRIORITY is parsed and ignored; PUSH is disabled and
+rejected; unknown frame types are ignored as the RFC requires.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from bristle_spark.ingest import hpack
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+# frame types
+DATA = 0x0
+HEADERS = 0x1
+PRIORITY = 0x2
+RST_STREAM = 0x3
+SETTINGS = 0x4
+PUSH_PROMISE = 0x5
+PING = 0x6
+GOAWAY = 0x7
+WINDOW_UPDATE = 0x8
+CONTINUATION = 0x9
+
+# flags
+FLAG_END_STREAM = 0x1
+FLAG_ACK = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+# settings ids
+SETTINGS_HEADER_TABLE_SIZE = 0x1
+SETTINGS_ENABLE_PUSH = 0x2
+SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+SETTINGS_MAX_FRAME_SIZE = 0x5
+SETTINGS_MAX_HEADER_LIST_SIZE = 0x6
+
+# error codes
+NO_ERROR = 0x0
+PROTOCOL_ERROR = 0x1
+INTERNAL_ERROR = 0x2
+FLOW_CONTROL_ERROR = 0x3
+FRAME_SIZE_ERROR = 0x6
+REFUSED_STREAM = 0x7
+CANCEL = 0x8
+COMPRESSION_ERROR = 0x9
+
+DEFAULT_WINDOW = 65_535
+MAX_WINDOW = (1 << 31) - 1
+DEFAULT_MAX_FRAME = 16_384
+
+
+class H2ConnectionError(Exception):
+    """Fatal connection error; the caller should GOAWAY and close."""
+
+    def __init__(self, code: int, message: str) -> None:
+        super().__init__(message)
+        self.code = code
+
+
+# ------------------------------------------------------------------ events
+
+
+@dataclass(frozen=True)
+class HeadersReceived:
+    stream_id: int
+    headers: list[tuple[bytes, bytes]]
+    end_stream: bool
+
+
+@dataclass(frozen=True)
+class DataReceived:
+    stream_id: int
+    data: bytes
+    end_stream: bool
+
+
+@dataclass(frozen=True)
+class StreamReset:
+    stream_id: int
+    error_code: int
+
+
+@dataclass(frozen=True)
+class ConnectionTerminated:
+    error_code: int
+    last_stream_id: int
+
+
+@dataclass(frozen=True)
+class SettingsAcked:
+    pass
+
+
+@dataclass(frozen=True)
+class PingAcked:
+    data: bytes
+
+
+@dataclass(frozen=True)
+class WindowOpened:
+    """Send-window grew; any application data deferred by flow control
+    has been flushed into the outbound buffer."""
+
+    stream_id: int
+
+
+# ------------------------------------------------------------------ frames
+
+
+def encode_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        len(payload).to_bytes(3, "big")
+        + bytes([ftype, flags])
+        + stream_id.to_bytes(4, "big")
+        + payload
+    )
+
+
+@dataclass
+class _Stream:
+    stream_id: int
+    send_window: int
+    recv_window: int = DEFAULT_WINDOW
+    recv_closed: bool = False
+    send_closed: bool = False
+    reset: bool = False
+    # data accepted by send_data but deferred by flow control
+    pending: list[tuple[bytes, bool]] = field(default_factory=list)
+
+
+class H2Connection:
+    """Sans-IO HTTP/2 endpoint (RFC 7540), client or server role."""
+
+    def __init__(self, client_side: bool) -> None:
+        self.client_side = client_side
+        self._out = bytearray()
+        self._in = bytearray()
+        self._preface_seen = client_side  # servers must see it first
+        self._sent_initiate = False
+        self._encoder = hpack.Encoder()
+        self._decoder = hpack.Decoder()
+        self.streams: dict[int, _Stream] = {}
+        self._next_stream_id = 1 if client_side else 2
+        self._highest_peer_stream = 0
+        self.conn_send_window = DEFAULT_WINDOW
+        self.conn_recv_window = DEFAULT_WINDOW
+        self.peer_max_frame = DEFAULT_MAX_FRAME
+        self.peer_initial_window = DEFAULT_WINDOW
+        self.max_frame = DEFAULT_MAX_FRAME
+        # HEADERS fragment assembly state
+        self._hdr_stream: int | None = None
+        self._hdr_flags = 0
+        self._hdr_buf = bytearray()
+        self.closed = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def initiate(self) -> None:
+        """Queue the preface (client) and the initial SETTINGS frame."""
+        if self._sent_initiate:
+            return
+        self._sent_initiate = True
+        if self.client_side:
+            self._out += PREFACE
+        pairs = [
+            (SETTINGS_MAX_FRAME_SIZE, self.max_frame),
+            (SETTINGS_INITIAL_WINDOW_SIZE, DEFAULT_WINDOW),
+        ]
+        if self.client_side:
+            # RFC 9113 §6.5.2: ENABLE_PUSH is a client-only setting —
+            # stock stacks (golang.org/x/net/http2) treat it from a
+            # server as a connection error.
+            pairs.insert(0, (SETTINGS_ENABLE_PUSH, 0))
+        settings = b"".join(
+            sid.to_bytes(2, "big") + val.to_bytes(4, "big") for sid, val in pairs
+        )
+        self._out += encode_frame(SETTINGS, 0, 0, settings)
+
+    def data_to_send(self) -> bytes:
+        out = bytes(self._out)
+        del self._out[:]
+        return out
+
+    # ------------------------------------------------------------- sending
+
+    def next_stream_id(self) -> int:
+        sid = self._next_stream_id
+        self._next_stream_id += 2
+        return sid
+
+    def _stream_for_send(self, stream_id: int) -> _Stream:
+        st = self.streams.get(stream_id)
+        if st is None:
+            st = _Stream(stream_id, send_window=self.peer_initial_window)
+            self.streams[stream_id] = st
+        return st
+
+    def send_headers(
+        self,
+        stream_id: int,
+        headers: list[tuple[bytes, bytes]],
+        end_stream: bool = False,
+    ) -> None:
+        st = self._stream_for_send(stream_id)
+        if st.reset:
+            return
+        block = self._encoder.encode(headers)
+        flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
+        # header blocks are not flow-controlled but are frame-size bound
+        if len(block) <= self.peer_max_frame:
+            self._out += encode_frame(HEADERS, flags, stream_id, block)
+        else:
+            first, rest = block[: self.peer_max_frame], block[self.peer_max_frame :]
+            self._out += encode_frame(
+                HEADERS, flags & ~FLAG_END_HEADERS, stream_id, first
+            )
+            while len(rest) > self.peer_max_frame:
+                chunk, rest = rest[: self.peer_max_frame], rest[self.peer_max_frame :]
+                self._out += encode_frame(CONTINUATION, 0, stream_id, chunk)
+            self._out += encode_frame(
+                CONTINUATION, FLAG_END_HEADERS, stream_id, rest
+            )
+        if end_stream:
+            st.send_closed = True
+
+    def send_data(self, stream_id: int, data: bytes, end_stream: bool = False) -> None:
+        """Queue DATA, honouring connection + stream send windows; what
+        the windows cannot carry is deferred until WINDOW_UPDATE."""
+        st = self._stream_for_send(stream_id)
+        if st.reset:
+            return
+        st.pending.append((bytes(data), end_stream))
+        self._flush_stream(st)
+
+    def _flush_stream(self, st: _Stream) -> None:
+        while st.pending:
+            data, end_stream = st.pending[0]
+            if not data and end_stream:  # bare end-of-stream marker
+                self._out += encode_frame(DATA, FLAG_END_STREAM, st.stream_id, b"")
+                st.send_closed = True
+                st.pending.pop(0)
+                continue
+            while data:
+                budget = min(
+                    len(data), self.conn_send_window, st.send_window, self.peer_max_frame
+                )
+                if budget <= 0:
+                    st.pending[0] = (data, end_stream)
+                    return
+                chunk, data = data[:budget], data[budget:]
+                last = not data and end_stream
+                self._out += encode_frame(
+                    DATA, FLAG_END_STREAM if last else 0, st.stream_id, chunk
+                )
+                self.conn_send_window -= len(chunk)
+                st.send_window -= len(chunk)
+                if last:
+                    st.send_closed = True
+            st.pending.pop(0)
+
+    def send_rst_stream(self, stream_id: int, code: int = CANCEL) -> None:
+        st = self._stream_for_send(stream_id)
+        st.reset = True
+        st.pending.clear()
+        self._out += encode_frame(RST_STREAM, 0, stream_id, code.to_bytes(4, "big"))
+
+    def send_goaway(self, code: int = NO_ERROR, debug: bytes = b"") -> None:
+        payload = self._highest_peer_stream.to_bytes(4, "big") + code.to_bytes(
+            4, "big"
+        ) + debug
+        self._out += encode_frame(GOAWAY, 0, 0, payload)
+        self.closed = True
+
+    def send_ping(self, data: bytes = b"\x00" * 8) -> None:
+        self._out += encode_frame(PING, 0, 0, data)
+
+    # ------------------------------------------------------------ receiving
+
+    def receive_data(self, data: bytes) -> list[object]:
+        self._in += data
+        events: list[object] = []
+        if not self._preface_seen:
+            if len(self._in) < len(PREFACE):
+                return events
+            if bytes(self._in[: len(PREFACE)]) != PREFACE:
+                raise H2ConnectionError(PROTOCOL_ERROR, "bad connection preface")
+            del self._in[: len(PREFACE)]
+            self._preface_seen = True
+            self.initiate()  # server replies with its SETTINGS
+        while True:
+            if len(self._in) < 9:
+                return events
+            length = int.from_bytes(self._in[0:3], "big")
+            if length > self.max_frame:
+                raise H2ConnectionError(FRAME_SIZE_ERROR, "frame exceeds max size")
+            if len(self._in) < 9 + length:
+                return events
+            ftype = self._in[3]
+            flags = self._in[4]
+            stream_id = int.from_bytes(self._in[5:9], "big") & 0x7FFFFFFF
+            payload = bytes(self._in[9 : 9 + length])
+            del self._in[: 9 + length]
+            events.extend(self._handle_frame(ftype, flags, stream_id, payload))
+
+    # -- frame dispatch
+
+    def _handle_frame(
+        self, ftype: int, flags: int, stream_id: int, payload: bytes
+    ) -> list[object]:
+        if self._hdr_stream is not None and ftype != CONTINUATION:
+            raise H2ConnectionError(
+                PROTOCOL_ERROR, "expected CONTINUATION for open header block"
+            )
+        if ftype == DATA:
+            return self._on_data(flags, stream_id, payload)
+        if ftype == HEADERS:
+            return self._on_headers(flags, stream_id, payload)
+        if ftype == CONTINUATION:
+            return self._on_continuation(flags, stream_id, payload)
+        if ftype == SETTINGS:
+            return self._on_settings(flags, stream_id, payload)
+        if ftype == WINDOW_UPDATE:
+            return self._on_window_update(stream_id, payload)
+        if ftype == RST_STREAM:
+            return self._on_rst(stream_id, payload)
+        if ftype == PING:
+            return self._on_ping(flags, payload)
+        if ftype == GOAWAY:
+            return self._on_goaway(payload)
+        if ftype == PRIORITY:
+            if len(payload) != 5:
+                raise H2ConnectionError(FRAME_SIZE_ERROR, "bad PRIORITY length")
+            return []
+        if ftype == PUSH_PROMISE:
+            raise H2ConnectionError(PROTOCOL_ERROR, "push is disabled")
+        return []  # unknown frame types are ignored (§4.1)
+
+    def _track_peer_stream(self, stream_id: int) -> _Stream:
+        st = self.streams.get(stream_id)
+        if st is None:
+            st = _Stream(stream_id, send_window=self.peer_initial_window)
+            self.streams[stream_id] = st
+        peer_initiated = (stream_id % 2 == 1) != self.client_side
+        if peer_initiated:
+            self._highest_peer_stream = max(self._highest_peer_stream, stream_id)
+        return st
+
+    def _on_data(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
+        if stream_id == 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "DATA on stream 0")
+        flow_len = len(payload)
+        if flags & FLAG_PADDED:
+            if not payload:
+                raise H2ConnectionError(PROTOCOL_ERROR, "empty padded DATA")
+            pad = payload[0]
+            if pad >= len(payload):
+                raise H2ConnectionError(PROTOCOL_ERROR, "pad length exceeds frame")
+            payload = payload[1 : len(payload) - pad]
+        st = self._track_peer_stream(stream_id)
+        self.conn_recv_window -= flow_len
+        st.recv_window -= flow_len
+        if self.conn_recv_window < 0 or st.recv_window < 0:
+            raise H2ConnectionError(FLOW_CONTROL_ERROR, "recv window exceeded")
+        # replenish immediately: the ingest server consumes as it reads
+        if flow_len:
+            self._out += encode_frame(
+                WINDOW_UPDATE, 0, 0, flow_len.to_bytes(4, "big")
+            )
+            self.conn_recv_window += flow_len
+            if not (flags & FLAG_END_STREAM):
+                self._out += encode_frame(
+                    WINDOW_UPDATE, 0, stream_id, flow_len.to_bytes(4, "big")
+                )
+                st.recv_window += flow_len
+        end = bool(flags & FLAG_END_STREAM)
+        if end:
+            st.recv_closed = True
+        if st.reset:
+            return []
+        return [DataReceived(stream_id, payload, end)]
+
+    def _on_headers(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
+        if stream_id == 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "HEADERS on stream 0")
+        if flags & FLAG_PADDED:
+            if not payload:
+                raise H2ConnectionError(PROTOCOL_ERROR, "empty padded HEADERS")
+            pad = payload[0]
+            if pad >= len(payload):
+                raise H2ConnectionError(PROTOCOL_ERROR, "pad length exceeds frame")
+            payload = payload[1 : len(payload) - pad]
+        if flags & FLAG_PRIORITY:
+            if len(payload) < 5:
+                raise H2ConnectionError(FRAME_SIZE_ERROR, "short priority block")
+            payload = payload[5:]
+        self._track_peer_stream(stream_id)
+        if flags & FLAG_END_HEADERS:
+            return self._finish_headers(stream_id, flags, payload)
+        self._hdr_stream = stream_id
+        self._hdr_flags = flags
+        self._hdr_buf = bytearray(payload)
+        return []
+
+    def _on_continuation(
+        self, flags: int, stream_id: int, payload: bytes
+    ) -> list[object]:
+        if self._hdr_stream is None or stream_id != self._hdr_stream:
+            raise H2ConnectionError(PROTOCOL_ERROR, "unexpected CONTINUATION")
+        self._hdr_buf += payload
+        if flags & FLAG_END_HEADERS:
+            block = bytes(self._hdr_buf)
+            hflags = self._hdr_flags
+            self._hdr_stream = None
+            self._hdr_buf = bytearray()
+            return self._finish_headers(stream_id, hflags, block)
+        return []
+
+    def _finish_headers(
+        self, stream_id: int, flags: int, block: bytes
+    ) -> list[object]:
+        try:
+            headers = self._decoder.decode(block)
+        except hpack.HpackError as exc:
+            raise H2ConnectionError(COMPRESSION_ERROR, str(exc)) from exc
+        st = self.streams[stream_id]
+        end = bool(flags & FLAG_END_STREAM)
+        if end:
+            st.recv_closed = True
+        if st.reset:
+            return []
+        return [HeadersReceived(stream_id, headers, end)]
+
+    def _on_settings(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
+        if stream_id != 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "SETTINGS on a stream")
+        if flags & FLAG_ACK:
+            if payload:
+                raise H2ConnectionError(FRAME_SIZE_ERROR, "SETTINGS ack with payload")
+            return [SettingsAcked()]
+        if len(payload) % 6:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad SETTINGS length")
+        for i in range(0, len(payload), 6):
+            sid = int.from_bytes(payload[i : i + 2], "big")
+            val = int.from_bytes(payload[i + 2 : i + 6], "big")
+            if sid == SETTINGS_INITIAL_WINDOW_SIZE:
+                if val > MAX_WINDOW:
+                    raise H2ConnectionError(FLOW_CONTROL_ERROR, "window too large")
+                delta = val - self.peer_initial_window
+                self.peer_initial_window = val
+                for st in self.streams.values():
+                    st.send_window += delta
+            elif sid == SETTINGS_MAX_FRAME_SIZE:
+                if not (DEFAULT_MAX_FRAME <= val <= (1 << 24) - 1):
+                    raise H2ConnectionError(PROTOCOL_ERROR, "bad max frame size")
+                self.peer_max_frame = val
+            elif sid == SETTINGS_HEADER_TABLE_SIZE:
+                self._encoder.set_max_table_size(min(val, 4096))
+            # ENABLE_PUSH / MAX_CONCURRENT_STREAMS / MAX_HEADER_LIST_SIZE:
+            # stored semantics not needed for this endpoint's behavior
+        self._out += encode_frame(SETTINGS, FLAG_ACK, 0, b"")
+        # settings may have opened send windows
+        flushed: list[object] = []
+        for st in self.streams.values():
+            had = bool(st.pending)
+            self._flush_stream(st)
+            if had and not st.pending:
+                flushed.append(WindowOpened(st.stream_id))
+        return flushed
+
+    def _on_window_update(self, stream_id: int, payload: bytes) -> list[object]:
+        if len(payload) != 4:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad WINDOW_UPDATE length")
+        inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+        if inc == 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "zero window increment")
+        events: list[object] = []
+        if stream_id == 0:
+            self.conn_send_window += inc
+            if self.conn_send_window > MAX_WINDOW:
+                raise H2ConnectionError(FLOW_CONTROL_ERROR, "window overflow")
+            for st in self.streams.values():
+                had = bool(st.pending)
+                self._flush_stream(st)
+                if had and not st.pending:
+                    events.append(WindowOpened(st.stream_id))
+        else:
+            st = self.streams.get(stream_id)
+            if st is None:
+                return []
+            st.send_window += inc
+            if st.send_window > MAX_WINDOW:
+                self.send_rst_stream(stream_id, FLOW_CONTROL_ERROR)
+                return [StreamReset(stream_id, FLOW_CONTROL_ERROR)]
+            had = bool(st.pending)
+            self._flush_stream(st)
+            if had and not st.pending:
+                events.append(WindowOpened(stream_id))
+        return events
+
+    def _on_rst(self, stream_id: int, payload: bytes) -> list[object]:
+        if len(payload) != 4:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad RST_STREAM length")
+        if stream_id == 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "RST_STREAM on stream 0")
+        code = int.from_bytes(payload, "big")
+        st = self._track_peer_stream(stream_id)
+        st.reset = True
+        st.recv_closed = st.send_closed = True
+        st.pending.clear()
+        return [StreamReset(stream_id, code)]
+
+    def _on_ping(self, flags: int, payload: bytes) -> list[object]:
+        if len(payload) != 8:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad PING length")
+        if flags & FLAG_ACK:
+            return [PingAcked(payload)]
+        self._out += encode_frame(PING, FLAG_ACK, 0, payload)
+        return []
+
+    def _on_goaway(self, payload: bytes) -> list[object]:
+        if len(payload) < 8:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad GOAWAY length")
+        last = int.from_bytes(payload[0:4], "big") & 0x7FFFFFFF
+        code = int.from_bytes(payload[4:8], "big")
+        self.closed = True
+        return [ConnectionTerminated(code, last)]

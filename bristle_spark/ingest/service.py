@@ -368,57 +368,70 @@ class IngestSocketService:
             pass  # client hung up before the ack
 
     def _process_batch(self, session: _Session, batch: dict) -> int:
-        if batch["type_id"] is not None and batch["type_name"] is None:
-            type_name = session.type_ids.get(batch["type_id"])
-            if type_name is None:
-                return UNK_MESSAGE
-        else:
-            type_name = batch["type_name"]
-        registry = self.server.registry
-        try:
-            binding = registry.for_type(type_name)
-        except KeyError:
-            return UNK_MESSAGE
-
-        try:
-            bodies = wire.split_frames(batch["data"])
-        except (ValueError, IndexError):
-            return DECODE_ERR
-        if len(bodies) > self.max_batch_len:
-            return TOO_BIG
-
-        # frame-by-frame decode validation BEFORE the durable ack — the
-        # reference's proto.Unmarshal loop (ingest_service.go:155-177);
-        # the distributed pipeline re-decodes at scale on the drain path
-        specs = binding.field_specs_by_number()
-        for body in bodies:
-            try:
-                wire.decode_message(body, specs)
-            except Exception:
-                return DECODE_ERR
-
-        self._land_payload(binding, type_name, bodies)
-        return OK
-
-    def _land_payload(self, binding, type_name: str, bodies: list[bytes]) -> None:
-        """Durably land the validated batch as one payload parquet file
-        in the table's landing zone (the ack-backing write)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        safe = binding.sink_table.replace(".", "__")
-        payload_dir = os.path.join(self.server.data_root, "payloads", safe)
-        os.makedirs(payload_dir, exist_ok=True)
-        table = pa.table(
-            {
-                "type": pa.array([type_name] * len(bodies), pa.string()),
-                "body": pa.array(bodies, pa.binary()),
-            }
+        return process_batch(
+            self.server, session.type_ids, batch, self.max_batch_len
         )
-        name = f"socket_{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(payload_dir, f".{name}.tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(payload_dir, name))
+
+
+def process_batch(
+    server, type_ids: dict[int, str], batch: dict, max_batch_len: int
+) -> int:
+    """Validate one write_batch against the server's binding registry
+    and durably land it; returns the BatchResult. Transport-agnostic —
+    shared by the TCP front door and the HTTP/2-gRPC transport
+    (grpc_transport.py), so both speak byte-identical ack semantics."""
+    if batch["type_id"] is not None and batch["type_name"] is None:
+        type_name = type_ids.get(batch["type_id"])
+        if type_name is None:
+            return UNK_MESSAGE
+    else:
+        type_name = batch["type_name"]
+    registry = server.registry
+    try:
+        binding = registry.for_type(type_name)
+    except KeyError:
+        return UNK_MESSAGE
+
+    try:
+        bodies = wire.split_frames(batch["data"])
+    except (ValueError, IndexError):
+        return DECODE_ERR
+    if len(bodies) > max_batch_len:
+        return TOO_BIG
+
+    # frame-by-frame decode validation BEFORE the durable ack — the
+    # reference's proto.Unmarshal loop (ingest_service.go:155-177);
+    # the distributed pipeline re-decodes at scale on the drain path
+    specs = binding.field_specs_by_number()
+    for body in bodies:
+        try:
+            wire.decode_message(body, specs)
+        except Exception:
+            return DECODE_ERR
+
+    land_payload(server, binding, type_name, bodies)
+    return OK
+
+
+def land_payload(server, binding, type_name: str, bodies: list[bytes]) -> None:
+    """Durably land the validated batch as one payload parquet file
+    in the table's landing zone (the ack-backing write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    safe = binding.sink_table.replace(".", "__")
+    payload_dir = os.path.join(server.data_root, "payloads", safe)
+    os.makedirs(payload_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "type": pa.array([type_name] * len(bodies), pa.string()),
+            "body": pa.array(bodies, pa.binary()),
+        }
+    )
+    name = f"socket_{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(payload_dir, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(payload_dir, name))
 
 
 # ------------------------------------------------------------- the client

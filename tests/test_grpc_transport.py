@@ -1,0 +1,364 @@
+"""End-to-end gRPC ingest: the HTTP/2-gRPC front door
+(ingest/grpc_transport.py) feeding the same checkpointed streaming sink
+as the TCP service — D1 transport literalism closed without grpcio. A
+live client speaks the real gRPC-over-HTTP/2 wire protocol (connection
+preface, SETTINGS, HPACK-compressed headers, 5-byte length-prefixed
+gRPC messages in DATA frames, grpc-status trailers) against the
+reference's Streaming bidi RPC semantics (ingest_service.go:184-234,
+bristle.proto:117-123)."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+
+import pytest
+
+from bristle_spark.ingest import grpc_transport as gt
+from bristle_spark.ingest import h2
+from bristle_spark.ingest import service as svc
+from bristle_spark.ingest.fixtures import (
+    binance_ddl_columns,
+    binance_descriptor_set,
+    encode_example_row,
+    example_descriptor_set,
+    finnhub_ddl_columns,
+    finnhub_descriptor_set,
+)
+from bristle_spark.ingest.grpc_transport import GrpcIngestClient, GrpcIngestService
+from bristle_spark.ingest.server import IngestServer
+
+
+def _cols_cfg(cols) -> list[dict]:
+    return [
+        {"name": c.name, "type": c.ch_type, "default": c.default} for c in cols
+    ]
+
+
+@pytest.fixture()
+def three_table_server(spark, tmp_path):
+    from bristle_spark.ingest.fixtures import example_binding
+
+    for fname, blob in (
+        ("example.pb", example_descriptor_set()),
+        ("binance.pb", binance_descriptor_set()),
+        ("finnhub.pb", finnhub_descriptor_set()),
+    ):
+        (tmp_path / fname).write_bytes(blob)
+    cfg = {
+        "autobind": True,
+        "proto_descriptor_paths": ["example.pb", "binance.pb", "finnhub.pb"],
+        "tables": [
+            {
+                "name": "default.example_table",
+                "columns": _cols_cfg(example_binding().sink_columns),
+                "ts_column": "timestamp",
+            },
+            {"name": "binance.trade_events", "columns": _cols_cfg(binance_ddl_columns())},
+            {"name": "finnhub.trades", "columns": _cols_cfg(finnhub_ddl_columns())},
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    yield IngestServer(spark, str(cfg_path), str(tmp_path / "data"))
+
+
+# ---------------------------------------------------------- framing unit
+
+
+def test_grpc_message_framing_roundtrip():
+    buf = bytearray()
+    buf += gt.frame_message(b"hello") + gt.frame_message(b"") + gt.frame_message(b"x" * 70000)
+    assert gt.frame_message(b"hello")[:5] == b"\x00\x00\x00\x00\x05"
+    assert gt.split_messages(buf) == [b"hello", b"", b"x" * 70000]
+    assert buf == bytearray()
+
+
+def test_grpc_split_partial_and_compressed_flag():
+    buf = bytearray(gt.frame_message(b"abcdef")[:7])  # truncated mid-message
+    assert gt.split_messages(buf) == []
+    assert len(buf) == 7  # untouched until complete
+    bad = bytearray(b"\x01\x00\x00\x00\x01z")  # compressed flag set
+    with pytest.raises(ValueError):
+        gt.split_messages(bad)
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def test_grpc_end_to_end_three_fixtures(spark, three_table_server):
+    from tests.test_socket_service import _binance_body, _finnhub_body
+
+    server = three_table_server
+    with GrpcIngestService(server) as service:
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            ex_id = client.register_type("ExampleMessage")
+            assert ex_id == 1
+
+            day1 = [
+                encode_example_row(
+                    name=f"d1_{i}", type_code=1, ts=(1_700_000_000 + i, 0), value=i
+                )
+                for i in range(4)
+            ]
+            day2 = [
+                encode_example_row(
+                    name=f"d2_{i}", type_code=2, ts=(1_700_100_000 + i, 0), value=i
+                )
+                for i in range(3)
+            ]
+            assert client.write_batch(day1, type_id=ex_id) == svc.OK
+            assert client.write_batch(day2, type_id=ex_id) == svc.OK
+            assert (
+                client.write_batch([_binance_body(i) for i in range(5)], type_name="Trade")
+                == svc.OK
+            )
+            assert (
+                client.write_batch(
+                    [_finnhub_body(i) for i in range(2)], type_name="FinnhubTrade"
+                )
+                == svc.OK
+            )
+
+            # error taxonomy over gRPC — same BatchResult enum (D12)
+            assert client.write_batch([b"x"], type_name="no.such.Type") == svc.UNK_MESSAGE
+            assert (
+                client.write_batch([b"\xff\xff\xff"], type_name="ExampleMessage")
+                == svc.DECODE_ERR
+            )
+            assert client.write_batch([b"x"], type_id=999) == svc.UNK_MESSAGE
+
+    server.pump()
+    sink_root = os.path.join(server.data_root, "sink")
+    ex = spark.read.parquet(os.path.join(sink_root, "default__example_table"))
+    assert ex.count() == 7
+    days = {
+        d
+        for d in os.listdir(os.path.join(sink_root, "default__example_table"))
+        if d.startswith("_day=")
+    }
+    assert len(days) == 2
+    bn = spark.read.parquet(os.path.join(sink_root, "binance__trade_events"))
+    assert bn.count() == 5
+    fh = spark.read.parquet(os.path.join(sink_root, "finnhub__trades"))
+    assert fh.collect()[0]["tradeConditions"] == ["1", "12"]
+
+    # exactly-once across a re-pump
+    server.pump()
+    assert spark.read.parquet(os.path.join(sink_root, "default__example_table")).count() == 7
+
+
+def test_grpc_and_socket_land_identical_payloads(spark, three_table_server, tmp_path):
+    """Transport equivalence: the same batch sent through the gRPC front
+    door and through the TCP front door lands byte-identical payload
+    rows (process_batch is shared; only the wire differs)."""
+    from bristle_spark.ingest.service import IngestSocketClient, IngestSocketService
+
+    server = three_table_server
+    bodies = [
+        encode_example_row(name=f"eq_{i}", type_code=1, ts=(1_700_000_000, 0), value=i)
+        for i in range(6)
+    ]
+    with GrpcIngestService(server) as service:
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            assert client.write_batch(bodies, type_id=tid) == svc.OK
+    with IngestSocketService(server) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            assert client.write_batch(bodies, type_id=tid) == svc.OK
+
+    payload_dir = os.path.join(server.data_root, "payloads", "default__example_table")
+    files = sorted(os.listdir(payload_dir))
+    assert len(files) == 2
+    import pyarrow.parquet as pq
+
+    first, second = (pq.read_table(os.path.join(payload_dir, f)) for f in files)
+    assert first.to_pydict() == second.to_pydict()
+
+
+def test_grpc_batch_limits_and_backpressure(spark, three_table_server):
+    server = three_table_server
+    bodies = [encode_example_row(name="x", value=1)] * 3
+    with GrpcIngestService(server, max_batch_len=2) as service:
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            assert client.write_batch(bodies, type_name="ExampleMessage") == svc.TOO_BIG
+    with GrpcIngestService(server, max_in_flight=0) as service:
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            assert (
+                client.write_batch(bodies[:1], type_name="ExampleMessage")
+                == svc.TOO_MANY_IN_FLIGHT_BATCHES
+            )
+
+
+def test_grpc_concurrent_clients(spark, three_table_server):
+    server = three_table_server
+    results = []
+
+    def run_client(cid: int, port: int) -> None:
+        with GrpcIngestClient("127.0.0.1", port) as client:
+            tid = client.register_type("ExampleMessage")
+            for b in range(3):
+                bodies = [
+                    encode_example_row(
+                        name=f"g{cid}_b{b}_{i}",
+                        type_code=1,
+                        ts=(1_700_000_000, 0),
+                        value=i,
+                    )
+                    for i in range(10)
+                ]
+                results.append(client.write_batch(bodies, type_id=tid))
+
+    with GrpcIngestService(server) as service:
+        threads = [
+            threading.Thread(target=run_client, args=(c, service.port))
+            for c in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert results == [svc.OK] * 12
+    server.pump()
+    sink = os.path.join(server.data_root, "sink", "default__example_table")
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert out.select("name").distinct().count() == 120
+
+
+def test_grpc_plain_header_client_also_accepted(spark, three_table_server):
+    """huffman=False sends literal (uncompressed) HPACK strings — both
+    encodings are legal on the wire and the server must accept either."""
+    server = three_table_server
+    with GrpcIngestService(server) as service:
+        with GrpcIngestClient("127.0.0.1", service.port, huffman=False) as client:
+            assert client.register_type("ExampleMessage") == 1
+            assert (
+                client.write_batch(
+                    [encode_example_row(name="plain", value=1)],
+                    type_name="ExampleMessage",
+                )
+                == svc.OK
+            )
+
+
+# ------------------------------------------------- gRPC status semantics
+
+
+def test_grpc_unknown_method_gets_trailers_only_unimplemented(spark, three_table_server):
+    with GrpcIngestService(three_table_server) as service:
+        conn = socket.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            c = h2.H2Connection(client_side=True)
+            c.initiate()
+            sid = c.next_stream_id()
+            c.send_headers(
+                sid,
+                [
+                    (b":method", b"POST"),
+                    (b":scheme", b"http"),
+                    (b":path", b"/bristle.BristleIngestService/NoSuchMethod"),
+                    (b":authority", b"localhost"),
+                    (b"content-type", b"application/grpc"),
+                    (b"te", b"trailers"),
+                ],
+            )
+            conn.sendall(c.data_to_send())
+            trailers = None
+            while trailers is None:
+                chunk = conn.recv(65536)
+                assert chunk, "server closed before responding"
+                for ev in c.receive_data(chunk):
+                    if isinstance(ev, h2.HeadersReceived) and ev.stream_id == sid:
+                        trailers = dict(ev.headers)
+                        assert ev.end_stream  # trailers-only response
+                out = c.data_to_send()
+                if out:
+                    conn.sendall(out)
+            assert trailers[b":status"] == b"200"
+            assert trailers[b"grpc-status"] == str(gt.GRPC_UNIMPLEMENTED).encode()
+        finally:
+            conn.close()
+
+
+def test_grpc_unsupported_messages_terminate_rpc(spark, three_table_server):
+    with GrpcIngestService(three_table_server) as service:
+        # register with inline descriptor: ErrUnsupported ends the RPC
+        client = GrpcIngestClient("127.0.0.1", service.port)
+        client._send_envelope(svc.encode_register_type("ExampleMessage", descriptor=b"\x01"))
+        with pytest.raises(ConnectionError, match="grpc-status 2"):
+            client._recv()
+        client.close()
+
+        # update_default: ErrUnsupported (S13)
+        client = GrpcIngestClient("127.0.0.1", service.port)
+        client.update_default("ExampleMessage", b"")
+        with pytest.raises(ConnectionError, match="grpc-status 2"):
+            client._recv()
+        client.close()
+
+        # a fresh RPC on a fresh connection still works
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            assert client.register_type("ExampleMessage") == 1
+
+
+def test_grpc_compressed_flag_is_internal_error(spark, three_table_server):
+    with GrpcIngestService(three_table_server) as service:
+        client = GrpcIngestClient("127.0.0.1", service.port)
+        try:
+            # raw gRPC message with compressed-flag=1, no grpc-encoding
+            env = svc.encode_register_type("ExampleMessage")
+            client._h2.send_data(
+                client.stream_id, b"\x01" + len(env).to_bytes(4, "big") + env
+            )
+            client._flush()
+            with pytest.raises(ConnectionError, match="grpc-status 13"):
+                client._recv()
+        finally:
+            client.close()
+
+
+def test_grpc_server_side_failure_acks_full(spark, three_table_server, monkeypatch):
+    server = three_table_server
+    with GrpcIngestService(server) as service:
+        def boom(server, binding, type_name, bodies):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(svc, "land_payload", boom)
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            body = encode_example_row(name="ok", value=1)
+            assert client.write_batch([body], type_name="ExampleMessage") == svc.FULL
+
+
+# ----------------------------------------------------- wire literalism
+
+
+def test_grpc_wire_is_real_http2(spark, three_table_server):
+    """Sniff the client's first bytes: the RFC 7540 connection preface,
+    then a SETTINGS frame — i.e. a stock gRPC channel's opening bytes,
+    not a repo-private dialect. And a raw non-HTTP/2 client is rejected
+    without wedging the server."""
+    with GrpcIngestService(three_table_server) as service:
+        c = h2.H2Connection(client_side=True)
+        c.initiate()
+        opening = c.data_to_send()
+        assert opening.startswith(h2.PREFACE)
+        assert opening[len(h2.PREFACE) + 3] == 0x4  # frame type: SETTINGS
+
+        # garbage preface: connection dropped, server stays up
+        raw = socket.create_connection(("127.0.0.1", service.port), timeout=10)
+        raw.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        drained = b""
+        while True:  # server GOAWAYs (PROTOCOL_ERROR) then hangs up
+            chunk = raw.recv(65536)
+            if not chunk:
+                break
+            drained += chunk
+        assert b"\x07" in drained[:64]  # a GOAWAY frame, not silence
+        raw.close()
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            assert client.register_type("ExampleMessage") == 1

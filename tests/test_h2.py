@@ -1,0 +1,239 @@
+"""HTTP/2 sans-IO connection tests (RFC 7540): handshake, header
+blocks (incl. CONTINUATION and padding), DATA with real flow control in
+both directions, PING/RST/GOAWAY, and frame validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from bristle_spark.ingest import h2
+from bristle_spark.ingest.h2 import (
+    ConnectionTerminated,
+    DataReceived,
+    H2Connection,
+    H2ConnectionError,
+    HeadersReceived,
+    PingAcked,
+    SettingsAcked,
+    StreamReset,
+    WindowOpened,
+    encode_frame,
+)
+
+REQ = [
+    (b":method", b"POST"),
+    (b":scheme", b"http"),
+    (b":path", b"/bristle.BristleIngestService/Streaming"),
+    (b":authority", b"localhost"),
+    (b"content-type", b"application/grpc"),
+    (b"te", b"trailers"),
+]
+
+
+def pump(a: H2Connection, b: H2Connection) -> list[object]:
+    """Deliver everything a has queued to b; return b's events."""
+    events: list[object] = []
+    while True:
+        out = a.data_to_send()
+        if not out:
+            return events
+        events.extend(b.receive_data(out))
+        a, b = b, a  # b's auto-replies (acks, window updates) flow back
+        events_other = []  # swap back on next loop iteration
+        a, b = b, a
+
+
+def handshake() -> tuple[H2Connection, H2Connection]:
+    client = H2Connection(client_side=True)
+    server = H2Connection(client_side=False)
+    client.initiate()
+    sev = server.receive_data(client.data_to_send())
+    cev = client.receive_data(server.data_to_send())
+    sev += server.receive_data(client.data_to_send())
+    assert any(isinstance(e, SettingsAcked) for e in cev + sev)
+    return client, server
+
+
+def test_handshake_settings_ack_both_ways():
+    client, server = handshake()
+    assert not client.closed and not server.closed
+
+
+def test_preface_required():
+    server = H2Connection(client_side=False)
+    with pytest.raises(H2ConnectionError):
+        server.receive_data(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n" + b"\x00" * 10)
+
+
+def test_headers_and_data_roundtrip():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    client.send_data(sid, b"hello grpc", end_stream=True)
+    ev = server.receive_data(client.data_to_send())
+    assert HeadersReceived(sid, REQ, False) in ev
+    assert DataReceived(sid, b"hello grpc", True) in ev
+    # server responds: headers, data, trailers
+    server.send_headers(sid, [(b":status", b"200")])
+    server.send_data(sid, b"resp")
+    server.send_headers(sid, [(b"grpc-status", b"0")], end_stream=True)
+    cev = client.receive_data(server.data_to_send())
+    kinds = [type(e).__name__ for e in cev]
+    assert kinds.count("HeadersReceived") == 2
+    assert DataReceived(sid, b"resp", False) in cev
+
+
+def test_large_header_block_uses_continuation():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    big = [(f"x-h-{i}".encode(), bytes([65 + i % 26]) * 400) for i in range(200)]
+    client.send_headers(sid, REQ + big, end_stream=True)
+    raw = client.data_to_send()
+    # at least one CONTINUATION frame on the wire
+    assert any(
+        raw[i + 3] == h2.CONTINUATION
+        for i in range(0, len(raw) - 9)
+    )
+    ev = server.receive_data(raw)
+    hr = [e for e in ev if isinstance(e, HeadersReceived)]
+    assert len(hr) == 1
+    assert hr[0].headers == REQ + big
+    assert hr[0].end_stream
+
+
+def test_flow_control_defers_and_resumes():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    payload = bytes(range(256)) * 1024  # 256 KiB > 64 KiB initial window
+    client.send_data(sid, payload, end_stream=True)
+    st = client.streams[sid]
+    assert st.pending  # deferred by the 65535-byte windows
+    delivered = bytearray()
+    for _ in range(20):
+        ev = server.receive_data(client.data_to_send())
+        for e in ev:
+            if isinstance(e, DataReceived):
+                delivered += e.data
+        # server's auto WINDOW_UPDATEs flow back and reopen the window
+        client.receive_data(server.data_to_send())
+        if not client.streams[sid].pending:
+            ev = server.receive_data(client.data_to_send())
+            for e in ev:
+                if isinstance(e, DataReceived):
+                    delivered += e.data
+            break
+    assert bytes(delivered) == payload
+    assert client.streams[sid].send_closed
+
+
+def test_data_padding_stripped_but_flow_counted():
+    client, server = handshake()
+    sid = 1
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    pad = 10
+    body = b"abc"
+    frame = encode_frame(
+        h2.DATA, h2.FLAG_PADDED, sid, bytes([pad]) + body + b"\x00" * pad
+    )
+    before = server.conn_recv_window
+    ev = server.receive_data(frame)
+    assert DataReceived(sid, body, False) in ev
+    assert server.conn_recv_window == before  # replenished in full
+
+
+def test_ping_is_acked():
+    client, server = handshake()
+    client.send_ping(b"12345678")
+    server.receive_data(client.data_to_send())
+    ev = client.receive_data(server.data_to_send())
+    assert PingAcked(b"12345678") in ev
+
+
+def test_rst_stream_event_and_drop():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    server.send_rst_stream(sid, h2.CANCEL)
+    ev = client.receive_data(server.data_to_send())
+    assert StreamReset(sid, h2.CANCEL) in ev
+    # further sends on the reset stream are dropped silently
+    client.send_data(sid, b"late", end_stream=True)
+    assert client.data_to_send() == b""
+
+
+def test_goaway_terminates():
+    client, server = handshake()
+    server.send_goaway(h2.NO_ERROR)
+    ev = client.receive_data(server.data_to_send())
+    assert any(isinstance(e, ConnectionTerminated) for e in ev)
+    assert server.closed
+
+
+def test_zero_window_increment_is_protocol_error():
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError):
+        server.receive_data(
+            encode_frame(h2.WINDOW_UPDATE, 0, 0, (0).to_bytes(4, "big"))
+        )
+
+
+def test_bad_settings_length_rejected():
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError):
+        server.receive_data(encode_frame(h2.SETTINGS, 0, 0, b"\x00\x01\x00"))
+
+
+def test_oversized_frame_rejected():
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError):
+        server.receive_data(
+            (1 << 20).to_bytes(3, "big") + bytes([h2.DATA, 0]) + (1).to_bytes(4, "big")
+        )
+
+
+def test_interleaved_frame_during_header_block_rejected():
+    client, server = handshake()
+    hdr = encode_frame(h2.HEADERS, 0, 1, b"")  # no END_HEADERS
+    ping = encode_frame(h2.PING, 0, 0, b"\x00" * 8)
+    server.receive_data(hdr)
+    with pytest.raises(H2ConnectionError):
+        server.receive_data(ping)
+
+
+def test_initial_window_size_retunes_live_streams():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    # server shrinks the initial window to 10 bytes
+    frame = encode_frame(
+        h2.SETTINGS,
+        0,
+        0,
+        h2.SETTINGS_INITIAL_WINDOW_SIZE.to_bytes(2, "big") + (10).to_bytes(4, "big"),
+    )
+    client.receive_data(frame)
+    client.send_data(sid, b"x" * 100_000)
+    sent_now = client.data_to_send()
+    # only the shrunken window's worth of DATA may leave (plus ack)
+    data_bytes = sum(
+        int.from_bytes(sent_now[i : i + 3], "big")
+        for i in range(0, len(sent_now) - 8, 9)
+        if sent_now[i + 3] == h2.DATA
+    ) if sent_now else 0
+    assert client.streams[sid].pending
+
+
+def test_window_opened_event_after_update():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    client.send_data(sid, b"z" * (h2.DEFAULT_WINDOW + 5), end_stream=True)
+    assert client.streams[sid].pending
+    server.receive_data(client.data_to_send())
+    ev = client.receive_data(server.data_to_send())
+    assert any(isinstance(e, WindowOpened) for e in ev)
+    assert not client.streams[sid].pending

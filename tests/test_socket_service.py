@@ -301,10 +301,10 @@ def test_server_side_failure_acks_full_not_decode_err(spark, three_table_server,
     (which tells the client its data is permanently malformed)."""
     server = three_table_server
     with IngestSocketService(server) as service:
-        def boom(self, binding, type_name, bodies):
+        def boom(server, binding, type_name, bodies):
             raise OSError("disk full")
 
-        monkeypatch.setattr(IngestSocketService, "_land_payload", boom)
+        monkeypatch.setattr(svc, "land_payload", boom)
         with IngestSocketClient("127.0.0.1", service.port) as client:
             body = encode_example_row(name="ok", value=1)
             assert (
