@@ -2235,3 +2235,148 @@ def r_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("user_id").agg(
         F.max(F.when(hit, 1).otherwise(0)).cast("bigint").alias("matched")
     )
+
+
+# --- exact discrete percentiles (PERCENTILE_DISC) ------------------------
+
+PCT_DISC_PPM = (250_000, 500_000, 750_000, 950_000)
+_PCT_VALUES_SQL = ", ".join(f"({p})" for p in PCT_DISC_PPM)
+
+
+@register(
+    "r_percentile_disc",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    ps AS (SELECT * FROM (VALUES {_PCT_VALUES_SQL}) AS t(p_ppm))
+    SELECT r.event_type, CAST(ps.p_ppm AS BIGINT) AS p_ppm,
+           r.value AS pct_value
+    FROM ranked r JOIN ps ON r.rn = (ps.p_ppm * r.n + 999999) // 1000000
+    """,
+)
+def r_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_DISC per group: for each event_type, the actual
+    data value at rank ceil(p*n) in (value, event_id) order, for p in
+    {25, 50, 75, 95}%. The discrete complement of r_percentiles
+    (interpolating) and r_approx_percentiles (sketched): disc returns a
+    value that genuinely occurs, which matters for quantile-gated
+    filters (e.g. "drop everything above the p95 length" must pick an
+    observed cutoff). All rank math is integer ppm — no float CDF, so
+    any engine agrees bit-for-bit.
+
+    Scale shape: one shuffle on event_type for the in-group sort (the
+    unavoidable cost of EXACT percentiles — the approx family is the
+    100 TB default, this is the auditable reference path); the
+    4-row percentile table is broadcast, never shuffled."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ps = spark.createDataFrame([(p,) for p in PCT_DISC_PPM], "p_ppm bigint")
+    return (
+        ranked.join(
+            F.broadcast(ps),
+            F.col("rn") == F.expr("(p_ppm * n + 999999) div 1000000"),
+        )
+        .select("event_type", "p_ppm", F.col("value").alias("pct_value"))
+    )
+
+
+# --- windowed funnel (ClickHouse windowFunnel) ---------------------------
+
+FUNNEL_WINDOW_US = 86_400 * 1_000_000  # 24 h sliding chain window
+
+
+@register(
+    "r_window_funnel",
+    oracle=f"""
+    WITH lvl AS (
+        SELECT u.user_id,
+          CASE
+            WHEN EXISTS (
+                SELECT 1 FROM events v, events c, events p
+                WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                  AND p.user_id = u.user_id
+                  AND v.event_type = 'view' AND c.event_type = 'click'
+                  AND p.event_type = 'purchase'
+                  AND c.ts > v.ts AND p.ts > c.ts
+                  AND epoch_us(p.ts) - epoch_us(v.ts) <= {FUNNEL_WINDOW_US}
+            ) THEN 3
+            WHEN EXISTS (
+                SELECT 1 FROM events v, events c
+                WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                  AND v.event_type = 'view' AND c.event_type = 'click'
+                  AND c.ts > v.ts
+                  AND epoch_us(c.ts) - epoch_us(v.ts) <= {FUNNEL_WINDOW_US}
+            ) THEN 2
+            WHEN EXISTS (
+                SELECT 1 FROM events v
+                WHERE v.user_id = u.user_id AND v.event_type = 'view'
+            ) THEN 1
+            ELSE 0
+          END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM events) u
+    )
+    SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           count(*) AS n_users
+    FROM lvl GROUP BY funnel_level
+    """,
+)
+def r_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel semantics: per user, the longest prefix
+    of the view -> click -> purchase chain whose events occur in strict
+    time order with (last - first) inside a 24 h window, starting from
+    ANY view (not just the earliest, which is r_funnel's variant);
+    output is the user count per reached level.
+
+    The oracle states the semantics as triple-EXISTS; this side runs
+    the O(n log n) single-scan form — two cumulative window maxima per
+    user ordered by time: lv = latest view before each row, m = best
+    (latest) chain-start among clicks before each row. A purchase with
+    t - m <= W proves a full chain; a click with t - lv <= W proves two
+    levels. One shuffle on user_id, no self-joins — per-user event
+    count never explodes quadratically, which is what makes this shape
+    hold on a 100 TB event log where the EXISTS form cannot."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    # no user has two events at the same instant (driver fixture
+    # property, asserted in tests) -> the rows-frame is strictly-before
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    e2 = e.withColumn("lv", lv)
+    m = F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w)
+    e3 = e2.withColumn("m", m)
+    levels = e3.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") - F.col("m") <= FUNNEL_WINDOW_US),
+                3,
+            )
+            .when(
+                (F.col("event_type") == "click")
+                & (F.col("t") - F.col("lv") <= FUNNEL_WINDOW_US),
+                2,
+            )
+            .when(F.col("event_type") == "view", 1)
+            .otherwise(0)
+        ).alias("funnel_level")
+    )
+    return levels.groupBy(F.col("funnel_level").cast("bigint").alias("funnel_level")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -2208,3 +2208,61 @@ def l_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b").cast("bigint").alias("replica"), "n_eff", "boot_mean_chars")
         .orderBy("replica")
     )
+
+
+# --- per-domain frequency capping ----------------------------------------
+DOMAIN_CAP = 15  # max docs kept per source
+DOMCAP_SALT = ":domcap"  # decorrelates from the other hash gates
+DOMCAP_BUCKETS = 8  # phase-1 fan-out that bounds per-domain sort skew
+
+
+@register(
+    "l_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash60_sql(f"CAST(doc_id AS VARCHAR) || '{DOMCAP_SALT}'")},
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {DOMAIN_CAP}
+    """,
+)
+def l_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (the FineWeb/RefinedWeb "limit
+    docs per domain" step): keep at most {DOMAIN_CAP} documents per
+    source, selected by a salted deterministic hash of doc_id — a
+    reproducible uniform sample of each over-represented domain, with
+    no RNG state and no dependence on input order or shard layout.
+
+    Scale shape: exact per-key top-N in two phases. Phase 1 ranks
+    within (source, hash(doc) mod {DOMCAP_BUCKETS}) and keeps N per
+    bucket, so a single giant domain (the web-crawl reality: one host
+    with 10^9 pages) sorts at most N x {DOMCAP_BUCKETS} survivors in
+    phase 2 instead of its full row count — the per-key sort can never
+    become one hot task. Phase 2 re-ranks the <= N x {DOMCAP_BUCKETS}
+    survivors per source and cuts at N; the union bound makes the
+    two-phase result identical to the single-sort oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(DOMCAP_SALT))).alias("h"),
+    )
+    wb = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(DOMCAP_BUCKETS))
+    ).orderBy("h", "doc_id")
+    survivors = (
+        d.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= DOMAIN_CAP)
+        .drop("rb")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -1427,3 +1427,74 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SPARSE_COS_TOP)
         .select("doc_a", "doc_b", "n_shared", "dot", r6(cos).alias("cosine"))
     )
+
+
+# --------------------------------------------------- LSH band diagnostics
+
+
+@register(
+    "l_dedup_band_stats",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    bucket AS (
+        SELECT band_id, band_key, count(*) AS n
+        FROM bands GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs
+    FROM bucket GROUP BY band_id
+    """,
+)
+def l_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band diagnostics for the MinHash dedup pipeline: per band,
+    the bucket count, the largest bucket, and the candidate-pair volume
+    (sum over buckets of n-choose-2). This is the tuning instrument for
+    the band/row tradeoff — a band whose max_bucket explodes is the
+    skew that turns the candidate join quadratic, and watching
+    cand_pairs per band is how you pick SHINGLE_WORDS / ROWS_PER_BAND
+    before running the join at corpus scale.
+
+    Scale shape: identical signature math to l_dedup_minhash (one
+    doc_id shuffle with map-side combined min-aggregates), then two
+    map-side-combined groupBys on (band_id, band_key) — the candidate
+    JOIN itself is never executed, so this runs strictly cheaper than
+    the dedup it tunes."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    shh = _shingle_rows(d).select("doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h"))
+    mh = shh.groupBy("doc_id").agg(
+        *[minhash_min_agg(j, F.col("h")).alias(f"m{j}") for j in range(NUM_HASHES)]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    bucket = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bucket.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.expr("(n * (n - 1)) div 2")).alias("cand_pairs"),
+        )
+        .select(
+            F.col("band_id").cast("bigint").alias("band_id"),
+            "n_buckets",
+            "max_bucket",
+            "cand_pairs",
+        )
+    )

@@ -42,81 +42,77 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 
 # The driver's correctness harness grades the FIRST 50 entries of
-# ``queries()`` in iteration order.  Round-9 rotation (VERDICT r8 ask
-# #1, executing the ROUND-9 NOTE left here last round): the 32 keys
-# that landed after the round-8 window was drawn and therefore hold NO
-# driver CORRECTNESS row take the front slots — after this round every
-# declared key has >=1 driver row across rounds 1-9.  Also in:
-# r_incremental_rollup (merge gate strengthened this round, VERDICT r8
-# ask #2) and l_minhash_error (exact baseline recomputed over raw
-# shingles this round, VERDICT r8 ask #3).  The balance is
-# multiply-confirmed SURVEY §2.D ballast (the judge reads that table
-# first); everything rotated out keeps local oracle-parity coverage
-# (test_oracle_parity.py at sf0.001/0.01/0.1).
+# ``queries()`` in iteration order.  Round-10 rotation (VERDICT r9 ask
+# #1): the 9 keys whose round-7 oracle promotion (batch-replay /
+# hex-side re-derivation) has never been driver-graded take the front
+# slots — their last driver row (r6) graded them rows-only, so this
+# window converts the promotion into hard CORRECTNESS truth.  Next the
+# two planned rotate-backs (r_string_funcs / r_date_funcs, queued here
+# since round 9), then freshness ballast: with all 201 keys holding a
+# green row, the highest-value remaining slots go to the STALEST keys —
+# the round-2 / round-4 / round-5 cohorts whose last driver row is now
+# 5-8 rounds old.  Everything rotated out keeps local oracle-parity
+# coverage (test_oracle_parity.py at sf0.001/0.01/0.1).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the 23 driver-unchecked round-8 second-wave keys ---
-    "r_weighted_median",
-    "r_pareto_share",
-    "r_market_basket",
-    "r_cusum_changepoint",
-    "l_edit_distance_dedup",
-    "l_vocab_growth",
-    "l_count_min",
-    "l_quality_classifier_train",
-    "l_pagerank",
-    "l_uncertainty_sample",
-    "r_sliding_distinct",
-    "s_stream_count_min",
-    "m_patchify",
-    "l_cluster_size_histogram",
-    "l_poisson_bootstrap",
-    "r_bitmap_distinct",
-    "s_stream_bloom_merge",
-    "l_pca_project",
-    "r_time_weighted_avg",
-    "l_rank_fusion",
-    "l_source_overlap",
-    "r_markov_transitions",
-    "r_theil_sen",
-    # --- the 9 driver-unchecked round-8 third-wave keys ---
-    "r_ols_by_group",
-    "r_welch_ttest",
-    "l_ks_test",
-    "l_chi2_terms",
-    "r_benford",
-    "r_gini",
-    "l_dedup_sorted_neighborhood",
-    "r_top_paths",
-    "l_sparse_cosine_topk",
-    # --- changed this round: merge gate now splits partials within
-    # --- day buckets (event_id parity) so merge(partials)==recompute
-    # --- genuinely merges two partials per key (VERDICT r8 #2) ---
-    "r_incremental_rollup",
-    # --- changed this round: exact-Jaccard baseline now computed over
-    # --- raw shingle sets, not the estimator's modular hash space
-    # --- (VERDICT r8 #3) ---
-    "l_minhash_error",
-    # --- round-9 additions (each needs its first driver row) ---
-    "r_ttl_rollup",
-    "r_mv_late_update",
-    "r_sequence_match",
-    # --- multiply-confirmed SURVEY §2.D ballast (13 slots; round-9
-    # --- new keys take precedence over re-confirming ballast, so the
-    # --- registry stays at zero driver-unchecked keys after this
-    # --- round — r_string_funcs / r_date_funcs rotate back in r10) ---
-    "t_project_rename",
-    "t_cast_int_widths",
-    "r_filter_predicates",
-    "r_hash_agg",
-    "r_join_inner",
-    "r_join_broadcast",
-    "r_sort_limit_topk",
-    "r_window_rank",
-    "r_rollup",
-    "r_set_ops",
-    "r_tumbling_window",
-    "l_dedup_exact",
-    "l_text_stats",
+    # --- the 9 stale-oracle keys (VERDICT r9 ask #1): oracle promoted
+    # --- in r7/r8, last driver row r6 was rows-only ---
+    "m_binary_features",
+    "m_frame_sample",
+    "m_resize",
+    "m_audio_features",
+    "s_session_window",
+    "s_stateful_totals",
+    "s_stream_dedup",
+    "s_stream_dedup_watermark",
+    "s_stream_join",
+    # --- planned rotate-backs (yielded their r9 slots to the round-9
+    # --- new keys; queued for r10 since then) ---
+    "r_string_funcs",
+    "r_date_funcs",
+    # --- freshness ballast: the entire last-checked-in-round-2 cohort
+    # --- (oldest rows in the registry, 8 rounds stale) ---
+    "l_sessionize",
+    "r_agg_collect",
+    "r_arg_max",
+    "r_asof_join",
+    "r_conditional_agg",
+    "r_cross_join",
+    "r_cube",
+    "r_exists_subquery",
+    "r_funnel",
+    "r_grouping_sets",
+    "r_histogram",
+    "r_join_full",
+    "r_percentiles",
+    "r_pivot",
+    "r_range_join",
+    "r_rollup_cascade",
+    "r_scalar_subquery",
+    "r_skew_salted_agg",
+    "r_stats_agg",
+    "r_window_distribution",
+    "r_window_lag",
+    "r_window_range_frame",
+    # --- the round-4 cohort (6 rounds stale) ---
+    "l_chunk_documents",
+    "l_fingerprint",
+    "l_lang_id",
+    "l_quality_score",
+    "l_sample_hash",
+    "l_simhash",
+    "l_tfidf_top_terms",
+    "l_token_count",
+    "l_train_val_test",
+    # --- the round-5 cohort (5 rounds stale) ---
+    "l_ann_ivf",
+    "l_ann_lsh",
+    "l_dedup_minhash",
+    "l_dedup_simhash",
+    # --- round-10 additions (each needs its first driver row) ---
+    "r_percentile_disc",
+    "r_window_funnel",
+    "l_dedup_band_stats",
+    "l_domain_cap",
 )
 
 
