@@ -36,6 +36,7 @@ from bristle_spark.ingest import h2
 from bristle_spark.ingest import service as svc
 
 STREAMING_PATH = b"/bristle.BristleIngestService/Streaming"
+WRITE_BATCH_PATH = b"/bristle.BristleIngestService/WriteBatch"
 GRPC_CONTENT_TYPE = b"application/grpc"
 
 # gRPC status codes (status.proto — public gRPC API)
@@ -67,9 +68,11 @@ def split_messages(buf: bytearray) -> list[bytes]:
 
 
 class _Rpc:
-    """Per-stream Streaming-RPC state (the gRPC twin of service._Session)."""
+    """Per-stream RPC state (the gRPC twin of service._Session).
+    ``unary=True`` marks a WriteBatch RPC: request messages buffer until
+    END_STREAM, then one response message + trailers go out together."""
 
-    def __init__(self, stream_id: int, max_in_flight: int) -> None:
+    def __init__(self, stream_id: int, max_in_flight: int, unary: bool = False) -> None:
         self.stream_id = stream_id
         self.sem = threading.Semaphore(max_in_flight)
         self.type_ids: dict[int, str] = {}
@@ -78,6 +81,9 @@ class _Rpc:
         self.in_flight = 0
         self.recv_done = False
         self.finished = False  # trailers sent
+        self.unary = unary
+        self.unary_msgs: list[bytes] = []
+        self.headers_sent = not unary  # streaming sends headers eagerly
 
 
 class GrpcIngestService:
@@ -181,6 +187,14 @@ class GrpcIngestService:
         if isinstance(ev, h2.HeadersReceived):
             headers = dict(ev.headers)
             sid = ev.stream_id
+            if headers.get(b":path") == WRITE_BATCH_PATH:
+                # unary WriteBatch (bristle.proto:119, ingest_service.go:109-120):
+                # response headers are deferred until the response is ready
+                rpc = _Rpc(sid, self.max_in_flight, unary=True)
+                rpcs[sid] = rpc
+                if ev.end_stream:
+                    self._finish_unary(rpc, h2c, lock, flush_locked)
+                return
             if headers.get(b":path") != STREAMING_PATH:
                 with lock:
                     # trailers-only response (gRPC spec: UNIMPLEMENTED)
@@ -219,6 +233,11 @@ class GrpcIngestService:
                     rpc, h2c, lock, flush_locked,
                     GRPC_INTERNAL, b"unsupported compressed message",
                 )
+                return
+            if rpc.unary:
+                rpc.unary_msgs += msgs
+                if ev.end_stream:
+                    self._finish_unary(rpc, h2c, lock, flush_locked)
                 return
             for msg in msgs:
                 if rpc.finished:
@@ -266,7 +285,11 @@ class GrpcIngestService:
                     h2c, lock, flush_locked,
                 )
                 return
-            rpc.in_flight += 1
+            # under `lock`: pool threads decrement under the same lock,
+            # and a lost read-modify-write here either strands the
+            # client (trailers never sent) or truncates the RPC early
+            with lock:
+                rpc.in_flight += 1
             self._pool.submit(
                 self._write_batch, rpc, body, h2c, lock, flush_locked
             )
@@ -276,6 +299,74 @@ class GrpcIngestService:
                 rpc, h2c, lock, flush_locked,
                 GRPC_UNKNOWN, b"update_default unsupported",
             )
+
+    # -- the unary WriteBatch semantics (ingest_service.go:109-120)
+
+    def _finish_unary(self, rpc, h2c, lock, flush_locked) -> None:
+        """Request fully received: process off the reader thread, then
+        send response headers + message + trailers together."""
+        self._pool.submit(self._unary_write_batch, rpc, h2c, lock, flush_locked)
+
+    def _unary_write_batch(self, rpc, h2c, lock, flush_locked) -> None:
+        if len(rpc.unary_msgs) != 1:
+            self._finish(
+                rpc, h2c, lock, flush_locked,
+                GRPC_INTERNAL,
+                b"expected exactly one WriteBatchRequest message",
+            )
+            return
+        try:
+            _key, payloads = svc.decode_write_batch_request(rpc.unary_msgs[0])
+        except (ValueError, IndexError):
+            self._finish(
+                rpc, h2c, lock, flush_locked, GRPC_INTERNAL, b"malformed request"
+            )
+            return
+        acknowledged = 0
+        for type_name, bodies in payloads:
+            # same validate-and-land path as the streaming RPC, so the
+            # ack taxonomy is shared (writePayload, ingest_service.go:79-107)
+            batch = {
+                "id": 0,
+                "type_name": type_name,
+                "type_id": None,
+                "length": len(bodies),
+                "data": svc.wire.join_frames(bodies),
+            }
+            try:
+                result = svc.process_batch(
+                    self.server, rpc.type_ids, batch, self.max_batch_len
+                )
+            except Exception:
+                result = svc.FULL
+            if result != svc.OK:
+                # first non-OK payload aborts the request
+                # (ingest_service.go:112-114); earlier payloads stay
+                # landed, exactly like the reference's partial write
+                self._finish(
+                    rpc, h2c, lock, flush_locked,
+                    GRPC_UNKNOWN,
+                    f"WriteBatch error code {svc.RESULT_NAMES[result]}".encode(),
+                )
+                return
+            acknowledged += 1
+        response = svc.encode_write_batch_response(acknowledged, 0)
+        with lock:
+            if rpc.finished:
+                return
+            rpc.finished = True
+            h2c.send_headers(
+                rpc.stream_id,
+                [(b":status", b"200"), (b"content-type", GRPC_CONTENT_TYPE)],
+            )
+            h2c.send_data(rpc.stream_id, frame_message(response))
+            h2c.send_headers(
+                rpc.stream_id, [(b"grpc-status", b"0")], end_stream=True
+            )
+            try:
+                flush_locked()
+            except OSError:
+                pass
 
     def _write_batch(self, rpc, batch, h2c, lock, flush_locked) -> None:
         try:
@@ -317,7 +408,16 @@ class GrpcIngestService:
             if rpc.finished:
                 return
             rpc.finished = True
-            trailers = [(b"grpc-status", str(status).encode())]
+            trailers = []
+            if not rpc.headers_sent:
+                # trailers-only response (gRPC spec): the one HEADERS
+                # frame carries :status + content-type + grpc-status
+                trailers += [
+                    (b":status", b"200"),
+                    (b"content-type", GRPC_CONTENT_TYPE),
+                ]
+                rpc.headers_sent = True
+            trailers.append((b"grpc-status", str(status).encode()))
             if message:
                 trailers.append((b"grpc-message", bytes(message)))
             h2c.send_headers(rpc.stream_id, trailers, end_stream=True)
@@ -453,3 +553,71 @@ class GrpcIngestClient:
 
     def update_default(self, type_name: str, default: bytes = b"") -> None:
         self._send_envelope(svc.encode_update_default(type_name, default))
+
+
+def grpc_write_batch_unary(
+    host: str,
+    port: int,
+    payloads: list[tuple[str, list[bytes]]],
+    key: str = "",
+    timeout: float = 30.0,
+) -> tuple[int, int]:
+    """One unary ``WriteBatch`` call (bristle.proto:119) over a fresh
+    HTTP/2 connection — the stand-in for a stock unary gRPC client, the
+    simpler of the reference's two client APIs (ingest_service.go:109).
+    Returns (acknowledged, dropped); raises ConnectionError with the
+    server's grpc-message on a non-OK grpc-status, mirroring how a stock
+    client surfaces the reference's aborted-request error
+    (ingest_service.go:112-114)."""
+    conn = socket.create_connection((host, port), timeout=timeout)
+    try:
+        h2c = h2.H2Connection(client_side=True)
+        h2c.initiate()
+        sid = h2c.next_stream_id()
+        h2c.send_headers(
+            sid,
+            [
+                (b":method", b"POST"),
+                (b":scheme", b"http"),
+                (b":path", WRITE_BATCH_PATH),
+                (b":authority", f"{host}:{port}".encode()),
+                (b"content-type", GRPC_CONTENT_TYPE),
+                (b"te", b"trailers"),
+            ],
+        )
+        h2c.send_data(
+            sid,
+            frame_message(svc.encode_write_batch_request(key, payloads)),
+            end_stream=True,
+        )
+        conn.sendall(h2c.data_to_send())
+        buf = bytearray()
+        status: int | None = None
+        message = b""
+        while status is None:
+            chunk = conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            for ev in h2c.receive_data(chunk):
+                if isinstance(ev, h2.DataReceived) and ev.stream_id == sid:
+                    buf += ev.data
+                elif isinstance(ev, h2.HeadersReceived) and ev.stream_id == sid:
+                    hdrs = dict(ev.headers)
+                    if b"grpc-status" in hdrs:
+                        status = int(hdrs[b"grpc-status"])
+                        message = hdrs.get(b"grpc-message", b"")
+                elif isinstance(ev, h2.ConnectionTerminated):
+                    raise ConnectionError("server sent GOAWAY")
+            out = h2c.data_to_send()  # auto-replies (SETTINGS ack, windows)
+            if out:
+                conn.sendall(out)
+        if status != GRPC_OK:
+            raise ConnectionError(
+                f"rpc terminated: grpc-status {status} {message.decode()}"
+            )
+        msgs = split_messages(buf)
+        if len(msgs) != 1:
+            raise ConnectionError("expected exactly one WriteBatchResponse")
+        return svc.decode_write_batch_response(msgs[0])
+    finally:
+        conn.close()

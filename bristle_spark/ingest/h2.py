@@ -60,6 +60,7 @@ NO_ERROR = 0x0
 PROTOCOL_ERROR = 0x1
 INTERNAL_ERROR = 0x2
 FLOW_CONTROL_ERROR = 0x3
+STREAM_CLOSED = 0x5
 FRAME_SIZE_ERROR = 0x6
 REFUSED_STREAM = 0x7
 CANCEL = 0x8
@@ -68,6 +69,10 @@ COMPRESSION_ERROR = 0x9
 DEFAULT_WINDOW = 65_535
 MAX_WINDOW = (1 << 31) - 1
 DEFAULT_MAX_FRAME = 16_384
+# advertised + locally-enforced SETTINGS_MAX_CONCURRENT_STREAMS: a
+# public-facing front door must bound per-connection stream state or a
+# misbehaving peer grows `streams` without limit (§5.1.2)
+DEFAULT_MAX_STREAMS = 256
 
 
 class H2ConnectionError(Exception):
@@ -163,11 +168,13 @@ class H2Connection:
         self.streams: dict[int, _Stream] = {}
         self._next_stream_id = 1 if client_side else 2
         self._highest_peer_stream = 0
+        self._highest_local_opened = 0  # high-water of locally OPENED ids
         self.conn_send_window = DEFAULT_WINDOW
         self.conn_recv_window = DEFAULT_WINDOW
         self.peer_max_frame = DEFAULT_MAX_FRAME
         self.peer_initial_window = DEFAULT_WINDOW
         self.max_frame = DEFAULT_MAX_FRAME
+        self.max_streams = DEFAULT_MAX_STREAMS  # cap on open peer streams
         # HEADERS fragment assembly state
         self._hdr_stream: int | None = None
         self._hdr_flags = 0
@@ -186,6 +193,7 @@ class H2Connection:
         pairs = [
             (SETTINGS_MAX_FRAME_SIZE, self.max_frame),
             (SETTINGS_INITIAL_WINDOW_SIZE, DEFAULT_WINDOW),
+            (SETTINGS_MAX_CONCURRENT_STREAMS, self.max_streams),
         ]
         if self.client_side:
             # RFC 9113 §6.5.2: ENABLE_PUSH is a client-only setting —
@@ -209,11 +217,26 @@ class H2Connection:
         self._next_stream_id += 2
         return sid
 
-    def _stream_for_send(self, stream_id: int) -> _Stream:
+    def _stream_for_send(self, stream_id: int) -> _Stream | None:
         st = self.streams.get(stream_id)
         if st is None:
+            retired = (
+                stream_id <= self._highest_peer_stream
+                if self._peer_initiated(stream_id)
+                else stream_id <= self._highest_local_opened
+            )
+            if retired:
+                # retired (closed or reset) stream — peer- or
+                # locally-numbered: a late application send must NOT
+                # resurrect it; sending on a closed stream is our own
+                # protocol violation
+                return None
             st = _Stream(stream_id, send_window=self.peer_initial_window)
             self.streams[stream_id] = st
+            if not self._peer_initiated(stream_id):
+                self._highest_local_opened = max(
+                    self._highest_local_opened, stream_id
+                )
         return st
 
     def send_headers(
@@ -223,7 +246,7 @@ class H2Connection:
         end_stream: bool = False,
     ) -> None:
         st = self._stream_for_send(stream_id)
-        if st.reset:
+        if st is None or st.reset:
             return
         block = self._encoder.encode(headers)
         flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
@@ -243,15 +266,17 @@ class H2Connection:
             )
         if end_stream:
             st.send_closed = True
+            self._maybe_retire(st)
 
     def send_data(self, stream_id: int, data: bytes, end_stream: bool = False) -> None:
         """Queue DATA, honouring connection + stream send windows; what
         the windows cannot carry is deferred until WINDOW_UPDATE."""
         st = self._stream_for_send(stream_id)
-        if st.reset:
+        if st is None or st.reset:
             return
         st.pending.append((bytes(data), end_stream))
         self._flush_stream(st)
+        self._maybe_retire(st)
 
     def _flush_stream(self, st: _Stream) -> None:
         while st.pending:
@@ -356,15 +381,47 @@ class H2Connection:
             raise H2ConnectionError(PROTOCOL_ERROR, "push is disabled")
         return []  # unknown frame types are ignored (§4.1)
 
-    def _track_peer_stream(self, stream_id: int) -> _Stream:
+    def _peer_initiated(self, stream_id: int) -> bool:
+        return (stream_id % 2 == 1) != self.client_side
+
+    def _track_peer_stream(self, stream_id: int) -> _Stream | None:
+        """Resolve the stream a received frame targets, policing stream
+        identity (§5.1.1) and concurrency (§5.1.2). Returns None for a
+        frame on a retired (fully-closed) stream — the caller ignores
+        it; raises on protocol violations; sends REFUSED_STREAM past the
+        concurrency cap instead of growing unbounded per-peer state."""
         st = self.streams.get(stream_id)
-        if st is None:
+        if st is not None:
+            return st
+        if self._peer_initiated(stream_id):
+            if stream_id <= self._highest_peer_stream:
+                return None  # closed + retired: late frames are dropped
+            n_open = sum(
+                1 for s in self.streams.values() if self._peer_initiated(s.stream_id)
+            )
+            if n_open >= self.max_streams:
+                # refuse without creating state (the whole point of the cap)
+                self._highest_peer_stream = stream_id
+                self._out += encode_frame(
+                    RST_STREAM, 0, stream_id, REFUSED_STREAM.to_bytes(4, "big")
+                )
+                return None
+            self._highest_peer_stream = stream_id
             st = _Stream(stream_id, send_window=self.peer_initial_window)
             self.streams[stream_id] = st
-        peer_initiated = (stream_id % 2 == 1) != self.client_side
-        if peer_initiated:
-            self._highest_peer_stream = max(self._highest_peer_stream, stream_id)
-        return st
+            return st
+        # locally-numbered id from the peer: never valid as a NEW stream
+        if stream_id >= self._next_stream_id:
+            raise H2ConnectionError(
+                PROTOCOL_ERROR, "peer used a locally-numbered unopened stream id"
+            )
+        return None  # closed local stream: late frames are dropped
+
+    def _maybe_retire(self, st: _Stream) -> None:
+        """Drop fully-closed streams so per-connection state is bounded
+        by the concurrency cap, not by connection lifetime."""
+        if (st.recv_closed or st.reset) and st.send_closed and not st.pending:
+            self.streams.pop(st.stream_id, None)
 
     def _on_data(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
         if stream_id == 0:
@@ -379,23 +436,29 @@ class H2Connection:
             payload = payload[1 : len(payload) - pad]
         st = self._track_peer_stream(stream_id)
         self.conn_recv_window -= flow_len
-        st.recv_window -= flow_len
-        if self.conn_recv_window < 0 or st.recv_window < 0:
+        if self.conn_recv_window < 0:
             raise H2ConnectionError(FLOW_CONTROL_ERROR, "recv window exceeded")
+        if st is not None:
+            st.recv_window -= flow_len
+            if st.recv_window < 0:
+                raise H2ConnectionError(FLOW_CONTROL_ERROR, "recv window exceeded")
         # replenish immediately: the ingest server consumes as it reads
         if flow_len:
             self._out += encode_frame(
                 WINDOW_UPDATE, 0, 0, flow_len.to_bytes(4, "big")
             )
             self.conn_recv_window += flow_len
-            if not (flags & FLAG_END_STREAM):
+            if st is not None and not (flags & FLAG_END_STREAM):
                 self._out += encode_frame(
                     WINDOW_UPDATE, 0, stream_id, flow_len.to_bytes(4, "big")
                 )
                 st.recv_window += flow_len
+        if st is None:
+            return []  # DATA for a retired/refused stream: dropped
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True
+            self._maybe_retire(st)
         if st.reset:
             return []
         return [DataReceived(stream_id, payload, end)]
@@ -439,14 +502,19 @@ class H2Connection:
     def _finish_headers(
         self, stream_id: int, flags: int, block: bytes
     ) -> list[object]:
+        # ALWAYS decode, even for a dropped stream — HPACK state is
+        # connection-level; skipping a block would corrupt every later one
         try:
             headers = self._decoder.decode(block)
         except hpack.HpackError as exc:
             raise H2ConnectionError(COMPRESSION_ERROR, str(exc)) from exc
-        st = self.streams[stream_id]
+        st = self.streams.get(stream_id)
+        if st is None:
+            return []  # retired/refused stream: headers dropped
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True
+            self._maybe_retire(st)
         if st.reset:
             return []
         return [HeadersReceived(stream_id, headers, end)]
@@ -470,6 +538,15 @@ class H2Connection:
                 self.peer_initial_window = val
                 for st in self.streams.values():
                     st.send_window += delta
+                    if st.send_window > MAX_WINDOW:
+                        # §6.9.2: a retune that pushes any stream window
+                        # past 2^31-1 is a connection flow-control error;
+                        # silently keeping the overflowed window would
+                        # permit over-sending
+                        raise H2ConnectionError(
+                            FLOW_CONTROL_ERROR,
+                            "SETTINGS retune overflowed a stream window",
+                        )
             elif sid == SETTINGS_MAX_FRAME_SIZE:
                 if not (DEFAULT_MAX_FRAME <= val <= (1 << 24) - 1):
                     raise H2ConnectionError(PROTOCOL_ERROR, "bad max frame size")
@@ -524,10 +601,22 @@ class H2Connection:
         if stream_id == 0:
             raise H2ConnectionError(PROTOCOL_ERROR, "RST_STREAM on stream 0")
         code = int.from_bytes(payload, "big")
-        st = self._track_peer_stream(stream_id)
+        st = self.streams.get(stream_id)
+        if st is None:
+            # RST for an idle stream is a connection error (§6.4); for a
+            # retired (closed) stream it is ignored
+            idle = (
+                stream_id > self._highest_peer_stream
+                if self._peer_initiated(stream_id)
+                else stream_id >= self._next_stream_id
+            )
+            if idle:
+                raise H2ConnectionError(PROTOCOL_ERROR, "RST_STREAM on idle stream")
+            return []
         st.reset = True
         st.recv_closed = st.send_closed = True
         st.pending.clear()
+        self.streams.pop(stream_id, None)
         return [StreamReset(stream_id, code)]
 
     def _on_ping(self, flags: int, payload: bytes) -> list[object]:

@@ -365,6 +365,12 @@ class Decoder:
         pos = 0
         while pos < len(data):
             b = data[pos]
+            if b & 0x80 == 0 and b & 0x40 == 0 and b & 0x20:
+                # dynamic table size update (§6.3) — §4.2 requires it at
+                # the *beginning* of the block; honoring a late one from
+                # a malformed peer would desync table state
+                if headers:
+                    raise HpackError("table size update after header fields")
             if b & 0x80:  # indexed (§6.1)
                 index, pos = decode_integer(data, pos, 7)
                 headers.append(self._lookup(index))

@@ -155,6 +155,47 @@ def decode_server_message(buf: bytes) -> tuple[str, dict]:
     return "identify_message_type", {"type": inner.get(1, ""), "id": inner.get(2, 0)}
 
 
+def encode_write_batch_request(
+    key: str, payloads: list[tuple[str, list[bytes]]]
+) -> bytes:
+    """Unary WriteBatchRequest (bristle.proto:22-25): ``key`` + repeated
+    Payload{type, repeated body} (bristle.proto:15-18)."""
+    fields: list[tuple[int, str, object, bool]] = [(1, "string", key or None, False)]
+    for type_name, bodies in payloads:
+        inner = wire.encode_message(
+            [(1, "string", type_name, False), (2, "bytes", bodies, True)]
+        )
+        fields.append((2, "bytes", inner, False))
+    return wire.encode_message(fields)
+
+
+def decode_write_batch_request(buf: bytes) -> tuple[str, list[tuple[str, list[bytes]]]]:
+    msg = wire.decode_message(buf, {1: ("string", False), 2: ("bytes", True)})
+    payloads: list[tuple[str, list[bytes]]] = []
+    for raw in msg.get(2, []):
+        inner = wire.decode_message(raw, {1: ("string", False), 2: ("bytes", True)})
+        payloads.append((inner.get(1, ""), inner.get(2, [])))
+    return msg.get(1, ""), payloads
+
+
+def encode_write_batch_response(acknowledged: int, dropped: int) -> bytes:
+    """WriteBatchResponse (bristle.proto:27-33). The reference hardcodes
+    zeros (ingest_service.go:116-119); this implements the *intended*
+    semantics the proto comments document — the count of acknowledged /
+    dropped payloads (SURVEY §8.3)."""
+    return wire.encode_message(
+        [
+            (1, "uint64", acknowledged or None, False),
+            (2, "uint64", dropped or None, False),
+        ]
+    )
+
+
+def decode_write_batch_response(buf: bytes) -> tuple[int, int]:
+    msg = wire.decode_message(buf, {1: ("uint64", False), 2: ("uint64", False)})
+    return msg.get(1, 0), msg.get(2, 0)
+
+
 def _decode_client_message(buf: bytes) -> tuple[str, dict]:
     msg = wire.decode_message(
         buf,

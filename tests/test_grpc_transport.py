@@ -362,3 +362,128 @@ def test_grpc_wire_is_real_http2(spark, three_table_server):
         raw.close()
         with GrpcIngestClient("127.0.0.1", service.port) as client:
             assert client.register_type("ExampleMessage") == 1
+
+
+# -------------------------------------------------- unary WriteBatch RPC
+
+
+def test_unary_write_batch_three_fixtures(spark, three_table_server):
+    """The reference's OTHER public RPC (bristle.proto:119,
+    ingest_service.go:109-120): one unary WriteBatch call carrying
+    payloads for all three fixture tables lands them all."""
+    from tests.test_socket_service import _binance_body, _finnhub_body
+
+    server = three_table_server
+    with GrpcIngestService(server) as service:
+        ack, dropped = gt.grpc_write_batch_unary(
+            "127.0.0.1",
+            service.port,
+            [
+                (
+                    "ExampleMessage",
+                    [
+                        encode_example_row(
+                            name=f"u_{i}", type_code=1, ts=(1_700_000_000, 0), value=i
+                        )
+                        for i in range(4)
+                    ],
+                ),
+                ("Trade", [_binance_body(i) for i in range(3)]),
+                ("FinnhubTrade", [_finnhub_body(i) for i in range(2)]),
+            ],
+            key="unary-key",
+        )
+    # intended semantics (SURVEY §8.3): payloads acknowledged, none dropped
+    assert (ack, dropped) == (3, 0)
+    import pyarrow.parquet as pq
+
+    for table, n in (
+        ("default__example_table", 4),
+        ("binance__trade_events", 3),
+        ("finnhub__trades", 2),
+    ):
+        payload_dir = os.path.join(server.data_root, "payloads", table)
+        files = os.listdir(payload_dir)
+        assert len(files) == 1
+        assert pq.read_table(os.path.join(payload_dir, files[0])).num_rows == n
+
+
+def test_unary_first_non_ok_payload_aborts_request(spark, three_table_server):
+    """ingest_service.go:110-114: the first non-OK payload aborts the
+    whole request with a gRPC error; earlier payloads stay landed."""
+    server = three_table_server
+    with GrpcIngestService(server) as service:
+        with pytest.raises(ConnectionError) as ei:
+            gt.grpc_write_batch_unary(
+                "127.0.0.1",
+                service.port,
+                [
+                    ("ExampleMessage", [encode_example_row(name="pre", value=1)]),
+                    ("no.such.Type", [b"x"]),
+                    ("ExampleMessage", [encode_example_row(name="post", value=2)]),
+                ],
+            )
+        assert "WriteBatch error code UNK_MESSAGE" in str(ei.value)
+        with pytest.raises(ConnectionError) as ei:
+            gt.grpc_write_batch_unary(
+                "127.0.0.1",
+                service.port,
+                [("ExampleMessage", [b"\xff\xff\xff"])],
+            )
+        assert "WriteBatch error code DECODE_ERR" in str(ei.value)
+    payload_dir = os.path.join(
+        server.data_root, "payloads", "default__example_table"
+    )
+    files = os.listdir(payload_dir)
+    assert len(files) == 1  # "pre" landed; "post" never processed
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(payload_dir, files[0])).num_rows == 1
+
+
+def test_unary_empty_request_acks_zero(spark, three_table_server):
+    with GrpcIngestService(three_table_server) as service:
+        assert gt.grpc_write_batch_unary("127.0.0.1", service.port, []) == (0, 0)
+
+
+def test_socket_unary_and_bidi_land_identical_payloads(spark, three_table_server):
+    """All THREE front doors — TCP socket, gRPC bidi Streaming, gRPC
+    unary WriteBatch — land byte-identical payload rows for the same
+    batch (process_batch is shared; only the wire differs)."""
+    from bristle_spark.ingest.service import IngestSocketClient, IngestSocketService
+
+    server = three_table_server
+    bodies = [
+        encode_example_row(name=f"tri_{i}", type_code=2, ts=(1_700_000_100, 0), value=i)
+        for i in range(5)
+    ]
+    with GrpcIngestService(server) as service:
+        with GrpcIngestClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            assert client.write_batch(bodies, type_id=tid) == svc.OK
+        assert gt.grpc_write_batch_unary(
+            "127.0.0.1", service.port, [("ExampleMessage", bodies)]
+        ) == (1, 0)
+    with IngestSocketService(server) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            tid = client.register_type("ExampleMessage")
+            assert client.write_batch(bodies, type_id=tid) == svc.OK
+
+    payload_dir = os.path.join(server.data_root, "payloads", "default__example_table")
+    files = sorted(os.listdir(payload_dir))
+    assert len(files) == 3
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(os.path.join(payload_dir, f)).to_pydict() for f in files]
+    assert tables[0] == tables[1] == tables[2]
+
+
+def test_unary_request_roundtrip_codec():
+    payloads = [("a.B", [b"", b"xy"]), ("c.D", [b"zzz"])]
+    key, got = svc.decode_write_batch_request(
+        svc.encode_write_batch_request("k", payloads)
+    )
+    assert (key, got) == ("k", payloads)
+    assert svc.decode_write_batch_response(
+        svc.encode_write_batch_response(7, 2)
+    ) == (7, 2)

@@ -237,3 +237,99 @@ def test_window_opened_event_after_update():
     ev = client.receive_data(server.data_to_send())
     assert any(isinstance(e, WindowOpened) for e in ev)
     assert not client.streams[sid].pending
+
+
+# --- round-10 hardening: stream-state policing + bounded state (§5.1) ---
+
+
+def test_settings_retune_overflowing_stream_window_is_flow_control_error():
+    """§6.9.2: INITIAL_WINDOW_SIZE retune that pushes a stream's send
+    window past 2^31-1 must be a FLOW_CONTROL_ERROR, not silent."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    # manually open the stream's window near the max, then retune up
+    st = client.streams[sid]
+    st.send_window = h2.MAX_WINDOW - 10
+    frame = encode_frame(
+        h2.SETTINGS,
+        0,
+        0,
+        h2.SETTINGS_INITIAL_WINDOW_SIZE.to_bytes(2, "big")
+        + (h2.DEFAULT_WINDOW + 100).to_bytes(4, "big"),
+    )
+    with pytest.raises(H2ConnectionError) as ei:
+        client.receive_data(frame)
+    assert ei.value.code == h2.FLOW_CONTROL_ERROR
+
+
+def test_peer_cannot_use_locally_numbered_unopened_stream_id():
+    """§5.1.1: a server-numbered (even) id arriving from the client as a
+    new stream is a PROTOCOL_ERROR."""
+    client, server = handshake()
+    block = server_encode_headers(server, REQ)
+    frame = encode_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 2, block)
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(frame)
+    assert ei.value.code == h2.PROTOCOL_ERROR
+
+
+def server_encode_headers(conn: H2Connection, headers) -> bytes:
+    # use a throwaway encoder compatible with conn's decoder defaults
+    from bristle_spark.ingest import hpack
+
+    return hpack.Encoder().encode(headers)
+
+
+def test_concurrency_cap_refuses_excess_streams_without_state():
+    client, server = handshake()
+    server.max_streams = 4
+    for _ in range(6):
+        sid = client.next_stream_id()
+        client.send_headers(sid, REQ)
+    ev = server.receive_data(client.data_to_send())
+    opened = [e for e in ev if isinstance(e, HeadersReceived)]
+    assert len(opened) == 4
+    n_peer = sum(1 for s in server.streams.values() if s.stream_id % 2 == 1)
+    assert n_peer <= 4
+    # the refused streams got RST_STREAM(REFUSED_STREAM) back
+    cev = client.receive_data(server.data_to_send())
+    refused = [e for e in cev if isinstance(e, StreamReset)]
+    assert len(refused) == 2
+    assert all(e.error_code == h2.REFUSED_STREAM for e in refused)
+
+
+def test_fully_closed_streams_are_retired_from_state():
+    """A request/response exchange must not leave per-stream state
+    behind — state is bounded by concurrency, not connection lifetime."""
+    client, server = handshake()
+    for _ in range(8):
+        sid = client.next_stream_id()
+        client.send_headers(sid, REQ, end_stream=True)
+        server.receive_data(client.data_to_send())
+        server.send_headers(sid, [(b":status", b"200")], end_stream=True)
+        client.receive_data(server.data_to_send())
+    assert len(server.streams) == 0
+    assert len(client.streams) == 0
+
+
+def test_late_data_on_retired_stream_is_dropped_not_crashed():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    server.send_headers(sid, [(b":status", b"200")], end_stream=True)
+    client.receive_data(server.data_to_send())
+    assert sid not in server.streams
+    # forge late DATA on the retired stream: dropped, no event, no error
+    ev = server.receive_data(encode_frame(h2.DATA, 0, sid, b"zombie"))
+    assert ev == []
+
+
+def test_rst_on_idle_stream_is_protocol_error():
+    client, server = handshake()
+    frame = encode_frame(h2.RST_STREAM, 0, 99, h2.CANCEL.to_bytes(4, "big"))
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(frame)
+    assert ei.value.code == h2.PROTOCOL_ERROR

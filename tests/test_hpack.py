@@ -270,3 +270,17 @@ def test_decoder_rejects_bad_index():
         d.decode(bytes.fromhex("be"))  # dynamic index on empty table
     with pytest.raises(HpackError):
         d.decode(bytes.fromhex("80"))  # index 0
+
+
+def test_decoder_rejects_mid_block_table_size_update():
+    """§4.2: a dynamic-table-size-update is only legal at the BEGINNING
+    of a header block; one arriving after a header field is a
+    compression error, not silently honored."""
+    d = Decoder(max_table_size=4096)
+    # leading update is fine
+    block = encode_integer(2048, 5, 0x20) + bytes.fromhex("82")  # :method GET
+    assert d.decode(block) == [(b":method", b"GET")]
+    # update AFTER a field must raise
+    bad = bytes.fromhex("82") + encode_integer(1024, 5, 0x20)
+    with pytest.raises(HpackError):
+        d.decode(bad)
