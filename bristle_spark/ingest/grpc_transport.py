@@ -98,11 +98,15 @@ class GrpcIngestService:
         port: int = 0,
         max_in_flight: int = 12,  # reference NewStreamingClientSession(stream, 12)
         max_batch_len: int = 10_000,
+        backoff_ms: int = 0,
     ) -> None:
         self.server = server
         self.host = host
         self.max_in_flight = max_in_flight
         self.max_batch_len = max_batch_len
+        # when > 0: an admission rejection also sends a Backoff advisory
+        # (same knob as IngestSocketService)
+        self.backoff_ms = backoff_ms
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -277,6 +281,20 @@ class GrpcIngestService:
             )
         elif kind == "write_batch":
             if not rpc.sem.acquire(blocking=False):
+                # advisory FIRST so a synchronous client has noted it by
+                # the time the rejection ack unblocks its send loop
+                if self.backoff_ms > 0:
+                    import time as _t
+
+                    name = body["type_name"] or rpc.type_ids.get(body["type_id"])
+                    self._send_msg(
+                        rpc,
+                        svc.encode_backoff(
+                            int(_t.time() * 1000) + self.backoff_ms,
+                            [name] if name else [],
+                        ),
+                        h2c, lock, flush_locked,
+                    )
                 self._send_msg(
                     rpc,
                     svc._encode_batch_result(
@@ -443,6 +461,8 @@ class GrpcIngestClient:
         self._next_batch = 0
         self._results: dict[int, int] = {}
         self._envelopes: list[tuple[str, dict]] = []
+        self._type_names: dict[int, str] = {}
+        self.backoff = svc.ClientBackoff()
         self._buf = bytearray()
         self.trailers: dict[bytes, bytes] | None = None
         self._headers_seen = False
@@ -530,9 +550,12 @@ class GrpcIngestClient:
         while True:
             kind, body = self._recv()
             if kind == "identify_message_type" and body["type"] == type_name:
+                self._type_names[body["id"]] = body["type"]
                 return body["id"]
             if kind == "write_batch_result":
                 self._results[body["id"]] = body["result"]
+            elif kind == "backoff":
+                self.backoff.note(body)
 
     def write_batch(
         self,
@@ -540,6 +563,7 @@ class GrpcIngestClient:
         type_name: str | None = None,
         type_id: int | None = None,
     ) -> int:
+        self.backoff.wait(type_name or self._type_names.get(type_id))
         self._next_batch += 1
         batch_id = self._next_batch
         self._send_envelope(
@@ -549,6 +573,8 @@ class GrpcIngestClient:
             kind, body = self._recv()
             if kind == "write_batch_result":
                 self._results[body["id"]] = body["result"]
+            elif kind == "backoff":
+                self.backoff.note(body)
         return self._results.pop(batch_id)
 
     def update_default(self, type_name: str, default: bytes = b"") -> None:

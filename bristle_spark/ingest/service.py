@@ -82,6 +82,7 @@ _CM_UPDATE_DEFAULT = 2
 _CM_REGISTER_TYPE = 3
 # StreamingServerMessage oneof field numbers
 _SM_WRITE_BATCH_RESULT = 1
+_SM_BACKOFF = 2
 _SM_IDENTIFY_TYPE = 3
 
 
@@ -137,9 +138,26 @@ def _encode_identify(type_name: str, type_id: int) -> bytes:
     return wire.encode_message([(_SM_IDENTIFY_TYPE, "bytes", inner, False)])
 
 
+def encode_backoff(until_ms: int, types: list[str]) -> bytes:
+    """StreamingServerMessageBackoff (bristle.proto:96-99): advise
+    clients to defer sends for ``types`` (empty = all types) until the
+    epoch-millisecond ``until``. Declared-only in the reference server
+    (never emitted); this repo emits it as an admission-control advisory
+    alongside TOO_MANY_IN_FLIGHT_BATCHES when configured."""
+    inner = wire.encode_message(
+        [(1, "uint64", until_ms or None, False), (2, "string", types, True)]
+    )
+    return wire.encode_message([(_SM_BACKOFF, "bytes", inner, False)])
+
+
 def decode_server_message(buf: bytes) -> tuple[str, dict]:
     msg = wire.decode_message(
-        buf, {_SM_WRITE_BATCH_RESULT: ("bytes", False), _SM_IDENTIFY_TYPE: ("bytes", False)}
+        buf,
+        {
+            _SM_WRITE_BATCH_RESULT: ("bytes", False),
+            _SM_BACKOFF: ("bytes", False),
+            _SM_IDENTIFY_TYPE: ("bytes", False),
+        },
     )
     if _SM_WRITE_BATCH_RESULT in msg:
         inner = wire.decode_message(
@@ -149,6 +167,11 @@ def decode_server_message(buf: bytes) -> tuple[str, dict]:
             "id": inner.get(1, 0),
             "result": inner.get(2, OK),
         }
+    if _SM_BACKOFF in msg:
+        inner = wire.decode_message(
+            msg[_SM_BACKOFF], {1: ("uint64", False), 2: ("string", True)}
+        )
+        return "backoff", {"until": inner.get(1, 0), "types": inner.get(2, [])}
     inner = wire.decode_message(
         msg[_SM_IDENTIFY_TYPE], {1: ("string", False), 2: ("uint32", False)}
     )
@@ -306,11 +329,16 @@ class IngestSocketService:
         port: int = 0,
         max_in_flight: int = 12,  # reference NewStreamingClientSession(stream, 12)
         max_batch_len: int = 10_000,
+        backoff_ms: int = 0,
     ) -> None:
         self.server = server
         self.host = host
         self.max_in_flight = max_in_flight
         self.max_batch_len = max_batch_len
+        # when > 0: an admission rejection also sends a Backoff advisory
+        # (bristle.proto:96-99 — declared-only in the reference server;
+        # the reference *client* honors it, client/client.go:128-136)
+        self.backoff_ms = backoff_ms
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -378,6 +406,21 @@ class IngestSocketService:
                         session.send(_encode_identify(body["type"], session.next_type_id))
                     elif kind == "write_batch":
                         if not session.sem.acquire(blocking=False):
+                            # advisory FIRST so a synchronous client has
+                            # noted it by the time the rejection ack
+                            # unblocks its send loop
+                            if self.backoff_ms > 0:
+                                import time as _t
+
+                                name = body["type_name"] or session.type_ids.get(
+                                    body["type_id"]
+                                )
+                                session.send(
+                                    encode_backoff(
+                                        int(_t.time() * 1000) + self.backoff_ms,
+                                        [name] if name else [],
+                                    )
+                                )
                             session.send_result(body["id"], TOO_MANY_IN_FLIGHT_BATCHES)
                             continue
                         self._pool.submit(self._write_batch, session, body)
@@ -478,17 +521,60 @@ def land_payload(server, binding, type_name: str, bodies: list[bytes]) -> None:
 # ------------------------------------------------------------- the client
 
 
+class ClientBackoff:
+    """Client-side honoring of server ``Backoff`` advisories. The
+    reference client stores the high-water ``until`` off the receive
+    loop (client/client.go:128-136) and checks it before every send —
+    but its sleep duration is ``now - until``, a negative value that
+    busy-loops (client/client.go:158-164; SURVEY §8.7 quirk). This
+    implements the *intended* behavior: a non-negative wait of
+    ``until - now``, scoped to the advisory's listed types (empty list =
+    all types, per bristle.proto:96-99)."""
+
+    def __init__(self) -> None:
+        self.until_ms = 0
+        self.types: frozenset[str] = frozenset()
+
+    def note(self, body: dict) -> None:
+        if body["until"] > self.until_ms:  # high-water, like the reference
+            self.until_ms = body["until"]
+            self.types = frozenset(body["types"])
+
+    def delay_s(self, type_name: str | None, now_ms: int | None = None) -> float:
+        """Seconds a send of ``type_name`` must defer; 0.0 if clear."""
+        if now_ms is None:
+            import time
+
+            now_ms = int(time.time() * 1000)
+        if now_ms >= self.until_ms:
+            return 0.0
+        if self.types and type_name not in self.types:
+            return 0.0
+        return (self.until_ms - now_ms) / 1000.0
+
+    def wait(self, type_name: str | None) -> float:
+        """Block until the advisory clears; returns seconds slept."""
+        import time
+
+        delay = self.delay_s(type_name)
+        if delay > 0.0:
+            time.sleep(delay)
+        return delay
+
+
 class IngestSocketClient:
     """Minimal synchronous client (the reference client library's role,
     client/client.go): register types for short ids, send write batches,
-    collect acks. Results may arrive out of order; responses are
-    correlated by batch id."""
+    collect acks, and defer sends on server Backoff advisories. Results
+    may arrive out of order; responses are correlated by batch id."""
 
     def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
         self.conn = socket.create_connection((host, port), timeout=timeout)
         self._rf = self.conn.makefile("rb")
         self._next_batch = 0
         self._results: dict[int, int] = {}
+        self._type_names: dict[int, str] = {}
+        self.backoff = ClientBackoff()
 
     def close(self) -> None:
         try:
@@ -516,9 +602,12 @@ class IngestSocketClient:
         while True:
             kind, body = self._recv()
             if kind == "identify_message_type" and body["type"] == type_name:
+                self._type_names[body["id"]] = body["type"]
                 return body["id"]
             if kind == "write_batch_result":  # late ack for an async batch
                 self._results[body["id"]] = body["result"]
+            elif kind == "backoff":
+                self.backoff.note(body)
 
     def write_batch(
         self,
@@ -526,7 +615,10 @@ class IngestSocketClient:
         type_name: str | None = None,
         type_id: int | None = None,
     ) -> int:
-        """Send one batch and block for its ack; returns the BatchResult."""
+        """Send one batch and block for its ack; returns the BatchResult.
+        Defers the send while a server Backoff advisory covering this
+        type is in force (client/client.go:158-164 intended behavior)."""
+        self.backoff.wait(type_name or self._type_names.get(type_id))
         self._next_batch += 1
         batch_id = self._next_batch
         self._send(encode_write_batch(batch_id, bodies, type_name, type_id))
@@ -534,6 +626,8 @@ class IngestSocketClient:
             kind, body = self._recv()
             if kind == "write_batch_result":
                 self._results[body["id"]] = body["result"]
+            elif kind == "backoff":
+                self.backoff.note(body)
         return self._results.pop(batch_id)
 
     def update_default(self, type_name: str, default: bytes = b"") -> None:
