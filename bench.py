@@ -341,18 +341,27 @@ def main() -> None:
         sf = float(sf_label)
     except ValueError:
         sf = sf_label
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **({"errors": errors} if errors else {}),
-            }
+    record = {
+        "metric": "declared_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(record))
+    # the driver captures only a stdout tail, which truncates the
+    # per-query map once the suite passes ~150 queries (BENCH_r8/r9
+    # "parsed": null) — also persist the full record to a file so the
+    # per-query history survives (VERDICT r9 ask #4)
+    try:
+        summary_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
         )
-    )
+        with open(summary_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout already carries the record
     spark.stop()
     if errors:
         # a partially-failed run sums fewer queries and would otherwise
