@@ -53,6 +53,21 @@ SCALE_FAMILY = [
     "l_dedup_sorted_neighborhood",
     "l_sparse_cosine_topk",
     "l_ks_test",
+    # round-10 (VERDICT r9 ask #6): prefix-blocked Levenshtein pairs,
+    # delta-pruned MV repair
+    "l_edit_distance_dedup",
+    "r_mv_late_update",
+]
+
+# The r8/r9 heavy hitters whose bucketing contract is the whole scale
+# story: their plan's exchange count must not depend on the
+# shuffle-partition setting (a plan that grows exchanges at cluster
+# partition counts is re-planning itself into extra shuffles).
+PLAN_PIN_FAMILY = [
+    "l_sparse_cosine_topk",
+    "l_edit_distance_dedup",
+    "r_market_basket",
+    "r_mv_late_update",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
@@ -75,6 +90,28 @@ def test_partition_count_invariance(name, spark, sf_dir, specs):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert wide == baseline
+
+
+@pytest.mark.parametrize("name", PLAN_PIN_FAMILY)
+def test_exchange_count_invariant_to_partition_setting(name, spark, sf_dir, specs):
+    """8 vs 512 shuffle partitions must produce the same number of
+    shuffle exchanges — the partition knob sizes the shuffle, it must
+    never add one (VERDICT r9 ask #6)."""
+    fn = specs[name].fn
+
+    def exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange ")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at_8 = exchanges(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "512")
+        at_512 = exchanges(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert at_8 == at_512
 
 
 @pytest.fixture(scope="module")
