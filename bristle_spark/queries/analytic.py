@@ -2380,3 +2380,148 @@ def r_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levels.groupBy(F.col("funnel_level").cast("bigint").alias("funnel_level")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --------------------------------------------- year-over-year growth
+
+
+@register(
+    "r_year_over_year",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               CAST(year(o_orderdate) AS BIGINT)  AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx,
+               round(sum(o_totalprice), 2)        AS revenue,
+               CAST(count(*) AS BIGINT)           AS n_orders
+        FROM orders GROUP BY 1, 2, 3, 4
+    )
+    SELECT cur.priority, cur.y, cur.m, cur.revenue, cur.n_orders,
+           prev.revenue AS prev_year_revenue,
+           {r6_sql("cur.revenue / prev.revenue - 1.0")} AS yoy_growth
+    FROM m cur LEFT JOIN m prev
+      ON prev.priority = cur.priority AND prev.midx = cur.midx - 12
+    """,
+)
+def r_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per (priority, month): monthly revenue
+    joined against the same month one year earlier. The comparison is a
+    gap-safe self-join on an integer month index (year*12 + month-1) —
+    NOT a row-offset lag, which silently compares wrong months the
+    moment a month is missing from a group.
+
+    Scale shape: one map-side-combined groupBy collapses the fact table
+    to (priority x months) rows; the YoY self-join then runs on two
+    dimension-sized frames (broadcast-eligible, AQE picks it). Growth is
+    computed from the 2dp-rounded revenues so both engines rank and
+    round identically.
+
+    Cites reference scope: the reference ships ingest only
+    (bristle.proto); period-over-period comparison is downstream
+    ClickHouse query surface this engine implements natively."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    return cur.join(
+        prev,
+        (F.col("prev.priority") == F.col("cur.priority"))
+        & (F.col("prev.midx") == F.col("cur.midx") - 12),
+        "left",
+    ).select(
+        F.col("cur.priority").alias("priority"),
+        F.col("cur.y").alias("y"),
+        F.col("cur.m").alias("m"),
+        F.col("cur.revenue").alias("revenue"),
+        F.col("cur.n_orders").alias("n_orders"),
+        F.col("prev.revenue").alias("prev_year_revenue"),
+        r6(F.col("cur.revenue") / F.col("prev.revenue") - 1.0).alias("yoy_growth"),
+    )
+
+
+# --------------------------------------------- cohort LTV curve
+LTV_MAX_AGE = 6  # cohort ages (months since first order) reported
+
+
+@register(
+    "r_cohort_ltv",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx,
+               o_totalprice
+        FROM orders
+    ),
+    c AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY o_custkey),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM c GROUP BY cohort),
+    rev AS (
+        SELECT c.cohort, o.midx - c.cohort AS age,
+               round(sum(o.o_totalprice), 2) AS rev_age
+        FROM o JOIN c ON c.o_custkey = o.o_custkey
+        WHERE o.midx - c.cohort <= {LTV_MAX_AGE}
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, CAST(age AS BIGINT) AS age, rev_age,
+               round(sum(rev_age) OVER (PARTITION BY cohort ORDER BY age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+        FROM rev
+    )
+    SELECT cum.cohort, cum.age, cum.rev_age, cum.cum_rev, sz.n_customers,
+           {r6_sql("cum.cum_rev / sz.n_customers")} AS ltv
+    FROM cum JOIN sz ON sz.cohort = cum.cohort
+    """,
+)
+def r_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month; per cohort age 0..{LTV_MAX_AGE} months, the cumulative
+    revenue divided by cohort size — LTV as a curve, the companion to
+    r_retention's single-window rate.
+
+    Scale shape: both fact-table shuffles key on o_custkey (the min-
+    aggregate and the cohort join), then one map-side-combined groupBy
+    to (cohort x age) rows; the running sum windows over at most
+    {LTV_MAX_AGE}+1 rows per cohort on a dimension-sized frame, and the
+    cohort-size join is broadcast-eligible. Revenues are rounded to 2dp
+    BEFORE the cumulative sum so both engines accumulate identical
+    values in identical (age) order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+        "o_totalprice",
+    )
+    c = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    sz = c.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    rev = (
+        o.join(c, "o_custkey")
+        .withColumn("age", F.col("midx") - F.col("cohort"))
+        .filter(F.col("age") <= LTV_MAX_AGE)
+        .groupBy("cohort", F.col("age").cast("bigint").alias("age"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev_age"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_rev", F.round(F.sum("rev_age").over(w), 2))
+    return cum.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "age",
+        "rev_age",
+        "cum_rev",
+        "n_customers",
+        r6(F.col("cum_rev") / F.col("n_customers")).alias("ltv"),
+    )

@@ -2266,3 +2266,114 @@ def l_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= DOMAIN_CAP)
         .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# --------------------------------------------- skip-gram co-occurrence
+COOC_WINDOW = 3  # word2vec-style symmetric context window (tokens)
+COOC_MIN_COUNT = 10  # suppress PMI's rare-pair bias
+COOC_TOP = 50  # emitted collocation table size
+
+
+@register(
+    "l_skipgram_cooccurrence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT least(b.x, b.y) AS a, greatest(b.x, b.y) AS b FROM (
+            SELECT unnest(flatten(list_transform(range(1, len(t)),
+                   i -> list_transform(range(1, least({COOC_WINDOW}, len(t) - i) + 1),
+                        k -> struct_pack(x := t[i], y := t[i + k]))))) AS b
+            FROM tok
+        )
+    ),
+    counts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+               FROM pairs GROUP BY a, b),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    marg AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM (
+            SELECT a AS w, c FROM counts
+            UNION ALL
+            SELECT b AS w, c FROM counts
+        ) GROUP BY w
+    ),
+    pmi AS (
+        SELECT c.a, c.b, c.c,
+               {{pmi_expr}} AS pmi
+        FROM counts c
+        JOIN marg ma ON ma.w = c.a
+        JOIN marg mb ON mb.w = c.b
+        CROSS JOIN tot
+        WHERE c.c >= {COOC_MIN_COUNT}
+    )
+    SELECT a, b, c, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rn FROM pmi
+    ) WHERE rn <= {COOC_TOP}
+    """.replace(
+        "{pmi_expr}",
+        r6_sql(
+            "ln((CAST(c.c AS DOUBLE) * tot.n)"
+            " / (CAST(ma.cw AS DOUBLE) * mb.cw))"
+        ),
+    ),
+)
+def l_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI: unordered word pairs within a
+    symmetric ±{COOC_WINDOW}-token window, ranked by
+    PMI = ln(c(a,b)·N / (c(a)·c(b))) — the co-occurrence statistic
+    word2vec-SGNS and GloVe training corpora are built from, and the
+    window-k generalization of l_pmi_bigrams (adjacency only).
+
+    Scale shape: pair generation is row-local (nested transform over
+    each token array — at most {COOC_WINDOW}x token-count pairs, no
+    positional self-join, which would be quadratic per document); then
+    ONE pair-count shuffle (map-side combinable), marginals re-aggregate
+    the COUNTS table (vocab², never the corpus twice), totals broadcast
+    as 1 row, TakeOrderedAndProject top-{COOC_TOP}. PMI rounds to 6 dp
+    BEFORE ranking so both engines rank identically.
+
+    Cites reference scope: the reference ships no text ops; this
+    extends the engine's LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(t) - 1),"
+                f" i -> transform(sequence(1, least({COOC_WINDOW}, size(t) - i)),"
+                " k -> struct(element_at(t, i) AS x, element_at(t, i + k) AS y))))"
+            )
+        ).alias("p")
+    ).select(
+        F.least("p.x", "p.y").alias("a"), F.greatest("p.x", "p.y").alias("b")
+    )
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    marg = (
+        counts.select(F.col("a").alias("w"), "c")
+        .unionAll(counts.select(F.col("b").alias("w"), "c"))
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("cw"))
+    )
+    ma = marg.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    mb = marg.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    pmi = (
+        counts.filter(F.col("c") >= COOC_MIN_COUNT)
+        .join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c",
+            r6(
+                F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "a", "b").limit(COOC_TOP)

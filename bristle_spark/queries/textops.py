@@ -1666,3 +1666,55 @@ def _install_rank_fusion_oracle() -> None:
 
 
 _install_rank_fusion_oracle()
+
+
+# --------------------------------------------- tokenizer fertility
+
+
+@register(
+    "l_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT)              AS words,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS toks,
+               CAST(length(text) AS BIGINT)                              AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(words) AS BIGINT)   AS n_words,
+           CAST(sum(toks) AS BIGINT)    AS n_tokens,
+           {r6_sql("CAST(sum(toks) AS DOUBLE) / sum(words)")}  AS fertility,
+           {r6_sql("CAST(sum(chars) AS DOUBLE) / sum(toks)")}  AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+)
+def l_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens-per-word and
+    chars-per-token under the BPE-ish regex tokenizer — the standard
+    cross-lingual tokenizer-efficiency report (a language whose
+    fertility is 2x English pays 2x the sequence length for the same
+    text, which drives vocab-allocation decisions).
+
+    Scale shape: row-local token counting (regexp_count / split stay in
+    whole-stage codegen, no explode), then ONE map-side-combined
+    groupBy to a languages-sized output. All sums are integer-exact;
+    only the two final ratios round (6 dp).
+
+    Cites reference scope: the reference ships ingest only; tokenizer
+    diagnostics are engine-side LLM-pipeline surface (BASELINE.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        r6(F.sum("toks").cast("double") / F.sum("words")).alias("fertility"),
+        r6(F.sum("chars").cast("double") / F.sum("toks")).alias("chars_per_token"),
+    )

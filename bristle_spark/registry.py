@@ -69,6 +69,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new keys; queued for r10 since then) ---
     "r_string_funcs",
     "r_date_funcs",
+    # --- round-10 additions (each needs its first driver row) ---
+    "r_percentile_disc",
+    "r_window_funnel",
+    "l_dedup_band_stats",
+    "l_domain_cap",
+    "r_year_over_year",
+    "r_cohort_ltv",
+    "l_tokenizer_fertility",
+    "l_skipgram_cooccurrence",
+    # --- freshness ballast (anything past slot 50 falls outside the
+    # --- driver window but keeps local oracle-parity coverage) ---
     # --- freshness ballast: the entire last-checked-in-round-2 cohort
     # --- (oldest rows in the registry, 8 rounds stale) ---
     "l_sessionize",
@@ -103,17 +114,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_tfidf_top_terms",
     "l_token_count",
     "l_train_val_test",
-    # --- the round-5 cohort (5 rounds stale) ---
-    "l_ann_ivf",
-    "l_ann_lsh",
-    "l_dedup_minhash",
-    "l_dedup_simhash",
-    # --- round-10 additions (each needs its first driver row) ---
-    "r_percentile_disc",
-    "r_window_funnel",
-    "l_dedup_band_stats",
-    "l_domain_cap",
 )
+# NOTE: the round-5 cohort (l_ann_ivf, l_ann_lsh, l_dedup_minhash,
+# l_dedup_simhash) yielded its ballast slots to the four second-wave
+# round-10 additions; all four keep local oracle-parity coverage AND
+# the scale-shape gates (test_scale_shapes.py covers three of them).
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -67,13 +67,16 @@ SUITE_WEIGHTS = {
     "test_logreg.py": 110,
     "test_pagerank.py": 60,
     "test_pca_project.py": 70,
+    # round-10 measurements
+    "test_grpc_transport.py": 40,
+    "test_backoff.py": 12,
 }
 FALLBACK_WEIGHT = 5
-# per scale factor.  4 weight-BALANCED shards (round 9): the old
-# stable-hash split drew all iterative trainers into one shard, making
-# it the 1143s critical path; test_oracle_parity.py now bin-packs keys
-# by measured weight, so each shard carries ~1/4 of the trainer cost.
-PARITY_SHARDS = 4
+# per scale factor.  6 weight-BALANCED shards (round 10, was 4): the
+# registry passed 200 keys and the parity sweep is the critical path;
+# test_oracle_parity.py bin-packs keys by measured weight, so each
+# shard carries ~1/6 of the trainer cost.
+PARITY_SHARDS = 6
 
 
 def shard_suite(jobs: int) -> list[list[str]]:
@@ -107,6 +110,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--jobs", type=int, default=4, help="suite file shards")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="max concurrent pytest processes (round 10: "
+                         "capped — uncapped width was pure thrash)")
     ap.add_argument("--serial", action="store_true", help="old sequential mode")
     args = ap.parse_args()
     py = sys.executable
@@ -123,13 +129,12 @@ def main() -> None:
             if run(label, cmd, env) != 0:
                 sys.exit(1)
     else:
+        # parity shards FIRST in submission order, suite shards after:
+        # with the worker cap below, the many short parity shards drain
+        # while the long suite shards hold the tail — the round-8
+        # profile showed the sweep is CPU-bound, so UNCAPPED width
+        # (16 concurrent JVMs on 32 CPUs) only adds scheduler thrash
         jobs: list[tuple[str, list[str], dict | None]] = []
-        for i, shard in enumerate(shard_suite(args.jobs)):
-            jobs.append((
-                f"suite-shard{i} ({len(shard)} files)",
-                [py, "-m", "pytest", "-q", *[f"tests/{f}" for f in shard]],
-                {"BRISTLE_DRIVER_MEM": "8g"},
-            ))
         for sf in ("0.01", "0.1"):
             for i in range(PARITY_SHARDS):
                 jobs.append((
@@ -141,7 +146,13 @@ def main() -> None:
                         "BRISTLE_DRIVER_MEM": "8g",
                     },
                 ))
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for i, shard in enumerate(shard_suite(args.jobs)):
+            jobs.append((
+                f"suite-shard{i} ({len(shard)} files)",
+                [py, "-m", "pytest", "-q", *[f"tests/{f}" for f in shard]],
+                {"BRISTLE_DRIVER_MEM": "8g"},
+            ))
+        with ThreadPoolExecutor(max_workers=min(args.workers, len(jobs))) as pool:
             rcs = list(pool.map(lambda j: run(*j), jobs))
         if any(rcs):
             print(f"=== FAILED ({sum(1 for r in rcs if r)} stages) "

@@ -41,15 +41,20 @@ ROUND4_COHORT = {
     "l_train_val_test",
 }
 
-# last driver row round 5
-ROUND5_COHORT = {"l_ann_ivf", "l_ann_lsh", "l_dedup_minhash", "l_dedup_simhash"}
-
-# brand-new in round 10 -> each needs its first driver row
+# brand-new in round 10 -> each needs its first driver row.  The
+# second wave (YoY, cohort LTV, tokenizer fertility, skip-gram PMI)
+# displaced the round-5 ballast cohort (l_ann_ivf, l_ann_lsh,
+# l_dedup_minhash, l_dedup_simhash) — those keep local oracle-parity
+# coverage and the scale-shape gates.
 NEW_R10_KEYS = {
     "r_percentile_disc",      # exact PERCENTILE_DISC per group
     "r_window_funnel",        # ClickHouse windowFunnel semantics
     "l_dedup_band_stats",     # LSH band diagnostics for minhash dedup
     "l_domain_cap",           # per-domain frequency capping (FineWeb-style)
+    "r_year_over_year",       # gap-safe period-over-period growth
+    "r_cohort_ltv",           # cohort lifetime-value curve
+    "l_tokenizer_fertility",  # tokens-per-word / chars-per-token by lang
+    "l_skipgram_cooccurrence",  # word2vec-style windowed PMI
 }
 
 
@@ -82,7 +87,7 @@ def test_first_fifty_covers_the_round10_window():
     first50 = list(registry.all_specs())[:50]
     assert set(first50) == (
         STALE_ORACLE_KEYS | ROTATE_BACK_KEYS | ROUND2_COHORT
-        | ROUND4_COHORT | ROUND5_COHORT | NEW_R10_KEYS
+        | ROUND4_COHORT | NEW_R10_KEYS
     )
     assert first50 == list(registry.DRIVER_PRIORITY)
 
