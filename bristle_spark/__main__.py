@@ -106,6 +106,15 @@ def cmd_serve(args: argparse.Namespace) -> int:
     spark = _spark("bristle-serve")
     server = IngestServer(spark, args.config, args.data_root)
     service = None
+    # D18: /metrics + debug endpoints when the config has a debugging
+    # block (debug_server.go:32-47 analog)
+    from bristle_spark.ingest.metrics import debug_server_from_config
+
+    debug = debug_server_from_config(server.config)
+    if debug is not None:
+        print(
+            _json.dumps({"debug": f"{debug.host}:{debug.port}"}), file=sys.stderr
+        )
     if args.listen:
         from bristle_spark.ingest.service import IngestSocketService
 
@@ -129,6 +138,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     finally:
         if service is not None:
             service.stop()
+        if debug is not None:
+            debug.stop()
     return 0
 
 

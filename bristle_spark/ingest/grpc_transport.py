@@ -32,7 +32,7 @@ import socket
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
-from bristle_spark.ingest import h2
+from bristle_spark.ingest import h2, metrics
 from bristle_spark.ingest import service as svc
 
 STREAMING_PATH = b"/bristle.BristleIngestService/Streaming"
@@ -194,12 +194,15 @@ class GrpcIngestService:
             if headers.get(b":path") == WRITE_BATCH_PATH:
                 # unary WriteBatch (bristle.proto:119, ingest_service.go:109-120):
                 # response headers are deferred until the response is ready
+                metrics.RPC_STARTED.inc("WriteBatch")
                 rpc = _Rpc(sid, self.max_in_flight, unary=True)
                 rpcs[sid] = rpc
                 if ev.end_stream:
                     self._finish_unary(rpc, h2c, lock, flush_locked)
                 return
             if headers.get(b":path") != STREAMING_PATH:
+                metrics.RPC_STARTED.inc("unknown")
+                metrics.RPC_HANDLED.inc("unknown", str(GRPC_UNIMPLEMENTED))
                 with lock:
                     # trailers-only response (gRPC spec: UNIMPLEMENTED)
                     h2c.send_headers(
@@ -214,6 +217,7 @@ class GrpcIngestService:
                     )
                     flush_locked()
                 return
+            metrics.RPC_STARTED.inc("Streaming")
             rpc = _Rpc(sid, self.max_in_flight)
             rpcs[sid] = rpc
             with lock:
@@ -281,6 +285,10 @@ class GrpcIngestService:
             )
         elif kind == "write_batch":
             if not rpc.sem.acquire(blocking=False):
+                metrics.BATCHES.inc(
+                    "grpc-streaming",
+                    svc.RESULT_NAMES[svc.TOO_MANY_IN_FLIGHT_BATCHES],
+                )
                 # advisory FIRST so a synchronous client has noted it by
                 # the time the rejection ack unblocks its send loop
                 if self.backoff_ms > 0:
@@ -357,6 +365,7 @@ class GrpcIngestService:
                 )
             except Exception:
                 result = svc.FULL
+            metrics.BATCHES.inc("grpc-unary", svc.RESULT_NAMES[result])
             if result != svc.OK:
                 # first non-OK payload aborts the request
                 # (ingest_service.go:112-114); earlier payloads stay
@@ -369,6 +378,7 @@ class GrpcIngestService:
                 return
             acknowledged += 1
         response = svc.encode_write_batch_response(acknowledged, 0)
+        metrics.RPC_HANDLED.inc("WriteBatch", str(GRPC_OK))
         with lock:
             if rpc.finished:
                 return
@@ -395,6 +405,7 @@ class GrpcIngestService:
             result = svc.FULL  # server-side failure: retryable, not DECODE_ERR
         finally:
             rpc.sem.release()
+        metrics.BATCHES.inc("grpc-streaming", svc.RESULT_NAMES[result])
         try:
             self._send_msg(
                 rpc, svc._encode_batch_result(batch["id"], result),
@@ -426,6 +437,9 @@ class GrpcIngestService:
             if rpc.finished:
                 return
             rpc.finished = True
+            metrics.RPC_HANDLED.inc(
+                "WriteBatch" if rpc.unary else "Streaming", str(status)
+            )
             trailers = []
             if not rpc.headers_sent:
                 # trailers-only response (gRPC spec): the one HEADERS

@@ -422,6 +422,12 @@ class IngestSocketService:
                                     )
                                 )
                             session.send_result(body["id"], TOO_MANY_IN_FLIGHT_BATCHES)
+                            from bristle_spark.ingest import metrics
+
+                            metrics.BATCHES.inc(
+                                "socket",
+                                RESULT_NAMES[TOO_MANY_IN_FLIGHT_BATCHES],
+                            )
                             continue
                         self._pool.submit(self._write_batch, session, body)
                     elif kind == "update_default":
@@ -446,6 +452,9 @@ class IngestSocketService:
             result = FULL
         finally:
             session.sem.release()
+        from bristle_spark.ingest import metrics
+
+        metrics.BATCHES.inc("socket", RESULT_NAMES[result])
         try:
             session.send_result(batch["id"], result)
         except OSError:
@@ -502,6 +511,11 @@ def land_payload(server, binding, type_name: str, bodies: list[bytes]) -> None:
     in the table's landing zone (the ack-backing write)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from bristle_spark.ingest import metrics
+
+    metrics.ROWS.inc(binding.sink_table, by=len(bodies))
+    metrics.PAYLOAD_BYTES.inc(binding.sink_table, by=sum(len(b) for b in bodies))
 
     safe = binding.sink_table.replace(".", "__")
     payload_dir = os.path.join(server.data_root, "payloads", safe)
