@@ -24,6 +24,12 @@ wall; cutting total CPU (e.g. capping the executor pool so suite
 shards start after the short parity shards drain, or trimming the
 heaviest iterative tests' round counts) is the lever if round 9 needs
 the wall back under 15 min.
+
+ROUND-10 profile (209 keys, 1360+ tests): wall 1118s (0.83x of r8 at
++11 keys) after applying exactly that lever — parity shards raised to
+6 per scale and submitted FIRST, total process width capped at
+--workers 8. Parity shards now finish 276-858s (trainer-heavy sf0.1
+shard1 is the tail), suite shards 335-626s.
 """
 
 from __future__ import annotations
