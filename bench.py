@@ -257,6 +257,15 @@ HEADLINE = [
     "r_ttl_rollup",
     "r_mv_late_update",
     "r_sequence_match",
+    # round-10 additions
+    "r_percentile_disc",
+    "r_window_funnel",
+    "l_dedup_band_stats",
+    "l_domain_cap",
+    "r_year_over_year",
+    "r_cohort_ltv",
+    "l_tokenizer_fertility",
+    "l_skipgram_cooccurrence",
 ]
 
 

@@ -2397,11 +2397,12 @@ def r_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT)           AS n_orders
         FROM orders GROUP BY 1, 2, 3, 4
     )
-    SELECT cur.priority, cur.y, cur.m, cur.revenue, cur.n_orders,
-           prev.revenue AS prev_year_revenue,
-           {r6_sql("cur.revenue / prev.revenue - 1.0")} AS yoy_growth
-    FROM m cur LEFT JOIN m prev
-      ON prev.priority = cur.priority AND prev.midx = cur.midx - 12
+    SELECT priority, y, m, revenue, n_orders,
+           max(revenue) OVER w AS prev_year_revenue,
+           {r6_sql("revenue / max(revenue) OVER w - 1.0")} AS yoy_growth
+    FROM m
+    WINDOW w AS (PARTITION BY priority ORDER BY midx
+                 RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
     """,
 )
 def r_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2412,10 +2413,12 @@ def r_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment a month is missing from a group.
 
     Scale shape: one map-side-combined groupBy collapses the fact table
-    to (priority x months) rows; the YoY self-join then runs on two
-    dimension-sized frames (broadcast-eligible, AQE picks it). Growth is
-    computed from the 2dp-rounded revenues so both engines rank and
-    round identically.
+    to (priority x months) rows — ONE fact scan; the prior-year lookup
+    is then a value-based RANGE window (exactly 12 back on the integer
+    month index) over the dimension-sized aggregate, NOT a self-join
+    (which re-scans the fact subplan) and NOT a row-offset lag (wrong
+    the moment a month is missing). Growth is computed from the
+    2dp-rounded revenues so both engines rank and round identically.
 
     Cites reference scope: the reference ships ingest only
     (bristle.proto); period-over-period comparison is downstream
@@ -2432,20 +2435,15 @@ def r_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
-    cur, prev = m.alias("cur"), m.alias("prev")
-    return cur.join(
-        prev,
-        (F.col("prev.priority") == F.col("cur.priority"))
-        & (F.col("prev.midx") == F.col("cur.midx") - 12),
-        "left",
-    ).select(
-        F.col("cur.priority").alias("priority"),
-        F.col("cur.y").alias("y"),
-        F.col("cur.m").alias("m"),
-        F.col("cur.revenue").alias("revenue"),
-        F.col("cur.n_orders").alias("n_orders"),
-        F.col("prev.revenue").alias("prev_year_revenue"),
-        r6(F.col("cur.revenue") / F.col("prev.revenue") - 1.0).alias("yoy_growth"),
+    w = Window.partitionBy("priority").orderBy("midx").rangeBetween(-12, -12)
+    return m.select(
+        "priority",
+        "y",
+        "m",
+        "revenue",
+        "n_orders",
+        F.max("revenue").over(w).alias("prev_year_revenue"),
+        r6(F.col("revenue") / F.max("revenue").over(w) - 1.0).alias("yoy_growth"),
     )
 
 
@@ -2459,16 +2457,23 @@ LTV_MAX_AGE = 6  # cohort ages (months since first order) reported
     WITH o AS (
         SELECT o_custkey,
                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx,
-               o_totalprice
-        FROM orders
+               sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1, 2
     ),
-    c AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY o_custkey),
-    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM c GROUP BY cohort),
+    cm AS (
+        SELECT o_custkey, midx, spend,
+               min(midx) OVER (PARTITION BY o_custkey) AS cohort
+        FROM o
+    ),
+    sz AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (SELECT DISTINCT o_custkey, cohort FROM cm) GROUP BY cohort
+    ),
     rev AS (
-        SELECT c.cohort, o.midx - c.cohort AS age,
-               round(sum(o.o_totalprice), 2) AS rev_age
-        FROM o JOIN c ON c.o_custkey = o.o_custkey
-        WHERE o.midx - c.cohort <= {LTV_MAX_AGE}
+        SELECT cohort, midx - cohort AS age,
+               round(sum(spend), 2) AS rev_age
+        FROM cm
+        WHERE midx - cohort <= {LTV_MAX_AGE}
         GROUP BY 1, 2
     ),
     cum AS (
@@ -2488,13 +2493,15 @@ def r_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue divided by cohort size — LTV as a curve, the companion to
     r_retention's single-window rate.
 
-    Scale shape: both fact-table shuffles key on o_custkey (the min-
-    aggregate and the cohort join), then one map-side-combined groupBy
-    to (cohort x age) rows; the running sum windows over at most
-    {LTV_MAX_AGE}+1 rows per cohort on a dimension-sized frame, and the
-    cohort-size join is broadcast-eligible. Revenues are rounded to 2dp
-    BEFORE the cumulative sum so both engines accumulate identical
-    values in identical (age) order."""
+    Scale shape: ONE fact scan — the table first collapses to
+    (custkey, month) partial sums (map-side combined), the cohort is a
+    min() WINDOW over the custkey partition on that collapsed frame (no
+    self-join back to the fact table, which would scan it again), and
+    cohort sizes come off the same frame. The running sum then windows
+    over at most {LTV_MAX_AGE}+1 rows per cohort on a dimension-sized
+    frame, and the cohort-size join is broadcast. Revenues are rounded
+    to 2dp BEFORE the cumulative sum so both engines accumulate
+    identical values in identical (age) order."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
@@ -2502,14 +2509,26 @@ def r_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("midx"),
         "o_totalprice",
     )
-    c = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
-    sz = c.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    # fact table -> (custkey, month) partials: the ONLY corpus shuffle
+    per_cm = o.groupBy("o_custkey", "midx").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    wc = Window.partitionBy("o_custkey")
+    # persist: sz and rev both consume cm, and their column sets differ
+    # enough that exchange reuse does not fire — without this the fact
+    # table is scanned twice; cm is (customers x months)-sized
+    cm = per_cm.withColumn("cohort", F.min("midx").over(wc)).persist()
+    sz = (
+        cm.select("o_custkey", "cohort")
+        .distinct()
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
     rev = (
-        o.join(c, "o_custkey")
-        .withColumn("age", F.col("midx") - F.col("cohort"))
+        cm.withColumn("age", F.col("midx") - F.col("cohort"))
         .filter(F.col("age") <= LTV_MAX_AGE)
         .groupBy("cohort", F.col("age").cast("bigint").alias("age"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev_age"))
+        .agg(F.round(F.sum("spend"), 2).alias("rev_age"))
     )
     w = (
         Window.partitionBy("cohort")

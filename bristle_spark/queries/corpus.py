@@ -1157,7 +1157,8 @@ def l_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # persist: tot and topk both consume counts — one corpus scan, not two
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     tot = counts.agg(F.sum("c12").cast("bigint").alias("n"))
     topk = counts.orderBy(F.col("c12").desc(), "w1", "w2").limit(BIGRAM_TOP)
     marg = topk.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
@@ -1577,7 +1578,13 @@ def l_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    # persist: tot / m1 / m2 / the final join all consume counts — without
+    # it the corpus is re-scanned per consumer (the l_skipgram fix, applied here)
+    counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
+    )
     tot = counts.agg(F.sum("c12").cast("bigint").alias("n"))
     m1 = counts.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     m2 = counts.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
@@ -1674,9 +1681,10 @@ def l_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
+    # persist: ctx and the downstream consumers share counts (one corpus scan)
     counts = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
-    )
+    ).persist()
     ctx = counts.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1p_fw"),
@@ -2349,7 +2357,15 @@ def l_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.least("p.x", "p.y").alias("a"), F.greatest("p.x", "p.y").alias("b")
     )
-    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # persist: tot / both marginals / the final join all consume counts —
+    # without it the plan re-reads (and re-explodes) the corpus once per
+    # consumer (6 scans at sf0.1; a non-starter at 100 TB). The counts
+    # table is pair-vocabulary-sized, orders of magnitude below corpus.
+    counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
     tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
     marg = (
         counts.select(F.col("a").alias("w"), "c")
