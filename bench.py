@@ -266,6 +266,11 @@ HEADLINE = [
     "r_cohort_ltv",
     "l_tokenizer_fertility",
     "l_skipgram_cooccurrence",
+    "r_rfm_segments",
+    "r_seasonality_index",
+    "r_time_to_convert",
+    "l_vocab_coverage",
+    "l_js_divergence",
 ]
 
 

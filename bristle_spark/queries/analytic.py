@@ -2544,3 +2544,222 @@ def r_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         r6(F.col("cum_rev") / F.col("n_customers")).alias("ltv"),
     )
+
+
+# --------------------------------------------- RFM segmentation
+RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
+
+
+def _rfm_bucket_sql(col: str, t: str) -> str:
+    return " + ".join(
+        [f"1"] + [f"CAST({col} > {t}[{i + 1}] AS BIGINT)" for i in range(4)]
+    )
+
+
+@register(
+    "r_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency,
+               CAST(count(*) AS BIGINT)    AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+        SELECT quantile_cont(recency,   [{", ".join(map(str, RFM_QS))}]) AS rt,
+               quantile_cont(frequency, [{", ".join(map(str, RFM_QS))}]) AS ft,
+               quantile_cont(monetary,  [{", ".join(map(str, RFM_QS))}]) AS mt
+        FROM cust
+    )
+    SELECT {_rfm_bucket_sql("recency", "rt")}   AS r_q,
+           {_rfm_bucket_sql("frequency", "ft")} AS f_q,
+           {_rfm_bucket_sql("monetary", "mt")}  AS m_q,
+           CAST(count(*) AS BIGINT)             AS n_customers,
+           round(sum(monetary), 2)              AS segment_value
+    FROM cust CROSS JOIN th
+    GROUP BY 1, 2, 3
+    """,
+)
+def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored into recency / frequency /
+    monetary quintiles, then customers counted per (R,F,M) segment —
+    the classic CRM cube. Quintile edges are exact interpolated
+    percentiles computed as a 1-row broadcast scalar frame and applied
+    by comparison (`1 + sum(v > edge_i)`), NOT an ntile() global
+    window — ntile needs a total order (single-partition sort, the
+    100 TB killer) and breaks ties by row position (nondeterministic
+    across engines); threshold bucketing is order-free.
+
+    Scale shape: one custkey-keyed fact shuffle to the customer frame,
+    one percentile aggregate over it (sort-based, dimension-sized), a
+    broadcast cross join of the 1-row thresholds, and a map-side
+    combined groupBy to <=125 segments."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").cast("bigint").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in RFM_QS])
+    th = cust.agg(
+        F.percentile("recency", qs).alias("rt"),
+        F.percentile("frequency", qs).alias("ft"),
+        F.percentile("monetary", qs).alias("mt"),
+    )
+
+    def bucket(col: str, t: str):
+        b = F.lit(1).cast("bigint")
+        for i in range(4):
+            b = b + (F.col(col) > F.col(t)[i]).cast("bigint")
+        return b
+
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .groupBy(
+            bucket("recency", "rt").alias("r_q"),
+            bucket("frequency", "ft").alias("f_q"),
+            bucket("monetary", "mt").alias("m_q"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+    )
+
+
+# --------------------------------------------- seasonality indices
+
+
+@register(
+    "r_seasonality_index",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(year(o_orderdate) AS BIGINT)  AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               round(sum(o_totalprice), 2)        AS rev
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    per_month AS (
+        SELECT priority, m,
+               CAST(count(*) AS BIGINT) AS n_years,
+               {r6_sql("avg(rev)")}     AS avg_rev
+        FROM monthly GROUP BY priority, m
+    ),
+    overall AS (
+        SELECT priority, {r6_sql("avg(rev)")} AS base_rev
+        FROM monthly GROUP BY priority
+    )
+    SELECT pm.priority, pm.m, pm.n_years, pm.avg_rev, o.base_rev,
+           {r6_sql("pm.avg_rev / o.base_rev")} AS seasonality
+    FROM per_month pm JOIN overall o ON o.priority = pm.priority
+    """,
+)
+def r_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonality indices: each (priority, calendar
+    month)'s average monthly revenue across years divided by the
+    priority's overall monthly average — index > 1 marks a seasonal
+    peak. The building block of classical decomposition (the seasonal
+    factor of X-11-style ratio-to-moving-average, with the trend
+    replaced by the all-months base).
+
+    Scale shape: ONE fact scan collapses to the (priority x year x
+    month) frame (map-side combined), persisted because both the
+    per-month and overall averages re-aggregate it; the final join is
+    broadcast (priorities-sized). Monthly revenue rounds to 2dp before
+    averaging so both engines average identical values."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .persist()
+    )
+    per_month = monthly.groupBy("priority", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+        r6(F.avg("rev")).alias("avg_rev"),
+    )
+    overall = monthly.groupBy("priority").agg(r6(F.avg("rev")).alias("base_rev"))
+    return per_month.join(F.broadcast(overall), "priority").select(
+        "priority",
+        "m",
+        "n_years",
+        "avg_rev",
+        "base_rev",
+        r6(F.col("avg_rev") / F.col("base_rev")).alias("seasonality"),
+    )
+
+
+# --------------------------------------------- conversion latency
+
+
+@register(
+    "r_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               date_diff('second', v.t_view, min(e.ts)) AS delay_s
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id, v.t_view
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_converters,
+           round(quantile_cont(delay_s, 0.5), 6)      AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 6)      AS p90_s,
+           round(avg(delay_s), 6)                     AS mean_s
+    FROM p
+    """,
+)
+def r_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, the time from FIRST view to the
+    first purchase at-or-after it; reported as converter count plus
+    exact p50/p90/mean delay — the companion to r_funnel (which counts
+    levels) and r_attribution (which assigns credit).
+
+    Scale shape: both fact passes shuffle on user_id (first-view
+    aggregate, then the purchase join + min), the percentile runs as a
+    sort-based aggregate over the converters-sized frame, and the
+    output is one row. No windows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            ).alias("delay_s")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.percentile("delay_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("delay_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.avg("delay_s"), 6).alias("mean_s"),
+    )

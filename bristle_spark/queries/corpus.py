@@ -2393,3 +2393,170 @@ def l_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.col("pmi").desc(), "a", "b").limit(COOC_TOP)
+
+
+# --------------------------------------------- vocabulary coverage
+VOCAB_COVERAGE_KS = (100, 1_000, 10_000)
+
+
+@register(
+    "l_vocab_coverage",
+    oracle=f"""
+    WITH wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c) AS BIGINT)   AS covered,
+               round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM tot), 6) AS coverage
+        FROM (SELECT c FROM wc ORDER BY c DESC, w LIMIT {k})'''
+        for k in VOCAB_COVERAGE_KS
+    )}
+    """,
+)
+def l_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus tokens covered
+    by the top-k most frequent word types, for k in
+    {VOCAB_COVERAGE_KS} — the standard plot behind vocab-size decisions
+    (how much of the stream a k-entry vocabulary explains, the Zipf
+    complement of l_zipf_slope).
+
+    Scale shape: ONE corpus shuffle to word counts (map-side combined,
+    persisted — three top-k cuts and the total all re-read it); each
+    top-k is orderBy().limit() = TakeOrderedAndProject (per-partition
+    top-k, k-row merge, never a global sort); the total is a 1-row
+    broadcast. All counts integer-exact; only coverage rounds (6 dp).
+    Ties at the k boundary break on the word itself, so both engines
+    cut identically."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = wc.agg(F.sum("c").cast("bigint").alias("n"))
+    parts = []
+    for k in VOCAB_COVERAGE_KS:
+        topk = wc.orderBy(F.col("c").desc(), "w").limit(k)
+        parts.append(
+            topk.agg(
+                F.lit(k).cast("bigint").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum("c").cast("bigint").alias("covered"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_types",
+        "covered",
+        r6(F.col("covered").cast("double") / F.col("n")).alias("coverage"),
+    )
+
+
+# --------------------------------------------- source-pair JS divergence
+JSD_VOCAB = 300  # shared comparison vocabulary (top overall words)
+
+
+@register(
+    "l_js_divergence",
+    oracle=f"""
+    WITH wc AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY source, w
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, sum(c) AS tc FROM wc GROUP BY w
+            ORDER BY tc DESC, w LIMIT {JSD_VOCAB}
+        )
+    ),
+    grid AS (
+        SELECT s.source, v.w,
+               CAST(coalesce(wc.c, 0) AS DOUBLE)
+                 / sum(coalesce(wc.c, 0)) OVER (PARTITION BY s.source) AS p
+        FROM (SELECT DISTINCT source FROM wc) s
+        CROSS JOIN vocab v
+        LEFT JOIN wc ON wc.source = s.source AND wc.w = v.w
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           {{jsd}} AS jsd
+    FROM grid a JOIN grid b ON b.w = a.w AND a.source < b.source
+    GROUP BY 1, 2
+    """.replace(
+        "{jsd}",
+        r6_sql(
+            "sum(0.5 * (CASE WHEN a.p > 0 THEN a.p * ln(2 * a.p / (a.p + b.p)) ELSE 0 END"
+            " + CASE WHEN b.p > 0 THEN b.p * ln(2 * b.p / (a.p + b.p)) ELSE 0 END))"
+        ),
+    ),
+)
+def l_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources' term
+    distributions over a shared top-{JSD_VOCAB} vocabulary — the
+    data-mixing diagnostic (which domains are interchangeable, which
+    add diversity) behind domain-weighting decisions; the symmetric,
+    bounded complement of the chi²/KS hypothesis tests.
+
+    Scale shape: ONE corpus shuffle to (source, word) counts (map-side
+    combined, persisted — vocabulary cut, per-source totals, and the
+    pair join all re-read it); the comparison vocabulary is a
+    TakeOrdered top-{JSD_VOCAB} broadcast; the dense sources-x-vocab
+    probability grid is dimension-sized, windows over per-source
+    partitions only, and the pair join is grid-x-grid on the word key.
+    The corpus is never touched twice."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(JSD_VOCAB)
+        .select("w")
+    )
+    sources = wc.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("cw"),
+        )
+        .withColumn(
+            "p",
+            F.col("cw") / F.sum("cw").over(Window.partitionBy("source")),
+        )
+        .select("source", "w", "p")
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    term = 0.5 * (
+        F.when(
+            F.col("a.p") > 0,
+            F.col("a.p") * F.log(2 * F.col("a.p") / (F.col("a.p") + F.col("b.p"))),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("b.p") > 0,
+            F.col("b.p") * F.log(2 * F.col("b.p") / (F.col("a.p") + F.col("b.p"))),
+        ).otherwise(0.0)
+    )
+    return (
+        a.join(b, (F.col("b.w") == F.col("a.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(r6(F.sum(term)).alias("jsd"))
+    )

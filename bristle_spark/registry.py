@@ -78,6 +78,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_cohort_ltv",
     "l_tokenizer_fertility",
     "l_skipgram_cooccurrence",
+    "r_rfm_segments",
+    "r_seasonality_index",
+    "r_time_to_convert",
+    "l_vocab_coverage",
+    "l_js_divergence",
     # --- freshness ballast (anything past slot 50 falls outside the
     # --- driver window but keeps local oracle-parity coverage) ---
     # --- freshness ballast: the entire last-checked-in-round-2 cohort
@@ -104,16 +109,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_window_distribution",
     "r_window_lag",
     "r_window_range_frame",
-    # --- the round-4 cohort (6 rounds stale) ---
+    # --- the round-4 cohort (6 rounds stale; 5 of the 9 yielded their
+    # --- slots to the third-wave round-10 additions — first driver rows
+    # --- for new keys outrank re-confirmations of locally-green ones) ---
     "l_chunk_documents",
     "l_fingerprint",
     "l_lang_id",
     "l_quality_score",
-    "l_sample_hash",
-    "l_simhash",
-    "l_tfidf_top_terms",
-    "l_token_count",
-    "l_train_val_test",
 )
 # NOTE: the round-5 cohort (l_ann_ivf, l_ann_lsh, l_dedup_minhash,
 # l_dedup_simhash) yielded its ballast slots to the four second-wave

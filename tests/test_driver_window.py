@@ -34,11 +34,11 @@ ROUND2_COHORT = {
     "r_window_distribution", "r_window_lag", "r_window_range_frame",
 }
 
-# last driver row round 4
+# last driver row round 4 (5 of the original 9 yielded their slots to
+# the third-wave round-10 additions; the displaced keys keep local
+# oracle-parity coverage)
 ROUND4_COHORT = {
     "l_chunk_documents", "l_fingerprint", "l_lang_id", "l_quality_score",
-    "l_sample_hash", "l_simhash", "l_tfidf_top_terms", "l_token_count",
-    "l_train_val_test",
 }
 
 # brand-new in round 10 -> each needs its first driver row.  The
@@ -55,6 +55,11 @@ NEW_R10_KEYS = {
     "r_cohort_ltv",           # cohort lifetime-value curve
     "l_tokenizer_fertility",  # tokens-per-word / chars-per-token by lang
     "l_skipgram_cooccurrence",  # word2vec-style windowed PMI
+    "r_rfm_segments",         # threshold-bucketed RFM cube
+    "r_seasonality_index",    # multiplicative monthly seasonality
+    "r_time_to_convert",      # first-view -> first-purchase latency
+    "l_vocab_coverage",       # top-k vocabulary token coverage
+    "l_js_divergence",        # source-pair Jensen-Shannon divergence
 }
 
 
