@@ -271,6 +271,7 @@ HEADLINE = [
     "r_time_to_convert",
     "l_vocab_coverage",
     "l_js_divergence",
+    "l_ndcg_eval",
 ]
 
 

@@ -24,6 +24,8 @@ and the DuckDB oracle rank identically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2042,4 +2044,165 @@ def l_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p1 * sign_of("v"), 6).alias("pc1"),
             F.round(p2 * sign_of("v2"), 6).alias("pc2"),
         )
+    )
+
+
+# --------------------------------------------- NDCG ranking quality
+# IDCG@5 for binary relevance with a full relevant set: sum_{i=1..5}
+# 1/log2(i+1), precomputed so both engines divide by the identical
+# double literal.
+NDCG_IDCG = sum(1.0 / math.log2(i + 1) for i in range(1, KNN_EVAL_K + 1))
+
+
+@register(
+    "l_ndcg_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC,
+                                cent.cid
+                   ) AS arn
+            FROM e CROSS JOIN cent
+        ) WHERE arn = 1
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, v AS pv
+        FROM e WHERE vec_id < {KNN_EVAL_PROBES}
+    ),
+    probe_cells AS (
+        SELECT probe_id, pv, cid FROM (
+            SELECT p.probe_id, p.pv, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round({cosine_sql("p.pv", "cent.cv")}, 6) DESC,
+                                cent.cid
+                   ) AS crn
+            FROM p CROSS JOIN cent
+        ) WHERE crn <= {NPROBE}
+    ),
+    exact AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round({cosine_sql("e.v", "p.pv")}, 6) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+        ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    approx AS (
+        SELECT probe_id, vec_id, rn FROM (
+            SELECT pc.probe_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pc.probe_id
+                       ORDER BY round({cosine_sql("a.v", "pc.pv")}, 6) DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM probe_cells pc
+            JOIN assign a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+        ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    dcg AS (
+        SELECT a.probe_id,
+               CAST(count(*) AS BIGINT)            AS n_hit,
+               sum(1.0 / log2(a.rn + 1))           AS dcg
+        FROM approx a
+        JOIN exact x ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+        GROUP BY a.probe_id
+    )
+    SELECT p.probe_id                            AS vec_id,
+           CAST({KNN_EVAL_K} AS BIGINT)          AS k,
+           CAST(coalesce(d.n_hit, 0) AS BIGINT)  AS n_hit,
+           {rN_sql(f"coalesce(d.dcg, 0.0) / {NDCG_IDCG!r}", 6)} AS ndcg
+    FROM p LEFT JOIN dcg d ON d.probe_id = p.probe_id
+    """,
+)
+def l_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF(nprobe={NPROBE}) retrieval against exact
+    cosine neighborhoods, per probe — the position-sensitive companion
+    to l_ann_recall_eval: recall says WHETHER the true neighbors were
+    retrieved, NDCG says whether they surfaced at the TOP (binary
+    relevance, 1/log2(pos+1) discount, IDCG precomputed as a shared
+    double literal so both engines normalize identically).
+
+    Scale shape: identical to l_ann_recall_eval — broadcast 16-row
+    centroid table, map-side cell assignment, bounded broadcast probe
+    set, rankings windowed per probe (never global); the DCG sum runs
+    over at most k={KNN_EVAL_K} rows per probe."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("probe_id", "pv", "cid", F.row_number().over(cw).alias("crn"))
+        .filter(F.col("crn") <= NPROBE)
+        .drop("crn")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_EVAL_K)
+        .select("probe_id", "vec_id")
+    )
+    approx = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_EVAL_K)
+        .select("probe_id", "vec_id", "rn")
+    )
+    dcg = (
+        approx.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+            F.sum(F.lit(1.0) / F.log2(F.col("rn") + 1)).alias("dcg"),
+        )
+    )
+    return probes.select("probe_id").join(dcg, "probe_id", "left").select(
+        F.col("probe_id").alias("vec_id"),
+        F.lit(KNN_EVAL_K).cast("bigint").alias("k"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        rN(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(NDCG_IDCG), 6).alias("ndcg"),
     )
