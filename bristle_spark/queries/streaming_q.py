@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
@@ -1362,4 +1363,132 @@ def s_stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_set_bits))
         .select("n_users", "n_set_bits", "n_missing_present", "n_false_positives")
+    )
+
+
+# ---------------------------------------- streaming histogram quantiles
+# Fixed-bound equi-width histogram: mergeability demands bounds agreed
+# a-priori (not data-dependent), so every partial buckets identically.
+HQ_LO = 0.0
+HQ_HI = 1000.0
+HQ_BUCKETS = 256
+HQ_QS_PPM = (500_000, 900_000, 990_000)  # q as integer ppm
+
+
+def _hq_bucket(value):
+    raw = F.floor((value - F.lit(HQ_LO)) / F.lit(HQ_HI - HQ_LO) * HQ_BUCKETS)
+    return F.least(
+        F.lit(HQ_BUCKETS - 1), F.greatest(F.lit(0), raw.cast("bigint"))
+    ).cast("bigint")
+
+
+def _hq_partials(df: DataFrame) -> DataFrame:
+    return (
+        df.select(_hq_bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def _hq_bucket_sql(col: str) -> str:
+    return (
+        f"CAST(least({HQ_BUCKETS - 1}, greatest(0, "
+        f"CAST(floor(({col} - {HQ_LO}) / {HQ_HI - HQ_LO} * {HQ_BUCKETS}) AS BIGINT)"
+        f")) AS BIGINT)"
+    )
+
+
+def _stream_hq_oracle() -> str:
+    qs = ", ".join(str(q) for q in HQ_QS_PPM)
+    return f"""
+    WITH hist AS (
+        SELECT {_hq_bucket_sql("value")} AS bucket,
+               CAST(count(*) AS BIGINT)  AS c
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, c,
+               sum(c) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    q AS (SELECT unnest([{qs}]) AS q_ppm)
+    SELECT q.q_ppm,
+           min(cum.bucket)                                       AS bucket,
+           round({HQ_LO} + (min(cum.bucket) + 1)
+                 * {(HQ_HI - HQ_LO) / HQ_BUCKETS}, 6)            AS est_value,
+           CAST(min(cum.n_le) AS BIGINT)                         AS n_le
+    FROM q CROSS JOIN tot
+    JOIN cum ON cum.n_le * 1000000 >= q.q_ppm * tot.n
+    GROUP BY q.q_ppm
+    """
+
+
+@register("s_stream_histogram_quantiles", oracle=_stream_hq_oracle())
+def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained mergeable quantile sketch: each
+    micro-batch lands a fixed-bound equi-width histogram partial over
+    ``value`` ({HQ_BUCKETS} buckets on [{HQ_LO}, {HQ_HI}], out-of-range
+    clamped to the edge buckets), and the served sketch is the
+    bucket-wise SUM of all partials. Fixed bounds make the merge exact
+    integer addition, so the streamed histogram equals the batch-built
+    histogram BIT-FOR-BIT — the oracle rebuilds it in DuckDB and reads
+    the same quantile cuts (first bucket whose cumulative count reaches
+    ceil(q*n), compared in integer ppm so no float CDF is involved).
+    The rank-error contract is the histogram's by construction: the
+    estimate is exact to within one bucket width. Completes the
+    mergeable-sketch family (count-min, bloom, HLL) with the quantile
+    member — at scale this is how percentile dashboards are maintained
+    without rescanning (the fixed-grid cousin of t-digest/KLL, chosen
+    because its merge is deterministic).
+
+    Scale shape: per-batch partials are map-side-combined to at most
+    {HQ_BUCKETS} cells per task regardless of batch size; the sink is
+    stateless foreachBatch; the merge aggregates |batches| x
+    {HQ_BUCKETS} cells; the cumulative cut windows over the
+    {HQ_BUCKETS}-row merged histogram."""
+    work = _workdir(sf_dir, "hq")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = os.path.join(work, f"partials_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _hq_partials(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("append").foreachBatch(sink), ckpt
+        )
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.withColumn("n_le", F.sum("c").over(w))
+    tot = merged.agg(F.sum("c").cast("bigint").alias("n"))
+    qs = spark.createDataFrame(
+        [(q,) for q in HQ_QS_PPM], "q_ppm bigint"
+    )
+    width = (HQ_HI - HQ_LO) / HQ_BUCKETS
+    return (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("n_le") * 1_000_000 >= F.col("q_ppm") * F.col("n"),
+        )
+        .groupBy("q_ppm")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.round(F.lit(HQ_LO) + (F.min("bucket") + 1) * F.lit(width), 6).alias(
+                "est_value"
+            ),
+            F.min("n_le").cast("bigint").alias("n_le"),
+        )
     )
