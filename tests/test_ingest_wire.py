@@ -93,3 +93,56 @@ def test_frame_split_roundtrip():
     frames = [b"alpha", b"", b"x" * 300]
     data = wire.join_frames(frames)
     assert wire.split_frames(data) == frames
+
+
+# ---------------------------------------- round-10 envelope properties
+
+
+@given(
+    st.text(max_size=40),
+    st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=30),
+            st.lists(st.binary(max_size=60), max_size=6),
+        ),
+        max_size=5,
+    ),
+)
+@settings(max_examples=60)
+def test_write_batch_request_roundtrip_property(key, payloads):
+    """Unary WriteBatchRequest (bristle.proto:22-25) survives encode →
+    decode for arbitrary keys, type names, and body lists."""
+    from bristle_spark.ingest import service as svc
+
+    got_key, got = svc.decode_write_batch_request(
+        svc.encode_write_batch_request(key, payloads)
+    )
+    assert got_key == key
+    assert got == [(t, list(bs)) for t, bs in payloads]
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+)
+@settings(max_examples=60)
+def test_write_batch_response_roundtrip_property(ack, dropped):
+    from bristle_spark.ingest import service as svc
+
+    assert svc.decode_write_batch_response(
+        svc.encode_write_batch_response(ack, dropped)
+    ) == (ack, dropped)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.lists(st.text(min_size=1, max_size=30), max_size=6),
+)
+@settings(max_examples=60)
+def test_backoff_roundtrip_property(until_ms, types):
+    """Backoff advisory (bristle.proto:96-99) envelope roundtrip."""
+    from bristle_spark.ingest import service as svc
+
+    kind, body = svc.decode_server_message(svc.encode_backoff(until_ms, types))
+    assert kind == "backoff"
+    assert body == {"until": until_ms, "types": types}
