@@ -152,6 +152,10 @@ class _Stream:
     reset: bool = False
     # data accepted by send_data but deferred by flow control
     pending: list[tuple[bytes, bool]] = field(default_factory=list)
+    # trailers accepted while DATA was still flow-blocked; held raw
+    # (un-encoded) and HPACK-encoded only at transmit time so the
+    # dynamic-table order matches wire order
+    pending_trailers: list[tuple[bytes, bytes]] | None = None
 
 
 class H2Connection:
@@ -248,21 +252,37 @@ class H2Connection:
         st = self._stream_for_send(stream_id)
         if st is None or st.reset:
             return
+        if end_stream and st.pending:
+            # flow-blocked DATA is still queued: emitting trailers now
+            # would put HEADERS(END_STREAM) on the wire BEFORE that data
+            # (frames on a stream are ordered — protocol violation and
+            # data loss). Hold the raw trailers; _flush_stream emits
+            # them the moment the queue drains.
+            st.pending_trailers = list(headers)
+            return
+        self._emit_headers(st, headers, end_stream)
+
+    def _emit_headers(
+        self,
+        st: _Stream,
+        headers: list[tuple[bytes, bytes]],
+        end_stream: bool,
+    ) -> None:
         block = self._encoder.encode(headers)
         flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
         # header blocks are not flow-controlled but are frame-size bound
         if len(block) <= self.peer_max_frame:
-            self._out += encode_frame(HEADERS, flags, stream_id, block)
+            self._out += encode_frame(HEADERS, flags, st.stream_id, block)
         else:
             first, rest = block[: self.peer_max_frame], block[self.peer_max_frame :]
             self._out += encode_frame(
-                HEADERS, flags & ~FLAG_END_HEADERS, stream_id, first
+                HEADERS, flags & ~FLAG_END_HEADERS, st.stream_id, first
             )
             while len(rest) > self.peer_max_frame:
                 chunk, rest = rest[: self.peer_max_frame], rest[self.peer_max_frame :]
-                self._out += encode_frame(CONTINUATION, 0, stream_id, chunk)
+                self._out += encode_frame(CONTINUATION, 0, st.stream_id, chunk)
             self._out += encode_frame(
-                CONTINUATION, FLAG_END_HEADERS, stream_id, rest
+                CONTINUATION, FLAG_END_HEADERS, st.stream_id, rest
             )
         if end_stream:
             st.send_closed = True
@@ -303,11 +323,21 @@ class H2Connection:
                 if last:
                     st.send_closed = True
             st.pending.pop(0)
+        if st.pending_trailers is not None and not st.send_closed:
+            # the DATA queue just drained: the deferred trailers can now
+            # go out in order (encoded here, at transmit time, so HPACK
+            # dynamic-table order matches wire order)
+            trailers = st.pending_trailers
+            st.pending_trailers = None
+            self._emit_headers(st, trailers, end_stream=True)
 
     def send_rst_stream(self, stream_id: int, code: int = CANCEL) -> None:
         st = self._stream_for_send(stream_id)
+        if st is None:
+            return
         st.reset = True
         st.pending.clear()
+        st.pending_trailers = None
         self._out += encode_frame(RST_STREAM, 0, stream_id, code.to_bytes(4, "big"))
 
     def send_goaway(self, code: int = NO_ERROR, debug: bytes = b"") -> None:

@@ -333,3 +333,35 @@ def test_rst_on_idle_stream_is_protocol_error():
     with pytest.raises(H2ConnectionError) as ei:
         server.receive_data(frame)
     assert ei.value.code == h2.PROTOCOL_ERROR
+
+
+def test_trailers_defer_behind_flow_blocked_data():
+    """Trailers sent while DATA is still flow-blocked must NOT overtake
+    it on the wire (frames on a stream are ordered); they go out, in
+    order, once the peer grants window."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    server.send_headers(sid, [(b":status", b"200")])
+    # exhaust the stream send window, then queue more DATA + trailers
+    body = b"x" * h2.DEFAULT_WINDOW
+    server.send_data(sid, body)
+    server.send_data(sid, b"tail")
+    server.send_headers(sid, [(b"grpc-status", b"0")], end_stream=True)
+    ev = client.receive_data(server.data_to_send())
+    datas = [e for e in ev if isinstance(e, DataReceived)]
+    heads = [e for e in ev if isinstance(e, HeadersReceived)]
+    assert sum(len(e.data) for e in datas) == h2.DEFAULT_WINDOW
+    # only the response headers arrived; the trailers are still held
+    assert len(heads) == 1 and not any(e.end_stream for e in heads)
+    # client's auto window replenishment reaches the server...
+    server.receive_data(client.data_to_send())
+    ev = client.receive_data(server.data_to_send())
+    datas = [e for e in ev if isinstance(e, DataReceived)]
+    trailers = [e for e in ev if isinstance(e, HeadersReceived)]
+    assert b"".join(e.data for e in datas) == b"tail"
+    assert len(trailers) == 1 and trailers[0].end_stream
+    assert (b"grpc-status", b"0") in trailers[0].headers
+    # both sides fully closed and retired
+    assert sid not in server.streams
