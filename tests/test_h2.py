@@ -365,3 +365,50 @@ def test_trailers_defer_behind_flow_blocked_data():
     assert (b"grpc-status", b"0") in trailers[0].headers
     # both sides fully closed and retired
     assert sid not in server.streams
+
+
+# ----------------------------------------------- adversarial robustness
+
+
+def test_random_bytes_never_crash_the_server():
+    """A public front door must fail CLOSED on garbage: any byte stream
+    either produces events or raises H2ConnectionError — never an
+    unhandled exception type. Deterministic pseudo-random corpus (no
+    RNG state in tests)."""
+    import hashlib
+
+    for seed in range(40):
+        blob = b"".join(
+            hashlib.md5(f"h2fuzz:{seed}:{i}".encode()).digest() for i in range(64)
+        )
+        server = H2Connection(client_side=False)
+        try:
+            server.receive_data(PREFACE_BYTES + blob)
+        except H2ConnectionError:
+            pass
+        server.data_to_send()
+
+
+def test_random_frame_soup_after_handshake_never_crashes():
+    """Same, but past the preface/SETTINGS handshake with well-formed
+    frame HEADERS and garbage payloads of every frame type."""
+    import hashlib
+
+    for seed in range(40):
+        client, server = handshake()
+        out = bytearray()
+        for i in range(24):
+            d = hashlib.md5(f"soup:{seed}:{i}".encode()).digest()
+            ftype = d[0] % 12  # includes undefined types (ignored per §4.1)
+            flags = d[1]
+            sid = int.from_bytes(d[2:6], "big") % 64
+            payload = d[6:] * (1 + d[1] % 3)
+            out += encode_frame(ftype, flags, sid, payload)
+        try:
+            server.receive_data(bytes(out))
+        except H2ConnectionError:
+            pass
+        server.data_to_send()
+
+
+PREFACE_BYTES = h2.PREFACE
