@@ -98,7 +98,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     config -> registries -> writer group; SIGHUP reload analog via
     --reload-between-pumps for scripted testing). With --listen the
     wire-protocol TCP front door accepts client sessions between pump
-    cycles (reference ingest_service.go:63-74)."""
+    cycles (reference ingest_service.go:63-74); --grpc-listen mounts
+    the HTTP/2-gRPC front door (both public RPCs) the same way."""
     import json as _json
 
     from bristle_spark.ingest.server import IngestServer
@@ -121,6 +122,16 @@ def cmd_serve(args: argparse.Namespace) -> int:
         host, _, port = args.listen.rpartition(":")
         service = IngestSocketService(server, host or "127.0.0.1", int(port)).start()
         print(_json.dumps({"listening": f"{service.host}:{service.port}"}), file=sys.stderr)
+    grpc_service = None
+    if getattr(args, "grpc_listen", None):
+        from bristle_spark.ingest.grpc_transport import GrpcIngestService
+
+        host, _, port = args.grpc_listen.rpartition(":")
+        grpc_service = GrpcIngestService(server, host or "127.0.0.1", int(port)).start()
+        print(
+            _json.dumps({"grpc": f"{grpc_service.host}:{grpc_service.port}"}),
+            file=sys.stderr,
+        )
     try:
         for i in range(args.pumps):
             if i > 0 and args.reload_between_pumps:
@@ -138,6 +149,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     finally:
         if service is not None:
             service.stop()
+        if grpc_service is not None:
+            grpc_service.stop()
         if debug is not None:
             debug.stop()
     return 0
@@ -224,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--pumps", type=int, default=1)
     sp.add_argument("--reload-between-pumps", action="store_true")
     sp.add_argument("--listen", default=None, help="HOST:PORT for the wire-protocol TCP front door")
+    sp.add_argument("--grpc-listen", default=None,
+                    help="HOST:PORT for the HTTP/2-gRPC front door (Streaming + WriteBatch)")
     sp.add_argument("--pump-interval", type=float, default=0.0, help="seconds between pump cycles")
     sp.add_argument("--compact-every", type=int, default=0,
                     help="run the MergeTree-merge analog after every N pumps (0 = never)")

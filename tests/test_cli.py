@@ -106,3 +106,67 @@ def test_serve_pumps_payloads(tmp_path, spark):
     sink = data_root / "sink" / "default__example_table"
     assert os.path.isdir(sink)
     assert spark.read.parquet(str(sink)).count() == 5
+
+
+def test_serve_mounts_grpc_front_door(tmp_path, spark):
+    """CLI serve --grpc-listen: the HTTP/2-gRPC front door binds, is
+    reported on stderr, serves a live unary WriteBatch during the pump
+    loop, and shuts down cleanly."""
+    import os
+    import threading
+
+    from pyspark.sql import types as T
+
+    from bristle_spark.ingest.fixtures import encode_example_row, example_binding
+    from tests.test_server_reload import _explicit_config
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(_explicit_config()))
+    data_root = tmp_path / "data"
+    os.makedirs(data_root, exist_ok=True)
+    type_name = example_binding().message_name
+
+    # run serve in-process (shares the test Spark session) with a pump
+    # interval long enough to land a unary write mid-loop
+    import bristle_spark.__main__ as cli
+
+    argv = [
+        "serve", "--config", str(cfg), "--data-root", str(data_root),
+        "--pumps", "4", "--pump-interval", "5", "--grpc-listen", "127.0.0.1:0",
+    ]
+    import io
+    from contextlib import redirect_stderr
+
+    err = io.StringIO()
+    result = {}
+
+    def run():
+        with redirect_stderr(err):
+            result["rc"] = cli.main(argv)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait for the bind line
+    import time
+
+    port = None
+    for _ in range(100):
+        for line in err.getvalue().splitlines():
+            if '"grpc"' in line:
+                port = int(json.loads(line)["grpc"].rsplit(":", 1)[1])
+        if port:
+            break
+        time.sleep(0.1)
+    assert port, err.getvalue()
+    from bristle_spark.ingest.grpc_transport import grpc_write_batch_unary
+
+    ack, dropped = grpc_write_batch_unary(
+        "127.0.0.1", port,
+        [(type_name, [encode_example_row(name="cli", value=1)])],
+    )
+    assert (ack, dropped) == (1, 0)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert result["rc"] == 0
+    payload_dir = data_root / "payloads" / "default__example_table"
+    assert os.path.isdir(payload_dir)
