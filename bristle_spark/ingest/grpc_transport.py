@@ -189,6 +189,13 @@ class GrpcIngestService:
 
     def _handle_event(self, ev, h2c, lock, conn, rpcs, flush_locked) -> None:
         if isinstance(ev, h2.HeadersReceived):
+            # sweep completed RPCs so a long-lived connection issuing
+            # many RPCs doesn't grow per-connection state without bound
+            # (the h2 layer already retires its streams; this map must
+            # not re-introduce the leak). Amortized: each finished RPC
+            # is swept exactly once.
+            for done in [s for s, r in rpcs.items() if r.finished]:
+                del rpcs[done]
             headers = dict(ev.headers)
             sid = ev.stream_id
             if headers.get(b":path") == WRITE_BATCH_PATH:
@@ -334,6 +341,14 @@ class GrpcIngestService:
         self._pool.submit(self._unary_write_batch, rpc, h2c, lock, flush_locked)
 
     def _unary_write_batch(self, rpc, h2c, lock, flush_locked) -> None:
+        if rpc.buf:
+            # a truncated/garbage tail after the last complete message
+            # must not be silently accepted as a successful request
+            self._finish(
+                rpc, h2c, lock, flush_locked,
+                GRPC_INTERNAL, b"truncated gRPC message in request body",
+            )
+            return
         if len(rpc.unary_msgs) != 1:
             self._finish(
                 rpc, h2c, lock, flush_locked,
@@ -378,11 +393,11 @@ class GrpcIngestService:
                 return
             acknowledged += 1
         response = svc.encode_write_batch_response(acknowledged, 0)
-        metrics.RPC_HANDLED.inc("WriteBatch", str(GRPC_OK))
         with lock:
             if rpc.finished:
-                return
+                return  # reset mid-flight: no response went out, not handled
             rpc.finished = True
+            metrics.RPC_HANDLED.inc("WriteBatch", str(GRPC_OK))
             h2c.send_headers(
                 rpc.stream_id,
                 [(b":status", b"200"), (b"content-type", GRPC_CONTENT_TYPE)],
@@ -549,6 +564,10 @@ class GrpcIngestClient:
                     )
                 if ev.end_stream:
                     raise ConnectionError("server closed the session")
+            elif isinstance(ev, h2.StreamReset) and ev.stream_id == self.stream_id:
+                raise ConnectionError(
+                    f"rpc stream reset by server (code {ev.error_code})"
+                )
             elif isinstance(ev, h2.ConnectionTerminated):
                 raise ConnectionError("server sent GOAWAY")
 
@@ -646,6 +665,12 @@ def grpc_write_batch_unary(
                     if b"grpc-status" in hdrs:
                         status = int(hdrs[b"grpc-status"])
                         message = hdrs.get(b"grpc-message", b"")
+                elif isinstance(ev, h2.StreamReset) and ev.stream_id == sid:
+                    # e.g. REFUSED_STREAM past the concurrency cap:
+                    # fail promptly, not via socket timeout
+                    raise ConnectionError(
+                        f"rpc stream reset by server (code {ev.error_code})"
+                    )
                 elif isinstance(ev, h2.ConnectionTerminated):
                     raise ConnectionError("server sent GOAWAY")
             out = h2c.data_to_send()  # auto-replies (SETTINGS ack, windows)

@@ -484,7 +484,13 @@ class H2Connection:
                 )
                 st.recv_window += flow_len
         if st is None:
-            return []  # DATA for a retired/refused stream: dropped
+            # DATA on a closed (retired/refused) stream: §6.1 calls for
+            # a STREAM_CLOSED stream error; the connection-level window
+            # accounting above already replenished the flow it consumed
+            self._out += encode_frame(
+                RST_STREAM, 0, stream_id, STREAM_CLOSED.to_bytes(4, "big")
+            )
+            return []
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True
@@ -586,9 +592,11 @@ class H2Connection:
             # ENABLE_PUSH / MAX_CONCURRENT_STREAMS / MAX_HEADER_LIST_SIZE:
             # stored semantics not needed for this endpoint's behavior
         self._out += encode_frame(SETTINGS, FLAG_ACK, 0, b"")
-        # settings may have opened send windows
+        # settings may have opened send windows. Iterate a SNAPSHOT:
+        # _flush_stream can emit deferred trailers and retire (pop) the
+        # stream, and mutating self.streams mid-iteration is a crash
         flushed: list[object] = []
-        for st in self.streams.values():
+        for st in list(self.streams.values()):
             had = bool(st.pending)
             self._flush_stream(st)
             if had and not st.pending:
@@ -606,7 +614,8 @@ class H2Connection:
             self.conn_send_window += inc
             if self.conn_send_window > MAX_WINDOW:
                 raise H2ConnectionError(FLOW_CONTROL_ERROR, "window overflow")
-            for st in self.streams.values():
+            # snapshot: _flush_stream may retire streams (see above)
+            for st in list(self.streams.values()):
                 had = bool(st.pending)
                 self._flush_stream(st)
                 if had and not st.pending:

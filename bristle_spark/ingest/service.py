@@ -512,11 +512,6 @@ def land_payload(server, binding, type_name: str, bodies: list[bytes]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from bristle_spark.ingest import metrics
-
-    metrics.ROWS.inc(binding.sink_table, by=len(bodies))
-    metrics.PAYLOAD_BYTES.inc(binding.sink_table, by=sum(len(b) for b in bodies))
-
     safe = binding.sink_table.replace(".", "__")
     payload_dir = os.path.join(server.data_root, "payloads", safe)
     os.makedirs(payload_dir, exist_ok=True)
@@ -530,6 +525,12 @@ def land_payload(server, binding, type_name: str, bodies: list[bytes]) -> None:
     tmp = os.path.join(payload_dir, f".{name}.tmp")
     pq.write_table(table, tmp)
     os.replace(tmp, os.path.join(payload_dir, name))
+    # counted AFTER the atomic rename: these are documented as DURABLY
+    # landed — incrementing before a failed write would over-count
+    from bristle_spark.ingest import metrics
+
+    metrics.ROWS.inc(binding.sink_table, by=len(bodies))
+    metrics.PAYLOAD_BYTES.inc(binding.sink_table, by=sum(len(b) for b in bodies))
 
 
 # ------------------------------------------------------------- the client

@@ -83,6 +83,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_time_to_convert",
     "l_vocab_coverage",
     "l_js_divergence",
+    "l_ndcg_eval",
+    "s_stream_histogram_quantiles",
     # --- freshness ballast (anything past slot 50 falls outside the
     # --- driver window but keeps local oracle-parity coverage) ---
     # --- freshness ballast: the entire last-checked-in-round-2 cohort
@@ -114,8 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- for new keys outrank re-confirmations of locally-green ones) ---
     "l_chunk_documents",
     "l_fingerprint",
-    "l_lang_id",
-    "l_quality_score",
 )
 # NOTE: the round-5 cohort (l_ann_ivf, l_ann_lsh, l_dedup_minhash,
 # l_dedup_simhash) yielded its ballast slots to the four second-wave

@@ -38,7 +38,7 @@ ROUND2_COHORT = {
 # the third-wave round-10 additions; the displaced keys keep local
 # oracle-parity coverage)
 ROUND4_COHORT = {
-    "l_chunk_documents", "l_fingerprint", "l_lang_id", "l_quality_score",
+    "l_chunk_documents", "l_fingerprint",
 }
 
 # brand-new in round 10 -> each needs its first driver row.  The
@@ -60,6 +60,8 @@ NEW_R10_KEYS = {
     "r_time_to_convert",      # first-view -> first-purchase latency
     "l_vocab_coverage",       # top-k vocabulary token coverage
     "l_js_divergence",        # source-pair Jensen-Shannon divergence
+    "l_ndcg_eval",            # NDCG@k of IVF retrieval vs exact
+    "s_stream_histogram_quantiles",  # mergeable histogram quantile sketch
 }
 
 

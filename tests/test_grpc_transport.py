@@ -487,3 +487,104 @@ def test_unary_request_roundtrip_codec():
     assert svc.decode_write_batch_response(
         svc.encode_write_batch_response(7, 2)
     ) == (7, 2)
+
+
+def test_unary_truncated_tail_is_internal_error(spark, three_table_server):
+    """A truncated gRPC message after the request must fail the RPC,
+    not be silently dropped with a success status."""
+    import socket as socket_mod
+
+    from bristle_spark.ingest import h2 as h2m
+
+    with GrpcIngestService(three_table_server) as service:
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            h2c = h2m.H2Connection(client_side=True)
+            h2c.initiate()
+            sid = h2c.next_stream_id()
+            h2c.send_headers(
+                sid,
+                [
+                    (b":method", b"POST"), (b":scheme", b"http"),
+                    (b":path", gt.WRITE_BATCH_PATH),
+                    (b":authority", b"x"),
+                    (b"content-type", gt.GRPC_CONTENT_TYPE),
+                    (b"te", b"trailers"),
+                ],
+            )
+            body = gt.frame_message(svc.encode_write_batch_request("k", []))
+            h2c.send_data(sid, body + b"\x00\x00\x00\x00", end_stream=True)
+            conn.sendall(h2c.data_to_send())
+            status = None
+            while status is None:
+                chunk = conn.recv(65536)
+                assert chunk, "server closed without a status"
+                for ev in h2c.receive_data(chunk):
+                    if isinstance(ev, h2m.HeadersReceived):
+                        hdrs = dict(ev.headers)
+                        if b"grpc-status" in hdrs:
+                            status = int(hdrs[b"grpc-status"])
+                out = h2c.data_to_send()
+                if out:
+                    conn.sendall(out)
+            assert status == gt.GRPC_INTERNAL
+        finally:
+            conn.close()
+
+
+def test_finished_rpc_state_is_pruned_per_connection(spark, three_table_server):
+    """A long-lived connection issuing many unary RPCs must not grow
+    per-connection RPC state without bound: finished entries are swept
+    when the next RPC opens."""
+    from bristle_spark.ingest import h2 as h2m
+    import socket as socket_mod
+
+    with GrpcIngestService(three_table_server) as service:
+        # capture the rpcs dict of the connection via a wrapper
+        captured = {}
+        orig = service._handle_event
+
+        def spy(ev, h2c, lock, conn, rpcs, flush_locked):
+            captured["rpcs"] = rpcs
+            return orig(ev, h2c, lock, conn, rpcs, flush_locked)
+
+        service._handle_event = spy
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            h2c = h2m.H2Connection(client_side=True)
+            h2c.initiate()
+            for _ in range(8):
+                sid = h2c.next_stream_id()
+                h2c.send_headers(
+                    sid,
+                    [
+                        (b":method", b"POST"), (b":scheme", b"http"),
+                        (b":path", gt.WRITE_BATCH_PATH),
+                        (b":authority", b"x"),
+                        (b"content-type", gt.GRPC_CONTENT_TYPE),
+                        (b"te", b"trailers"),
+                    ],
+                )
+                h2c.send_data(
+                    sid,
+                    gt.frame_message(svc.encode_write_batch_request("k", [])),
+                    end_stream=True,
+                )
+                conn.sendall(h2c.data_to_send())
+                status = None
+                while status is None:
+                    chunk = conn.recv(65536)
+                    assert chunk
+                    for ev in h2c.receive_data(chunk):
+                        if isinstance(ev, h2m.HeadersReceived):
+                            hdrs = dict(ev.headers)
+                            if b"grpc-status" in hdrs:
+                                status = int(hdrs[b"grpc-status"])
+                    out = h2c.data_to_send()
+                    if out:
+                        conn.sendall(out)
+                assert status == gt.GRPC_OK
+            # all but at most the most recent RPC have been swept
+            assert len(captured["rpcs"]) <= 2
+        finally:
+            conn.close()

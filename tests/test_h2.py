@@ -412,3 +412,64 @@ def test_random_frame_soup_after_handshake_never_crashes():
 
 
 PREFACE_BYTES = h2.PREFACE
+
+
+def test_settings_retune_while_trailers_deferred_does_not_crash():
+    """Reproducer for the round-10 review finding: a SETTINGS
+    INITIAL_WINDOW_SIZE retune that unblocks a stream whose deferred
+    trailers then retire it must not mutate the stream dict
+    mid-iteration (RuntimeError) — it must emit the data + trailers."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    server.send_headers(sid, [(b":status", b"200")])
+    server.send_data(sid, b"x" * h2.DEFAULT_WINDOW)  # exhausts the window
+    server.send_data(sid, b"tail")
+    server.send_headers(sid, [(b"grpc-status", b"0")], end_stream=True)
+    client.data_to_send()  # discard; we drive the server directly
+    # client retunes the initial window UP: the server-side loop flushes
+    # every stream; the flush emits the deferred trailers and retires
+    # the stream while the loop is iterating
+    retune = encode_frame(
+        h2.SETTINGS,
+        0,
+        0,
+        h2.SETTINGS_INITIAL_WINDOW_SIZE.to_bytes(2, "big")
+        + (h2.DEFAULT_WINDOW + 65536).to_bytes(4, "big"),
+    )
+    server.receive_data(retune)  # must not raise RuntimeError
+    # the CONNECTION window is also exhausted: replenish it — this is
+    # the second streams-iterating path the fix covers, and the one the
+    # review reproduced the RuntimeError on
+    server.receive_data(
+        encode_frame(h2.WINDOW_UPDATE, 0, 0, (70000).to_bytes(4, "big"))
+    )
+    out = server.data_to_send()
+    assert out  # tail DATA + trailers went out
+    assert sid not in server.streams  # retired cleanly
+
+
+def test_data_on_retired_stream_gets_stream_closed_rst():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    server.send_headers(sid, [(b":status", b"200")], end_stream=True)
+    client.receive_data(server.data_to_send())
+    assert sid not in server.streams
+    server.receive_data(encode_frame(h2.DATA, 0, sid, b"zombie"))
+    # assert at the WIRE level: the client's own state machine rightly
+    # ignores RST on a stream it already closed, so parse the frames
+    out = server.data_to_send()
+    frames = []
+    pos = 0
+    while pos < len(out):
+        length = int.from_bytes(out[pos : pos + 3], "big")
+        ftype = out[pos + 3]
+        fsid = int.from_bytes(out[pos + 5 : pos + 9], "big") & 0x7FFFFFFF
+        payload = out[pos + 9 : pos + 9 + length]
+        frames.append((ftype, fsid, payload))
+        pos += 9 + length
+    rsts = [f for f in frames if f[0] == h2.RST_STREAM and f[1] == sid]
+    assert rsts and int.from_bytes(rsts[0][2], "big") == h2.STREAM_CLOSED
