@@ -2246,17 +2246,28 @@ _PCT_VALUES_SQL = ", ".join(f"({p})" for p in PCT_DISC_PPM)
 @register(
     "r_percentile_disc",
     oracle=f"""
-    WITH ranked AS (
-        SELECT event_type, value,
-               row_number() OVER (
-                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
-               count(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+    WITH vc AS (
+        SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
     ),
-    ps AS (SELECT * FROM (VALUES {_PCT_VALUES_SQL}) AS t(p_ppm))
-    SELECT r.event_type, CAST(ps.p_ppm AS BIGINT) AS p_ppm,
-           r.value AS pct_value
-    FROM ranked r JOIN ps ON r.rn = (ps.p_ppm * r.n + 999999) // 1000000
+    cum AS (
+        SELECT event_type, value, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        FROM vc
+    ),
+    tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY 1),
+    ps AS (SELECT * FROM (VALUES {_PCT_VALUES_SQL}) AS t(p_ppm)),
+    ranks AS (
+        SELECT t.event_type, CAST(ps.p_ppm AS BIGINT) AS p_ppm,
+               CAST((CAST(ps.p_ppm AS HUGEINT) * t.n + 999999) // 1000000
+                    AS BIGINT) AS r
+        FROM tot t CROSS JOIN ps
+    )
+    SELECT c.event_type, k.p_ppm, c.value AS pct_value
+    FROM cum c
+    JOIN ranks k ON k.event_type = c.event_type
+                AND c.cum_n >= k.r AND c.cum_n - c.cnt < k.r
     """,
 )
 def r_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2269,26 +2280,41 @@ def r_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed cutoff). All rank math is integer ppm — no float CDF, so
     any engine agrees bit-for-bit.
 
-    Scale shape: one shuffle on event_type for the in-group sort (the
-    unavoidable cost of EXACT percentiles — the approx family is the
-    100 TB default, this is the auditable reference path); the
-    4-row percentile table is broadcast, never shuffled."""
-    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    Scale shape: the fact table first collapses to (event_type, value)
+    counts — map-side combined, so the per-type window sorts DISTINCT
+    values, not raw rows (a raw-row row_number() would both funnel the
+    whole group into one sort task and overflow its 32-bit counter past
+    2^31 rows per group); rank math is pure BIGINT over cumulative
+    counts (the p*n product computed in decimal on the types-sized
+    frame, overflow-proof at any n), and the rank table is broadcast."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    vc = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cum_n", F.sum("cnt").over(wc))
+    tot = vc.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
     ps = spark.createDataFrame([(p,) for p in PCT_DISC_PPM], "p_ppm bigint")
+    ranks = tot.crossJoin(F.broadcast(ps)).select(
+        "event_type",
+        "p_ppm",
+        F.expr(
+            "CAST(floor((CAST(p_ppm AS DECIMAL(38,0)) * n + 999999) / 1000000)"
+            " AS BIGINT)"
+        ).alias("r"),
+    )
     return (
-        ranked.join(
-            F.broadcast(ps),
-            F.col("rn") == F.expr("(p_ppm * n + 999999) div 1000000"),
+        cum.join(
+            F.broadcast(ranks),
+            (cum.event_type == ranks.event_type)
+            & (F.col("cum_n") >= F.col("r"))
+            & (F.col("cum_n") - F.col("cnt") < F.col("r")),
         )
-        .select("event_type", "p_ppm", F.col("value").alias("pct_value"))
+        .select(cum.event_type, "p_ppm", F.col("value").alias("pct_value"))
     )
 
 
@@ -2551,8 +2577,18 @@ RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
 
 
 def _rfm_bucket_sql(col: str, t: str) -> str:
+    # thresholds are rounded to 6 dp (the portable r6 formula) before the
+    # comparison: the two engines' exact-percentile interpolations could
+    # differ by an ulp, and an unrounded edge would flip integer segment
+    # counts; the data grids (int days, int counts, 2dp money) sit far
+    # from any 6th-decimal boundary
     return " + ".join(
-        [f"1"] + [f"CAST({col} > {t}[{i + 1}] AS BIGINT)" for i in range(4)]
+        ["1"]
+        + [
+            f"CAST({col} > (floor({t}[{i + 1}] * 1000000 + 0.5) / 1000000)"
+            " AS BIGINT)"
+            for i in range(4)
+        ]
     )
 
 
@@ -2620,9 +2656,11 @@ def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket(col: str, t: str):
+        # 6dp-rounded thresholds: see _rfm_bucket_sql
         b = F.lit(1).cast("bigint")
         for i in range(4):
-            b = b + (F.col(col) > F.col(t)[i]).cast("bigint")
+            edge = F.floor(F.col(t)[i] * 1_000_000 + F.lit(0.5)) / 1_000_000
+            b = b + (F.col(col) > edge).cast("bigint")
         return b
 
     return (
@@ -2710,7 +2748,7 @@ def r_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_time_to_convert",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events
         WHERE event_type = 'view' GROUP BY user_id
@@ -2725,7 +2763,7 @@ def r_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT)                   AS n_converters,
            round(quantile_cont(delay_s, 0.5), 6)      AS p50_s,
            round(quantile_cont(delay_s, 0.9), 6)      AS p90_s,
-           round(avg(delay_s), 6)                     AS mean_s
+           {r6_sql("avg(delay_s)")}                   AS mean_s
     FROM p
     """,
 )
@@ -2761,5 +2799,5 @@ def r_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_converters"),
         F.round(F.percentile("delay_s", F.lit(0.5)), 6).alias("p50_s"),
         F.round(F.percentile("delay_s", F.lit(0.9)), 6).alias("p90_s"),
-        F.round(F.avg("delay_s"), 6).alias("mean_s"),
+        r6(F.avg("delay_s")).alias("mean_s"),
     )

@@ -2412,7 +2412,7 @@ VOCAB_COVERAGE_KS = (100, 1_000, 10_000)
         f'''SELECT CAST({k} AS BIGINT) AS k,
                CAST(count(*) AS BIGINT) AS n_types,
                CAST(sum(c) AS BIGINT)   AS covered,
-               round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM tot), 6) AS coverage
+               (floor(CAST(sum(c) AS DOUBLE) / (SELECT n FROM tot) * 1000000 + 0.5) / 1000000) AS coverage
         FROM (SELECT c FROM wc ORDER BY c DESC, w LIMIT {k})'''
         for k in VOCAB_COVERAGE_KS
     )}

@@ -1413,15 +1413,25 @@ def _stream_hq_oracle() -> str:
         FROM hist
     ),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
-    q AS (SELECT unnest([{qs}]) AS q_ppm)
-    SELECT q.q_ppm,
+    q AS (
+        SELECT CAST(unnest([{qs}]) AS BIGINT) AS q_ppm
+    ),
+    ranks AS (
+        -- rank computed in HUGEINT then narrowed: q_ppm*n would pass
+        -- int64 max near 9.2e12 rows, inside this sketch's design range
+        SELECT q.q_ppm,
+               CAST((CAST(q.q_ppm AS HUGEINT) * tot.n + 999999) // 1000000
+                    AS BIGINT) AS r
+        FROM q CROSS JOIN tot
+    )
+    SELECT k.q_ppm,
            min(cum.bucket)                                       AS bucket,
            round({HQ_LO} + (min(cum.bucket) + 1)
                  * {(HQ_HI - HQ_LO) / HQ_BUCKETS}, 6)            AS est_value,
            CAST(min(cum.n_le) AS BIGINT)                         AS n_le
-    FROM q CROSS JOIN tot
-    JOIN cum ON cum.n_le * 1000000 >= q.q_ppm * tot.n
-    GROUP BY q.q_ppm
+    FROM ranks k
+    JOIN cum ON cum.n_le >= k.r
+    GROUP BY k.q_ppm
     """
 
 
@@ -1477,12 +1487,17 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(q,) for q in HQ_QS_PPM], "q_ppm bigint"
     )
     width = (HQ_HI - HQ_LO) / HQ_BUCKETS
+    # rank in decimal then narrowed back: q_ppm*n as bigint would wrap
+    # past ~9.2e12 total rows — inside this sketch's design range
+    ranks = qs.crossJoin(F.broadcast(tot)).select(
+        "q_ppm",
+        F.expr(
+            "CAST(floor((CAST(q_ppm AS DECIMAL(38,0)) * n + 999999) / 1000000)"
+            " AS BIGINT)"
+        ).alias("r"),
+    )
     return (
-        qs.crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(cum),
-            F.col("n_le") * 1_000_000 >= F.col("q_ppm") * F.col("n"),
-        )
+        ranks.join(F.broadcast(cum), F.col("n_le") >= F.col("r"))
         .groupBy("q_ppm")
         .agg(
             F.min("bucket").alias("bucket"),

@@ -245,3 +245,24 @@ def test_snapshot_diff_covers_all_four_classes(spark, sf_dir):
         for r in all_specs()["r_snapshot_diff"].fn(spark, sf_dir).collect()
     }
     assert classes == {"insert", "update", "delete", "unchanged"}
+
+
+def test_events_have_no_per_user_timestamp_ties():
+    """r_window_funnel's single-scan rewrite orders per-user events by
+    timestamp with no extra tiebreak; its equivalence to the oracle's
+    strict-inequality EXISTS form requires that no user has two events
+    in the same microsecond. Pin that fixture property at every scale
+    the oracles run at — if a regenerated fixture ever violates it,
+    this failure points at the query to harden rather than a flaky
+    hash mismatch."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            f"""SELECT count(*) FROM (
+                SELECT user_id, ts, count(*) AS c
+                FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+                GROUP BY user_id, ts HAVING count(*) > 1
+            )"""
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} per-user same-microsecond ties"
