@@ -272,6 +272,7 @@ HEADLINE = [
     "l_vocab_coverage",
     "l_js_divergence",
     "l_ndcg_eval",
+    "r_data_profile",
 ]
 
 

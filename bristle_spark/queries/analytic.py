@@ -2801,3 +2801,83 @@ def r_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delay_s", F.lit(0.9)), 6).alias("p90_s"),
         r6(F.avg("delay_s")).alias("mean_s"),
     )
+
+
+# --------------------------------------------- column profiling
+# (column, type-class, exact counts, numeric min/max) per events column —
+# the Deequ/profiler primitive every pipeline onboarding step runs.
+_PROFILE_NUM = {
+    "event_id": "CAST(event_id AS DOUBLE)",
+    "user_id": "CAST(user_id AS DOUBLE)",
+    "value": "value",
+    "ts": "CAST(epoch_us(ts) AS DOUBLE) / 1000000",
+}
+_PROFILE_STR = ("event_type", "props")
+
+
+@register(
+    "r_data_profile",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{col}' AS column_name,
+               CAST(count(*) AS BIGINT)                     AS n,
+               CAST(count(*) - count({col}) AS BIGINT)      AS n_null,
+               CAST(count(DISTINCT {col}) AS BIGINT)        AS n_distinct,
+               {r6_sql(f"min({expr})")}                     AS min_num,
+               {r6_sql(f"max({expr})")}                     AS max_num
+        FROM events'''
+        for col, expr in _PROFILE_NUM.items()
+    )}
+    UNION ALL
+    {" UNION ALL ".join(
+        f'''SELECT '{col}' AS column_name,
+               CAST(count(*) AS BIGINT)                     AS n,
+               CAST(count(*) - count({col}) AS BIGINT)      AS n_null,
+               CAST(count(DISTINCT {col}) AS BIGINT)        AS n_distinct,
+               CAST(NULL AS DOUBLE)                         AS min_num,
+               CAST(NULL AS DOUBLE)                         AS max_num
+        FROM events'''
+        for col in _PROFILE_STR
+    )}
+    """,
+)
+def r_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table: per column, row count, null
+    count, EXACT distinct count, and (numeric columns) min/max — the
+    Deequ/Great-Expectations-style profiling primitive that gates every
+    dataset onboarding ("is this column actually unique / non-null /
+    in range?"). Timestamps profile as epoch seconds; string columns
+    carry null min/max (cross-engine string formatting of extremes is
+    not portable; distinct/null counts are the load-bearing numbers).
+
+    Scale shape: ONE table scan; the multi-column exact distincts run
+    as Spark's expand-based multi-distinct aggregate (input amplified
+    by #profiled columns — the inherent cost of exact profiling; the
+    sketched twin at 100 TB is approx_count_distinct, same plan minus
+    the expand). Output is #columns rows."""
+    e = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).cast("bigint")
+    aggs = [n.alias("n")]
+    cols = list(_PROFILE_NUM) + list(_PROFILE_STR)
+    for col in cols:
+        aggs.append((n - F.count(col)).cast("bigint").alias(f"{col}__null"))
+        aggs.append(F.countDistinct(col).cast("bigint").alias(f"{col}__nd"))
+    for col, expr in _PROFILE_NUM.items():
+        sexpr = expr.replace("epoch_us(ts)", "unix_micros(ts)")
+        aggs.append(r6(F.min(F.expr(sexpr))).alias(f"{col}__min"))
+        aggs.append(r6(F.max(F.expr(sexpr))).alias(f"{col}__max"))
+    wide = e.agg(*aggs)  # ONE scan: every metric in a single aggregate
+    stack_args = []
+    for col in cols:
+        mn = f"`{col}__min`" if col in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        mx = f"`{col}__max`" if col in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{col}', `{col}__null`, `{col}__nd`, {mn}, {mx}"
+        )
+    return wide.select(
+        "n",
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)})"
+            " AS (column_name, n_null, n_distinct, min_num, max_num)"
+        ),
+    ).select("column_name", "n", "n_null", "n_distinct", "min_num", "max_num")

@@ -216,11 +216,11 @@ from bristle_spark.registry import all_specs
 specs = all_specs()
 # warmup pass: JIT/codegen/parquet-footer caches are not skew; the
 # gate measures the steady-state second pass only
-for name in ["l_dedup_minhash", "l_dedup_embedding"]:
+for name in ["l_dedup_minhash", "l_dedup_embedding", "l_sparse_cosine_topk"]:
     specs[name].fn(spark, {sf!r}).collect()
 import time
 t_warm = int(time.time() * 1000)
-for name in ["l_dedup_minhash", "l_dedup_embedding"]:
+for name in ["l_dedup_minhash", "l_dedup_embedding", "l_sparse_cosine_topk"]:
     specs[name].fn(spark, {sf!r}).collect()
 app_id = spark.sparkContext.applicationId
 spark.stop()
@@ -248,8 +248,8 @@ print("TASKDURS " + json.dumps(durs))
 
 
 def test_no_task_dominates_at_512_partitions(tmp_path):
-    """Event-log-measured task balance: in every stage of the two
-    heaviest dedup queries at sf0.1 with 512 shuffle partitions, the
+    """Event-log-measured task balance: in every stage of the three
+    heaviest bucketed queries at sf0.1 with 512 shuffle partitions, the
     slowest task is <= 10x the stage median (median floored at
     100 ms).  Only the warmed SECOND pass is measured — a cold JVM's
     first-wave JIT/codegen stalls produced 8s stragglers that are
