@@ -273,6 +273,7 @@ HEADLINE = [
     "l_js_divergence",
     "l_ndcg_eval",
     "r_data_profile",
+    "m_wav_audio_features",
 ]
 
 

@@ -489,3 +489,31 @@ def m_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("patch")).alias("patch_hex"),
         "patch_mean",
     ).orderBy("doc_id", "patch_id")
+
+
+@register("m_wav_audio_features", oracle=_AUDIO_ORACLE)
+def m_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m_audio_features pipeline driven through a REAL codec: the
+    deterministic PCM is wrapped in a genuine RIFF/WAVE container
+    (JVM-side constant-header concat) and the kernel decodes it with
+    Python's stdlib ``wave`` module (``decode_backend='wav'``) — no
+    external dependency, actual container parsing in the hot path. The
+    oracle is IDENTICAL to m_audio_features' (DuckDB re-derives the
+    int16 samples from the hex side): a correct wav parse must strip
+    exactly the 44-byte header and recover byte-identical PCM, so any
+    header/framing mistake shows up as a hash mismatch.
+
+    Scale shape: identical to m_audio_features — partition-local
+    mapInPandas over Arrow batches, zero shuffles; the container parse
+    adds a fixed per-payload cost inside the same batch loop."""
+    d = load_table(spark, sf_dir, "documents")
+    audio = multimodal.attach_wav_audio(d)
+    feats = multimodal.audio_features(audio, chunk_samples=32, decode_backend="wav")
+    return feats.select(
+        "doc_id",
+        "chunk_idx",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zcr", 6).alias("zcr"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_js_divergence",
     "l_ndcg_eval",
     "s_stream_histogram_quantiles",
+    "m_wav_audio_features",
     # --- freshness ballast (anything past slot 50 falls outside the
     # --- driver window but keeps local oracle-parity coverage) ---
     # --- freshness ballast: the entire last-checked-in-round-2 cohort
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- the round-4 cohort (6 rounds stale; 5 of the 9 yielded their
     # --- slots to the third-wave round-10 additions — first driver rows
     # --- for new keys outrank re-confirmations of locally-green ones) ---
-    "l_chunk_documents",
     "l_fingerprint",
 )
 # NOTE: the round-5 cohort (l_ann_ivf, l_ann_lsh, l_dedup_minhash,

@@ -38,7 +38,7 @@ ROUND2_COHORT = {
 # the third-wave round-10 additions; the displaced keys keep local
 # oracle-parity coverage)
 ROUND4_COHORT = {
-    "l_chunk_documents", "l_fingerprint",
+    "l_fingerprint",
 }
 
 # brand-new in round 10 -> each needs its first driver row.  The
@@ -62,6 +62,7 @@ NEW_R10_KEYS = {
     "l_js_divergence",        # source-pair Jensen-Shannon divergence
     "l_ndcg_eval",            # NDCG@k of IVF retrieval vs exact
     "s_stream_histogram_quantiles",  # mergeable histogram quantile sketch
+    "m_wav_audio_features",   # audio features through a REAL wav codec
 }
 
 
