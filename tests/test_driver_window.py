@@ -149,3 +149,13 @@ def test_beyond_window_queries_still_registered():
                 "t_decimal_math", "t_null_semantics"):
         assert key in specs
         assert specs.index(key) >= 50
+
+
+def test_every_window_key_is_oracle_backed():
+    """Round-10 claim worth pinning: all 50 driver-window keys carry a
+    DuckDB oracle, so CORRECTNESS_r10 grades 50 hash-matches — no
+    rows-only slots. A future rotation placing a rows-only key in the
+    window should be a deliberate, visible choice (update this test)."""
+    specs = registry.all_specs()
+    rows_only = [k for k in registry.DRIVER_PRIORITY if specs[k].oracle is None]
+    assert rows_only == []
