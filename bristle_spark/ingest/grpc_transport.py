@@ -83,6 +83,7 @@ class _Rpc:
         self.finished = False  # trailers sent
         self.unary = unary
         self.unary_msgs: list[bytes] = []
+        self.claimed = False  # a pool thread owns the unary response
         self.headers_sent = not unary  # streaming sends headers eagerly
 
 
@@ -198,6 +199,19 @@ class GrpcIngestService:
                 del rpcs[done]
             headers = dict(ev.headers)
             sid = ev.stream_id
+            live = rpcs.get(sid)
+            if live is not None and not live.finished:
+                # HEADERS replay on an active RPC (client trailers have
+                # no place in the gRPC request grammar): resetting keeps
+                # the live RPC's type-id registry / buffered messages /
+                # in-flight accounting from being silently discarded and
+                # response headers from being re-sent on the same stream
+                live.finished = True
+                del rpcs[sid]
+                with lock:
+                    h2c.reset_stream(sid, h2.PROTOCOL_ERROR)
+                    flush_locked()
+                return
             if headers.get(b":path") == WRITE_BATCH_PATH:
                 # unary WriteBatch (bristle.proto:119, ingest_service.go:109-120):
                 # response headers are deferred until the response is ready
@@ -341,6 +355,14 @@ class GrpcIngestService:
         self._pool.submit(self._unary_write_batch, rpc, h2c, lock, flush_locked)
 
     def _unary_write_batch(self, rpc, h2c, lock, flush_locked) -> None:
+        with lock:
+            # claim BEFORE decoding/landing: even if the h2 layer ever
+            # re-delivered an END_STREAM (it can't since the half-closed
+            # check landed), a duplicate submission must not run
+            # process_batch a second time
+            if rpc.finished or rpc.claimed:
+                return
+            rpc.claimed = True
         if rpc.buf:
             # a truncated/garbage tail after the last complete message
             # must not be silently accepted as a successful request

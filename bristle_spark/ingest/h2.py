@@ -414,18 +414,27 @@ class H2Connection:
     def _peer_initiated(self, stream_id: int) -> bool:
         return (stream_id % 2 == 1) != self.client_side
 
-    def _track_peer_stream(self, stream_id: int) -> _Stream | None:
+    def _track_peer_stream(
+        self, stream_id: int, create: bool = True
+    ) -> _Stream | None:
         """Resolve the stream a received frame targets, policing stream
         identity (§5.1.1) and concurrency (§5.1.2). Returns None for a
         frame on a retired (fully-closed) stream — the caller ignores
         it; raises on protocol violations; sends REFUSED_STREAM past the
-        concurrency cap instead of growing unbounded per-peer state."""
+        concurrency cap instead of growing unbounded per-peer state.
+        Only HEADERS may open a peer stream (``create=True``): §5.1
+        makes any other frame type on an idle stream a connection-level
+        PROTOCOL_ERROR."""
         st = self.streams.get(stream_id)
         if st is not None:
             return st
         if self._peer_initiated(stream_id):
             if stream_id <= self._highest_peer_stream:
                 return None  # closed + retired: late frames are dropped
+            if not create:
+                raise H2ConnectionError(
+                    PROTOCOL_ERROR, "non-HEADERS frame on an idle stream"
+                )
             n_open = sum(
                 1 for s in self.streams.values() if self._peer_initiated(s.stream_id)
             )
@@ -453,6 +462,35 @@ class H2Connection:
         if (st.recv_closed or st.reset) and st.send_closed and not st.pending:
             self.streams.pop(st.stream_id, None)
 
+    def _reset_half_closed(self, st: _Stream) -> list[object]:
+        """A frame arrived after END_STREAM on a half-closed(remote)
+        stream: RFC 9113 §5.1 requires a STREAM_CLOSED stream error.
+        Resetting fully closes the stream (any deferred response is
+        abandoned — send_headers/send_data no-op on a reset stream) and
+        a StreamReset event tells the RPC layer to drop its state."""
+        self._out += encode_frame(
+            RST_STREAM, 0, st.stream_id, STREAM_CLOSED.to_bytes(4, "big")
+        )
+        st.reset = True
+        st.recv_closed = st.send_closed = True
+        st.pending.clear()
+        self.streams.pop(st.stream_id, None)
+        return [StreamReset(st.stream_id, STREAM_CLOSED)]
+
+    def reset_stream(self, stream_id: int, code: int = PROTOCOL_ERROR) -> None:
+        """Application-initiated RST_STREAM (e.g. the gRPC layer refusing
+        a HEADERS replay on an active RPC). No-op on unknown streams."""
+        st = self.streams.get(stream_id)
+        if st is None or st.reset:
+            return
+        self._out += encode_frame(
+            RST_STREAM, 0, stream_id, code.to_bytes(4, "big")
+        )
+        st.reset = True
+        st.recv_closed = st.send_closed = True
+        st.pending.clear()
+        self.streams.pop(stream_id, None)
+
     def _on_data(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
         if stream_id == 0:
             raise H2ConnectionError(PROTOCOL_ERROR, "DATA on stream 0")
@@ -464,7 +502,7 @@ class H2Connection:
             if pad >= len(payload):
                 raise H2ConnectionError(PROTOCOL_ERROR, "pad length exceeds frame")
             payload = payload[1 : len(payload) - pad]
-        st = self._track_peer_stream(stream_id)
+        st = self._track_peer_stream(stream_id, create=False)
         self.conn_recv_window -= flow_len
         if self.conn_recv_window < 0:
             raise H2ConnectionError(FLOW_CONTROL_ERROR, "recv window exceeded")
@@ -478,7 +516,7 @@ class H2Connection:
                 WINDOW_UPDATE, 0, 0, flow_len.to_bytes(4, "big")
             )
             self.conn_recv_window += flow_len
-            if st is not None and not (flags & FLAG_END_STREAM):
+            if st is not None and not st.recv_closed and not (flags & FLAG_END_STREAM):
                 self._out += encode_frame(
                     WINDOW_UPDATE, 0, stream_id, flow_len.to_bytes(4, "big")
                 )
@@ -491,6 +529,12 @@ class H2Connection:
                 RST_STREAM, 0, stream_id, STREAM_CLOSED.to_bytes(4, "big")
             )
             return []
+        if st.recv_closed:
+            # DATA after END_STREAM on a half-closed(remote) stream
+            # (§5.1/§6.1): stream error STREAM_CLOSED. Never re-deliver
+            # an event — a forged extra DATA must not land a payload a
+            # second time at the RPC layer.
+            return self._reset_half_closed(st)
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True
@@ -547,6 +591,10 @@ class H2Connection:
         st = self.streams.get(stream_id)
         if st is None:
             return []  # retired/refused stream: headers dropped
+        if st.recv_closed:
+            # HEADERS after END_STREAM on a half-closed(remote) stream
+            # (§5.1): STREAM_CLOSED, and no event reaches the RPC layer
+            return self._reset_half_closed(st)
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True

@@ -588,3 +588,135 @@ def test_finished_rpc_state_is_pruned_per_connection(spark, three_table_server):
             assert len(captured["rpcs"]) <= 2
         finally:
             conn.close()
+
+
+def test_unary_forged_second_end_stream_never_lands_twice(spark, three_table_server):
+    """ADVICE r10 (medium): a request followed by a forged extra
+    DATA(END_STREAM) on the same stream used to re-deliver DataReceived
+    and land every payload twice. The half-closed(remote) check now
+    RSTs the stream (RFC 9113 §5.1) — payloads land AT MOST once."""
+    import socket as socket_mod
+
+    from bristle_spark.ingest import h2 as h2m
+
+    with GrpcIngestService(three_table_server) as service:
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            h2c = h2m.H2Connection(client_side=True)
+            h2c.initiate()
+            sid = h2c.next_stream_id()
+            h2c.send_headers(
+                sid,
+                [
+                    (b":method", b"POST"), (b":scheme", b"http"),
+                    (b":path", gt.WRITE_BATCH_PATH),
+                    (b":authority", b"x"),
+                    (b"content-type", gt.GRPC_CONTENT_TYPE),
+                    (b"te", b"trailers"),
+                ],
+            )
+            body = gt.frame_message(
+                svc.encode_write_batch_request(
+                    "forge-key",
+                    [("ExampleMessage",
+                      [encode_example_row(name=f"f_{i}", value=i) for i in range(4)])],
+                )
+            )
+            h2c.send_data(sid, body, end_stream=True)
+            wire = bytes(h2c.data_to_send())
+            # the forged frame goes out back-to-back with the request so
+            # the reader thread sees it before the pool thread responds
+            forged = h2m.encode_frame(h2m.DATA, h2m.FLAG_END_STREAM, sid, b"")
+            conn.sendall(wire + forged)
+            # drain until RST/status/close — any of the three is fine
+            conn.settimeout(5)
+            saw_reset = saw_status = False
+            try:
+                while not (saw_reset or saw_status):
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    for ev in h2c.receive_data(chunk):
+                        if isinstance(ev, h2m.StreamReset):
+                            saw_reset = True
+                        if isinstance(ev, h2m.HeadersReceived) and b"grpc-status" in dict(ev.headers):
+                            saw_status = True
+                    out = h2c.data_to_send()
+                    if out:
+                        conn.sendall(out)
+            except (TimeoutError, OSError):
+                pass
+        finally:
+            conn.close()
+    payload_dir = os.path.join(
+        three_table_server.data_root, "payloads", "default__example_table"
+    )
+    files = os.listdir(payload_dir) if os.path.isdir(payload_dir) else []
+    # AT MOST once: before the fix this was 2 files / 8 rows
+    assert len(files) <= 1
+    if files:
+        import pyarrow.parquet as pq
+
+        assert pq.read_table(os.path.join(payload_dir, files[0])).num_rows == 4
+
+
+def test_headers_replay_on_active_rpc_resets_stream(spark, three_table_server):
+    """ADVICE r10 (low): a second HEADERS on an already-active stream
+    used to overwrite rpcs[sid] with a fresh _Rpc (discarding the live
+    type-id registry) and re-send response headers on the same stream.
+    The replay now resets the stream instead."""
+    import socket as socket_mod
+
+    from bristle_spark.ingest import h2 as h2m
+
+    with GrpcIngestService(three_table_server) as service:
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            h2c = h2m.H2Connection(client_side=True)
+            h2c.initiate()
+            sid = h2c.next_stream_id()
+            req = [
+                (b":method", b"POST"), (b":scheme", b"http"),
+                (b":path", gt.STREAMING_PATH),
+                (b":authority", b"x"),
+                (b"content-type", gt.GRPC_CONTENT_TYPE),
+                (b"te", b"trailers"),
+            ]
+            h2c.send_headers(sid, req)  # stream stays open (no END_STREAM)
+            conn.sendall(h2c.data_to_send())
+            # wait for the server's response headers (RPC is now active)
+            conn.settimeout(5)
+            got_headers = False
+            while not got_headers:
+                chunk = conn.recv(65536)
+                assert chunk
+                for ev in h2c.receive_data(chunk):
+                    if isinstance(ev, h2m.HeadersReceived):
+                        got_headers = True
+                out = h2c.data_to_send()
+                if out:
+                    conn.sendall(out)
+            # replay the request HEADERS on the SAME open stream
+            h2c.send_headers(sid, req)
+            conn.sendall(h2c.data_to_send())
+            saw_reset = False
+            extra_headers = 0
+            try:
+                while not saw_reset:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    for ev in h2c.receive_data(chunk):
+                        if isinstance(ev, h2m.StreamReset):
+                            saw_reset = True
+                        if isinstance(ev, h2m.HeadersReceived):
+                            extra_headers += 1
+                    out = h2c.data_to_send()
+                    if out:
+                        conn.sendall(out)
+            except (TimeoutError, OSError):
+                pass
+            assert saw_reset, "replayed HEADERS must reset the stream"
+            assert extra_headers == 0, "response headers must not be re-sent"
+        finally:
+            conn.close()

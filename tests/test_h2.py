@@ -473,3 +473,86 @@ def test_data_on_retired_stream_gets_stream_closed_rst():
         pos += 9 + length
     rsts = [f for f in frames if f[0] == h2.RST_STREAM and f[1] == sid]
     assert rsts and int.from_bytes(rsts[0][2], "big") == h2.STREAM_CLOSED
+
+
+def _frames(buf: bytes) -> list[tuple[int, int, bytes]]:
+    frames = []
+    pos = 0
+    while pos < len(buf):
+        length = int.from_bytes(buf[pos : pos + 3], "big")
+        ftype = buf[pos + 3]
+        fsid = int.from_bytes(buf[pos + 5 : pos + 9], "big") & 0x7FFFFFFF
+        frames.append((ftype, fsid, buf[pos + 9 : pos + 9 + length]))
+        pos += 9 + length
+    return frames
+
+
+def test_data_after_end_stream_on_half_closed_stream_is_stream_closed():
+    """RFC 9113 §5.1: a DATA frame on a half-closed(remote) stream (the
+    response not yet sent, so the stream is still live) is a STREAM_CLOSED
+    stream error — it must NOT be re-delivered as a normal DataReceived,
+    or the RPC layer would land the payload twice."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    client.send_data(sid, b"request", end_stream=True)
+    ev = server.receive_data(client.data_to_send())
+    assert [e for e in ev if isinstance(e, DataReceived)]
+    assert sid in server.streams  # half-closed(remote): response pending
+    # forge a second DATA+END_STREAM on the half-closed stream
+    ev2 = server.receive_data(
+        encode_frame(h2.DATA, h2.FLAG_END_STREAM, sid, b"forged")
+    )
+    assert not [e for e in ev2 if isinstance(e, DataReceived)]
+    assert [e for e in ev2 if isinstance(e, StreamReset)]
+    rsts = [f for f in _frames(bytes(server.data_to_send()))
+            if f[0] == h2.RST_STREAM and f[1] == sid]
+    assert rsts and int.from_bytes(rsts[0][2], "big") == h2.STREAM_CLOSED
+    assert sid not in server.streams
+
+
+def test_headers_after_end_stream_on_half_closed_stream_is_stream_closed():
+    """Same §5.1 rule for a trailing HEADERS replay after END_STREAM."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    assert sid in server.streams
+    # forge a second HEADERS block on the half-closed stream (fresh
+    # encoder state is fine: HPACK decode still succeeds server-side)
+    enc = h2.hpack.Encoder()
+    block = enc.encode(REQ)
+    ev = server.receive_data(
+        encode_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
+        )
+    )
+    assert not [e for e in ev if isinstance(e, HeadersReceived)]
+    assert [e for e in ev if isinstance(e, StreamReset)]
+    rsts = [f for f in _frames(bytes(server.data_to_send()))
+            if f[0] == h2.RST_STREAM and f[1] == sid]
+    assert rsts and int.from_bytes(rsts[0][2], "big") == h2.STREAM_CLOSED
+
+
+def test_data_on_idle_stream_is_protocol_error():
+    """§5.1: only HEADERS opens a stream; DATA on an idle peer stream id
+    is a connection-level PROTOCOL_ERROR (previously it silently opened
+    the stream, and an over-cap open via DATA double-RST'd)."""
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(encode_frame(h2.DATA, 0, 41, b"bare"))
+    assert ei.value.code == h2.PROTOCOL_ERROR
+
+
+def test_app_reset_stream_closes_and_noops_on_unknown():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    assert sid in server.streams
+    server.reset_stream(sid, h2.PROTOCOL_ERROR)
+    assert sid not in server.streams
+    rsts = [f for f in _frames(bytes(server.data_to_send()))
+            if f[0] == h2.RST_STREAM and f[1] == sid]
+    assert rsts and int.from_bytes(rsts[0][2], "big") == h2.PROTOCOL_ERROR
+    server.reset_stream(999)  # unknown: no-op, no crash
