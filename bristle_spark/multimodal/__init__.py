@@ -105,7 +105,29 @@ def _wav_decode(payload: bytes) -> bytes:
         return w.readframes(w.getnframes())
 
 
-_DECODERS = {"fake": _fake_decode, "pil": _pil_decode, "wav": _wav_decode}
+def _png_decode(payload: bytes) -> bytes:
+    """REAL image container decode, stdlib-only: parse the PNG (zlib
+    IDAT inflate + scanline unfilter, multimodal/png.py), return the
+    raw pixel bytes — the same flat one-byte-per-pixel contract
+    _fake_decode satisfies, so the resize/phash/patchify kernels run
+    unchanged on actual encoded payloads. Greyscale only here (the
+    kernels' pixel format); RGB payloads are a payload error."""
+    from bristle_spark.multimodal import png as png_codec
+
+    _w, _h, channels, pixels = png_codec.decode_png(payload)
+    if channels != 1:
+        raise ValueError(
+            f"png payload has {channels} channels; kernels expect greyscale"
+        )
+    return pixels
+
+
+_DECODERS = {
+    "fake": _fake_decode,
+    "pil": _pil_decode,
+    "wav": _wav_decode,
+    "png": _png_decode,
+}
 
 
 def wav_container(pcm: bytes, sample_rate: int = 16000, channels: int = 1) -> bytes:
@@ -143,6 +165,135 @@ def attach_wav_audio(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
         F.concat(F.lit(bytearray(header)), pcm).alias("payload"),
         meta.alias("meta"),
     )
+
+
+def attach_png_payload(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    filter_type: int = 4,
+    compress_level: int = 9,
+) -> DataFrame:
+    """Deterministic REAL-PNG image payload: the same iterated-md5 256
+    bytes as attach_fake_payload, encoded as a genuine 16x16 greyscale
+    PNG (multimodal/png.py) — Paeth-filtered and fully DEFLATEd by
+    default, so decoding exercises real inflate + unfilter math. Unlike
+    the constant WAV header, a PNG's IDAT bytes depend on the pixels
+    (zlib + per-line filters), so the wrap runs in the same Arrow
+    mapInPandas shape as the kernels that will consume it (partition-
+    local, zero shuffles). The pixel derivation is hex-reproducible, so
+    oracles re-derive expected pixels from the text side and any
+    encode/decode mistake shows up as a hash mismatch."""
+    import hashlib as _hl
+
+    from bristle_spark.multimodal import png as png_codec
+
+    src = df.select(F.col(key_col), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                t = str(text).encode()
+                pixels = b"".join(
+                    _hl.md5(t + str(i).encode()).digest() for i in range(16)
+                )
+                payloads.append(
+                    png_codec.encode_png(
+                        pixels, 16, 16,
+                        filter_type=filter_type,
+                        compress_level=compress_level,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": 16, "height": 16, "format": "png-grey8"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("px_hex", T.StringType()),
+    ]
+)
+
+
+def pixel_stats(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
+    """Decode the payload and emit per-image pixel statistics plus the
+    full decoded buffer as hex — the byte-exact witness that the decode
+    path (container parse, inflate, unfilter) recovered the pixels. The
+    batch's pixel buffers concatenate into ONE flat numpy array (per-row
+    reductions via bincount over repeated row ids, no Python loop over
+    bytes); partition-local mapInPandas, zero shuffles."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
+            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
+            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
+            n = len(decoded)
+            lengths = np.fromiter(
+                (len(d) for d in decoded), dtype=np.int64, count=n
+            )
+            flat = np.frombuffer(b"".join(decoded), dtype=np.uint8)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            sums = np.bincount(row_ids, weights=flat, minlength=n)
+            means = np.divide(
+                sums, lengths, out=np.zeros(n, dtype=np.float64),
+                where=lengths > 0,
+            )
+            mins = np.full(n, 255, dtype=np.int64)
+            maxs = np.zeros(n, dtype=np.int64)
+            np.minimum.at(mins, row_ids, flat)
+            np.maximum.at(maxs, row_ids, flat)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": widths.astype(np.int32),
+                    "height": heights.astype(np.int32),
+                    "n_pixels": lengths,
+                    "px_mean": means,
+                    "px_min": mins.astype(np.int32),
+                    "px_max": maxs.astype(np.int32),
+                    "px_hex": [d.hex() for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:

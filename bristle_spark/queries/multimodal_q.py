@@ -517,3 +517,64 @@ def m_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round("zcr", 6).alias("zcr"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_PNG_PIXEL_STATS_ORACLE = f"""
+    WITH {_BYTES_CTES}
+    SELECT doc_id,
+           CAST(16 AS INT)     AS width,
+           CAST(16 AS INT)     AS height,
+           CAST(256 AS BIGINT) AS n_pixels,
+           list_sum(bytes) / 256.0 AS px_mean,
+           CAST(list_min(bytes) AS INT) AS px_min,
+           CAST(list_max(bytes) AS INT) AS px_max,
+           hx AS px_hex
+    FROM f
+    ORDER BY doc_id
+"""
+
+
+@register("m_png_pixel_stats", oracle=_PNG_PIXEL_STATS_ORACLE)
+def m_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image pipeline through a REAL codec (the m_wav_audio_features
+    move for images, VERDICT r10 ask #3): the deterministic 256
+    md5-derived pixels are encoded as a genuine 16x16 greyscale PNG —
+    Paeth-filtered, fully DEFLATEd — and the kernel decodes it with the
+    repo's stdlib codec (multimodal/png.py: chunk CRC verification,
+    zlib inflate, all-five-filter scanline reconstruction). The decoded
+    buffer is emitted as hex, so the oracle's independent hex-side
+    pixel derivation verifies the encode->decode roundtrip BYTE-EXACT:
+    any IDAT framing, inflate, or unfilter mistake is a hash mismatch.
+
+    px_mean is sum/256 — a power-of-two division, exact in IEEE double
+    on both sides. Scale shape: partition-local mapInPandas over Arrow
+    batches end to end (payload wrap and decode+stats), zero shuffles —
+    the same plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    return multimodal.pixel_stats(payloads, decode_backend="png").orderBy("doc_id")
+
+
+@register("m_png_resize", oracle=_RESIZE_ORACLE)
+def m_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_resize driven through the real PNG codec: identical pooling
+    kernel, identical oracle (the pixels are the same hex-derivable 256
+    bytes — only the container differs), but the decode in the hot path
+    is a genuine PNG parse (multimodal/png.py) instead of the fake
+    backend. A correct decode must recover byte-identical pixels, so
+    the unchanged _RESIZE_ORACLE doubles as the codec's witness.
+
+    Scale shape: identical to m_resize — one partition-local
+    mapInPandas pass, zero shuffles; the container parse adds a fixed
+    per-payload cost inside the same batch loop."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    resized = multimodal.resize(payloads, out_width=8, out_height=8,
+                                decode_backend="png")
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.length("resized").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    ).orderBy("doc_id")

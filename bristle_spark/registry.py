@@ -42,85 +42,85 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 
 # The driver's correctness harness grades the FIRST 50 entries of
-# ``queries()`` in iteration order.  Round-10 rotation (VERDICT r9 ask
-# #1): the 9 keys whose round-7 oracle promotion (batch-replay /
-# hex-side re-derivation) has never been driver-graded take the front
-# slots — their last driver row (r6) graded them rows-only, so this
-# window converts the promotion into hard CORRECTNESS truth.  Next the
-# two planned rotate-backs (r_string_funcs / r_date_funcs, queued here
-# since round 9), then freshness ballast: with all 201 keys holding a
-# green row, the highest-value remaining slots go to the STALEST keys —
-# the round-2 / round-4 / round-5 cohorts whose last driver row is now
-# 5-8 rounds old.  Everything rotated out keeps local oracle-parity
-# coverage (test_oracle_parity.py at sf0.001/0.01/0.1).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the 9 stale-oracle keys (VERDICT r9 ask #1): oracle promoted
-    # --- in r7/r8, last driver row r6 was rows-only ---
-    "m_binary_features",
-    "m_frame_sample",
-    "m_resize",
-    "m_audio_features",
-    "s_session_window",
-    "s_stateful_totals",
-    "s_stream_dedup",
-    "s_stream_dedup_watermark",
-    "s_stream_join",
-    # --- planned rotate-backs (yielded their r9 slots to the round-9
-    # --- new keys; queued for r10 since then) ---
-    "r_string_funcs",
-    "r_date_funcs",
-    # --- round-10 additions (each needs its first driver row) ---
-    "r_percentile_disc",
-    "r_window_funnel",
-    "l_dedup_band_stats",
-    "l_domain_cap",
-    "r_year_over_year",
-    "r_cohort_ltv",
-    "l_tokenizer_fertility",
-    "l_skipgram_cooccurrence",
-    "r_rfm_segments",
-    "r_seasonality_index",
-    "r_time_to_convert",
-    "l_vocab_coverage",
-    "l_js_divergence",
-    "l_ndcg_eval",
-    "s_stream_histogram_quantiles",
-    "m_wav_audio_features",
-    # --- freshness ballast (anything past slot 50 falls outside the
-    # --- driver window but keeps local oracle-parity coverage) ---
-    # --- freshness ballast: the entire last-checked-in-round-2 cohort
-    # --- (oldest rows in the registry, 8 rounds stale) ---
-    "l_sessionize",
-    "r_agg_collect",
-    "r_arg_max",
-    "r_asof_join",
-    "r_conditional_agg",
-    "r_cross_join",
-    "r_cube",
-    "r_exists_subquery",
-    "r_funnel",
-    "r_grouping_sets",
-    "r_histogram",
-    "r_join_full",
-    "r_percentiles",
-    "r_pivot",
-    "r_range_join",
-    "r_rollup_cascade",
-    "r_scalar_subquery",
-    "r_skew_salted_agg",
-    "r_stats_agg",
-    "r_window_distribution",
-    "r_window_lag",
-    "r_window_range_frame",
-    # --- the round-4 cohort (6 rounds stale; 5 of the 9 yielded their
-    # --- slots to the third-wave round-10 additions — first driver rows
-    # --- for new keys outrank re-confirmations of locally-green ones) ---
-    "l_fingerprint",
+# ``queries()`` in iteration order.  Round-11 rotation (VERDICT r10 ask
+# #1), policy codified in tests/test_driver_window.py: (1) keys with NO
+# driver row ever lead the window, (2) then keys whose query plan
+# changed after their last driver grade, (3) then the window drains
+# strictly oldest-first over the oracle-backed registry (computed from
+# the committed CORRECTNESS_r*.json history).  Everything rotated out
+# keeps local oracle-parity coverage (test_oracle_parity.py at
+# sf0.001/0.01/0.1, scripts/verify_all.py every round).
+
+# keys whose query function was touched in THIS round after their last
+# driver grade — the rotation policy forces them into the next window.
+# Round 11: 996b8b2 (r10) persisted the counts frames consumed by these
+# three; their last driver row (r8) predates that plan change.
+PLAN_CHANGED_KEYS: tuple[str, ...] = (
+    "l_pmi_bigrams",
+    "l_bigram_logprob",
+    "l_kneser_ney",
 )
-# NOTE: the round-5 cohort (l_ann_ivf, l_ann_lsh, l_dedup_minhash,
-# l_dedup_simhash) yielded its ballast slots to the four second-wave
-# round-10 additions; all four keep local oracle-parity coverage AND
-# the scale-shape gates (test_scale_shapes.py covers three of them).
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- (1) never driver-graded: r_data_profile landed after the r10
+    # --- window was pinned; the two m_png_* keys are new this round ---
+    "r_data_profile",
+    "m_png_pixel_stats",
+    "m_png_resize",
+    # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
+    "l_pmi_bigrams",
+    "l_bigram_logprob",
+    "l_kneser_ney",
+    # --- (3) oldest-first drain: the round-4 cohort (7 rounds stale) ---
+    "l_simhash",
+    "l_lang_id",
+    "l_quality_score",
+    "l_token_count",
+    "l_chunk_documents",
+    "l_tfidf_top_terms",
+    "l_sample_hash",
+    "l_train_val_test",
+    # --- round-5 cohort ---
+    "l_dedup_minhash",
+    "l_dedup_simhash",
+    "l_ann_lsh",
+    "l_ann_ivf",
+    # --- round-6 cohort (all 19 oracle-backed r6 keys) ---
+    "l_heavy_hitters",
+    "r_retention",
+    "r_unpivot",
+    "t_decimal_math",
+    "t_null_semantics",
+    "l_dedup_ngram_jaccard",
+    "l_dedup_clusters",
+    "l_feature_hash_embedding",
+    "l_repetition_score",
+    "l_contamination_ngram",
+    "l_cluster_representatives",
+    "l_ngram_counts",
+    "l_clean_funnel",
+    "l_unigram_logprob",
+    "l_zipf_slope",
+    "l_cross_snapshot_dedup",
+    "l_duplicate_passages",
+    "l_pack_sequences",
+    "l_ann_knn_join",
+    "l_ann_ivf_nprobe",
+    "l_centroid_by_label",
+    "l_knn_eval",
+    "l_ann_recall_eval",
+    # --- round-7 cohort (9 of 30 oracle-backed; the rest stay queued
+    # --- for round 12 and keep local parity coverage meanwhile) ---
+    "r_distinct_count",
+    "r_join_multi",
+    "r_join_semi_anti",
+    "r_join_outer",
+    "r_window_running",
+    "r_robust_stats",
+    "r_attribution",
+    "t_bool_to_int",
+    "t_enum_codes",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,69 +1,58 @@
-"""The driver's correctness harness grades the FIRST 50 queries() entries.
+"""The driver's correctness harness grades the FIRST 50 queries()
+entries. These tests CODIFY the rotation policy (VERDICT r10 ask #2)
+instead of pinning one round's hand-built list:
 
-These tests pin the registration order. Round-10 rotation (VERDICT r9
-#1): the 9 keys whose round-7 oracle promotion has never been
-driver-graded take the front slots, then the two planned rotate-backs
-(r_string_funcs / r_date_funcs), then freshness ballast — the stalest
-cohorts (last driver row in rounds 2/4/5) — and finally the four
-round-10 additions, each needing its first driver row. Every key
-rotated out keeps local oracle-parity coverage via
-test_oracle_parity.py.
+1. every registered key with no driver row in any committed
+   CORRECTNESS_r*.json must be in the window (first driver rows outrank
+   everything);
+2. every key in registry.PLAN_CHANGED_KEYS (query function touched
+   after its last driver grade) must be in the window;
+3. the remaining slots drain strictly oldest-first over the
+   oracle-backed registry: no oracle-backed key OUTSIDE the window may
+   be strictly staler than a non-priority key INSIDE it.
+
+Staleness is computed from the committed CORRECTNESS history, so the
+suite fails the moment a new CORRECTNESS file lands and the pinned
+window no longer satisfies the policy — the next rotation is forced,
+not optional. Keys rotated out keep local oracle-parity coverage via
+test_oracle_parity.py and scripts/verify_all.py.
 """
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
 
 from bristle_spark import registry
 
-# oracle promoted in r7/r8 (batch-replay / hex-side re-derivation) but
-# last driver-graded in r6 as rows-only — VERDICT r9 "What's wrong" #1
-STALE_ORACLE_KEYS = {
-    "m_binary_features", "m_frame_sample", "m_resize", "m_audio_features",
-    "s_session_window", "s_stateful_totals", "s_stream_dedup",
-    "s_stream_dedup_watermark", "s_stream_join",
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# yielded their round-9 slots to the r9 new keys; queued for r10 since
-ROTATE_BACK_KEYS = {"r_string_funcs", "r_date_funcs"}
 
-# freshness ballast: every key whose last driver row is round 2 (the
-# oldest cohort in the registry)
-ROUND2_COHORT = {
-    "l_sessionize", "r_agg_collect", "r_arg_max", "r_asof_join",
-    "r_conditional_agg", "r_cross_join", "r_cube", "r_exists_subquery",
-    "r_funnel", "r_grouping_sets", "r_histogram", "r_join_full",
-    "r_percentiles", "r_pivot", "r_range_join", "r_rollup_cascade",
-    "r_scalar_subquery", "r_skew_salted_agg", "r_stats_agg",
-    "r_window_distribution", "r_window_lag", "r_window_range_frame",
-}
+def _last_graded() -> dict[str, int]:
+    """key -> last round with ANY driver row, from committed history."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for key in json.load(fh):
+                last[key] = max(last.get(key, 0), rnd)
+    return last
 
-# last driver row round 4 (5 of the original 9 yielded their slots to
-# the third-wave round-10 additions; the displaced keys keep local
-# oracle-parity coverage)
-ROUND4_COHORT = {
-    "l_fingerprint",
-}
 
-# brand-new in round 10 -> each needs its first driver row.  The
-# second wave (YoY, cohort LTV, tokenizer fertility, skip-gram PMI)
-# displaced the round-5 ballast cohort (l_ann_ivf, l_ann_lsh,
-# l_dedup_minhash, l_dedup_simhash) — those keep local oracle-parity
-# coverage and the scale-shape gates.
-NEW_R10_KEYS = {
-    "r_percentile_disc",      # exact PERCENTILE_DISC per group
-    "r_window_funnel",        # ClickHouse windowFunnel semantics
-    "l_dedup_band_stats",     # LSH band diagnostics for minhash dedup
-    "l_domain_cap",           # per-domain frequency capping (FineWeb-style)
-    "r_year_over_year",       # gap-safe period-over-period growth
-    "r_cohort_ltv",           # cohort lifetime-value curve
-    "l_tokenizer_fertility",  # tokens-per-word / chars-per-token by lang
-    "l_skipgram_cooccurrence",  # word2vec-style windowed PMI
-    "r_rfm_segments",         # threshold-bucketed RFM cube
-    "r_seasonality_index",    # multiplicative monthly seasonality
-    "r_time_to_convert",      # first-view -> first-purchase latency
-    "l_vocab_coverage",       # top-k vocabulary token coverage
-    "l_js_divergence",        # source-pair Jensen-Shannon divergence
-    "l_ndcg_eval",            # NDCG@k of IVF retrieval vs exact
-    "s_stream_histogram_quantiles",  # mergeable histogram quantile sketch
-    "m_wav_audio_features",   # audio features through a REAL wav codec
-}
+@pytest.fixture(scope="module")
+def specs():
+    return registry.all_specs()
+
+
+@pytest.fixture(scope="module")
+def last_graded():
+    graded = _last_graded()
+    assert graded, "no committed CORRECTNESS history found"
+    return graded
 
 
 def test_priority_list_is_exactly_fifty():
@@ -71,91 +60,95 @@ def test_priority_list_is_exactly_fifty():
     assert len(set(registry.DRIVER_PRIORITY)) == 50
 
 
-def test_stale_oracle_keys_all_in_window():
-    """The whole point of the round-10 rotation: every key whose oracle
-    promotion lacks a hard driver row gets one this round."""
-    assert STALE_ORACLE_KEYS <= set(registry.DRIVER_PRIORITY)
+def test_first_fifty_is_exactly_the_priority_list(specs):
+    assert list(specs)[:50] == list(registry.DRIVER_PRIORITY)
 
 
-def test_stale_oracle_keys_lead_the_window():
-    """They must sit at the very front: the driver grades in order, so
-    an early abort still covers the highest-value keys."""
-    assert set(registry.DRIVER_PRIORITY[:9]) == STALE_ORACLE_KEYS
+def test_priority_keys_all_registered(specs):
+    assert [k for k in registry.DRIVER_PRIORITY if k not in specs] == []
 
 
-def test_rotate_back_keys_in_window():
-    assert ROTATE_BACK_KEYS <= set(registry.DRIVER_PRIORITY)
+def test_never_graded_keys_lead_the_window(specs, last_graded):
+    """Policy rule 1: a key without a single hard driver row is the
+    highest-value slot in the registry — all such keys must be in the
+    window, ahead of every re-confirmation."""
+    never = [k for k in specs if k not in last_graded]
+    window = set(registry.DRIVER_PRIORITY)
+    missing = [k for k in never if k not in window]
+    assert missing == [], f"never-driver-graded keys outside the window: {missing}"
+    # and they sit at the very front: the driver grades in order, so an
+    # early abort still covers the highest-value keys
+    n = len(never)
+    assert set(registry.DRIVER_PRIORITY[:n]) == set(never)
 
 
-def test_new_r10_keys_all_in_window():
-    assert NEW_R10_KEYS <= set(registry.DRIVER_PRIORITY)
+def test_plan_changed_keys_in_window(specs, last_graded):
+    """Policy rule 2: a grade that predates the key's current plan is
+    not evidence about the current plan — re-grade next window."""
+    for key in registry.PLAN_CHANGED_KEYS:
+        assert key in specs, f"PLAN_CHANGED_KEYS names unknown key {key}"
+        assert key in registry.DRIVER_PRIORITY, (
+            f"{key} changed after its last driver grade but is not in "
+            f"the next window"
+        )
 
 
-def test_first_fifty_covers_the_round10_window():
-    first50 = list(registry.all_specs())[:50]
-    assert set(first50) == (
-        STALE_ORACLE_KEYS | ROTATE_BACK_KEYS | ROUND2_COHORT
-        | ROUND4_COHORT | NEW_R10_KEYS
+def test_window_drains_oldest_first(specs, last_graded):
+    """Policy rule 3: among oracle-backed keys with a driver row, no key
+    OUTSIDE the window may be strictly staler than a non-priority key
+    INSIDE it. (Rows-only keys are exempt: the window is reserved for
+    hash-gradable slots — see test_every_window_key_is_oracle_backed.)"""
+    window = set(registry.DRIVER_PRIORITY)
+    priority = set(registry.PLAN_CHANGED_KEYS)
+    inside_rounds = [
+        last_graded[k]
+        for k in window
+        if k in last_graded and k not in priority
+    ]
+    outside_rounds = {
+        k: last_graded[k]
+        for k, spec in specs.items()
+        if k not in window and spec.oracle is not None and k in last_graded
+    }
+    if not inside_rounds or not outside_rounds:
+        return
+    newest_inside = max(inside_rounds)
+    stalest_outside = min(outside_rounds.values())
+    assert newest_inside <= stalest_outside, (
+        f"window holds a key last graded r{newest_inside} while "
+        f"{[k for k, r in outside_rounds.items() if r == stalest_outside][:5]} "
+        f"(last graded r{stalest_outside}) wait outside — drain oldest-first"
     )
-    assert first50 == list(registry.DRIVER_PRIORITY)
 
 
-def test_priority_keys_all_registered():
-    specs = registry.all_specs()
-    missing = [k for k in registry.DRIVER_PRIORITY if k not in specs]
-    assert missing == []
-
-
-def test_new_r10_keys_are_oracle_backed():
-    specs = registry.all_specs()
-    for key in NEW_R10_KEYS:
-        assert specs[key].oracle is not None, key
-
-
-def test_beyond_window_queries_still_registered():
-    """Rotated-out queries stay registered (just past the driver window).
-    Spot-checks every round-9-window key plus a spread of older ones."""
-    specs = list(registry.all_specs())
-    for key in ("r_weighted_median", "r_pareto_share", "r_market_basket",
-                "r_cusum_changepoint", "l_edit_distance_dedup",
-                "l_vocab_growth", "l_count_min",
-                "l_quality_classifier_train", "l_pagerank",
-                "l_uncertainty_sample", "r_sliding_distinct",
-                "s_stream_count_min", "m_patchify",
-                "l_cluster_size_histogram", "l_poisson_bootstrap",
-                "r_bitmap_distinct", "s_stream_bloom_merge",
-                "l_pca_project", "r_time_weighted_avg", "l_rank_fusion",
-                "l_source_overlap", "r_markov_transitions", "r_theil_sen",
-                "r_ols_by_group", "r_welch_ttest", "l_ks_test",
-                "l_chi2_terms", "r_benford", "r_gini",
-                "l_dedup_sorted_neighborhood", "r_top_paths",
-                "l_sparse_cosine_topk", "r_incremental_rollup",
-                "l_minhash_error", "r_ttl_rollup", "r_mv_late_update",
-                "r_sequence_match", "t_project_rename",
-                "t_cast_int_widths", "r_filter_predicates", "r_hash_agg",
-                "r_join_inner", "r_join_broadcast", "r_sort_limit_topk",
-                "r_window_rank", "r_rollup", "r_set_ops",
-                "r_tumbling_window", "l_dedup_exact", "l_text_stats",
-                "t_bool_to_int", "t_enum_codes", "t_null_default",
-                "r_join_outer", "r_join_multi", "r_join_semi_anti",
-                "r_window_running", "s_microbatch_flush",
-                "s_drop_policies", "s_proto_roundtrip", "t_array_ops",
-                "l_similarity_cosine", "s_late_data", "t_timestamp_epoch",
-                "t_json_props_extract", "t_map_to_arrays",
-                "l_dedup_ngram_jaccard", "l_dedup_embedding",
-                "l_dedup_clusters", "m_phash_dedup", "l_bpe_merges",
-                "l_ivf_train_kmeans", "r_approx_distinct",
-                "r_approx_percentiles", "r_hll_merge", "l_abtt_residual",
-                "t_decimal_math", "t_null_semantics"):
-        assert key in specs
-        assert specs.index(key) >= 50
-
-
-def test_every_window_key_is_oracle_backed():
-    """Round-10 claim worth pinning: all 50 driver-window keys carry a
-    DuckDB oracle, so CORRECTNESS_r10 grades 50 hash-matches — no
-    rows-only slots. A future rotation placing a rows-only key in the
-    window should be a deliberate, visible choice (update this test)."""
-    specs = registry.all_specs()
+def test_every_window_key_is_oracle_backed(specs):
+    """All 50 driver-window keys carry a DuckDB oracle, so every graded
+    row is a hash-match — no rows-only slots. Placing a rows-only key
+    in the window should be a deliberate, visible choice (update this
+    test and the drain-policy exemption together)."""
     rows_only = [k for k in registry.DRIVER_PRIORITY if specs[k].oracle is None]
     assert rows_only == []
+
+
+def test_beyond_window_queries_still_registered(specs):
+    """Rotated-out queries stay registered (just past the driver
+    window) — spot-checks the r10 window plus a spread of older keys."""
+    ordered = list(specs)
+    for key in ("m_binary_features", "m_frame_sample", "m_resize",
+                "m_audio_features", "s_session_window", "s_stateful_totals",
+                "s_stream_dedup", "s_stream_dedup_watermark", "s_stream_join",
+                "r_string_funcs", "r_date_funcs", "r_percentile_disc",
+                "r_window_funnel", "l_dedup_band_stats", "l_domain_cap",
+                "r_year_over_year", "r_cohort_ltv", "l_tokenizer_fertility",
+                "l_skipgram_cooccurrence", "r_rfm_segments",
+                "r_seasonality_index", "r_time_to_convert",
+                "l_vocab_coverage", "l_js_divergence", "l_ndcg_eval",
+                "s_stream_histogram_quantiles", "m_wav_audio_features",
+                "l_sessionize", "r_agg_collect", "r_arg_max", "r_asof_join",
+                "r_cube", "r_funnel", "r_grouping_sets", "r_pivot",
+                "r_range_join", "r_skew_salted_agg", "r_window_lag",
+                "l_fingerprint", "r_hash_agg", "r_join_broadcast",
+                "l_dedup_exact", "l_text_stats", "l_count_min",
+                "l_pagerank", "m_patchify", "r_weighted_median"):
+        assert key in specs
+        assert ordered.index(key) >= 50, key
