@@ -29,6 +29,7 @@ horizontally; nothing here touches Spark.
 from __future__ import annotations
 
 import socket
+import ssl
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -44,6 +45,62 @@ GRPC_OK = 0
 GRPC_UNKNOWN = 2
 GRPC_UNIMPLEMENTED = 12
 GRPC_INTERNAL = 13
+
+
+def make_server_tls_context(certfile: str, keyfile: str) -> ssl.SSLContext:
+    """Stdlib TLS context for the gRPC front door: TLS >= 1.2 with ALPN
+    offering exactly ``h2`` — what a production bristle client's stock
+    gRPC channel negotiates (gRPC-over-HTTP/2 requires ALPN h2 on TLS;
+    RFC 7540 §3.3)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+    ctx.load_cert_chain(certfile, keyfile)
+    ctx.set_alpn_protocols(["h2"])
+    return ctx
+
+
+def make_client_tls_context(cafile: str | None = None) -> ssl.SSLContext:
+    """Client twin of make_server_tls_context. With ``cafile`` the
+    server certificate is verified against it (the production shape);
+    without, verification is disabled (loopback tests with a throwaway
+    self-signed cert)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+    if cafile is not None:
+        ctx.load_verify_locations(cafile)
+    else:
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    ctx.set_alpn_protocols(["h2"])
+    return ctx
+
+
+def _tls_connect(
+    host: str,
+    port: int,
+    timeout: float,
+    tls_context: ssl.SSLContext | None,
+    server_hostname: str | None,
+) -> socket.socket:
+    """Create the client connection, TLS-wrapped with ALPN ``h2``
+    enforced when a context is given."""
+    conn = socket.create_connection((host, port), timeout=timeout)
+    if tls_context is None:
+        return conn
+    try:
+        tls = tls_context.wrap_socket(
+            conn, server_hostname=server_hostname or host
+        )
+        if tls.selected_alpn_protocol() != "h2":
+            tls.close()
+            raise ConnectionError(
+                "server did not negotiate ALPN h2 (got "
+                f"{tls.selected_alpn_protocol()!r})"
+            )
+        return tls
+    except ssl.SSLError as exc:
+        conn.close()
+        raise ConnectionError(f"TLS handshake failed: {exc}") from exc
 
 
 def frame_message(msg: bytes) -> bytes:
@@ -100,6 +157,7 @@ class GrpcIngestService:
         max_in_flight: int = 12,  # reference NewStreamingClientSession(stream, 12)
         max_batch_len: int = 10_000,
         backoff_ms: int = 0,
+        tls_context: ssl.SSLContext | None = None,
     ) -> None:
         self.server = server
         self.host = host
@@ -108,6 +166,10 @@ class GrpcIngestService:
         # when > 0: an admission rejection also sends a Backoff advisory
         # (same knob as IngestSocketService)
         self.backoff_ms = backoff_ms
+        # when set: every accepted connection handshakes TLS with ALPN
+        # h2 before any HTTP/2 bytes (make_server_tls_context); None =
+        # cleartext h2c with prior knowledge, the loopback default
+        self.tls_context = tls_context
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -156,6 +218,25 @@ class GrpcIngestService:
     # -- connection handling
 
     def _serve_connection(self, conn: socket.socket) -> None:
+        if self.tls_context is not None:
+            # handshake in the per-connection thread so a slow or
+            # misbehaving peer never blocks the accept loop
+            try:
+                conn = self.tls_context.wrap_socket(conn, server_side=True)
+            except (ssl.SSLError, OSError):
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
+            if conn.selected_alpn_protocol() != "h2":
+                # RFC 7540 §3.3: h2 over TLS REQUIRES the ALPN token;
+                # a client that negotiated nothing gets no HTTP/2 bytes
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
         h2c = h2.H2Connection(client_side=False)
         lock = threading.Lock()
         rpcs: dict[int, _Rpc] = {}
@@ -503,9 +584,15 @@ class GrpcIngestClient:
     server's Huffman decode path with realistically-compressed headers."""
 
     def __init__(
-        self, host: str, port: int, timeout: float = 30.0, huffman: bool = True
+        self,
+        host: str,
+        port: int,
+        timeout: float = 30.0,
+        huffman: bool = True,
+        tls_context: ssl.SSLContext | None = None,
+        server_hostname: str | None = None,
     ) -> None:
-        self.conn = socket.create_connection((host, port), timeout=timeout)
+        self.conn = _tls_connect(host, port, timeout, tls_context, server_hostname)
         self._h2 = h2.H2Connection(client_side=True)
         self._h2._encoder.huffman = huffman
         self._h2.initiate()
@@ -642,6 +729,8 @@ def grpc_write_batch_unary(
     payloads: list[tuple[str, list[bytes]]],
     key: str = "",
     timeout: float = 30.0,
+    tls_context: ssl.SSLContext | None = None,
+    server_hostname: str | None = None,
 ) -> tuple[int, int]:
     """One unary ``WriteBatch`` call (bristle.proto:119) over a fresh
     HTTP/2 connection — the stand-in for a stock unary gRPC client, the
@@ -650,7 +739,7 @@ def grpc_write_batch_unary(
     server's grpc-message on a non-OK grpc-status, mirroring how a stock
     client surfaces the reference's aborted-request error
     (ingest_service.go:112-114)."""
-    conn = socket.create_connection((host, port), timeout=timeout)
+    conn = _tls_connect(host, port, timeout, tls_context, server_hostname)
     try:
         h2c = h2.H2Connection(client_side=True)
         h2c.initiate()
