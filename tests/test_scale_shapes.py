@@ -57,6 +57,12 @@ SCALE_FAMILY = [
     # delta-pruned MV repair
     "l_edit_distance_dedup",
     "r_mv_late_update",
+    # round-11 (VERDICT r10 ask #6): the r10 heavy additions — bounded
+    # broadcast-probe NDCG, source-pair JS divergence, row-local
+    # skip-gram pair generation over a persisted counts frame
+    "l_ndcg_eval",
+    "l_js_divergence",
+    "l_skipgram_cooccurrence",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -68,6 +74,10 @@ PLAN_PIN_FAMILY = [
     "l_edit_distance_dedup",
     "r_market_basket",
     "r_mv_late_update",
+    # round-11 (VERDICT r10 ask #6)
+    "l_ndcg_eval",
+    "l_js_divergence",
+    "l_skipgram_cooccurrence",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
