@@ -174,6 +174,7 @@ def attach_png_payload(
     *,
     filter_type: int = 4,
     compress_level: int = 9,
+    noise_from_key: bool = False,
 ) -> DataFrame:
     """Deterministic REAL-PNG image payload: the same iterated-md5 256
     bytes as attach_fake_payload, encoded as a genuine 16x16 greyscale
@@ -184,7 +185,14 @@ def attach_png_payload(
     mapInPandas shape as the kernels that will consume it (partition-
     local, zero shuffles). The pixel derivation is hex-reproducible, so
     oracles re-derive expected pixels from the text side and any
-    encode/decode mistake shows up as a hash mismatch."""
+    encode/decode mistake shows up as a hash mismatch.
+
+    ``noise_from_key=True`` applies m_phash_dedup's one-byte decode-
+    noise convention BEFORE encoding (pixel[key % 200] = (key % 4)*63):
+    a container cannot be byte-spliced after the fact (chunk CRCs), so
+    the perturbation that models decode/re-encode noise moves to the
+    pixel domain — the decoded pixels still equal the fake-backend
+    perturbed bytes, keeping the phash oracle derivation unchanged."""
     import hashlib as _hl
 
     from bristle_spark.multimodal import png as png_codec
@@ -210,14 +218,18 @@ def attach_png_payload(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf["__text"]:
+            for key, text in zip(pdf[key_col], pdf["__text"]):
                 t = str(text).encode()
-                pixels = b"".join(
-                    _hl.md5(t + str(i).encode()).digest() for i in range(16)
+                pixels = bytearray(
+                    b"".join(
+                        _hl.md5(t + str(i).encode()).digest() for i in range(16)
+                    )
                 )
+                if noise_from_key:
+                    pixels[int(key) % 200] = (int(key) % 4) * 63
                 payloads.append(
                     png_codec.encode_png(
-                        pixels, 16, 16,
+                        bytes(pixels), 16, 16,
                         filter_type=filter_type,
                         compress_level=compress_level,
                     )

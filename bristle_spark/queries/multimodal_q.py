@@ -4,8 +4,9 @@ frame sampling. Since round 7 m_binary_features, m_frame_sample,
 m_resize, and m_audio_features all carry full DuckDB oracles: the
 md5-derived payload is recomputable from hex strings SQL-side, and
 binary outputs are emitted as lowercase hex so the oracle checks full
-content. m_phash_dedup stays rows-only (the 64-bit pooled-bit-packing
-hash is not reasonably SQL-expressible) with determinism unit tests.
+content (m_phash_dedup too: HUGEINT bit packing replays the 64-bit
+hash SQL-side). The m_png_* keys drive the same kernels through the
+REAL stdlib PNG codec (multimodal/png.py) with unchanged oracles.
 """
 
 from __future__ import annotations
@@ -211,44 +212,10 @@ _PHASH_ORACLE = """
 """
 
 
-@register("m_phash_dedup", oracle=_PHASH_ORACLE)
-def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate detection over image payloads —
-    the multimodal dedup bridge (same banding discipline as
-    l_dedup_simhash, applied to pixels instead of tokens).
-
-    The synthetic corpus has no duplicate images, so near-dups are
-    planted deterministically: every run of 4 doc_ids shares one
-    canonical payload, and each variant gets one byte overwritten (the
-    decode/re-encode noise a real pipeline sees), which moves the 64-bit
-    average-pool pHash by at most a couple of bits. Then: 4x16-bit bands
-    -> candidate pairs that share a band (pigeonhole-exact for
-    Hamming <= 3) -> bit_count(xor) verify. No all-pairs anywhere: the
-    shuffle keys are (band_idx, band_val) and candidates carry only ids,
-    so the shape survives a billion images.
-
-    Oracle-backed (round 7): DuckDB replays the whole derivation from
-    the hex-side payload — canonical-text join, one-byte splice, 2x2
-    pooling, bit packing via HUGEINT (wrapped to the signed BIGINT
-    Spark's uint64 weights produce), banding by HUGEINT division, and
-    the bit_count(xor) verify."""
-    d = load_table(spark, sf_dir, "documents")
-    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
-    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
-    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
-    payloads = multimodal.attach_fake_payload(docs, text_col="ctext")
-    # one-byte decode noise, position and value keyed by doc_id
-    noise = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 63), 2, "0"))
-    perturbed = payloads.select(
-        "doc_id",
-        F.concat(
-            F.expr("substring(payload, 1, doc_id % 200)").cast("binary"),
-            noise,
-            F.expr("substring(payload, (doc_id % 200) + 2, 256)").cast("binary"),
-        ).alias("payload"),
-        "meta",
-    )
-    hashes = multimodal.phash(perturbed)
+def _phash_band_pairs(hashes: DataFrame) -> DataFrame:
+    """4x16-bit LSH banding + bit_count(xor) verify over a phash frame
+    (doc_id, phash) — shared by the fake-backend and real-PNG dedup
+    keys; pigeonhole-exact for Hamming <= PHASH_MAX_HAMMING."""
     bands = hashes.select(
         "doc_id",
         "phash",
@@ -290,6 +257,70 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("m_phash_dedup", oracle=_PHASH_ORACLE)
+def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over image payloads —
+    the multimodal dedup bridge (same banding discipline as
+    l_dedup_simhash, applied to pixels instead of tokens).
+
+    The synthetic corpus has no duplicate images, so near-dups are
+    planted deterministically: every run of 4 doc_ids shares one
+    canonical payload, and each variant gets one byte overwritten (the
+    decode/re-encode noise a real pipeline sees), which moves the 64-bit
+    average-pool pHash by at most a couple of bits. Then: 4x16-bit bands
+    -> candidate pairs that share a band (pigeonhole-exact for
+    Hamming <= 3) -> bit_count(xor) verify. No all-pairs anywhere: the
+    shuffle keys are (band_idx, band_val) and candidates carry only ids,
+    so the shape survives a billion images.
+
+    Oracle-backed (round 7): DuckDB replays the whole derivation from
+    the hex-side payload — canonical-text join, one-byte splice, 2x2
+    pooling, bit packing via HUGEINT (wrapped to the signed BIGINT
+    Spark's uint64 weights produce), banding by HUGEINT division, and
+    the bit_count(xor) verify."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
+    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
+    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+    payloads = multimodal.attach_fake_payload(docs, text_col="ctext")
+    # one-byte decode noise, position and value keyed by doc_id
+    noise = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 63), 2, "0"))
+    perturbed = payloads.select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(payload, 1, doc_id % 200)").cast("binary"),
+            noise,
+            F.expr("substring(payload, (doc_id % 200) + 2, 256)").cast("binary"),
+        ).alias("payload"),
+        "meta",
+    )
+    hashes = multimodal.phash(perturbed)
+    return _phash_band_pairs(hashes)
+
+
+@register("m_png_phash_dedup", oracle=_PHASH_ORACLE)
+def m_png_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_phash_dedup driven through the REAL PNG codec: identical
+    planted near-dups, identical banding and verify, identical oracle —
+    but each payload is a genuine Paeth-filtered DEFLATEd PNG and the
+    pHash kernel decodes it with the stdlib codec (multimodal/png.py).
+    The one-byte decode noise moves to the PIXEL domain before encoding
+    (a container cannot be byte-spliced without breaking chunk CRCs),
+    which the fake-backend derivation also models, so _PHASH_ORACLE's
+    hex-side replay is unchanged.
+
+    Scale shape: identical to m_phash_dedup — banded candidate joins on
+    (band_idx, band_val), never all-pairs; the codec adds a fixed
+    per-payload cost inside the partition-local phash pass."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
+    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
+    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+    pngs = multimodal.attach_png_payload(docs, text_col="ctext", noise_from_key=True)
+    hashes = multimodal.phash(pngs, decode_backend="png")
+    return _phash_band_pairs(hashes)
 
 
 _AUDIO_ORACLE = f"""

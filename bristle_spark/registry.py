@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_data_profile",
     "m_png_pixel_stats",
     "m_png_resize",
+    "m_png_phash_dedup",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -109,7 +110,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_centroid_by_label",
     "l_knn_eval",
     "l_ann_recall_eval",
-    # --- round-7 cohort (9 of 30 oracle-backed; the rest stay queued
+    # --- round-7 cohort (8 of 30 oracle-backed; the rest stay queued
     # --- for round 12 and keep local parity coverage meanwhile) ---
     "r_distinct_count",
     "r_join_multi",
@@ -119,7 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_robust_stats",
     "r_attribution",
     "t_bool_to_int",
-    "t_enum_codes",
 )
 
 
