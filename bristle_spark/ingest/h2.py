@@ -150,6 +150,9 @@ class _Stream:
     recv_closed: bool = False
     send_closed: bool = False
     reset: bool = False
+    # a field block was already delivered on this stream: the next one
+    # is trailers (no pseudo-fields allowed, RFC 9113 §8.1)
+    recv_headers: bool = False
     # data accepted by send_data but deferred by flow control
     pending: list[tuple[bytes, bool]] = field(default_factory=list)
     # trailers accepted while DATA was still flow-blocked; held raw
@@ -595,6 +598,18 @@ class H2Connection:
             # HEADERS after END_STREAM on a half-closed(remote) stream
             # (§5.1): STREAM_CLOSED, and no event reaches the RPC layer
             return self._reset_half_closed(st)
+        if not self._field_block_ok(headers, is_trailers=st.recv_headers):
+            # malformed field block (§8.2/§8.3): stream error — the
+            # request/trailers never reach the application layer
+            self._out += encode_frame(
+                RST_STREAM, 0, stream_id, PROTOCOL_ERROR.to_bytes(4, "big")
+            )
+            st.reset = True
+            st.recv_closed = st.send_closed = True
+            st.pending.clear()
+            self.streams.pop(stream_id, None)
+            return [StreamReset(stream_id, PROTOCOL_ERROR)]
+        st.recv_headers = True
         end = bool(flags & FLAG_END_STREAM)
         if end:
             st.recv_closed = True
@@ -602,6 +617,45 @@ class H2Connection:
         if st.reset:
             return []
         return [HeadersReceived(stream_id, headers, end)]
+
+    # pseudo-fields legal in the block types this endpoint receives
+    _REQUEST_PSEUDO = frozenset((b":method", b":scheme", b":path", b":authority"))
+    _RESPONSE_PSEUDO = frozenset((b":status",))
+    # connection-specific fields are forbidden in HTTP/2 (§8.2.2)
+    _CONNECTION_FIELDS = frozenset(
+        (b"connection", b"keep-alive", b"proxy-connection",
+         b"transfer-encoding", b"upgrade")
+    )
+
+    def _field_block_ok(
+        self, headers: list[tuple[bytes, bytes]], is_trailers: bool
+    ) -> bool:
+        """RFC 9113 §8.2/§8.3 malformed-field-block rules: lowercase
+        field names, pseudo-fields before regular fields and never in
+        trailers, only the defined pseudo-fields for the peer's role,
+        no duplicates among them, no connection-specific fields, and
+        ``te`` restricted to ``trailers``."""
+        allowed = (
+            self._RESPONSE_PSEUDO if self.client_side else self._REQUEST_PSEUDO
+        )
+        seen_regular = False
+        seen_pseudo: set[bytes] = set()
+        for name, value in headers:
+            if not name or any(0x41 <= b <= 0x5A for b in name):
+                return False  # empty or upper-case field name (§8.2.1)
+            if name.startswith(b":"):
+                if seen_regular or is_trailers:
+                    return False  # pseudo after regular / in trailers
+                if name not in allowed or name in seen_pseudo:
+                    return False
+                seen_pseudo.add(name)
+            else:
+                seen_regular = True
+                if name in self._CONNECTION_FIELDS:
+                    return False
+                if name == b"te" and value != b"trailers":
+                    return False
+        return True
 
     def _on_settings(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
         if stream_id != 0:

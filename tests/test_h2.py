@@ -556,3 +556,69 @@ def test_app_reset_stream_closes_and_noops_on_unknown():
             if f[0] == h2.RST_STREAM and f[1] == sid]
     assert rsts and int.from_bytes(rsts[0][2], "big") == h2.PROTOCOL_ERROR
     server.reset_stream(999)  # unknown: no-op, no crash
+
+
+@pytest.mark.parametrize(
+    "headers",
+    [
+        # upper-case field name (§8.2.1)
+        REQ + [(b"X-Custom", b"v")],
+        # pseudo-field after a regular field (§8.3)
+        [(b":method", b"POST"), (b"content-type", b"application/grpc"),
+         (b":path", b"/x")],
+        # response pseudo-field in a request
+        REQ + [(b":status", b"200")],
+        # duplicate pseudo-field
+        [(b":method", b"POST"), (b":method", b"POST"), (b":scheme", b"http"),
+         (b":path", b"/x")],
+        # connection-specific field (§8.2.2)
+        REQ + [(b"connection", b"keep-alive")],
+        # te with anything but "trailers"
+        [(b":method", b"POST"), (b":scheme", b"http"), (b":path", b"/x"),
+         (b"te", b"gzip")],
+    ],
+)
+def test_malformed_request_field_block_is_stream_error(headers):
+    """RFC 9113 §8.2/§8.3: a malformed field block is a PROTOCOL_ERROR
+    stream error — the request never reaches the application layer."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, headers, end_stream=True)
+    ev = server.receive_data(client.data_to_send())
+    assert not [e for e in ev if isinstance(e, HeadersReceived)]
+    assert [e for e in ev if isinstance(e, StreamReset)]
+    rsts = [f for f in _frames(bytes(server.data_to_send()))
+            if f[0] == h2.RST_STREAM and f[1] == sid]
+    assert rsts and int.from_bytes(rsts[0][2], "big") == h2.PROTOCOL_ERROR
+
+
+def test_pseudo_field_in_trailers_is_stream_error():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)  # stream stays open
+    server.receive_data(client.data_to_send())
+    ev = server.receive_data(
+        # trailers carrying a pseudo-field: malformed (§8.1)
+        client_block(client, sid, [(b":path", b"/again")], end=True)
+    )
+    assert not [e for e in ev if isinstance(e, HeadersReceived)]
+    assert [e for e in ev if isinstance(e, StreamReset)]
+
+
+def client_block(client, sid, headers, end=False) -> bytes:
+    client.send_headers(sid, headers, end_stream=end)
+    return bytes(client.data_to_send())
+
+
+def test_regular_only_trailers_still_delivered():
+    """gRPC-style trailers (grpc-status, no pseudo-fields) stay legal."""
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ)
+    server.receive_data(client.data_to_send())
+    ev = server.receive_data(
+        client_block(client, sid, [(b"grpc-status", b"0")], end=True)
+    )
+    delivered = [e for e in ev if isinstance(e, HeadersReceived)]
+    assert delivered and delivered[0].headers == [(b"grpc-status", b"0")]
+    assert delivered[0].end_stream
