@@ -63,6 +63,10 @@ SCALE_FAMILY = [
     "l_ndcg_eval",
     "l_js_divergence",
     "l_skipgram_cooccurrence",
+    # round-11 png-codec keys: partition-local codec passes + the
+    # banded phash join must stay partition-invariant
+    "m_png_pixel_stats",
+    "m_png_phash_dedup",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
