@@ -43,8 +43,21 @@ GRPC_CONTENT_TYPE = b"application/grpc"
 # gRPC status codes (status.proto — public gRPC API)
 GRPC_OK = 0
 GRPC_UNKNOWN = 2
+GRPC_RESOURCE_EXHAUSTED = 8
 GRPC_UNIMPLEMENTED = 12
 GRPC_INTERNAL = 13
+
+# stock gRPC's default max receive message size; a peer declaring a
+# larger length-prefix must not buffer unbounded bytes server-side
+MAX_RECV_MESSAGE = 4 * 1024 * 1024
+
+
+class MessageTooLarge(ValueError):
+    def __init__(self, declared: int) -> None:
+        super().__init__(
+            f"received message larger than max ({declared} vs. {MAX_RECV_MESSAGE})"
+        )
+        self.declared = declared
 
 
 def make_server_tls_context(certfile: str, keyfile: str) -> ssl.SSLContext:
@@ -117,6 +130,12 @@ def split_messages(buf: bytearray) -> list[bytes]:
         if buf[0] != 0:
             raise ValueError("compressed gRPC message without grpc-encoding")
         length = int.from_bytes(buf[1:5], "big")
+        if length > MAX_RECV_MESSAGE:
+            # reject on the PREFIX, before any bytes accumulate — the
+            # stock-gRPC RESOURCE_EXHAUSTED behavior, and the reason a
+            # 4 GiB declared length cannot buffer the server out of
+            # memory
+            raise MessageTooLarge(length)
         if len(buf) < 5 + length:
             break
         out.append(bytes(buf[5 : 5 + length]))
@@ -338,6 +357,12 @@ class GrpcIngestService:
             rpc.buf += ev.data
             try:
                 msgs = split_messages(rpc.buf)
+            except MessageTooLarge as exc:
+                self._finish(
+                    rpc, h2c, lock, flush_locked,
+                    GRPC_RESOURCE_EXHAUSTED, str(exc).encode(),
+                )
+                return
             except ValueError:
                 self._finish(
                     rpc, h2c, lock, flush_locked,

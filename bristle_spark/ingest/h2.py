@@ -65,10 +65,14 @@ FRAME_SIZE_ERROR = 0x6
 REFUSED_STREAM = 0x7
 CANCEL = 0x8
 COMPRESSION_ERROR = 0x9
+ENHANCE_YOUR_CALM = 0xB
 
 DEFAULT_WINDOW = 65_535
 MAX_WINDOW = (1 << 31) - 1
 DEFAULT_MAX_FRAME = 16_384
+# cap on an accumulated (HEADERS + CONTINUATION*) block: far above any
+# legitimate gRPC request's headers, far below a memory-exhaustion flood
+MAX_HEADER_BLOCK = 256 * 1024
 # advertised + locally-enforced SETTINGS_MAX_CONCURRENT_STREAMS: a
 # public-facing front door must bound per-connection stream state or a
 # misbehaving peer grows `streams` without limit (§5.1.2)
@@ -573,6 +577,13 @@ class H2Connection:
     ) -> list[object]:
         if self._hdr_stream is None or stream_id != self._hdr_stream:
             raise H2ConnectionError(PROTOCOL_ERROR, "unexpected CONTINUATION")
+        if len(self._hdr_buf) + len(payload) > MAX_HEADER_BLOCK:
+            # a CONTINUATION flood must not grow per-connection memory
+            # without bound: cap the accumulated block (the compressed
+            # analog of SETTINGS_MAX_HEADER_LIST_SIZE) and tear down
+            raise H2ConnectionError(
+                ENHANCE_YOUR_CALM, "header block exceeds the size cap"
+            )
         self._hdr_buf += payload
         if flags & FLAG_END_HEADERS:
             block = bytes(self._hdr_buf)

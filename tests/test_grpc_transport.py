@@ -720,3 +720,50 @@ def test_headers_replay_on_active_rpc_resets_stream(spark, three_table_server):
             assert extra_headers == 0, "response headers must not be re-sent"
         finally:
             conn.close()
+
+
+def test_oversized_message_prefix_is_resource_exhausted(spark, three_table_server):
+    """A 4 GiB declared length-prefix must terminate the RPC with
+    RESOURCE_EXHAUSTED on the PREFIX (stock-gRPC max-recv-message-size
+    behavior), never buffer toward it."""
+    import socket as socket_mod
+
+    from bristle_spark.ingest import h2 as h2m
+
+    with GrpcIngestService(three_table_server) as service:
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            h2c = h2m.H2Connection(client_side=True)
+            h2c.initiate()
+            sid = h2c.next_stream_id()
+            h2c.send_headers(
+                sid,
+                [
+                    (b":method", b"POST"), (b":scheme", b"http"),
+                    (b":path", gt.STREAMING_PATH),
+                    (b":authority", b"x"),
+                    (b"content-type", gt.GRPC_CONTENT_TYPE),
+                    (b"te", b"trailers"),
+                ],
+            )
+            # declared length 2^32-1, only a few real bytes behind it
+            h2c.send_data(sid, b"\x00\xff\xff\xff\xff" + b"x" * 64)
+            conn.sendall(h2c.data_to_send())
+            conn.settimeout(10)
+            status = None
+            while status is None:
+                chunk = conn.recv(65536)
+                assert chunk, "server closed without a grpc-status"
+                for ev in h2c.receive_data(chunk):
+                    if isinstance(ev, h2m.HeadersReceived):
+                        hdrs = dict(ev.headers)
+                        if b"grpc-status" in hdrs:
+                            status = int(hdrs[b"grpc-status"])
+                            message = hdrs.get(b"grpc-message", b"")
+                out = h2c.data_to_send()
+                if out:
+                    conn.sendall(out)
+            assert status == gt.GRPC_RESOURCE_EXHAUSTED
+            assert b"larger than max" in message
+        finally:
+            conn.close()

@@ -622,3 +622,19 @@ def test_regular_only_trailers_still_delivered():
     delivered = [e for e in ev if isinstance(e, HeadersReceived)]
     assert delivered and delivered[0].headers == [(b"grpc-status", b"0")]
     assert delivered[0].end_stream
+
+
+def test_continuation_flood_is_capped():
+    """An attacker streaming CONTINUATION frames must hit the 256 KiB
+    accumulated-block cap (connection error), not grow memory forever."""
+    client, server = handshake()
+    # HEADERS without END_HEADERS opens an accumulating block
+    server.receive_data(
+        encode_frame(h2.HEADERS, 0, 1, b"\x00" * 1000)
+    )
+    with pytest.raises(H2ConnectionError) as ei:
+        for _ in range(300):
+            server.receive_data(
+                encode_frame(h2.CONTINUATION, 0, 1, b"\x00" * 1024)
+            )
+    assert ei.value.code == h2.ENHANCE_YOUR_CALM
