@@ -282,10 +282,20 @@ def _read_varint(sock_file: io.BufferedReader) -> int | None:
             raise ValueError("malformed varint")
 
 
+# largest envelope the socket front door will buffer: far above any
+# legitimate WriteBatch (max_batch_len bounds rows, not bytes, so this
+# is the byte-side backstop), far below a declared-length memory bomb
+MAX_ENVELOPE = 64 * 1024 * 1024
+
+
 def read_envelope(sock_file: io.BufferedReader) -> bytes | None:
     length = _read_varint(sock_file)
     if length is None:
         return None
+    if length > MAX_ENVELOPE:
+        # reject on the PREFIX — the read(length) below would otherwise
+        # allocate toward whatever the peer declared
+        raise ValueError(f"envelope length {length} exceeds {MAX_ENVELOPE}")
     data = sock_file.read(length)
     if len(data) != length:
         raise ConnectionError("EOF mid-envelope")

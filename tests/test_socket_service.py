@@ -310,3 +310,23 @@ def test_server_side_failure_acks_full_not_decode_err(spark, three_table_server,
             assert (
                 client.write_batch([body], type_name="ExampleMessage") == svc.FULL
             )
+
+
+def test_oversized_envelope_prefix_drops_session(spark, three_table_server):
+    """A declared multi-GiB envelope length must drop the session on the
+    PREFIX, never allocate toward it (the socket twin of the gRPC
+    max-recv-message-size bound)."""
+    import socket as socket_mod
+
+    from bristle_spark.ingest import wire
+    from bristle_spark.ingest.service import IngestSocketService
+
+    with IngestSocketService(three_table_server) as service:
+        conn = socket_mod.create_connection(("127.0.0.1", service.port), timeout=10)
+        try:
+            conn.sendall(wire.encode_varint(1 << 33))  # 8 GiB declared
+            conn.settimeout(10)
+            # server must close the connection (malformed stream)
+            assert conn.recv(1) == b""
+        finally:
+            conn.close()
