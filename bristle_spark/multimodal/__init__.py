@@ -172,14 +172,16 @@ def attach_png_payload(
     key_col: str = "doc_id",
     text_col: str = "text",
     *,
-    filter_type: int = 4,
+    filter_type: int | None = None,
     compress_level: int = 9,
     noise_from_key: bool = False,
 ) -> DataFrame:
     """Deterministic REAL-PNG image payload: the same iterated-md5 256
     bytes as attach_fake_payload, encoded as a genuine 16x16 greyscale
-    PNG (multimodal/png.py) — Paeth-filtered and fully DEFLATEd by
-    default, so decoding exercises real inflate + unfilter math. Unlike
+    PNG (multimodal/png.py) — fully DEFLATEd, with the scanline filter
+    chosen per image (key % 5) by default so the graded hot path
+    exercises ALL FIVE spec filters, not one; pass ``filter_type`` to
+    pin a single filter. Unlike
     the constant WAV header, a PNG's IDAT bytes depend on the pixels
     (zlib + per-line filters), so the wrap runs in the same Arrow
     mapInPandas shape as the kernels that will consume it (partition-
@@ -227,10 +229,11 @@ def attach_png_payload(
                 )
                 if noise_from_key:
                     pixels[int(key) % 200] = (int(key) % 4) * 63
+                ft = int(key) % 5 if filter_type is None else filter_type
                 payloads.append(
                     png_codec.encode_png(
                         bytes(pixels), 16, 16,
-                        filter_type=filter_type,
+                        filter_type=ft,
                         compress_level=compress_level,
                     )
                 )

@@ -73,40 +73,38 @@ def encode_png(
     color_type = 0 if channels == 1 else 2
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     bpp = channels  # bytes per pixel at bit depth 8
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += line
-        elif filter_type == 1:  # Sub
-            raw += bytes(
-                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif filter_type == 2:  # Up
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-        elif filter_type == 3:  # Average
-            raw += bytes(
-                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            raw += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = line
-    idat = zlib.compress(bytes(raw), compress_level)
+    # spec filters predict from RAW neighbor bytes (current + previous
+    # scanline), so ENCODING is fully vectorizable — including Paeth
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    cur = img.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    upleft = np.zeros_like(cur)
+    upleft[1:, bpp:] = cur[:-1, :-bpp]
+    if filter_type == 0:
+        filtered = cur
+    elif filter_type == 1:  # Sub
+        filtered = cur - left
+    elif filter_type == 2:  # Up
+        filtered = cur - up
+    elif filter_type == 3:  # Average
+        filtered = cur - (left + up) // 2
+    else:  # Paeth
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filtered = cur - pred
+    raw_lines = (filtered & 0xFF).astype(np.uint8)
+    raw = np.empty((height, stride + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = raw_lines
+    idat = zlib.compress(raw.tobytes(), compress_level)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -144,6 +142,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if width == 0 or height == 0:
+                raise ValueError("zero image dimension")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}; 8 required")
             if color not in _CHANNELS:
@@ -168,30 +168,45 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated size does not match dimensions")
     bpp = channels
-    out = bytearray(stride * height)
-    prev = bytes(stride)
+    # unfiltering depends on DECODED neighbors, so scanlines reconstruct
+    # top-down; within a line, None/Sub/Up vectorize (Sub is a per-
+    # channel cumulative sum), Average/Paeth stay sequential (left
+    # dependency on the decoded value)
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad scanline filter {int(ftypes.max())}")
+    lines = arr[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = int(ftypes[y])
+        line = lines[y]
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+            decoded = line.copy()
+        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp]
+            decoded = (
+                line.reshape(-1, bpp).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                upleft = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
-        else:
-            raise ValueError(f"bad scanline filter {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = bytes(line)
-    return width, height, channels, bytes(out)
+            decoded = line + prev  # uint8 wraparound is the mod-256 math
+        else:  # Average / Paeth: sequential left dependency
+            decoded = np.empty(stride, dtype=np.uint8)
+            lb = line.tolist()
+            pb = prev.tolist()
+            db = [0] * stride
+            if ftype == 3:
+                for i in range(stride):
+                    left = db[i - bpp] if i >= bpp else 0
+                    db[i] = (lb[i] + (left + pb[i]) // 2) & 0xFF
+            else:
+                for i in range(stride):
+                    left = db[i - bpp] if i >= bpp else 0
+                    upleft = pb[i - bpp] if i >= bpp else 0
+                    db[i] = (lb[i] + _paeth(left, pb[i], upleft)) & 0xFF
+            decoded[:] = db
+        out[y] = decoded
+        prev = decoded
+    return width, height, channels, out.tobytes()
