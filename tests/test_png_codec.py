@@ -149,3 +149,43 @@ def test_spark_png_pipeline_end_to_end(spark):
         assert bytes(r.payload)[:8] == b"\x89PNG\r\n\x1a\n"
         assert _png_decode(bytes(r.payload)) == expected
         assert r.meta.width == 16 and r.meta.format == "png-grey8"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+    filter_type=st.integers(0, 4),
+    level=st.sampled_from([0, 6, 9]),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, channels, filter_type, level, data):
+    """decode(encode(x)) == x for arbitrary dims, channels, filters and
+    zlib levels — the codec's whole contract."""
+    n = w * h * channels
+    px = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    blob = encode_png(
+        px, w, h, channels=channels,
+        filter_type=filter_type, compress_level=level,
+    )
+    assert decode_png(blob) == (w, h, channels, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(blob=st.binary(max_size=200))
+def test_arbitrary_bytes_never_crash_decoder(blob):
+    """Garbage in -> ValueError (or a clean decode for the rare valid
+    prefix), never an unhandled exception type."""
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + blob)
+    except ValueError:
+        pass
+    try:
+        decode_png(blob)
+    except ValueError:
+        pass
