@@ -53,12 +53,15 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 11: 996b8b2 (r10) persisted the counts frames consumed by these
-# three; their last driver row (r8) predates that plan change.
+# Round 11: 996b8b2 (r10) persisted the counts frames consumed by the
+# first three (last driver row r8 predates that plan change), and the
+# round-11 banding refactor (_phash_band_pairs) touched m_phash_dedup
+# (last driver row r7).
 PLAN_CHANGED_KEYS: tuple[str, ...] = (
     "l_pmi_bigrams",
     "l_bigram_logprob",
     "l_kneser_ney",
+    "m_phash_dedup",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -72,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_pmi_bigrams",
     "l_bigram_logprob",
     "l_kneser_ney",
+    "m_phash_dedup",
     # --- (3) oldest-first drain: the round-4 cohort (7 rounds stale) ---
     "l_simhash",
     "l_lang_id",
@@ -110,7 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_centroid_by_label",
     "l_knn_eval",
     "l_ann_recall_eval",
-    # --- round-7 cohort (8 of 30 oracle-backed; the rest stay queued
+    # --- round-7 cohort (7 of 30 oracle-backed; the rest stay queued
     # --- for round 12 and keep local parity coverage meanwhile) ---
     "r_distinct_count",
     "r_join_multi",
@@ -119,7 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_window_running",
     "r_robust_stats",
     "r_attribution",
-    "t_bool_to_int",
 )
 
 
