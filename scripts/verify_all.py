@@ -76,6 +76,9 @@ SUITE_WEIGHTS = {
     # round-10 measurements
     "test_grpc_transport.py": 40,
     "test_backoff.py": 12,
+    # round-11 measurements (single-file, idle)
+    "test_png_codec.py": 18,
+    "test_grpc_tls.py": 12,
 }
 FALLBACK_WEIGHT = 5
 # per scale factor.  6 weight-BALANCED shards (round 10, was 4): the

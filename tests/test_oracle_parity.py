@@ -49,6 +49,10 @@ _HEAVY = {
     "s_stream_cdc": 6,
     "s_stream_topk": 6,
     "s_stream_anomaly": 6,
+    # round-11: the real-codec png keys (two chained Python stages)
+    "m_png_pixel_stats": 6,
+    "m_png_resize": 5,
+    "m_png_phash_dedup": 5,
 }
 _FALLBACK_W = 3
 
