@@ -609,3 +609,34 @@ def m_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("resized")).alias("resized_hex"),
     ).orderBy("doc_id")
+
+
+@register(
+    "l_gzip_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)                  AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS ws_tokens,
+           md5(text)                                     AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def l_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion through a REAL codec (the third
+    stdlib-codec instance after WAV and PNG): every document travels as
+    a genuine gzip member (deterministic mtime=0 container) and the
+    kernel decompresses it with stdlib ``gzip`` — actual DEFLATE
+    inflate + CRC32 trailer verification in the hot path, the shape a
+    100 TB corpus arrives in (.jsonl.gz shards, WARC/WET members). The
+    md5 witness of the DECOMPRESSED bytes is matched against DuckDB's
+    md5 over the raw text side, so any container/inflate mistake is a
+    hash mismatch; token counts follow the l_token_count single-space
+    convention.
+
+    Scale shape: two partition-local mapInPandas passes (compress-in,
+    decode+stats), zero shuffles before the final presentation sort —
+    identical plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_gzip_payload(d)
+    return multimodal.gzip_text_stats(payloads).orderBy("doc_id")

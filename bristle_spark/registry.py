@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_png_pixel_stats",
     "m_png_resize",
     "m_png_phash_dedup",
+    "l_gzip_decode_stats",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -114,7 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_centroid_by_label",
     "l_knn_eval",
     "l_ann_recall_eval",
-    # --- round-7 cohort (7 of 30 oracle-backed; the rest stay queued
+    # --- round-7 cohort (6 of 30 oracle-backed; the rest stay queued
     # --- for round 12 and keep local parity coverage meanwhile) ---
     "r_distinct_count",
     "r_join_multi",
@@ -122,7 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_join_outer",
     "r_window_running",
     "r_robust_stats",
-    "r_attribution",
 )
 
 
