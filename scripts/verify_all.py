@@ -81,11 +81,11 @@ SUITE_WEIGHTS = {
     "test_grpc_tls.py": 12,
 }
 FALLBACK_WEIGHT = 5
-# per scale factor.  6 weight-BALANCED shards (round 10, was 4): the
-# registry passed 200 keys and the parity sweep is the critical path;
-# test_oracle_parity.py bin-packs keys by measured weight, so each
-# shard carries ~1/6 of the trainer cost.
-PARITY_SHARDS = 6
+# per scale factor.  8 weight-BALANCED shards (round 11, was 6): at 222
+# keys the trainer-heavy sf0.1 shard crossed the ~900s rebalance
+# threshold (1223s); with 8 shards the greedy bin-packer places each of
+# the 8 heaviest iterative trainers in its own shard, halving the tail.
+PARITY_SHARDS = 8
 
 
 def shard_suite(jobs: int) -> list[list[str]]:
