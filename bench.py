@@ -274,6 +274,11 @@ HEADLINE = [
     "l_ndcg_eval",
     "r_data_profile",
     "m_wav_audio_features",
+    # round-11 additions: the real-codec image/corpus keys
+    "m_png_pixel_stats",
+    "m_png_resize",
+    "m_png_phash_dedup",
+    "l_gzip_decode_stats",
 ]
 
 
