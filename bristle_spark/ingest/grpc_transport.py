@@ -104,16 +104,19 @@ def _tls_connect(
         tls = tls_context.wrap_socket(
             conn, server_hostname=server_hostname or host
         )
-        if tls.selected_alpn_protocol() != "h2":
-            tls.close()
-            raise ConnectionError(
-                "server did not negotiate ALPN h2 (got "
-                f"{tls.selected_alpn_protocol()!r})"
-            )
-        return tls
-    except ssl.SSLError as exc:
+    except (ssl.SSLError, OSError) as exc:
+        # OSError covers mid-handshake timeouts/resets, which are not
+        # SSLError subclasses — without this the socket fd leaked and
+        # the caller saw a raw OSError instead of the ConnectionError
+        # contract (ConnectionError itself subclasses OSError, so the
+        # ALPN check below stays OUTSIDE this try)
         conn.close()
         raise ConnectionError(f"TLS handshake failed: {exc}") from exc
+    alpn = tls.selected_alpn_protocol()
+    if alpn != "h2":
+        tls.close()
+        raise ConnectionError(f"server did not negotiate ALPN h2 (got {alpn!r})")
+    return tls
 
 
 def frame_message(msg: bytes) -> bytes:

@@ -469,19 +469,24 @@ class H2Connection:
         if (st.recv_closed or st.reset) and st.send_closed and not st.pending:
             self.streams.pop(st.stream_id, None)
 
-    def _reset_half_closed(self, st: _Stream) -> list[object]:
-        """A frame arrived after END_STREAM on a half-closed(remote)
-        stream: RFC 9113 §5.1 requires a STREAM_CLOSED stream error.
-        Resetting fully closes the stream (any deferred response is
-        abandoned — send_headers/send_data no-op on a reset stream) and
-        a StreamReset event tells the RPC layer to drop its state."""
+    def _rst_and_retire(self, st: _Stream, code: int) -> None:
+        """Emit RST_STREAM and fully close the stream: any deferred
+        response is abandoned (send_headers/send_data no-op on a reset
+        stream) and the per-stream state is dropped."""
         self._out += encode_frame(
-            RST_STREAM, 0, st.stream_id, STREAM_CLOSED.to_bytes(4, "big")
+            RST_STREAM, 0, st.stream_id, code.to_bytes(4, "big")
         )
         st.reset = True
         st.recv_closed = st.send_closed = True
         st.pending.clear()
+        st.pending_trailers = None
         self.streams.pop(st.stream_id, None)
+
+    def _reset_half_closed(self, st: _Stream) -> list[object]:
+        """A frame arrived after END_STREAM on a half-closed(remote)
+        stream: RFC 9113 §5.1 requires a STREAM_CLOSED stream error;
+        a StreamReset event tells the RPC layer to drop its state."""
+        self._rst_and_retire(st, STREAM_CLOSED)
         return [StreamReset(st.stream_id, STREAM_CLOSED)]
 
     def reset_stream(self, stream_id: int, code: int = PROTOCOL_ERROR) -> None:
@@ -490,13 +495,7 @@ class H2Connection:
         st = self.streams.get(stream_id)
         if st is None or st.reset:
             return
-        self._out += encode_frame(
-            RST_STREAM, 0, stream_id, code.to_bytes(4, "big")
-        )
-        st.reset = True
-        st.recv_closed = st.send_closed = True
-        st.pending.clear()
-        self.streams.pop(stream_id, None)
+        self._rst_and_retire(st, code)
 
     def _on_data(self, flags: int, stream_id: int, payload: bytes) -> list[object]:
         if stream_id == 0:
@@ -612,13 +611,7 @@ class H2Connection:
         if not self._field_block_ok(headers, is_trailers=st.recv_headers):
             # malformed field block (§8.2/§8.3): stream error — the
             # request/trailers never reach the application layer
-            self._out += encode_frame(
-                RST_STREAM, 0, stream_id, PROTOCOL_ERROR.to_bytes(4, "big")
-            )
-            st.reset = True
-            st.recv_closed = st.send_closed = True
-            st.pending.clear()
-            self.streams.pop(stream_id, None)
+            self._rst_and_retire(st, PROTOCOL_ERROR)
             return [StreamReset(stream_id, PROTOCOL_ERROR)]
         st.recv_headers = True
         end = bool(flags & FLAG_END_STREAM)

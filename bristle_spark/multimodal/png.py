@@ -139,6 +139,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR body is {length} bytes; 13 required")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -163,9 +165,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     if not seen_end:
         raise ValueError("missing IEND")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bound the inflate by the size IHDR promises BEFORE allocating: a
+    # few-MiB stream of compressed zeros inflates ~1000:1, and the
+    # repo's other declared-length bounds (MAX_RECV_MESSAGE etc.) would
+    # otherwise be bypassed by a decompression bomb inside the payload
+    dobj = zlib.decompressobj()
+    try:
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != expected or dobj.unconsumed_tail or not dobj.eof:
         raise ValueError("inflated size does not match dimensions")
     bpp = channels
     # unfiltering depends on DECODED neighbors, so scanlines reconstruct

@@ -212,6 +212,20 @@ _PHASH_ORACLE = """
 """
 
 
+def _planted_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-near-dup corpus shared by the phash dedup keys:
+    every run of 4 doc_ids shares one canonical text (broadcast join),
+    so the payload derivation plants 4-cliques of near-identical
+    images. Changing the run length here changes BOTH keys and the
+    shared _PHASH_ORACLE must follow."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
+    canon_text = d.select(
+        F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext")
+    )
+    return d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+
+
 def _phash_band_pairs(hashes: DataFrame) -> DataFrame:
     """4x16-bit LSH banding + bit_count(xor) verify over a phash frame
     (doc_id, phash) — shared by the fake-backend and real-PNG dedup
@@ -280,10 +294,7 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooling, bit packing via HUGEINT (wrapped to the signed BIGINT
     Spark's uint64 weights produce), banding by HUGEINT division, and
     the bit_count(xor) verify."""
-    d = load_table(spark, sf_dir, "documents")
-    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
-    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
-    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+    docs = _planted_near_dup_docs(spark, sf_dir)
     payloads = multimodal.attach_fake_payload(docs, text_col="ctext")
     # one-byte decode noise, position and value keyed by doc_id
     noise = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 63), 2, "0"))
@@ -314,10 +325,7 @@ def m_png_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to m_phash_dedup — banded candidate joins on
     (band_idx, band_val), never all-pairs; the codec adds a fixed
     per-payload cost inside the partition-local phash pass."""
-    d = load_table(spark, sf_dir, "documents")
-    canon = (F.col("doc_id") - F.col("doc_id") % 4).alias("canon_id")
-    canon_text = d.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ctext"))
-    docs = d.select("doc_id", canon).join(F.broadcast(canon_text), "canon_id")
+    docs = _planted_near_dup_docs(spark, sf_dir)
     pngs = multimodal.attach_png_payload(docs, text_col="ctext", noise_from_key=True)
     hashes = multimodal.phash(pngs, decode_backend="png")
     return _phash_band_pairs(hashes)

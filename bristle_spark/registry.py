@@ -91,7 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_dedup_simhash",
     "l_ann_lsh",
     "l_ann_ivf",
-    # --- round-6 cohort (all 19 oracle-backed r6 keys) ---
+    # --- round-6 cohort (all 23 oracle-backed r6 keys) ---
     "l_heavy_hitters",
     "r_retention",
     "r_unpivot",

@@ -69,10 +69,17 @@ def test_priority_keys_all_registered(specs):
 
 
 def test_never_graded_keys_lead_the_window(specs, last_graded):
-    """Policy rule 1: a key without a single hard driver row is the
-    highest-value slot in the registry — all such keys must be in the
-    window, ahead of every re-confirmation."""
-    never = [k for k in specs if k not in last_graded]
+    """Policy rule 1: an ORACLE-BACKED key without a single hard driver
+    row is the highest-value slot in the registry — all such keys must
+    be in the window, ahead of every re-confirmation. (Rows-only keys
+    are exempt here exactly as in the drain rule: the window is
+    reserved for hash-gradable slots, so a new rows-only key enters
+    only as the deliberate choice test_every_window_key_is_oracle_backed
+    guards.)"""
+    never = [
+        k for k, spec in specs.items()
+        if k not in last_graded and spec.oracle is not None
+    ]
     window = set(registry.DRIVER_PRIORITY)
     missing = [k for k in never if k not in window]
     assert missing == [], f"never-driver-graded keys outside the window: {missing}"

@@ -189,3 +189,41 @@ def test_arbitrary_bytes_never_crash_decoder(blob):
         decode_png(blob)
     except ValueError:
         pass
+
+
+def test_corrupt_idat_stream_is_value_error():
+    """zlib failures inside IDAT must surface as ValueError (the
+    documented payload-error class), not leak zlib.error."""
+    blob = bytearray(encode_png(_pixels(256), 16, 16))
+    # corrupt the zlib stream body but FIX the chunk CRC so the chunk
+    # parser passes and the inflate path is actually reached
+    pos = 8 + 25  # first chunk after signature+IHDR is IDAT
+    (length,) = struct.unpack(">I", blob[pos : pos + 4])
+    body = bytearray(blob[pos + 8 : pos + 8 + length])
+    body[0] ^= 0xFF  # break the zlib header
+    crc = zlib.crc32(b"IDAT" + bytes(body))
+    blob[pos + 8 : pos + 8 + length] = body
+    blob[pos + 8 + length : pos + 12 + length] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(bytes(blob))
+
+
+def test_short_ihdr_is_value_error():
+    ihdr = struct.pack(">I", 4) + b"IHDR" + b"\x00" * 4
+    ihdr += struct.pack(">I", zlib.crc32(b"IHDR" + b"\x00" * 4))
+    with pytest.raises(ValueError, match="13 required"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr)
+
+
+def test_decompression_bomb_is_bounded():
+    """An IDAT that inflates past the size IHDR promises must be
+    rejected WITHOUT materializing the full inflated stream."""
+    # a 4x4 grey IHDR, but an IDAT of 10 MB of compressed zeros
+    good = encode_png(_pixels(16), 4, 4)
+    sig_ihdr = good[: 8 + 25]
+    iend = good[len(good) - 12 :]
+    bomb = zlib.compress(b"\x00" * (10 * 1024 * 1024), 9)
+    idat = struct.pack(">I", len(bomb)) + b"IDAT" + bomb
+    idat += struct.pack(">I", zlib.crc32(b"IDAT" + bomb))
+    with pytest.raises(ValueError, match="does not match dimensions"):
+        decode_png(sig_ihdr + idat + iend)
