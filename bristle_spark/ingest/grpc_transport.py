@@ -288,6 +288,13 @@ class GrpcIngestService:
                             return
         except (ConnectionError, OSError, ValueError):
             return  # client gone / malformed: drop the connection
+        except RuntimeError:
+            # pool.submit after stop() shut the executor — a teardown
+            # race when a connection is mid-event; anything else is a
+            # real bug and must surface
+            if self._stop.is_set():
+                return
+            raise
 
     # -- event handling (reader thread)
 

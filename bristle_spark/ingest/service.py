@@ -447,6 +447,13 @@ class IngestSocketService:
             # (decode_varint reads past the buffer) — same malformed-
             # stream class as ValueError
             return  # malformed stream / client gone: drop the session
+        except RuntimeError:
+            # pool.submit after stop() shut the executor — a teardown
+            # race when a session is mid-envelope; anything else is a
+            # real bug and must surface
+            if self._stop.is_set():
+                return
+            raise
 
     # -- the write path (writeStreamingBatch analog)
 
