@@ -407,8 +407,12 @@ class H2Connection:
         if ftype == RST_STREAM:
             return self._on_rst(stream_id, payload)
         if ftype == PING:
+            if stream_id != 0:
+                raise H2ConnectionError(PROTOCOL_ERROR, "PING on a stream")
             return self._on_ping(flags, payload)
         if ftype == GOAWAY:
+            if stream_id != 0:
+                raise H2ConnectionError(PROTOCOL_ERROR, "GOAWAY on a stream")
             return self._on_goaway(payload)
         if ftype == PRIORITY:
             if len(payload) != 5:
@@ -695,8 +699,13 @@ class H2Connection:
                 self.peer_max_frame = val
             elif sid == SETTINGS_HEADER_TABLE_SIZE:
                 self._encoder.set_max_table_size(min(val, 4096))
-            # ENABLE_PUSH / MAX_CONCURRENT_STREAMS / MAX_HEADER_LIST_SIZE:
-            # stored semantics not needed for this endpoint's behavior
+            elif sid == SETTINGS_ENABLE_PUSH:
+                # §6.5.2: only 0/1 are defined, and a server MUST NOT
+                # send 1 (only clients may opt into receiving pushes)
+                if val > 1 or (val == 1 and self.client_side):
+                    raise H2ConnectionError(PROTOCOL_ERROR, "bad ENABLE_PUSH value")
+            # MAX_CONCURRENT_STREAMS / MAX_HEADER_LIST_SIZE: stored
+            # semantics not needed for this endpoint's behavior
         self._out += encode_frame(SETTINGS, FLAG_ACK, 0, b"")
         # settings may have opened send windows. Iterate a SNAPSHOT:
         # _flush_stream can emit deferred trailers and retire (pop) the
@@ -729,6 +738,18 @@ class H2Connection:
         else:
             st = self.streams.get(stream_id)
             if st is None:
+                # §5.1: WINDOW_UPDATE is legal on closed streams (late
+                # frames) but a connection error on IDLE ones — the
+                # same identity test RST_STREAM applies
+                idle = (
+                    stream_id > self._highest_peer_stream
+                    if self._peer_initiated(stream_id)
+                    else stream_id >= self._next_stream_id
+                )
+                if idle:
+                    raise H2ConnectionError(
+                        PROTOCOL_ERROR, "WINDOW_UPDATE on idle stream"
+                    )
                 return []
             st.send_window += inc
             if st.send_window > MAX_WINDOW:

@@ -638,3 +638,57 @@ def test_continuation_flood_is_capped():
                 encode_frame(h2.CONTINUATION, 0, 1, b"\x00" * 1024)
             )
     assert ei.value.code == h2.ENHANCE_YOUR_CALM
+
+
+def test_ping_and_goaway_on_a_stream_are_protocol_errors():
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(encode_frame(h2.PING, 0, 3, b"\x00" * 8))
+    assert ei.value.code == h2.PROTOCOL_ERROR
+    client2, server2 = handshake()
+    with pytest.raises(H2ConnectionError) as ei:
+        server2.receive_data(
+            encode_frame(h2.GOAWAY, 0, 3, b"\x00" * 8)
+        )
+    assert ei.value.code == h2.PROTOCOL_ERROR
+
+
+def test_window_update_on_idle_stream_is_protocol_error():
+    client, server = handshake()
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(
+            encode_frame(h2.WINDOW_UPDATE, 0, 41, (100).to_bytes(4, "big"))
+        )
+    assert ei.value.code == h2.PROTOCOL_ERROR
+
+
+def test_window_update_on_closed_stream_is_ignored():
+    client, server = handshake()
+    sid = client.next_stream_id()
+    client.send_headers(sid, REQ, end_stream=True)
+    server.receive_data(client.data_to_send())
+    server.send_headers(sid, [(b":status", b"200")], end_stream=True)
+    client.receive_data(server.data_to_send())
+    assert sid not in server.streams
+    ev = server.receive_data(
+        encode_frame(h2.WINDOW_UPDATE, 0, sid, (100).to_bytes(4, "big"))
+    )
+    assert ev == []  # late frame on a closed stream: dropped, no error
+
+
+def test_enable_push_validation():
+    # value > 1 is always a protocol error
+    client, server = handshake()
+    bad = (h2.SETTINGS_ENABLE_PUSH.to_bytes(2, "big") + (2).to_bytes(4, "big"))
+    with pytest.raises(H2ConnectionError) as ei:
+        server.receive_data(encode_frame(h2.SETTINGS, 0, 0, bad))
+    assert ei.value.code == h2.PROTOCOL_ERROR
+    # a server sending ENABLE_PUSH=1 is a protocol error at the client
+    client2, server2 = handshake()
+    one = (h2.SETTINGS_ENABLE_PUSH.to_bytes(2, "big") + (1).to_bytes(4, "big"))
+    with pytest.raises(H2ConnectionError):
+        client2.receive_data(encode_frame(h2.SETTINGS, 0, 0, one))
+    # a CLIENT sending ENABLE_PUSH=1 (what our own initiate() does is 0,
+    # but 1 is legal from clients) is accepted by the server
+    client3, server3 = handshake()
+    assert server3.receive_data(encode_frame(h2.SETTINGS, 0, 0, one)) == []
