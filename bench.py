@@ -279,6 +279,11 @@ HEADLINE = [
     "m_png_resize",
     "m_png_phash_dedup",
     "l_gzip_decode_stats",
+    # round-11 session-2 additions
+    "m_png_edge_density",
+    "r_exp_decay_avg",
+    "r_autocorrelation",
+    "l_hapax_ratio",
 ]
 
 

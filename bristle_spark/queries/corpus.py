@@ -2560,3 +2560,57 @@ def l_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(r6(F.sum(term)).alias("jsd"))
     )
+
+
+# ---------------------------------------------------------------------------
+# l_hapax_ratio
+
+
+@register(
+    "l_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (
+        SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT)                          AS n_tokens,
+           CAST(count(*) AS BIGINT)                        AS vocab,
+           CAST(count(*) FILTER (c = 1) AS BIGINT)         AS hapax,
+           {r6_sql("CAST(count(*) FILTER (c = 1) AS DOUBLE) / count(*)")}
+                                                           AS hapax_ratio,
+           {r6_sql("CAST(count(*) AS DOUBLE) / sum(c)")}   AS type_token_ratio
+    FROM tc
+    GROUP BY source
+    """,
+)
+def l_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena profile: vocabulary size, count and
+    share of once-only tokens, and the type-token ratio — the classic
+    lexical-diversity fingerprint a corpus-quality dashboard tracks per
+    source (boilerplate/spam sources show collapsed TTR and a thin
+    hapax tail; OCR-noise sources show an inflated one).
+
+    All counts are exact integers; the two ratios round half-up at
+    6 dp. Scale shape: ONE (source, token)-keyed exchange with
+    map-side combine builds the counts table; the per-source reduction
+    is a second exchange but over that counts frame only
+    (vocabulary-sized, not corpus-sized) — the l_unigram_logprob
+    discipline; no distinct(), no second corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum((F.col("c") == 1).cast("bigint"))
+    vocab = F.count(F.lit(1))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        vocab.cast("bigint").alias("vocab"),
+        hapax.cast("bigint").alias("hapax"),
+        r6(hapax.cast("double") / vocab).alias("hapax_ratio"),
+        r6(vocab.cast("double") / F.sum("c")).alias("type_token_ratio"),
+    )

@@ -648,3 +648,57 @@ def l_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_gzip_payload(d)
     return multimodal.gzip_text_stats(payloads).orderBy("doc_id")
+
+
+EDGE_T = 96
+
+_EDGE_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 240), k ->
+                   abs(bytes[16 * (k // 15) + (k % 15) + 2]
+                       - bytes[16 * (k // 15) + (k % 15) + 1])) AS hg,
+               list_transform(range(0, 240), k ->
+                   abs(bytes[16 * (k // 16) + (k % 16) + 17]
+                       - bytes[16 * (k // 16) + (k % 16) + 1])) AS vg
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(list_sum(hg) AS BIGINT) AS h_grad_sum,
+           CAST(list_sum(vg) AS BIGINT) AS v_grad_sum,
+           CAST(greatest(list_max(hg), list_max(vg)) AS INT) AS grad_max,
+           CAST(len(list_filter(hg, x -> x > {EDGE_T}))
+                + len(list_filter(vg, x -> x > {EDGE_T})) AS BIGINT) AS n_edges,
+           floor((len(list_filter(hg, x -> x > {EDGE_T}))
+                  + len(list_filter(vg, x -> x > {EDGE_T})))
+                 / 480.0 * 1000000 + 0.5) / 1000000 AS edge_density
+    FROM g
+    ORDER BY doc_id
+"""
+
+
+@register("m_png_edge_density", oracle=_EDGE_ORACLE)
+def m_png_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient/sharpness scoring through the real PNG codec: decode
+    every 16x16 greyscale PNG (multimodal/png.py — CRC check, inflate,
+    all-five-filter unfilter) and reduce both neighbor-difference
+    fields to exact integer L1 sums, the max gradient, and the count of
+    gradients above {EDGE_T} — the blur filter an image-curation
+    pipeline runs before perceptual dedup (sharp images carry signal;
+    near-solid ones filter out).
+
+    Oracle-backed byte-exact: gradients are integer |byte - byte|, so
+    DuckDB re-derives all 480 of them per image from the hex-side pixel
+    construction; a decode that recovers anything but the exact pixels
+    hash-mismatches. edge_density rounds half-up at 6dp with the rN
+    IEEE-double formula on both sides.
+
+    Scale shape: two partition-local mapInPandas stages (PNG wrap,
+    decode+gradients) with whole-tensor numpy reductions, zero shuffles
+    before the presentation sort — identical plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    return multimodal.edge_stats(
+        payloads, threshold=EDGE_T, decode_backend="png"
+    ).orderBy("doc_id")

@@ -828,3 +828,201 @@ def r_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fit, schema=_TS_SCHEMA)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_exp_decay_avg
+
+DECAY_MAX_HALVINGS = 14  # weight floor: events >= 28 days old keep w=1
+
+
+@register(
+    "r_exp_decay_avg",
+    oracle=f"""
+    WITH a AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
+    b AS (
+        SELECT user_id,
+               {_V_CENTS} AS v_cents,
+               (CAST(1 AS BIGINT) << CAST({DECAY_MAX_HALVINGS} - least(
+                   ((a.anchor_us - epoch_us(ts)) // 86400000000) // 2,
+                   {DECAY_MAX_HALVINGS}) AS INT)) AS w
+        FROM events, a
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT) AS sum_weight,
+           {r6_sql(
+               "CAST(sum(CAST(v_cents * w AS DECIMAL(38,0))) AS DOUBLE)"
+               " / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+           )} AS decayed_avg
+    FROM b
+    GROUP BY user_id
+    """,
+)
+def r_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed average value per user — the exponential-decay
+    feature every engagement/LTV model wants (recent activity counts
+    more; half-life 2 days against the newest event in the table).
+
+    Determinism by construction: ages are exact integer µs -> integer
+    days (bigint DIV), the decay weight is the exact power of two
+    2^(14 - min(age_days DIV 2, 14)) (a shiftleft, never libm pow), and
+    both Σ(v_cents·w) and Σw accumulate as DECIMAL(38,0) — exact and
+    addition-order-independent, so partial aggregation cannot drift
+    from DuckDB's sequential sum. The single ratio is one double
+    division rounded half-up at 6 dp. Events >= 28 days old saturate at
+    the floor weight 1 rather than vanishing.
+
+    Scale shape: the anchor is a column-stats max (1-row broadcast via
+    crossJoin(broadcast)); the body is ONE user-keyed exchange with
+    map-side combine — decimal partials are 16 bytes/group/task. At
+    100 TB the DECIMAL(38,0) accumulators absorb ~1e21 weight-cents
+    before overflow (vs bigint's 9.2e18), the same headroom discipline
+    as s_stream_histogram_quantiles' rank math."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+    base = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+            (F.col("anchor_us") - F.unix_micros("ts")).alias("age_us"),
+        )
+        .selectExpr(
+            "user_id",
+            "v_cents",
+            f"shiftleft(CAST(1 AS BIGINT), CAST({DECAY_MAX_HALVINGS} - least("
+            f"(age_us DIV 86400000000) DIV 2, {DECAY_MAX_HALVINGS}) AS INT)) AS w",
+        )
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+        F.sum((F.col("v_cents") * F.col("w")).cast("decimal(38,0)")).alias("scw"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.col("sw").cast("bigint").alias("sum_weight"),
+        r6(F.col("scw").cast("double") / F.col("sw").cast("double") / F.lit(100.0)).alias(
+            "decayed_avg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_autocorrelation
+
+_ACF_NUM = "(n * sxy - sx * sy)"
+_ACF_VX = "(n * sxx - sx * sx)"
+_ACF_VY = "(n * syy - sy * sy)"
+
+
+@register(
+    "r_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum({_V_CENTS}) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7
+        FROM daily
+    ),
+    p AS (
+        SELECT event_type, 1 AS lag_days, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 7 AS lag_days, x, y7 AS y FROM l WHERE y7 IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, lag_days,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)     AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)     AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM p GROUP BY event_type, lag_days
+    )
+    SELECT event_type, CAST(lag_days AS INT) AS lag_days, n_pairs,
+           CASE WHEN {_ACF_VX} <= 0 OR {_ACF_VY} <= 0 THEN NULL
+                ELSE {r6_sql(f"{_ACF_NUM} / (sqrt({_ACF_VX}) * sqrt({_ACF_VY}))")}
+           END AS acf
+    FROM s
+    """,
+)
+def r_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily value series per
+    event type — the seasonality/momentum diagnostic a forecasting
+    warehouse computes before model choice (lag-7 high = weekly cycle).
+
+    Determinism by construction (the r_exp_decay_avg discipline):
+    daily totals are exact BIGINT cents; the six Pearson sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0)
+    — exact and addition-order-independent — and only the final
+    Pearson formula runs in double, an identical IEEE op sequence in
+    both engines (no engine-native corr(), whose partial-merge order
+    differs). Zero/negative variance guards to NULL before sqrt so no
+    NaN can reach the hash. Rounds half-up at 6 dp.
+
+    Scale shape: the fact table collapses in ONE (type, day)-keyed
+    map-side-combined aggregation to a dimension-sized frame
+    (types × days); the lag windows and the per-(type, lag) Pearson
+    both run on that tiny frame — window partitions are bounded by the
+    calendar, never by corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 7).over(w).alias("y7"),
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("lag_days"), F.col("y1").alias("y")),
+                    F.struct(F.lit(7).alias("lag_days"), F.col("y7").alias("y")),
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.lag_days").alias("lag_days"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("event_type", "lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
+        r6(num / (F.sqrt(vx) * F.sqrt(vy)))
+    )
+    return s.select(
+        "event_type",
+        F.col("lag_days").cast("int").alias("lag_days"),
+        "n_pairs",
+        acf.alias("acf"),
+    )

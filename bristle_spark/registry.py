@@ -66,12 +66,17 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = (
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: r_data_profile landed after the r10
-    # --- window was pinned; the two m_png_* keys are new this round ---
+    # --- window was pinned; the m_png_*/l_gzip/edge/decay/acf/hapax
+    # --- keys are new this round ---
     "r_data_profile",
     "m_png_pixel_stats",
     "m_png_resize",
     "m_png_phash_dedup",
     "l_gzip_decode_stats",
+    "m_png_edge_density",
+    "r_exp_decay_avg",
+    "r_autocorrelation",
+    "l_hapax_ratio",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -115,14 +120,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_centroid_by_label",
     "l_knn_eval",
     "l_ann_recall_eval",
-    # --- round-7 cohort (6 of 30 oracle-backed; the rest stay queued
+    # --- round-7 cohort (2 of 30 oracle-backed; the rest stay queued
     # --- for round 12 and keep local parity coverage meanwhile) ---
     "r_distinct_count",
     "r_join_multi",
-    "r_join_semi_anti",
-    "r_join_outer",
-    "r_window_running",
-    "r_robust_stats",
 )
 
 

@@ -63,3 +63,50 @@ def test_attach_wav_audio_is_a_real_wave_file(spark, sf_dir):
         with wave.open(io.BytesIO(bytes(r["payload"])), "rb") as w:
             assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (16000, 1, 2)
             assert w.getnframes() == 128
+
+
+# ------------------------------------------------- edge/gradient stats
+
+
+def test_edge_stats_hand_computed_4x4(spark):
+    """edge_stats on a hand-computable 4x4 image (fake backend: the
+    payload bytes ARE the pixels): every output column checked against
+    pencil-and-paper gradients."""
+    from bristle_spark import multimodal as M
+
+    #  0 10 10 10        h-grads: |right - left| within each row (3/row)
+    # 90 10 10 110       v-grads: |below - above| within each column
+    # 90 255 10 110      (4 per row-pair); expected values spelled out
+    # 255 0 10 110       in h / v below, in row-major order
+    px = bytes([0, 10, 10, 10,
+                90, 10, 10, 110,
+                90, 255, 10, 110,
+                255, 0, 10, 110])
+    d = spark.createDataFrame(
+        [(1, px, {"width": 4, "height": 4, "format": "fake"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    row = M.edge_stats(d, threshold=96, decode_backend="fake").collect()[0]
+    h = [10, 0, 0, 80, 0, 100, 165, 245, 100, 255, 10, 100]
+    v = [90, 0, 0, 100, 0, 245, 0, 0, 165, 255, 0, 0]
+    assert row.h_grad_sum == sum(h)
+    assert row.v_grad_sum == sum(v)
+    assert row.grad_max == 255
+    n_edges = sum(1 for g in h + v if g > 96)
+    assert row.n_edges == n_edges
+    import math
+
+    assert row.edge_density == math.floor(n_edges / 24.0 * 1e6 + 0.5) / 1e6
+
+
+def test_edge_stats_identical_on_real_png_payloads(spark, sf_dir):
+    """The gradient kernel produces IDENTICAL results whether the
+    pixels arrive raw (fake backend) or inside a genuine PNG parsed by
+    the stdlib codec — the m_wav_audio_features cross-backend witness,
+    for the edge/sharpness kernel."""
+    from bristle_spark import multimodal as M
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    raw = M.edge_stats(M.attach_fake_payload(d), decode_backend="fake")
+    png = M.edge_stats(M.attach_png_payload(d), decode_backend="png")
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, png.collect()))

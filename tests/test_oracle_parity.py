@@ -53,6 +53,7 @@ _HEAVY = {
     "m_png_pixel_stats": 6,
     "m_png_resize": 5,
     "m_png_phash_dedup": 5,
+    "m_png_edge_density": 5,
 }
 _FALLBACK_W = 3
 

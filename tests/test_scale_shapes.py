@@ -67,6 +67,12 @@ SCALE_FAMILY = [
     # banded phash join must stay partition-invariant
     "m_png_pixel_stats",
     "m_png_phash_dedup",
+    # round-11 session-2: codec-fed gradient stats, exact fixed-point
+    # decay weights, decimal-exact Pearson, counts-frame re-aggregation
+    "m_png_edge_density",
+    "r_exp_decay_avg",
+    "r_autocorrelation",
+    "l_hapax_ratio",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -82,6 +88,11 @@ PLAN_PIN_FAMILY = [
     "l_ndcg_eval",
     "l_js_divergence",
     "l_skipgram_cooccurrence",
+    # round-11 session-2: the decay agg must stay one exchange + one
+    # broadcast anchor; the hapax counts-table re-agg must not add a
+    # shuffle when the partition knob moves
+    "r_exp_decay_avg",
+    "l_hapax_ratio",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
