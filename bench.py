@@ -284,6 +284,7 @@ HEADLINE = [
     "r_exp_decay_avg",
     "r_autocorrelation",
     "l_hapax_ratio",
+    "l_curriculum_order",
 ]
 
 

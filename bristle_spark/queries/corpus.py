@@ -2614,3 +2614,76 @@ def l_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(hapax.cast("double") / vocab).alias("hapax_ratio"),
         r6(vocab.cast("double") / F.sum("c")).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_curriculum_order
+
+CURRICULUM_BAND_CHARS = 64  # length-curriculum band width (chars)
+CURRICULUM_BUCKETS = 256  # hash sub-buckets per band
+
+
+@register(
+    "l_curriculum_order",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               n_chars // {CURRICULUM_BAND_CHARS} AS band,
+               {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(band AS BIGINT)                    AS band,
+           CAST(h % {CURRICULUM_BUCKETS} AS BIGINT) AS bucket,
+           CAST(row_number() OVER (
+               ORDER BY band, h % {CURRICULUM_BUCKETS}, h, doc_id) - 1
+               AS BIGINT)                          AS global_pos
+    FROM k
+    """,
+)
+def l_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: every document gets a GLOBAL
+    training position — short documents first (64-char length bands),
+    hash-shuffled within each band — the sample order a length-
+    curriculum training run feeds its data loader.
+
+    The scale pattern is the point: a naive row_number() OVER (ORDER BY
+    band, h) funnels 100 TB through ONE window partition. Instead the
+    global position composes from (1) a (band, bucket) count frame
+    (dimension-sized: bands x 256), (2) a running-total offset over
+    that tiny frame (the only single-partition window, over ~2k rows
+    regardless of corpus size), broadcast back, and (3) a row_number
+    within each (band, bucket) partition — bounded at corpus/(bands*256)
+    rows and split finer by raising CURRICULUM_BUCKETS. The oracle IS
+    the naive global window, proving the composition reproduces it
+    row-for-row (hash ties broken by doc_id on both sides).
+
+    Scale shape: one map-side-combined count shuffle + one broadcast
+    join + one bounded-partition window — no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(f"n_chars DIV {CURRICULUM_BAND_CHARS}").alias("band"),
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.col("h") % CURRICULUM_BUCKETS)
+    counts = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cum = Window.orderBy("band", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "band",
+        "bucket",
+        F.coalesce(F.sum("c").over(cum), F.lit(0)).alias("offset"),
+    )
+    win = Window.partitionBy("band", "bucket").orderBy("h", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), ["band", "bucket"])
+        .select(
+            "doc_id",
+            F.col("band").cast("bigint").alias("band"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            (F.col("offset") + F.row_number().over(win) - 1)
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+    )

@@ -73,6 +73,7 @@ SCALE_FAMILY = [
     "r_exp_decay_avg",
     "r_autocorrelation",
     "l_hapax_ratio",
+    "l_curriculum_order",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -93,6 +94,9 @@ PLAN_PIN_FAMILY = [
     # shuffle when the partition knob moves
     "r_exp_decay_avg",
     "l_hapax_ratio",
+    # the composed-offset global ordering must keep its exchange count
+    # when the partition knob moves (no re-planned global sort)
+    "l_curriculum_order",
 ]
 
 HOT_COPIES = 300  # rows in the artificially hot band
