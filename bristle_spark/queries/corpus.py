@@ -2650,16 +2650,20 @@ def l_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale pattern is the point: a naive row_number() OVER (ORDER BY
     band, h) funnels 100 TB through ONE window partition. Instead the
     global position composes from (1) a (band, bucket) count frame
-    (dimension-sized: bands x 256), (2) a running-total offset over
-    that tiny frame (the only single-partition window, over ~2k rows
-    regardless of corpus size), broadcast back, and (3) a row_number
-    within each (band, bucket) partition — bounded at corpus/(bands*256)
-    rows and split finer by raising CURRICULUM_BUCKETS. The oracle IS
-    the naive global window, proving the composition reproduces it
-    row-for-row (hash ties broken by doc_id on both sides).
+    (dimension-sized: bands x 256), (2) each cell's offset = the sum of
+    its predecessors' counts, via a broadcast non-equi self-join of
+    that tiny frame with itself (quadratic only in the CELL count —
+    ~2k cells regardless of corpus size; no window at all, so not even
+    the counts frame funnels through one partition), and (3) a
+    row_number within each (band, bucket) partition — bounded at
+    corpus/(bands*256) rows and split finer by raising
+    CURRICULUM_BUCKETS. The oracle IS the naive global window, proving
+    the composition reproduces it row-for-row (hash ties broken by
+    doc_id on both sides).
 
     Scale shape: one map-side-combined count shuffle + one broadcast
-    join + one bounded-partition window — no global sort anywhere."""
+    predecessor join over the cell frame + one broadcast join back +
+    one bounded-partition window — no global sort anywhere."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -2667,13 +2671,15 @@ def l_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.col("doc_id").cast("string")).alias("h"),
     ).withColumn("bucket", F.col("h") % CURRICULUM_BUCKETS)
     counts = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    cum = Window.orderBy("band", "bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    pred = (
+        (F.col("b.band") < F.col("a.band"))
+        | ((F.col("b.band") == F.col("a.band")) & (F.col("b.bucket") < F.col("a.bucket")))
     )
-    offsets = counts.select(
-        "band",
-        "bucket",
-        F.coalesce(F.sum("c").over(cum), F.lit(0)).alias("offset"),
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), pred, "left")
+        .groupBy(F.col("a.band").alias("band"), F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("offset"))
     )
     win = Window.partitionBy("band", "bucket").orderBy("h", "doc_id")
     return (

@@ -1507,3 +1507,104 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_le").cast("bigint").alias("n_le"),
         )
     )
+
+
+# ---------------------------------------------- streaming decayed LTV
+# Forward (anchor-free) half-life weights: w = 2^((days_since_base
+# DIV 2)), base pinned to 2024-01-01 so every micro-batch weighs
+# identically without knowing the final watermark. Σv·w / Σw equals the
+# anchor-relative decayed average for ANY anchor (the common 2^a factor
+# cancels), so the served state never needs re-weighting as time moves.
+LTV_BASE_DAYS = 19723  # (DATE '2024-01-01' - DATE '1970-01-01').days
+LTV_MAX_SHIFT = 45  # 2^45 * max_cents ~ 2e18/row: DECIMAL(38,0)-safe
+# past 1e12 rows; a deployment re-bases LTV_BASE_DAYS each quarter
+
+
+def _ltv_partials(df: DataFrame) -> DataFrame:
+    return (
+        df.selectExpr(
+            "user_id",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(least(greatest("
+            f"(unix_micros(ts) DIV 86400000000) - {LTV_BASE_DAYS}, 0) DIV 2,"
+            f" {LTV_MAX_SHIFT}) AS INT)) AS w",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+            F.sum((F.col("v_cents") * F.col("w")).cast("decimal(38,0)")).alias("scw"),
+        )
+    )
+
+
+def _stream_ltv_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               (CAST(1 AS BIGINT) << CAST(least(greatest(
+                   (epoch_us(ts) // 86400000000) - {LTV_BASE_DAYS}, 0) // 2,
+                   {LTV_MAX_SHIFT}) AS INT)) AS w
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT) AS sum_weight,
+           {rN_sql(
+               "CAST(sum(CAST(v_cents * w AS DECIMAL(38,0))) AS DOUBLE)"
+               " / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 100.0", 6
+           )} AS decayed_ltv
+    FROM b GROUP BY user_id
+    """
+
+
+@register("s_stream_decayed_ltv", oracle=_stream_ltv_oracle())
+def s_stream_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained recency-decayed customer value: each
+    micro-batch lands per-user partials (n, Σw, Σv·w) under exact
+    power-of-two forward weights (half-life 2 days against a FIXED
+    base date, never the batch clock), and the served LTV merges
+    partials by plain addition. Because the weights are integers and
+    the sums DECIMAL(38,0), the merge is exact and order-independent —
+    the streamed state equals the batch computation BIT-FOR-BIT, so
+    this is ORACLE-backed (the r_exp_decay_avg discipline, streaming).
+    Forward weighting is the trick that makes the state maintainable:
+    an anchor-relative weight would demand re-scaling every row as the
+    anchor advances; the common 2^a factor instead cancels in Σv·w/Σw.
+
+    Scale shape: per-batch partials map-side-combine to one row per
+    (user, batch); the sink is stateless foreachBatch; the merge is ONE
+    user-keyed sum over |batches| x users partial rows. DECIMAL(38,0)
+    absorbs 2^45-weighted cents past 1e12 rows; a deployment re-bases
+    the epoch each quarter to renew headroom."""
+    work = _workdir(sf_dir, "ltv")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = os.path.join(work, f"partials_{os.getpid()}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _ltv_partials(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    merged = spark.read.parquet(out_dir).groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sw").alias("sw"),
+        F.sum("scw").alias("scw"),
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("sw").cast("bigint").alias("sum_weight"),
+        rN(
+            F.col("scw").cast("double") / F.col("sw").cast("double") / F.lit(100.0), 6
+        ).alias("decayed_ltv"),
+    )

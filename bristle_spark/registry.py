@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_autocorrelation",
     "l_hapax_ratio",
     "l_curriculum_order",
+    "s_stream_decayed_ltv",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -121,9 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_centroid_by_label",
     "l_knn_eval",
     "l_ann_recall_eval",
-    # --- round-7 cohort (1 of 30 oracle-backed; the rest stay queued
-    # --- for round 12 and keep local parity coverage meanwhile) ---
-    "r_distinct_count",
 )
 
 

@@ -54,6 +54,7 @@ _HEAVY = {
     "m_png_resize": 5,
     "m_png_phash_dedup": 5,
     "m_png_edge_density": 5,
+    "s_stream_decayed_ltv": 6,
 }
 _FALLBACK_W = 3
 
