@@ -381,15 +381,19 @@ def main() -> None:
     # the driver captures only a stdout tail, which truncates the
     # per-query map once the suite passes ~150 queries (BENCH_r8/r9
     # "parsed": null) — also persist the full record to a file so the
-    # per-query history survives (VERDICT r9 ask #4)
-    try:
-        summary_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
-        )
-        with open(summary_path, "w") as f:
-            json.dump(record, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: stdout already carries the record
+    # per-query history survives (VERDICT r9 ask #4). ONLY full-HEADLINE
+    # runs may write it: a --queries/--family/--subset scratch run must
+    # not clobber the committed closing-gate record (self-review r11 —
+    # exactly that clobber happened once).
+    if not (args.queries or args.family or args.subset):
+        try:
+            summary_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
+            )
+            with open(summary_path, "w") as f:
+                json.dump(record, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout already carries the record
     spark.stop()
     if errors:
         # a partially-failed run sums fewer queries and would otherwise

@@ -10,8 +10,11 @@ sf0.1 oracle-parity sweep on cume_dist (640-customer nation).
 ``r6`` implements half-up rounding purely in IEEE double arithmetic —
 floor(x * 1e6 + 0.5) / 1e6 — the same bit-for-bit computation in both
 engines, so equality is guaranteed by construction instead of by luck of
-the data. (For negative inputs this rounds toward +inf; the engine uses
-it only for non-negative ratios.)
+the data. (For negative inputs this rounds toward +inf — e.g.
+-0.1234565 -> -0.123456. Most callers feed non-negative ratios; the
+signed statistics that use it — r_autocorrelation's acf — accept
+toward-+inf as their cross-engine contract and say so in their
+docstrings. Equality across engines holds either way: floor is floor.)
 """
 
 from __future__ import annotations

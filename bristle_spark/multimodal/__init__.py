@@ -423,6 +423,10 @@ def edge_stats(
             dens = np.zeros(n, dtype=np.float64)
             for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
                 idx = np.flatnonzero((widths == w) & (heights == h))
+                total = h * (w - 1) + (h - 1) * w
+                if total == 0:
+                    continue  # 1x1 (or empty) image: no gradient field;
+                    # the pre-zeroed sums/max/edges/density stand
                 cube = np.stack(
                     [np.frombuffer(decoded[i], dtype=np.uint8) for i in idx]
                 ).reshape(len(idx), h, w).astype(np.int16)
@@ -430,13 +434,16 @@ def edge_stats(
                 vg = np.abs(cube[:, 1:, :] - cube[:, :-1, :])
                 h_sums[idx] = hg.sum(axis=(1, 2), dtype=np.int64)
                 v_sums[idx] = vg.sum(axis=(1, 2), dtype=np.int64)
-                maxes[idx] = np.maximum(hg.max(axis=(1, 2)), vg.max(axis=(1, 2)))
+                # initial=0 keeps the zero-size axis legal for 1-row or
+                # 1-column images (one of the two fields is empty there)
+                maxes[idx] = np.maximum(
+                    hg.max(axis=(1, 2), initial=0), vg.max(axis=(1, 2), initial=0)
+                )
                 e = (hg > threshold).sum(axis=(1, 2)) + (vg > threshold).sum(axis=(1, 2))
                 edges[idx] = e
-                total = float(h * (w - 1) + (h - 1) * w)
                 # half-up at 6dp in pure IEEE double — rN's formula, so
                 # the hex-side oracle reproduces it bit-for-bit
-                dens[idx] = np.floor(e / total * 1e6 + 0.5) / 1e6
+                dens[idx] = np.floor(e / float(total) * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

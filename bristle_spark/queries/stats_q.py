@@ -852,7 +852,7 @@ DECAY_MAX_HALVINGS = 14  # weight floor: events >= 28 days old keep w=1
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT) AS sum_weight,
            {r6_sql(
-               "CAST(sum(CAST(v_cents * w AS DECIMAL(38,0))) AS DOUBLE)"
+               "CAST(sum(CAST(v_cents AS HUGEINT) * w) AS DOUBLE)"
                " / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
            )} AS decayed_avg
     FROM b
@@ -898,7 +898,11 @@ def r_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = base.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
-        F.sum((F.col("v_cents") * F.col("w")).cast("decimal(38,0)")).alias("scw"),
+        # decimal BEFORE the multiply: v_cents * w would wrap in int64
+        # once cents * 2^14 passes 9.2e18 (self-review r11)
+        F.sum(
+            F.col("v_cents").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")
+        ).alias("scw"),
     )
     return agg.select(
         "user_id",
@@ -941,11 +945,13 @@ _ACF_VY = "(n * syy - sy * sy)"
         SELECT event_type, lag_days,
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)     AS sx,
-               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)     AS sy,
-               CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)  AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)  AS sy,
+               -- products promoted to HUGEINT BEFORE multiplying: a
+               -- daily total past ~3e9 cents would wrap x*x in int64
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE)    AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)    AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)    AS syy
         FROM p GROUP BY event_type, lag_days
     )
     SELECT event_type, CAST(lag_days AS INT) AS lag_days, n_pairs,
@@ -967,7 +973,9 @@ def r_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson formula runs in double, an identical IEEE op sequence in
     both engines (no engine-native corr(), whose partial-merge order
     differs). Zero/negative variance guards to NULL before sqrt so no
-    NaN can reach the hash. Rounds half-up at 6 dp.
+    NaN can reach the hash. Rounds at 6 dp with r6 (half-up for
+    positive acf, toward +inf for negative — the documented r6
+    cross-engine contract; identical in both engines by construction).
 
     Scale shape: the fact table collapses in ONE (type, day)-keyed
     map-side-combined aggregation to a dimension-sized frame
@@ -1010,9 +1018,11 @@ def r_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(dec(F.col("x"))).cast("double").alias("sx"),
         F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        # promote to decimal BEFORE multiplying: a daily total past
+        # ~3e9 cents would silently wrap x*x in int64 (ANSI off)
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -1511,13 +1511,19 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- streaming decayed LTV
 # Forward (anchor-free) half-life weights: w = 2^((days_since_base
-# DIV 2)), base pinned to 2024-01-01 so every micro-batch weighs
-# identically without knowing the final watermark. Σv·w / Σw equals the
-# anchor-relative decayed average for ANY anchor (the common 2^a factor
-# cancels), so the served state never needs re-weighting as time moves.
+# DIV 2)), base pinned to 2024-01-01. A row's weight depends only on
+# its OWN timestamp, so every micro-batch weighs rows identically
+# without knowing the final watermark and merged partials never need
+# re-weighting as time moves — that maintainability is the design
+# point. The served Σv·w/Σw is the BASE-RELATIVE decayed average (the
+# 2-day banding is pinned to the base date); it is scale-invariant
+# (multiplying all weights by a constant cancels) but NOT identical to
+# r_exp_decay_avg's anchor-capped statistic — a deliberate contract,
+# not an approximation of it.
 LTV_BASE_DAYS = 19723  # (DATE '2024-01-01' - DATE '1970-01-01').days
-LTV_MAX_SHIFT = 45  # 2^45 * max_cents ~ 2e18/row: DECIMAL(38,0)-safe
-# past 1e12 rows; a deployment re-bases LTV_BASE_DAYS each quarter
+LTV_MAX_SHIFT = 45  # shift cap; products go through DECIMAL(38,0),
+# which absorbs 2^45-weighted cents past 1e12 rows; a deployment
+# re-bases LTV_BASE_DAYS each quarter to renew headroom
 
 
 def _ltv_partials(df: DataFrame) -> DataFrame:
@@ -1533,7 +1539,12 @@ def _ltv_partials(df: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
-            F.sum((F.col("v_cents") * F.col("w")).cast("decimal(38,0)")).alias("scw"),
+            # decimal BEFORE the multiply: with w saturated at 2^45,
+            # v_cents > 262,143 would wrap v_cents*w in int64
+            F.sum(
+                F.col("v_cents").cast("decimal(38,0)")
+                * F.col("w").cast("decimal(38,0)")
+            ).alias("scw"),
         )
     )
 
@@ -1552,7 +1563,7 @@ def _stream_ltv_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT) AS sum_weight,
            {rN_sql(
-               "CAST(sum(CAST(v_cents * w AS DECIMAL(38,0))) AS DOUBLE)"
+               "CAST(sum(CAST(v_cents AS HUGEINT) * w) AS DOUBLE)"
                " / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 100.0", 6
            )} AS decayed_ltv
     FROM b GROUP BY user_id
@@ -1570,8 +1581,12 @@ def s_stream_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streamed state equals the batch computation BIT-FOR-BIT, so
     this is ORACLE-backed (the r_exp_decay_avg discipline, streaming).
     Forward weighting is the trick that makes the state maintainable:
-    an anchor-relative weight would demand re-scaling every row as the
-    anchor advances; the common 2^a factor instead cancels in Σv·w/Σw.
+    an anchor-relative weight would demand re-scaling every stored
+    partial as the anchor advances, while a forward weight depends only
+    on the row's own timestamp. The served value is the BASE-RELATIVE
+    2-day-banded decayed average — a deliberate, self-consistent
+    contract (scale-invariant in the weights), not a re-derivation of
+    r_exp_decay_avg's anchor-capped statistic.
 
     Scale shape: per-batch partials map-side-combine to one row per
     (user, batch); the sink is stateless foreachBatch; the merge is ONE

@@ -110,3 +110,28 @@ def test_edge_stats_identical_on_real_png_payloads(spark, sf_dir):
     raw = M.edge_stats(M.attach_fake_payload(d), decode_backend="fake")
     png = M.edge_stats(M.attach_png_payload(d), decode_backend="png")
     assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, png.collect()))
+
+
+def test_edge_stats_degenerate_dimensions(spark):
+    """1x1 / 1xN / Nx1 images must not crash the partition (zero-size
+    gradient axes) and report zeroed gradient fields where none exist."""
+    from bristle_spark import multimodal as M
+
+    rows = [
+        (1, bytes([7]), {"width": 1, "height": 1, "format": "fake"}),
+        (2, bytes([0, 200, 0, 200]), {"width": 4, "height": 1, "format": "fake"}),
+        (3, bytes([0, 200, 0, 200]), {"width": 1, "height": 4, "format": "fake"}),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta map<string,string>"
+    )
+    out = {r.doc_id: r for r in M.edge_stats(d, threshold=96).collect()}
+    assert (out[1].h_grad_sum, out[1].v_grad_sum, out[1].grad_max,
+            out[1].n_edges, out[1].edge_density) == (0, 0, 0, 0, 0.0)
+    # 4x1: only horizontal gradients exist (200,200,200)
+    assert (out[2].h_grad_sum, out[2].v_grad_sum) == (600, 0)
+    assert out[2].grad_max == 200 and out[2].n_edges == 3
+    assert out[2].edge_density == 1.0
+    # 1x4: only vertical gradients exist — the transpose of the above
+    assert (out[3].h_grad_sum, out[3].v_grad_sum) == (0, 600)
+    assert out[3].grad_max == 200 and out[3].n_edges == 3

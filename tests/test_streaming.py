@@ -223,3 +223,24 @@ def test_stream_upsert_latest_row_wins(spark, sf_dir):
     }
     for r in pdf.itertuples():
         assert r.ts == max_ts[(r.user_id, r.event_type)]
+
+
+def test_ltv_partials_exact_past_int64(spark):
+    """The decayed-LTV per-row product must survive weight saturation:
+    one $10M event 90+ days past the base has v_cents * w = 1e9 * 2^45
+    > int64 max — the decimal-before-multiply contract (self-review
+    r11) keeps it exact instead of wrapping."""
+    import datetime
+    from decimal import Decimal
+
+    from bristle_spark.queries.streaming_q import _ltv_partials, LTV_MAX_SHIFT
+
+    ts = datetime.datetime(2024, 6, 1, 12, 0, 0)  # 152 days past base
+    df = spark.createDataFrame(
+        [(7, 10_000_000.0, ts)], "user_id long, value double, ts timestamp"
+    )
+    row = _ltv_partials(df).collect()[0]
+    expected = Decimal(10_000_000 * 100) * Decimal(2**LTV_MAX_SHIFT)
+    assert row["scw"] == expected
+    assert row["sw"] == Decimal(2**LTV_MAX_SHIFT)
+    assert int(expected) > 2**63 - 1  # the case int64 math would wrap
