@@ -285,6 +285,7 @@ HEADLINE = [
     "r_autocorrelation",
     "l_hapax_ratio",
     "l_curriculum_order",
+    "l_duplicate_spans",
 ]
 
 

@@ -2693,3 +2693,121 @@ def l_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_duplicate_spans
+
+SPAN_WORDS = 8  # sliding shingle width for span detection
+
+
+@register(
+    "l_duplicate_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_WORDS}
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               {hash60_sql(
+                   f"array_to_string(list_slice(t, i, i + {SPAN_WORDS} - 1), ' ')"
+               )} AS h
+        FROM tok, unnest(range(1, len(t) - {SPAN_WORDS} + 2)) AS u(i)
+    ),
+    df AS (
+        SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT pos.doc_id, pos.i FROM pos JOIN df ON pos.h = df.h),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER w <= {SPAN_WORDS - 1}
+                    THEN 0 ELSE 1 END AS new_island
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(i) AS BIGINT)                      AS span_start,
+           CAST(max(i) + {SPAN_WORDS - 1} AS BIGINT)   AS span_end,
+           CAST(max(i) + {SPAN_WORDS} - min(i) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT)                    AS n_windows
+    FROM isl
+    GROUP BY doc_id, island
+    """,
+)
+def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document duplicated spans — the cut-list the
+    suffix-array dedup method (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") produces, approximated at shingle
+    resolution: every {SPAN_WORDS}-token sliding window that occurs in
+    2+ distinct documents marks its token range, and overlapping/
+    adjacent marked ranges merge into maximal [span_start, span_end]
+    token intervals per document (gap > {SPAN_WORDS - 1} starts a new
+    span). Downstream, a pipeline cuts exactly these ranges instead of
+    dropping whole documents — the deliverable l_duplicate_passages'
+    per-doc fractions summarize but do not localize.
+
+    All-integer outputs (token positions, 1-based); merging is the
+    classic gaps-and-islands cumulative-flag window, partitioned by
+    document, so every window partition is bounded by one document's
+    length at any corpus size.
+
+    Scale shape: the sliding-window explode is a Catalyst generator;
+    duplicated-window detection is ONE map-side-combined aggregation on
+    8-byte hashes (HAVING >= 2 distinct docs); the join back shuffles
+    only (doc_id, position, h) ids; span merging never leaves the
+    per-document partition."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    docs = d.select("doc_id", t.alias("t")).filter(F.size("t") >= SPAN_WORDS)
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - SPAN_WORDS + 1)
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        hash60(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), SPAN_WORDS)))
+        .alias("h"),
+    )
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = pos.join(dup_h, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dup.select(
+        "doc_id",
+        "i",
+        F.when(F.col("i") - F.lag("i").over(w) <= SPAN_WORDS - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "i",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + F.lit(SPAN_WORDS - 1)).cast("bigint").alias("span_end"),
+            (F.max("i") + F.lit(SPAN_WORDS) - F.min("i"))
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .drop("island")
+    )

@@ -74,6 +74,7 @@ SCALE_FAMILY = [
     "r_autocorrelation",
     "l_hapax_ratio",
     "l_curriculum_order",
+    "l_duplicate_spans",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
