@@ -286,6 +286,7 @@ HEADLINE = [
     "l_hapax_ratio",
     "l_curriculum_order",
     "l_duplicate_spans",
+    "r_summap",
 ]
 
 

@@ -2881,3 +2881,64 @@ def r_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_null, n_distinct, min_num, max_num)"
         ),
     ).select("column_name", "n", "n_null", "n_distinct", "min_num", "max_num")
+
+
+@register(
+    "r_summap",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s_cents
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                       AS n_types,
+           array_to_string(list(event_type ORDER BY event_type), ',')
+                                                          AS type_keys,
+           array_to_string(list(CAST(s_cents AS VARCHAR) ORDER BY event_type), ',')
+                                                          AS type_sums_cents
+    FROM per GROUP BY user_id
+    """,
+)
+def r_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMap (the ClickHouse map-valued aggregate): per user, the
+    key-aligned map event_type -> Σvalue, serialized as parallel
+    key-sorted CSV columns (the canonicalizer-safe projection of a
+    MAP column — the t_map_to_arrays convention). Unlike r_pivot this
+    handles an UNBOUNDED, data-dependent key set: the map is state per
+    group, not schema — the reason ClickHouse ships sumMap at all.
+
+    Values sum as exact BIGINT cents (half-up 2dp), so the CSV is
+    deterministic with no float formatting in either engine.
+
+    Scale shape: ONE (user, type)-keyed map-side-combined aggregation
+    collapses the fact table; the per-user map assembly re-aggregates
+    that collapsed frame (|users| x |types| rows). sort_array on the
+    struct list makes the CSV order engine-independent; entries per
+    map are bounded by the type cardinality, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("s_cents")
+        )
+    )
+    m = per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "s_cents"))
+        ).alias("kv"),
+    )
+    return m.select(
+        "user_id",
+        "n_types",
+        F.concat_ws(",", F.transform("kv", lambda e: e["event_type"])).alias(
+            "type_keys"
+        ),
+        F.concat_ws(
+            ",", F.transform("kv", lambda e: e["s_cents"].cast("string"))
+        ).alias("type_sums_cents"),
+    )

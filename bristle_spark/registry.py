@@ -80,6 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_curriculum_order",
     "s_stream_decayed_ltv",
     "l_duplicate_spans",
+    "r_summap",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_ann_knn_join",
     "l_ann_ivf_nprobe",
     "l_centroid_by_label",
-    "l_knn_eval",
 )
 
 

@@ -135,3 +135,58 @@ def test_edge_stats_degenerate_dimensions(spark):
     # 1x4: only vertical gradients exist — the transpose of the above
     assert (out[3].h_grad_sum, out[3].v_grad_sum) == (0, 600)
     assert out[3].grad_max == 200 and out[3].n_edges == 3
+
+
+def test_edge_stats_matches_pixel_loop_reference(spark):
+    """Property check: the vectorized gradient kernel agrees with a
+    per-pixel Python reference on random images of varied dimensions
+    (hypothesis-generated, fixed seed via derandomize in CI)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bristle_spark import multimodal as M
+
+    cases = []
+
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def collect(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h, max_size=w * h
+                )
+            )
+        )
+        cases.append((w, h, px))
+
+    collect()
+    rows = [
+        (i, px, {"width": str(w), "height": str(h), "format": "fake"})
+        for i, (w, h, px) in enumerate(cases)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta map<string,string>"
+    )
+    got = {r.doc_id: r for r in M.edge_stats(d, threshold=96).collect()}
+    for i, (w, h, px) in enumerate(cases):
+        g = [[px[r * w + c] for c in range(w)] for r in range(h)]
+        hg = [abs(g[r][c + 1] - g[r][c]) for r in range(h) for c in range(w - 1)]
+        vg = [abs(g[r + 1][c] - g[r][c]) for r in range(h - 1) for c in range(w)]
+        total = len(hg) + len(vg)
+        n_edges = sum(1 for x in hg + vg if x > 96)
+        row = got[i]
+        assert row.h_grad_sum == sum(hg), (w, h)
+        assert row.v_grad_sum == sum(vg), (w, h)
+        assert row.grad_max == max(hg + vg, default=0), (w, h)
+        assert row.n_edges == n_edges, (w, h)
+        expect_d = (
+            0.0 if total == 0 else math.floor(n_edges / total * 1e6 + 0.5) / 1e6
+        )
+        assert row.edge_density == expect_d, (w, h)

@@ -75,6 +75,7 @@ SCALE_FAMILY = [
     "l_hapax_ratio",
     "l_curriculum_order",
     "l_duplicate_spans",
+    "r_summap",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
