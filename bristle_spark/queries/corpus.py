@@ -2721,7 +2721,7 @@ SPAN_WORDS = 8  # sliding shingle width for span detection
     dup AS (SELECT pos.doc_id, pos.i FROM pos JOIN df ON pos.h = df.h),
     flagged AS (
         SELECT doc_id, i,
-               CASE WHEN i - lag(i) OVER w <= {SPAN_WORDS - 1}
+               CASE WHEN i - lag(i) OVER w <= {SPAN_WORDS}
                     THEN 0 ELSE 1 END AS new_island
         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
     ),
@@ -2745,10 +2745,12 @@ def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array dedup method (Lee et al., "Deduplicating Training Data
     Makes Language Models Better") produces, approximated at shingle
     resolution: every {SPAN_WORDS}-token sliding window that occurs in
-    2+ distinct documents marks its token range, and overlapping/
-    adjacent marked ranges merge into maximal [span_start, span_end]
-    token intervals per document (gap > {SPAN_WORDS - 1} starts a new
-    span). Downstream, a pipeline cuts exactly these ranges instead of
+    2+ distinct documents marks its token range, and overlapping OR
+    abutting marked ranges merge into maximal [span_start, span_end]
+    token intervals per document (a window-start gap of exactly
+    {SPAN_WORDS} means the ranges abut — merged; a gap beyond it means
+    at least one clean token separates them — new span).
+    Downstream, a pipeline cuts exactly these ranges instead of
     dropping whole documents — the deliverable l_duplicate_passages'
     per-doc fractions summarize but do not localize.
 
@@ -2788,7 +2790,7 @@ def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = dup.select(
         "doc_id",
         "i",
-        F.when(F.col("i") - F.lag("i").over(w) <= SPAN_WORDS - 1, F.lit(0))
+        F.when(F.col("i") - F.lag("i").over(w) <= SPAN_WORDS, F.lit(0))
         .otherwise(F.lit(1))
         .alias("new_island"),
     )

@@ -31,3 +31,25 @@ def test_shared38_is_38_registered_names():
 
 def test_headline_has_no_duplicates():
     assert len(set(_bench.HEADLINE)) == len(_bench.HEADLINE)
+
+
+def test_committed_bench_summary_covers_headline():
+    """The committed bench_summary.json must describe THIS tree's full
+    HEADLINE set — adding a HEADLINE key without re-running the full
+    closing bench silently ships a stale record (self-review r11: the
+    session-2 gate was committed at 210 keys while HEADLINE had grown
+    to 211). Fails until the closing bench is re-run after any
+    HEADLINE change."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "bench_summary.json"
+    )
+    with open(path) as fh:
+        record = json.load(fh)
+    covered = set(record["queries"]) | set(record.get("errors", {}))
+    missing = sorted(set(_bench.HEADLINE) - covered)
+    assert missing == [], (
+        f"bench_summary.json predates these HEADLINE keys: {missing} — "
+        f"re-run `python bench.py` (full suite) and commit the record"
+    )

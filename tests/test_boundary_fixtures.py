@@ -266,3 +266,34 @@ def test_events_have_no_per_user_timestamp_ties():
             )"""
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} per-user same-microsecond ties"
+
+
+def test_duplicate_spans_merges_abutting_ranges(spark):
+    """Two duplicated 8-token windows whose token ranges ABUT (window
+    starts 1 and 9: ranges [1,8] + [9,16]) must merge into ONE maximal
+    span [1,16] — the self-review r11 off-by-one (gap == SPAN_WORDS was
+    wrongly treated as a break). Doc 4's isolated duplicate run, a full
+    clean token away, must stay its own span."""
+    import tempfile
+
+    w = [f"w{i}" for i in range(1, 17)]
+    docs = [
+        (1, " ".join(w), "en", "srcA", 0),                       # w1..w16
+        (2, " ".join(w[:8]), "en", "srcB", 0),                   # w1..w8
+        (3, " ".join(w[8:]), "en", "srcC", 0),                   # w9..w16
+        # w1..w8 + a clean separator + w9..w16: two spans expected
+        (4, " ".join(w[:8]) + " zzz " + " ".join(w[8:]), "en", "srcD", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = all_specs()["l_duplicate_spans"].fn(spark, d).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert spans[1] == [(1, 16)], spans  # abutting ranges merged maximal
+    assert spans[2] == [(1, 8)] and spans[3] == [(1, 8)]
+    assert sorted(spans[4]) == [(1, 8), (10, 17)], spans  # separator holds

@@ -138,35 +138,23 @@ def test_edge_stats_degenerate_dimensions(spark):
 
 
 def test_edge_stats_matches_pixel_loop_reference(spark):
-    """Property check: the vectorized gradient kernel agrees with a
-    per-pixel Python reference on random images of varied dimensions
-    (hypothesis-generated, fixed seed via derandomize in CI)."""
+    """The vectorized gradient kernel agrees with a per-pixel Python
+    reference on seeded-random images of varied dimensions (plain
+    random.Random(0): one Spark job for all cases, deterministic, and
+    a failure reports the exact (w, h) image — hypothesis added only
+    indirection here since the property body couldn't fail inside
+    @given; self-review r11)."""
     import math
-
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+    import random
 
     from bristle_spark import multimodal as M
 
+    rng = random.Random(0)
     cases = []
-
-    @settings(max_examples=12, deadline=None, derandomize=True)
-    @given(
-        w=st.integers(min_value=1, max_value=9),
-        h=st.integers(min_value=1, max_value=9),
-        data=st.data(),
-    )
-    def collect(w, h, data):
-        px = bytes(
-            data.draw(
-                st.lists(
-                    st.integers(0, 255), min_size=w * h, max_size=w * h
-                )
-            )
-        )
-        cases.append((w, h, px))
-
-    collect()
+    for w, h in [(1, 1), (1, 9), (9, 1), (2, 2)] + [
+        (rng.randint(1, 9), rng.randint(1, 9)) for _ in range(8)
+    ]:
+        cases.append((w, h, bytes(rng.randrange(256) for _ in range(w * h))))
     rows = [
         (i, px, {"width": str(w), "height": str(h), "format": "fake"})
         for i, (w, h, px) in enumerate(cases)
