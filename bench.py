@@ -287,6 +287,7 @@ HEADLINE = [
     "l_curriculum_order",
     "l_duplicate_spans",
     "r_summap",
+    "l_k_anonymity",
 ]
 
 

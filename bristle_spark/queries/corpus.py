@@ -2813,3 +2813,51 @@ def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_k_anonymity
+
+KANON_K = 5  # groups smaller than this are re-identification risks
+KANON_CHAR_BAND = 100  # n_chars quasi-identifier band width
+
+
+@register(
+    "l_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {KANON_CHAR_BAND} AS BIGINT) AS char_band,
+           CAST(count(*) AS BIGINT)                     AS group_size,
+           CAST(count(*) < {KANON_K} AS INT)            AS at_risk,
+           CAST(min(doc_id) AS BIGINT)                  AS example_doc
+    FROM documents
+    GROUP BY lang, source, n_chars // {KANON_CHAR_BAND}
+    """,
+)
+def l_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length band): any equivalence class smaller than k={KANON_K} is a
+    re-identification risk — the release gate a privacy review runs
+    before publishing a corpus or its per-document metadata (companion
+    to l_pii_scrub, which handles direct identifiers; quasi-identifiers
+    leak through JOINS with outside data, which is what k-anonymity
+    bounds).
+
+    All-integer outputs; the length band is integer division, exact in
+    both engines. Scale shape: ONE map-side-combined aggregation on the
+    quasi-identifier tuple — group count is bounded by the identifier
+    domain (langs x sources x bands), not the corpus; the at-risk flag
+    and example doc ride the same partials."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars DIV {KANON_CHAR_BAND}").cast("bigint").alias("char_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            (F.count(F.lit(1)) < KANON_K).cast("int").alias("at_risk"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )

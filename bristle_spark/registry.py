@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_decayed_ltv",
     "l_duplicate_spans",
     "r_summap",
+    "l_k_anonymity",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "l_pmi_bigrams",
     "l_bigram_logprob",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_pack_sequences",
     "l_ann_knn_join",
     "l_ann_ivf_nprobe",
-    "l_centroid_by_label",
 )
 
 

@@ -76,6 +76,7 @@ SCALE_FAMILY = [
     "l_curriculum_order",
     "l_duplicate_spans",
     "r_summap",
+    "l_k_anonymity",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
