@@ -100,6 +100,18 @@ SAMPLE = [
     "r_top_paths",
     # double-ordered top-K cut over inverted-index dot products
     "l_sparse_cosine_topk",
+    # round-11 session-2 newcomers: composed-offset global ordering
+    # (broadcast predecessor join + bounded row_number), islands merge
+    # over duplicated window positions, collect_list-backed map
+    # aggregate (sort_array must fully determine the CSVs), decimal
+    # Pearson, fixed-point decay
+    "l_curriculum_order",
+    "l_duplicate_spans",
+    "r_summap",
+    "r_autocorrelation",
+    "r_exp_decay_avg",
+    "l_hapax_ratio",
+    "l_k_anonymity",
 ]
 
 
