@@ -424,9 +424,10 @@ def edge_stats(
             for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
                 idx = np.flatnonzero((widths == w) & (heights == h))
                 total = h * (w - 1) + (h - 1) * w
+                # 1x1 (or empty) image: no gradient field exists — the
+                # pre-zeroed sums/max/edges/density stand
                 if total == 0:
-                    continue  # 1x1 (or empty) image: no gradient field;
-                    # the pre-zeroed sums/max/edges/density stand
+                    continue
                 cube = np.stack(
                     [np.frombuffer(decoded[i], dtype=np.uint8) for i in idx]
                 ).reshape(len(idx), h, w).astype(np.int16)
