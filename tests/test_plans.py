@@ -628,3 +628,47 @@ def test_sequence_match_is_one_window_pass(spark, sf_dir):
     assert plans.node_count(df, "Window") == 1
     assert not plans.has_node(df, "Join")
     assert not plans.has_node(df, "CartesianProduct")
+
+
+def test_exp_decay_anchor_is_broadcast(spark, sf_dir):
+    """The decay anchor is a 1-row broadcast (column-stats max), never a
+    shuffled join; the body is one user-keyed partial aggregation."""
+    df = SPECS["r_exp_decay_avg"].fn(spark, sf_dir)
+    assert plans.has_node(df, "BroadcastExchange")
+    assert not plans.has_node(df, "SortMergeJoin")
+    assert "HashAggregate" in plans.plan_string(df, "simple")
+
+
+def test_curriculum_order_never_global_sorts(spark, sf_dir):
+    """The composed-offset global ordering must plan NO global sort and
+    NO SortMergeJoin — offsets ride broadcasts, ranks ride bounded
+    (band, bucket) window partitions."""
+    df = SPECS["l_curriculum_order"].fn(spark, sf_dir)
+    simple = plans.plan_string(df, "simple")
+    assert not plans.has_node(df, "SortMergeJoin")
+    # both joins (predecessor-sum and offsets-back) must be broadcasts
+    assert plans.has_node(df, "BroadcastExchange")
+    # the only top-level Sort allowed is the window's intra-partition
+    # sort; a global (non-partitioned) Sort would print 'Sort [band...' 
+    # without a partial flag — pin via the unpartitioned-window check
+    assert plans.unpartitioned_windows(df) == []
+
+
+def test_duplicate_spans_merges_inside_doc_partition(spark, sf_dir):
+    """Span merging must never leave the per-document partition: the
+    islands windows are doc-partitioned, and duplicated-window
+    detection is a hash aggregation (no self-join of positions)."""
+    df = SPECS["l_duplicate_spans"].fn(spark, sf_dir)
+    assert plans.unpartitioned_windows(df) == []
+    assert not plans.has_node(df, "CartesianProduct")
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_summap_two_level_aggregation(spark, sf_dir):
+    """sumMap: the fact table collapses in the (user, type) aggregation;
+    the map assembly re-aggregates the collapsed frame — two exchanges,
+    no joins, no windows at all."""
+    df = SPECS["r_summap"].fn(spark, sf_dir)
+    assert plans.exchange_count(df) == 2
+    assert not plans.has_node(df, "Join")
+    assert plans.unpartitioned_windows(df) == []
