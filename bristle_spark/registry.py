@@ -53,75 +53,70 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 11: 996b8b2 (r10) persisted the counts frames consumed by the
-# first three (last driver row r8 predates that plan change), and the
-# round-11 banding refactor (_phash_band_pairs) touched m_phash_dedup
-# (last driver row r7).
-PLAN_CHANGED_KEYS: tuple[str, ...] = (
-    "l_pmi_bigrams",
-    "l_bigram_logprob",
-    "l_kneser_ney",
-    "m_phash_dedup",
-)
+# Round 12: starts empty (every r11 plan-changed key was re-graded in
+# r11); grows as this round's plan changes land.
+PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: r_data_profile landed after the r10
-    # --- window was pinned; the m_png_*/l_gzip/edge/decay/acf/hapax
-    # --- keys are new this round ---
-    "r_data_profile",
-    "m_png_pixel_stats",
-    "m_png_resize",
-    "m_png_phash_dedup",
-    "l_gzip_decode_stats",
-    "m_png_edge_density",
-    "r_exp_decay_avg",
-    "r_autocorrelation",
-    "l_hapax_ratio",
-    "l_curriculum_order",
-    "s_stream_decayed_ltv",
-    "l_duplicate_spans",
-    "r_summap",
-    "l_k_anonymity",
+    # --- (1) never driver-graded: none at round-12 open (every
+    # --- oracle-backed key has a driver row in CORRECTNESS_r01..r11);
+    # --- new round-12 keys get prepended here as they land ---
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
-    "l_pmi_bigrams",
-    "l_bigram_logprob",
-    "l_kneser_ney",
-    "m_phash_dedup",
-    # --- (3) oldest-first drain: the round-4 cohort (7 rounds stale) ---
-    "l_simhash",
-    "l_lang_id",
-    "l_quality_score",
-    "l_token_count",
-    "l_chunk_documents",
-    "l_tfidf_top_terms",
-    "l_sample_hash",
-    "l_train_val_test",
-    # --- round-5 cohort ---
-    "l_dedup_minhash",
-    "l_dedup_simhash",
-    "l_ann_lsh",
-    "l_ann_ivf",
-    # --- round-6 cohort (all 23 oracle-backed r6 keys) ---
-    "l_heavy_hitters",
-    "r_retention",
-    "r_unpivot",
-    "t_decimal_math",
-    "t_null_semantics",
-    "l_dedup_ngram_jaccard",
-    "l_dedup_clusters",
-    "l_feature_hash_embedding",
-    "l_repetition_score",
-    "l_contamination_ngram",
-    "l_cluster_representatives",
-    "l_ngram_counts",
-    "l_clean_funnel",
-    "l_unigram_logprob",
-    "l_zipf_slope",
-    "l_cross_snapshot_dedup",
-    "l_duplicate_passages",
-    "l_pack_sequences",
-    "l_ann_knn_join",
-    "l_ann_ivf_nprobe",
+    # --- (3) oldest-first drain: the round-6 cohort (graded r6) ---
+    "l_ann_recall_eval",
+    "l_centroid_by_label",
+    "l_knn_eval",
+    # --- round-7 cohort (all 27 oracle-backed keys last graded r7) ---
+    "l_ann_int8_rerank",
+    "l_corpus_stats",
+    "l_dedup_containment",
+    "l_knn_label",
+    "l_pii_scrub",
+    "l_quality_ensemble",
+    "l_similarity_cosine",
+    "l_span_corruption",
+    "l_stratified_sample",
+    "l_token_entropy",
+    "r_attribution",
+    "r_distinct_count",
+    "r_join_multi",
+    "r_join_outer",
+    "r_join_semi_anti",
+    "r_robust_stats",
+    "r_window_running",
+    "s_stream_enrich",
+    "s_stream_rollup",
+    "s_stream_upsert",
+    "t_array_ops",
+    "t_bool_to_int",
+    "t_enum_codes",
+    "t_json_props_extract",
+    "t_map_to_arrays",
+    "t_null_default",
+    "t_timestamp_epoch",
+    # --- round-8 cohort: 20 of the 42 r8-graded keys (the rest drain
+    # --- next window); the two multimodal keys lead because their
+    # --- family is the round-12 promotion target ---
+    "m_scene_cut",
+    "m_audio_fingerprint",
+    "r_approx_distinct",
+    "r_approx_percentiles",
+    "r_bloom_prune",
+    "r_snapshot_diff",
+    "r_gap_fill",
+    "r_ntile",
+    "r_islands",
+    "r_interval_coverage",
+    "r_hll_merge",
+    "r_scd2",
+    "r_skew_salted_join",
+    "r_mode_per_group",
+    "l_dedup_embedding",
+    "l_prefix_dedup",
+    "l_winnow_fingerprint",
+    "l_char_ngram_lang_id",
+    "l_lang_id_eval",
+    "l_bm25",
 )
 
 
