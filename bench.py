@@ -301,6 +301,19 @@ def _select_queries(args: argparse.Namespace) -> list[str]:
     return list(HEADLINE)
 
 
+def is_closing_gate_run(args: argparse.Namespace) -> bool:
+    """True iff this invocation may overwrite bench_summary.json.
+
+    The committed summary is the closing-gate record: full HEADLINE,
+    warm, min-of-2, no session recycling. Scratch selections
+    (--queries/--family/--subset) and methodology overrides
+    (--cold/--recycle/--runs) produce numbers that are not comparable
+    to it and must never clobber it (self-review + ADVICE r11).
+    """
+    return not (args.queries or args.family or args.subset
+                or args.cold or args.recycle or args.runs != 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     # the three selectors are mutually exclusive: silently preferring
@@ -385,10 +398,13 @@ def main() -> None:
     # per-query map once the suite passes ~150 queries (BENCH_r8/r9
     # "parsed": null) — also persist the full record to a file so the
     # per-query history survives (VERDICT r9 ask #4). ONLY full-HEADLINE
-    # runs may write it: a --queries/--family/--subset scratch run must
-    # not clobber the committed closing-gate record (self-review r11 —
-    # exactly that clobber happened once).
-    if not (args.queries or args.family or args.subset):
+    # runs on the closing-gate methodology (warm, min-of-2, no recycle)
+    # may write it: a --queries/--family/--subset scratch run must not
+    # clobber the committed record (self-review r11 — exactly that
+    # clobber happened once), and neither may a --cold/--recycle/--runs
+    # run, whose numbers are methodologically different even though
+    # they cover every HEADLINE key (ADVICE r11).
+    if is_closing_gate_run(args):
         try:
             summary_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"

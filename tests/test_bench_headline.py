@@ -33,6 +33,27 @@ def test_headline_has_no_duplicates():
     assert len(set(_bench.HEADLINE)) == len(_bench.HEADLINE)
 
 
+def test_summary_write_gated_on_closing_methodology():
+    """Only a full-HEADLINE warm min-of-2 run may overwrite
+    bench_summary.json: scratch selections AND methodology overrides
+    (--cold/--recycle/--runs) must be refused (ADVICE r11 — a --cold
+    full run covers every key, so the coverage test above cannot catch
+    that clobber)."""
+    import argparse
+
+    def ns(**over):
+        base = dict(subset=None, family=None, queries=None,
+                    recycle=0, cold=False, runs=2)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    assert _bench.is_closing_gate_run(ns())
+    for bad in (ns(queries="r_hash_agg"), ns(family="l_"),
+                ns(subset="shared38"), ns(cold=True),
+                ns(recycle=5), ns(runs=1), ns(runs=3)):
+        assert not _bench.is_closing_gate_run(bad), bad
+
+
 def test_committed_bench_summary_covers_headline():
     """The committed bench_summary.json must describe THIS tree's full
     HEADLINE set — adding a HEADLINE key without re-running the full
