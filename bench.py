@@ -288,6 +288,15 @@ HEADLINE = [
     "l_duplicate_spans",
     "r_summap",
     "l_k_anonymity",
+    # round-12 additions: the remaining fake-backend keys promoted to
+    # real-PNG twins
+    "m_png_binary_features",
+    "m_png_frame_sample",
+    "m_png_scene_cut",
+    "m_png_patchify",
+    # round-12 additions: the baseline-JPEG stdlib codec keys
+    "m_jpeg_pixel_stats",
+    "m_jpeg_resize",
 ]
 
 

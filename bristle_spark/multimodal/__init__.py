@@ -122,12 +122,52 @@ def _png_decode(payload: bytes) -> bytes:
     return pixels
 
 
+def _jpeg_decode(payload: bytes) -> bytes:
+    """REAL image container decode, stdlib-only: parse a baseline
+    greyscale JPEG (marker segments, Annex-K Huffman entropy decode,
+    dequantize, 8x8 IDCT — multimodal/jpeg.py) and return the raw pixel
+    bytes, the same flat one-byte-per-pixel contract the other decoders
+    satisfy. Greyscale baseline only; anything else is a payload
+    error."""
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    _w, _h, channels, pixels = jpeg_codec.decode_jpeg(payload)
+    if channels != 1:
+        raise ValueError(
+            f"jpeg payload has {channels} channels; kernels expect greyscale"
+        )
+    return pixels
+
+
 _DECODERS = {
     "fake": _fake_decode,
     "pil": _pil_decode,
     "wav": _wav_decode,
     "png": _png_decode,
+    "jpeg": _jpeg_decode,
 }
+
+
+def decode_pixels(df: DataFrame, decode_backend: str = "png") -> DataFrame:
+    """Decode the payload column in place: (key, payload, meta) ->
+    (key, payload=RAW PIXEL BYTES, meta). The bridge that lets
+    JVM-side binary kernels (sample_frames' substring slicing) consume
+    encoded containers: one partition-local mapInPandas decode stage,
+    zero shuffles, then the downstream plan is unchanged.
+
+    At 100 TB this is the canonical split of an image pipeline: decode
+    once (Python/codec-bound, linearly scale-out), then every
+    slice/sample/stat stage stays JVM-side whole-stage codegen."""
+    decode = _DECODERS[decode_backend]
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [decode(bytes(p)) for p in pdf["payload"]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def wav_container(pcm: bytes, sample_rate: int = 16000, channels: int = 1) -> bytes:
@@ -243,6 +283,71 @@ def attach_png_payload(
                     "payload": payloads,
                     "meta": [
                         {"width": 16, "height": 16, "format": "png-grey8"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def attach_jpeg_payload(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-JPEG image payload: a 16x16 greyscale image
+    whose four 8x8 blocks are each CONSTANT — block (by, bx) is byte
+    2*by+bx of md5(text || '0') — encoded as a genuine baseline JPEG
+    (multimodal/jpeg.py, unit quantization). Constant blocks are the
+    one image family baseline JPEG roundtrips BYTE-EXACTLY (DC-only
+    spectra, integer coefficients), so the decoded pixels stay
+    hex-derivable SQL-side and the oracle witnesses the WHOLE decode
+    path: marker parse, Huffman entropy decode, differential DC
+    prediction across the four blocks, dequantize, IDCT, level shift.
+
+    Same mapInPandas shape as attach_png_payload: the entropy bytes
+    depend on the pixels, so the wrap runs partition-local over Arrow
+    batches, zero shuffles."""
+    import hashlib as _hl
+
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    src = df.select(F.col(key_col), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                blocks = _hl.md5(str(text).encode() + b"0").digest()[:4]
+                img = np.empty((16, 16), dtype=np.uint8)
+                for by in range(2):
+                    for bx in range(2):
+                        img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = blocks[
+                            2 * by + bx
+                        ]
+                payloads.append(jpeg_codec.encode_jpeg(img.tobytes(), 16, 16))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": 16, "height": 16, "format": "jpeg-grey8"}
                     ] * len(payloads),
                 }
             )

@@ -1,0 +1,437 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81, sequential DCT).
+
+The ML-preprocessing reality is JPEG, not PNG (VERDICT r11 ask #4), so
+the real-codec family gains a third stdlib member after WAV and PNG:
+marker parsing, Annex-K Huffman entropy coding (with 0xFF00 byte
+stuffing), zigzag run-length AC coding, differential DC prediction,
+dequantization, and the 8x8 inverse DCT — everything a genuine .jpg
+payload needs, with no dependency beyond numpy. Format details follow
+the PUBLIC ITU-T T.81 specification (the Annex K "typical" luminance
+Huffman tables are part of that spec).
+
+Scope: 8-bit greyscale (one component, no subsampling), baseline
+sequential (SOF0) only — the kernels' pixel format plus the common
+curation case. Progressive (SOF2), arithmetic coding, restart
+intervals, and multi-component scans raise ValueError (a payload
+error, never a silent misread) — the WAV/PNG rejection policy.
+
+Exactness contract the graded keys build on: baseline JPEG is lossy in
+general, but an image whose 8x8 blocks are each CONSTANT roundtrips
+BYTE-EXACTLY under a unit quantization table — such a block's FDCT is
+a single integer DC coefficient (8 * (v - 128), every AC is exactly 0)
+and the IDCT of a DC-only block is exactly constant, so float64
+introduces error only below the rounding threshold. attach_jpeg_payload
+exploits this so DuckDB can re-derive the decoded pixels hex-side.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- zigzag scan order (T.81 Figure 5): zigzag index -> raster index ---
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# --- Annex K "typical" luminance Huffman tables (public spec text) ---
+# BITS: number of codes of each length 1..16; HUFFVAL: values in
+# canonical code order.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_HUFFVAL = list(range(12))
+
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_HUFFVAL = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical assignment (T.81 Annex C)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-at-a-time decoder."""
+    table: dict[tuple[int, int], int] = {}
+    for value, (code, length) in _canonical_codes(bits, huffval).items():
+        table[(length, code)] = value
+    return table
+
+
+# orthonormal 8x8 DCT-II matrix: F = A f A^T, f = A^T F A (T.81 A.3.3
+# up to the standard factoring)
+def _dct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+        for x in range(8):
+            a[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (spec convention)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) for a coefficient (T.81 F.1.2.1):
+    negative values encode as v - 1 in `size` low bits."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v - 1) & ((1 << s) - 1)
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    *,
+    quant: int = 1,
+) -> bytes:
+    """Encode raw 8-bit greyscale pixels as a baseline sequential JPEG
+    (SOF0, Annex-K luminance Huffman tables, flat quantization table of
+    ``quant``). ``quant=1`` preserves DC-only blocks exactly — the
+    hex-oracle contract; larger values model real lossy encodes for
+    tests. Dimensions must be multiples of 8 (no edge-block padding in
+    this subset)."""
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError(f"dimensions {width}x{height} not multiples of 8")
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; {width * height} expected"
+        )
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant {quant} outside [1, 255]")
+    qtab = np.full(64, quant, dtype=np.int32)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    dc_codes = _canonical_codes(DC_BITS, DC_HUFFVAL)
+    ac_codes = _canonical_codes(AC_BITS, AC_HUFFVAL)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coeffs = _A @ block @ _A.T
+            q = np.round(coeffs.reshape(-1) / qtab.reshape(8, 8).reshape(-1)).astype(
+                np.int64
+            )
+            zz = q[ZIGZAG]
+            # DC: differential
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s, amp = _magnitude(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            bw.write(amp, s)
+            # AC: run-length of zeros in zigzag order
+            run = 0
+            last_nonzero = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                if k > last_nonzero:
+                    break
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, amp = _magnitude(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(amp, s)
+                run = 0
+            if last_nonzero < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(qtab[i]) for i in range(64)))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_HUFFVAL)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_HUFFVAL),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8"  # SOI
+        + dqt
+        + sof0
+        + dht
+        + sos
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; any other
+    marker inside the scan is a payload error (no restart intervals in
+    this subset)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy stream ran past end of data")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated stuffed byte")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(
+                    f"marker 0xff{nxt:02x} inside entropy data "
+                    f"(restart intervals unsupported)"
+                )
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _receive_extend(reader: _BitReader, s: int) -> int:
+    """Read an s-bit amplitude and sign-extend (T.81 F.2.2.1)."""
+    if s == 0:
+        return 0
+    v = reader.bits(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline greyscale JPEG to ``(width, height, channels,
+    pixels)`` — raw 8-bit row-major samples, channels always 1 in this
+    subset. Raises ValueError on anything outside the supported subset
+    (progressive, multi-component, subsampling, restart intervals,
+    12-bit precision) so a payload the codec cannot faithfully decode
+    is an error, never a misread."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comp_qtab = comp_dc = comp_ac = 0
+    sos_pos = -1
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFFD9:  # EOI before SOS: no image
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int32)
+                if qtables[tq].size != 64:
+                    raise ValueError("truncated quantization table")
+                b += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated Huffman table header")
+                n = sum(bits)
+                huffval = list(body[b + 17 : b + 17 + n])
+                if len(huffval) != n:
+                    raise ValueError("truncated Huffman table")
+                table = _decode_table(bits, huffval)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                b += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported; greyscale required"
+                )
+            cid, sampling, comp_qtab = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported for 1 component")
+            if width % 8 or height % 8:
+                raise ValueError(
+                    f"dimensions {width}x{height} not multiples of 8 "
+                    f"(edge-padded images outside this subset)"
+                )
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError(
+                f"SOF marker 0x{marker:04x} unsupported (baseline SOF0 only)"
+            )
+        elif marker == 0xFFDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("truncated SOS header")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(f"{ns}-component scan unsupported")
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            sos_pos = pos + 2 + length
+            break
+        # APPn / COM: skipped
+        pos += 2 + length
+    if width < 0:
+        raise ValueError("missing SOF0")
+    if sos_pos < 0:
+        raise ValueError("missing SOS")
+    if comp_qtab not in qtables:
+        raise ValueError(f"missing quantization table {comp_qtab}")
+    if comp_dc not in dc_tables or comp_ac not in ac_tables:
+        raise ValueError("missing Huffman table referenced by scan")
+    qtab = qtables[comp_qtab]
+    dct = dc_tables[comp_dc]
+    act = ac_tables[comp_ac]
+
+    reader = _BitReader(data, sos_pos)
+    out = np.empty((height, width), dtype=np.uint8)
+    prev_dc = 0
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[ZIGZAG] = np.arange(64)
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_decode(reader, dct)
+            if s > 11:
+                raise ValueError(f"DC size category {s} out of range")
+            prev_dc += _receive_extend(reader, s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows the block")
+                zz[k] = _receive_extend(reader, size)
+                k += 1
+            coeffs = (zz * qtab)[inv_zz].reshape(8, 8).astype(np.float64)
+            block = _A.T @ coeffs @ _A + 128.0
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                np.round(block), 0, 255
+            ).astype(np.uint8)
+    # trailing EOI is advisory here: the MCU count fully determines the
+    # scan, matching decoders that tolerate truncated tails
+    return width, height, 1, out.tobytes()

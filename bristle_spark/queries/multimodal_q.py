@@ -77,6 +77,38 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("m_png_binary_features", oracle=_BINARY_FEATURES_ORACLE)
+def m_png_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_binary_features driven through the REAL PNG codec (the round-12
+    promotion: every fake-backend key gets a real-container twin): the
+    same 256 hex-derivable pixels travel as a genuine Paeth/DEFLATE PNG
+    and the byte-stats kernel decodes them with multimodal/png.py. The
+    oracle is IDENTICAL to m_binary_features' — a correct decode must
+    recover byte-identical pixels, so the unchanged hex-side derivation
+    doubles as the codec's witness (any CRC/inflate/unfilter mistake is
+    a hash mismatch).
+
+    Scale shape: identical to m_binary_features — two partition-local
+    mapInPandas stages (PNG wrap, decode+bincount), zero shuffles before
+    the metadata join."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    feats = multimodal.extract_features(payloads, decode_backend="png")
+    return (
+        feats.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bytes",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            F.array_join(
+                F.transform("byte_hist", lambda x: x.cast("string")), ","
+            ).alias("byte_hist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _FRAME_SAMPLE_ORACLE = f"""
     WITH {_BYTES_CTES}
     SELECT doc_id,
@@ -98,6 +130,31 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     [128k+1, 128k+32])."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
+    sampled = multimodal.sample_frames(payloads, every_nth=4)
+    return sampled.select(
+        "doc_id",
+        F.size("sampled_frames").cast("bigint").alias("n_frames"),
+        F.lower(F.hex(F.col("sampled_frames").getItem(0))).alias("first_frame_hex"),
+        F.lower(F.hex(F.col("sampled_frames").getItem(2))).alias("third_frame_hex"),
+    ).orderBy("doc_id")
+
+
+@register("m_png_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def m_png_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_frame_sample through the real PNG codec: the payload is a
+    genuine PNG, one mapInPandas stage decodes it back to the raw
+    16-byte-frame buffer (multimodal.decode_pixels), and the frame
+    sampling itself stays EXACTLY the JVM-side substring slicing of
+    m_frame_sample — the canonical 100 TB split (decode once in Python,
+    keep every slice stage in whole-stage codegen). Identical oracle:
+    the sampled frames' hex must match the hex-side pixel derivation,
+    so the codec and the slicer are witnessed together.
+
+    Scale shape: two partition-local mapInPandas stages + JVM slicing,
+    zero shuffles before the presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    pngs = multimodal.attach_png_payload(d)
+    payloads = multimodal.decode_pixels(pngs, decode_backend="png")
     sampled = multimodal.sample_frames(payloads, every_nth=4)
     return sampled.select(
         "doc_id",
@@ -487,6 +544,21 @@ def m_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.scene_cuts(payloads).orderBy("doc_id")
 
 
+@register("m_png_scene_cut", oracle=_SCENE_ORACLE)
+def m_png_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_scene_cut through the real PNG codec: identical L1
+    frame-difference kernel and identical integer-exact oracle, but the
+    16-frame buffer arrives as a genuine PNG and the kernel decodes it
+    with multimodal/png.py. Any codec mistake shifts a byte and breaks
+    the integer diffs — the hex-side replay is the witness.
+
+    Scale shape: identical to m_scene_cut — two partition-local
+    mapInPandas stages (PNG wrap, decode+diff), zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    return multimodal.scene_cuts(payloads, decode_backend="png").orderBy("doc_id")
+
+
 _PATCHIFY_ORACLE = f"""
     WITH {_BYTES_CTES},
     p AS (
@@ -522,6 +594,28 @@ def m_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(d)
     patches = multimodal.patchify(payloads, patch=4)
+    return patches.select(
+        "doc_id",
+        "patch_id",
+        F.lower(F.hex("patch")).alias("patch_hex"),
+        "patch_mean",
+    ).orderBy("doc_id", "patch_id")
+
+
+@register("m_png_patchify", oracle=_PATCHIFY_ORACLE)
+def m_png_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_patchify through the real PNG codec: the ViT patch
+    tokenization (4x4 grid, zero-copy reshape/transpose) runs on pixels
+    decoded from a genuine PNG container instead of the fake backend.
+    Identical oracle — every patch byte is re-derived hex-side, so the
+    codec is witnessed through the full patch stream.
+
+    Scale shape: identical to m_patchify — two partition-local
+    mapInPandas stages, no shuffle; the patch stream inherits the
+    scan's partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    patches = multimodal.patchify(payloads, patch=4, decode_backend="png")
     return patches.select(
         "doc_id",
         "patch_id",
@@ -648,6 +742,102 @@ def l_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_gzip_payload(d)
     return multimodal.gzip_text_stats(payloads).orderBy("doc_id")
+
+
+# The JPEG payload's hex-side derivation: four 8x8 constant blocks,
+# block (by, bx) = byte 2*by+bx of md5(text || '0') — the one image
+# family baseline JPEG roundtrips byte-exactly (DC-only spectra), so
+# the decoded pixels are SQL-derivable (multimodal.attach_jpeg_payload).
+_JPEG_CTES = """
+    jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
+    jpx AS (
+        SELECT doc_id,
+               list_transform(range(0, 256), k ->
+                   CAST('0x' || substr(hx,
+                       2 * (2 * ((k // 16) // 8) + ((k % 16) // 8)) + 1,
+                       2) AS INT)) AS px
+        FROM jb
+    )
+"""
+
+_JPEG_PIXEL_STATS_ORACLE = f"""
+    WITH {_JPEG_CTES}
+    SELECT doc_id,
+           CAST(16 AS INT)     AS width,
+           CAST(16 AS INT)     AS height,
+           CAST(256 AS BIGINT) AS n_pixels,
+           list_sum(px) / 256.0 AS px_mean,
+           CAST(list_min(px) AS INT) AS px_min,
+           CAST(list_max(px) AS INT) AS px_max,
+           array_to_string(list_transform(px, b -> printf('%02x', b)), '')
+               AS px_hex
+    FROM jpx
+    ORDER BY doc_id
+"""
+
+
+@register("m_jpeg_pixel_stats", oracle=_JPEG_PIXEL_STATS_ORACLE)
+def m_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image pipeline through a REAL baseline JPEG codec (VERDICT
+    r11 ask #4 — the ML-preprocessing reality is JPEG): each payload is
+    a genuine T.81 baseline sequential JPEG (SOI/DQT/SOF0/DHT/SOS
+    markers, Annex-K Huffman entropy coding with 0xFF00 stuffing,
+    differential DC prediction, unit quantization) and the kernel
+    decodes it with the repo's stdlib codec (multimodal/jpeg.py). The
+    image is four constant 8x8 blocks — the family baseline JPEG
+    roundtrips BYTE-EXACTLY (DC-only spectra, integer coefficients) —
+    so the decoded buffer's hex matches an independent SQL-side
+    derivation and any marker/Huffman/IDCT mistake is a hash mismatch.
+
+    px_mean is sum/256 — a power-of-two division, exact in IEEE double
+    on both sides. Scale shape: two partition-local mapInPandas stages
+    (JPEG wrap, decode+stats), zero shuffles — the same plan at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_payload(d)
+    return multimodal.pixel_stats(payloads, decode_backend="jpeg").orderBy("doc_id")
+
+
+_JPEG_RESIZE_ORACLE = """
+    WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents)
+    SELECT doc_id,
+           CAST(8 AS INT)      AS out_width,
+           CAST(8 AS INT)      AS out_height,
+           CAST(64 AS BIGINT)  AS n_bytes,
+           -- resized pixel (r=k//8, c=k%8) pools a 2x2 window inside
+           -- ONE constant block, so it equals block byte
+           -- 2*(r//4) + (c//4) of md5(text||'0')
+           array_to_string(list_transform(range(0, 64),
+               k -> substr(hx,
+                   2 * (2 * ((k // 8) // 4) + ((k % 8) // 4)) + 1, 2)), '')
+               AS resized_hex
+    FROM jb
+    ORDER BY doc_id
+"""
+
+
+@register("m_jpeg_resize", oracle=_JPEG_RESIZE_ORACLE)
+def m_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The average-pool resize kernel fed by the real JPEG codec: 16x16
+    block-constant JPEG -> decode (multimodal/jpeg.py) -> 8x8 pool.
+    Every 2x2 pool window lies inside one constant block, so the pooled
+    pixel equals the block constant exactly and the oracle re-derives
+    the full resized buffer from the hex side — a second, independent
+    witness of the decode path through a different kernel.
+
+    Scale shape: identical to m_png_resize — two partition-local
+    mapInPandas stages, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_payload(d)
+    resized = multimodal.resize(payloads, out_width=8, out_height=8,
+                                decode_backend="jpeg")
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.length("resized").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    ).orderBy("doc_id")
 
 
 EDGE_T = 96

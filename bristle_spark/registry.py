@@ -58,9 +58,15 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: none at round-12 open (every
-    # --- oracle-backed key has a driver row in CORRECTNESS_r01..r11);
-    # --- new round-12 keys get prepended here as they land ---
+    # --- (1) never driver-graded: the round-12 real-PNG promotions of
+    # --- the remaining fake-backend multimodal keys (VERDICT r11 #2) ---
+    "m_png_binary_features",
+    "m_png_frame_sample",
+    "m_png_scene_cut",
+    "m_png_patchify",
+    # --- (1) cont.: the baseline-JPEG codec keys (VERDICT r11 #4) ---
+    "m_jpeg_pixel_stats",
+    "m_jpeg_resize",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     # --- (3) oldest-first drain: the round-6 cohort (graded r6) ---
     "l_ann_recall_eval",
@@ -111,12 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_scd2",
     "r_skew_salted_join",
     "r_mode_per_group",
-    "l_dedup_embedding",
-    "l_prefix_dedup",
-    "l_winnow_fingerprint",
-    "l_char_ngram_lang_id",
-    "l_lang_id_eval",
-    "l_bm25",
 )
 
 

@@ -77,6 +77,15 @@ SCALE_FAMILY = [
     "l_duplicate_spans",
     "r_summap",
     "l_k_anonymity",
+    # round-12: the promoted real-PNG twins — codec passes are
+    # partition-local, results must not depend on the partition knob
+    "m_png_binary_features",
+    "m_png_frame_sample",
+    "m_png_scene_cut",
+    "m_png_patchify",
+    "m_jpeg_pixel_stats",
+    "m_jpeg_resize",
+    "l_source_overlap",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -85,6 +94,9 @@ SCALE_FAMILY = [
 # partition counts is re-planning itself into extra shuffles).
 PLAN_PIN_FAMILY = [
     "l_sparse_cosine_topk",
+    # round-12 (VERDICT r11 ask #6): the second df-cap/bounded-key
+    # sparse-similarity query joins the family
+    "l_source_overlap",
     "l_edit_distance_dedup",
     "r_market_basket",
     "r_mv_late_update",
@@ -101,6 +113,17 @@ PLAN_PIN_FAMILY = [
     # when the partition knob moves (no re-planned global sort)
     "l_curriculum_order",
 ]
+
+# Absolute shuffle-count pins for the sparse-similarity family
+# (VERDICT r11 ask #6): these two queries' whole 100 TB story is "the
+# df-cap / bounded-source-count keeps the candidate join linear in
+# shingle volume", and the number of hash-partitioning exchanges IS
+# that contract — a regression that adds (or re-plans away) a shuffle
+# must fail loudly, not just stay partition-invariant.
+SPARSE_SIMILARITY_SHUFFLE_PINS = {
+    "l_sparse_cosine_topk": 12,
+    "l_source_overlap": 13,
+}
 
 HOT_COPIES = 300  # rows in the artificially hot band
 
@@ -144,6 +167,21 @@ def test_exchange_count_invariant_to_partition_setting(name, spark, sf_dir, spec
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert at_8 == at_512
+
+
+@pytest.mark.parametrize(
+    "name", sorted(SPARSE_SIMILARITY_SHUFFLE_PINS)
+)
+def test_sparse_similarity_shuffle_count_pinned(name, spark, sf_dir, specs):
+    """The exact hash-partitioning exchange count of the sparse-
+    similarity plans is a contract (the docstrings state the blowup
+    bound these shuffles implement); update the pin ONLY with a plan
+    change that keeps the linear-in-shingle-volume bound."""
+    df = specs[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == (
+        SPARSE_SIMILARITY_SHUFFLE_PINS[name]
+    )
 
 
 @pytest.fixture(scope="module")
