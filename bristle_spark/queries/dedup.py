@@ -1133,6 +1133,13 @@ def l_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared, not the corpus, so no df cap is needed (contrast
     l_dedup_ngram_jaccard, where the join is per-document). The final
     matrix is |sources|^2 rows with broadcast size lookups.
+
+    Blowup bound (pinned by test_scale_shapes.py exchange-count gates):
+    with S distinct shingle hashes and k sources the join emits at most
+    S * k(k-1)/2 pair-partials; the corpus's fixed k (single digits
+    here, rarely >100 in practice) makes the candidate volume LINEAR in
+    S at any sf. The plan holds exactly 13 hash-partitioning exchanges
+    at any shuffle-partition setting.
     """
     d = _tokens(load_table(spark, sf_dir, "documents"))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1373,6 +1380,16 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; the two norm joins key on doc ids of the
     already-small pair frame; the final cut is a
     TakeOrderedAndProject.
+
+    Blowup bound (pinned by test_scale_shapes.py exchange-count gates):
+    with S distinct rare shingles the candidate join emits at most
+    S * MAX_SHINGLE_DF*(MAX_SHINGLE_DF-1)/2 = 190·S pair-partials —
+    LINEAR in corpus shingle volume, never quadratic in documents. At
+    sf1 (~50k docs, ~10M shingle occurrences) that is <= ~2e9 partials
+    streamed through a map-side-combined agg, vs the ~1.25e9 raw doc
+    PAIRS an uncapped all-pairs join would materialize per shared
+    shingle. The plan holds exactly 12 hash-partitioning exchanges at
+    any shuffle-partition setting.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = _tokens(docs.select("doc_id", "text"))

@@ -68,7 +68,30 @@ def _workdir(sf_dir: str, tag: str) -> str:
     return d
 
 
+def _fresh_dir(path: str, mkdir: bool = False) -> str:
+    """Start the query's emission dir clean — EXCEPT under stage 2 of a
+    restart replay, where the stage-1 emissions ARE the recovered state
+    being tested and must survive the re-invocation."""
+    from bristle_spark.streaming.source import active_replay
+
+    ctl = active_replay()
+    keep = ctl is not None and ctl.stage >= 2
+    if os.path.exists(path) and not keep:
+        shutil.rmtree(path)
+    if mkdir:
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _run_available_now(writer, checkpoint: str) -> None:
+    from bristle_spark.streaming.source import active_replay
+
+    ctl = active_replay()
+    if ctl is not None:
+        # restart replay: the persistent checkpoint (offset log + state
+        # store) replaces the caller's throwaway dir, so stage 2 resumes
+        # from stage 1's recorded offsets instead of replaying file 0
+        checkpoint = ctl.checkpoint_dir()
     q = (
         writer.option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -178,9 +201,7 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("hour_start"), "n_events")
     )
-    out_dir = os.path.join(work, f"windows_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)  # re-runs must not append to stale windows
+    out_dir = _fresh_dir(os.path.join(work, f"windows_{os.getpid()}"))  # re-runs must not append to stale windows
 
     def sink(df: DataFrame, batch_id: int) -> None:
         # distributed parquet append — finalized windows never cross to
@@ -252,9 +273,7 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # push a user_id predicate below the EventTimeWatermark node, see
     # s_stream_rollup; sentinel sessions never close, so filtering the
     # LANDED table below is belt-and-braces)
-    out_dir = os.path.join(work, f"sessions_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)  # re-runs must not append to stale sessions
+    out_dir = _fresh_dir(os.path.join(work, f"sessions_{os.getpid()}"))  # re-runs must not append to stale sessions
 
     def sink(df: DataFrame, batch_id: int) -> None:
         # distributed parquet append — session-cardinality data stays off
@@ -313,9 +332,7 @@ def _run_dedup_stream(spark: SparkSession, sf_dir: str, tag: str, dedup) -> Data
     dup_dir = _duplicated_chunks(spark, sf_dir, work)
     stream = dedup(events_file_stream(spark, dup_dir, ev_schema))
 
-    out_dir = os.path.join(work, f"kept_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"kept_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
@@ -377,9 +394,7 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, data_dir, ev_schema)
     totals = running_user_totals(stream)
 
-    out_dir = os.path.join(work, f"emissions_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)  # re-runs must not append to stale emissions
+    out_dir = _fresh_dir(os.path.join(work, f"emissions_{os.getpid()}"))  # re-runs must not append to stale emissions
 
     def sink(df: DataFrame, batch_id: int) -> None:
         # distributed parquet append of (batch_id, user_id, ...) — the
@@ -519,9 +534,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
 
-    pair_dir = os.path.join(work, f"pairs_{os.getpid()}")
-    if os.path.exists(pair_dir):
-        shutil.rmtree(pair_dir)  # re-runs must not append to stale pairs
+    pair_dir = _fresh_dir(os.path.join(work, f"pairs_{os.getpid()}"))  # re-runs must not append to stale pairs
 
     def sink(df: DataFrame, batch_id: int) -> None:
         # distributed parquet append — zero rows cross to the driver
@@ -589,9 +602,7 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = stream.join(F.broadcast(cust), "user_id")
 
-    out_dir = os.path.join(work, f"enrich_agg_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"enrich_agg_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         (
@@ -683,9 +694,7 @@ def s_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out_dir = os.path.join(work, f"hourly_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)  # re-runs must not append to a stale rollup
+    out_dir = _fresh_dir(os.path.join(work, f"hourly_{os.getpid()}"))  # re-runs must not append to a stale rollup
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
@@ -753,10 +762,7 @@ def s_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_schema = load_table(spark, sf_dir, "events").schema
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
-    gen_root = os.path.join(work, f"gen_{os.getpid()}")
-    if os.path.exists(gen_root):
-        shutil.rmtree(gen_root)
-    os.makedirs(gen_root)
+    gen_root = _fresh_dir(os.path.join(work, f"gen_{os.getpid()}"), mkdir=True)
 
     from pyspark.sql.window import Window as W
 
@@ -843,9 +849,7 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
     )
-    out_dir = os.path.join(work, f"hourly_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"hourly_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
@@ -938,9 +942,7 @@ def s_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    out_dir = os.path.join(work, f"anomaly_out_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"anomaly_out_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
@@ -998,10 +1000,7 @@ def s_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_schema = load_table(spark, sf_dir, "events").schema
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
-    gen_root = os.path.join(work, f"gen_{os.getpid()}")
-    if os.path.exists(gen_root):
-        shutil.rmtree(gen_root)
-    os.makedirs(gen_root)
+    gen_root = _fresh_dir(os.path.join(work, f"gen_{os.getpid()}"), mkdir=True)
 
     from pyspark.sql.window import Window as W
 
@@ -1128,9 +1127,7 @@ def s_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
 
-    out_dir = os.path.join(work, f"partials_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         _cms_partials(df).write.mode("append").parquet(out_dir)
@@ -1287,9 +1284,7 @@ def s_stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
 
-    out_dir = os.path.join(work, f"partials_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         _sbloom_word_partials(df).write.mode("append").parquet(out_dir)
@@ -1463,9 +1458,7 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
 
-    out_dir = os.path.join(work, f"partials_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         _hq_partials(df).write.mode("append").parquet(out_dir)
@@ -1598,9 +1591,7 @@ def s_stream_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
     stream = events_file_stream(spark, data_dir, ev_schema)
 
-    out_dir = os.path.join(work, f"partials_{os.getpid()}")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
         _ltv_partials(df).write.mode("append").parquet(out_dir)

@@ -145,7 +145,90 @@ def split_events_files_with_flush(
     return data_dir
 
 
+class ReplayStages:
+    """Crash/restart simulation for the file-offset source (SURVEY §4
+    extension point (a), VERDICT r11 ask #3).
+
+    The file stream source IS offset-replayable: Spark's checkpoint
+    records exactly which source files each micro-batch consumed, so a
+    restart resumes from the first unconsumed file with the state store
+    recovered. This harness makes that a testable two-stage protocol
+    around the UNCHANGED streaming queries:
+
+    - stage 1 exposes only the first ``n_first`` source files (the
+      stream "crashes" mid-corpus with open state: unclosed windows,
+      live dedup keys, partial upsert generations) under a PERSISTENT
+      checkpoint;
+    - stage 2 exposes every file and re-runs the same query — the
+      restart. The recovered run must consume only the unseen files
+      and drive the landed state to exactly the single-run/batch-oracle
+      result.
+
+    While active (see :func:`replay_stages`), ``events_file_stream``
+    re-points the query at a staged copy of its chunk dir (same file
+    names, same mtimes, grown between stages) and the queries' run
+    helper swaps its throwaway checkpoint for the persistent one.
+    """
+
+    def __init__(self, root: str, n_first: int = 2) -> None:
+        self.root = root
+        self.n_first = n_first
+        self.stage = 1
+
+    def stage_dir(self, data_dir: str) -> str:
+        import glob
+        import hashlib
+        import shutil
+
+        staged = os.path.join(
+            self.root,
+            "staged_" + hashlib.md5(data_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(staged, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        take = files[: self.n_first] if self.stage == 1 else files
+        for f in take:
+            dst = os.path.join(staged, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy(f, dst)
+                st = os.stat(f)
+                os.utime(dst, (st.st_mtime, st.st_mtime))
+        return staged
+
+    def checkpoint_dir(self) -> str:
+        d = os.path.join(self.root, "ckpt")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+
+_REPLAY: ReplayStages | None = None
+
+
+def active_replay() -> ReplayStages | None:
+    return _REPLAY
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def replay_stages(root: str, n_first: int = 2):
+    """Activate the two-stage restart-replay harness; the caller flips
+    ``ctl.stage`` between query invocations."""
+    global _REPLAY
+    if _REPLAY is not None:
+        raise RuntimeError("replay_stages does not nest")
+    ctl = ReplayStages(root, n_first=n_first)
+    _REPLAY = ctl
+    try:
+        yield ctl
+    finally:
+        _REPLAY = None
+
+
 def events_file_stream(spark: SparkSession, data_dir: str, schema) -> DataFrame:
+    if _REPLAY is not None:
+        data_dir = _REPLAY.stage_dir(data_dir)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
