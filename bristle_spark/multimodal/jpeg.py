@@ -95,6 +95,22 @@ def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], 
     return table
 
 
+def _lut16(bits: list[int], huffval: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead Huffman tables: index the next 16 bits, read
+    (value, code length) in O(1) — the classic table-driven decoder
+    (every code is <= 16 bits, T.81 Annex C). Plain Python lists: a
+    65536-slot list indexes ~10x faster than a per-bit dict walk.
+    Length 0 marks an invalid prefix."""
+    val = [0] * 65536
+    ln = [0] * 65536
+    for value, (code, length) in _canonical_codes(bits, huffval).items():
+        prefix = code << (16 - length)
+        for idx in range(prefix, prefix + (1 << (16 - length))):
+            val[idx] = value
+            ln[idx] = length
+    return val, ln
+
+
 # orthonormal 8x8 DCT-II matrix: F = A f A^T, f = A^T F A (T.81 A.3.3
 # up to the standard factoring)
 def _dct_matrix() -> np.ndarray:
@@ -135,6 +151,11 @@ class _BitWriter:
         return bytes(self.out)
 
 
+# the encoder always emits the Annex-K tables — build their code maps once
+_ENC_DC_CODES = _canonical_codes(DC_BITS, DC_HUFFVAL)
+_ENC_AC_CODES = _canonical_codes(AC_BITS, AC_HUFFVAL)
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(size category, amplitude bits) for a coefficient (T.81 F.1.2.1):
     negative values encode as v - 1 in `size` low bits."""
@@ -166,47 +187,51 @@ def encode_jpeg(
     qtab = np.full(64, quant, dtype=np.int32)
 
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    dc_codes = _canonical_codes(DC_BITS, DC_HUFFVAL)
-    ac_codes = _canonical_codes(AC_BITS, AC_HUFFVAL)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
     bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coeffs = _A @ block @ _A.T
-            q = np.round(coeffs.reshape(-1) / qtab.reshape(8, 8).reshape(-1)).astype(
-                np.int64
-            )
-            zz = q[ZIGZAG]
-            # DC: differential
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s, amp = _magnitude(diff)
-            code, length = dc_codes[s]
+    # FDCT every block at once (matmul broadcasts over the block axis);
+    # only the entropy coding below is per-block Python
+    n_by, n_bx = height // 8, width // 8
+    blocks = (
+        img.reshape(n_by, 8, n_bx, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_by * n_bx, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = _A @ blocks @ _A.T
+    zzs = np.round(coeffs.reshape(-1, 64) / float(quant)).astype(np.int64)[:, ZIGZAG]
+    dcs = zzs[:, 0]
+    diffs = np.diff(dcs, prepend=0)
+    for b in range(len(zzs)):
+        row = zzs[b].tolist()
+        # DC: differential
+        s, amp = _magnitude(int(diffs[b]))
+        code, length = dc_codes[s]
+        bw.write(code, length)
+        bw.write(amp, s)
+        # AC: run-length of zeros in zigzag order
+        run = 0
+        nz = [k for k in range(1, 64) if row[k]]
+        last_nonzero = nz[-1] if nz else 0
+        for k in range(1, last_nonzero + 1):
+            v = row[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, amp = _magnitude(v)
+            code, length = ac_codes[(run << 4) | s]
             bw.write(code, length)
             bw.write(amp, s)
-            # AC: run-length of zeros in zigzag order
             run = 0
-            last_nonzero = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                if k > last_nonzero:
-                    break
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                s, amp = _magnitude(v)
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(amp, s)
-                run = 0
-            if last_nonzero < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+        if last_nonzero < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -307,8 +332,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
-    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    dc_tables: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {}
+    ac_tables: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {}
     width = height = -1
     comp_qtab = comp_dc = comp_ac = 0
     sos_pos = -1
@@ -345,8 +370,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huffval = list(body[b + 17 : b + 17 + n])
                 if len(huffval) != n:
                     raise ValueError("truncated Huffman table")
-                table = _decode_table(bits, huffval)
-                (dc_tables if tc == 0 else ac_tables)[th] = table
+                (dc_tables if tc == 0 else ac_tables)[th] = (
+                    tuple(bits),
+                    tuple(huffval),
+                )
                 b += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
             if len(body) < 9:
@@ -361,6 +388,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             cid, sampling, comp_qtab = body[6], body[7], body[8]
             if sampling != 0x11:
                 raise ValueError("subsampling unsupported for 1 component")
+            if width == 0 or height == 0:
+                raise ValueError("zero image dimension")
             if width % 8 or height % 8:
                 raise ValueError(
                     f"dimensions {width}x{height} not multiples of 8 "
@@ -397,41 +426,135 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if comp_dc not in dc_tables or comp_ac not in ac_tables:
         raise ValueError("missing Huffman table referenced by scan")
     qtab = qtables[comp_qtab]
-    dct = dc_tables[comp_dc]
-    act = ac_tables[comp_ac]
+    dc_val, dc_ln = _cached_lut16(dc_tables[comp_dc])
+    ac_val, ac_ln = _cached_lut16(ac_tables[comp_ac])
 
-    reader = _BitReader(data, sos_pos)
-    out = np.empty((height, width), dtype=np.uint8)
+    # unstuff the whole entropy segment once (numpy): drop the 0x00
+    # after each 0xFF data byte, cut at the first real marker — the bit
+    # loop below then never branches on stuffing
+    arr = np.frombuffer(data, dtype=np.uint8)[sos_pos:]
+    ff = np.flatnonzero(arr == 0xFF)
+    end = len(arr)
+    if ff.size:
+        follow = np.where(
+            ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], 1
+        )
+        markers = ff[follow != 0]
+        if markers.size:
+            end = int(markers[0])
+    keep = np.ones(end, dtype=bool)
+    stuffed = ff[ff + 1 < end]
+    stuffed = stuffed[arr[stuffed + 1] == 0]
+    keep[stuffed + 1] = False
+    buf = arr[:end][keep].tolist()
+    buf_len = len(buf)
+
+    n_by, n_bx = height // 8, width // 8
+    n_blocks = n_by * n_bx
+    zzs = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = 0
+    acc = 0
+    nbits = 0
+    bi = 0
+    overrun = ValueError("entropy stream ran past end of data")
+    for b in range(n_blocks):
+        row = zzs[b]
+        # --- DC symbol ---
+        while nbits < 16:  # peek16 (virtual zero-pad near stream end)
+            acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+            bi += 1
+            nbits += 8
+        idx = (acc >> (nbits - 16)) & 0xFFFF
+        s = dc_val[idx]
+        length = dc_ln[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        if s > 11:
+            raise ValueError(f"DC size category {s} out of range")
+        nbits -= length
+        if s:
+            while nbits < s:
+                acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                bi += 1
+                nbits += 8
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            prev_dc += v
+        if bi * 8 - nbits > buf_len * 8:
+            raise overrun
+        row[0] = prev_dc
+        acc &= (1 << nbits) - 1
+        # --- AC symbols ---
+        k = 1
+        while k < 64:
+            while nbits < 16:
+                acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                bi += 1
+                nbits += 8
+            idx = (acc >> (nbits - 16)) & 0xFFFF
+            rs = ac_val[idx]
+            length = ac_ln[idx]
+            if length == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            nbits -= length
+            run = rs >> 4
+            size = rs & 0x0F
+            if size == 0:
+                if bi * 8 - nbits > buf_len * 8:
+                    raise overrun
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows the block")
+            while nbits < size:
+                acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                bi += 1
+                nbits += 8
+            nbits -= size
+            v = (acc >> nbits) & ((1 << size) - 1)
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            if bi * 8 - nbits > buf_len * 8:
+                raise overrun
+            row[k] = v
+            k += 1
+        acc &= (1 << nbits) - 1
+
+    # dequantize + dezigzag + IDCT every block at once (matmul
+    # broadcasts over the block axis), then scatter the 8x8 grid back
+    # into raster order with one transpose
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[ZIGZAG] = np.arange(64)
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _huff_decode(reader, dct)
-            if s > 11:
-                raise ValueError(f"DC size category {s} out of range")
-            prev_dc += _receive_extend(reader, s)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _huff_decode(reader, act)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows the block")
-                zz[k] = _receive_extend(reader, size)
-                k += 1
-            coeffs = (zz * qtab)[inv_zz].reshape(8, 8).astype(np.float64)
-            block = _A.T @ coeffs @ _A + 128.0
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                np.round(block), 0, 255
-            ).astype(np.uint8)
+    coeffs = (zzs * qtab[None, :])[:, inv_zz].astype(np.float64).reshape(
+        n_blocks, 8, 8
+    )
+    blocks = _A.T @ coeffs @ _A + 128.0
+    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+    out = (
+        pix.reshape(n_by, n_bx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
     # trailing EOI is advisory here: the MCU count fully determines the
     # scan, matching decoders that tolerate truncated tails
     return width, height, 1, out.tobytes()
+
+
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], tuple[list[int], list[int]]] = {}
+
+
+def _cached_lut16(table: tuple[tuple[int, ...], tuple[int, ...]]):
+    """Build (or reuse) the 65536-slot lookahead tables for a DHT table;
+    real corpora reuse a handful of Huffman tables (usually just
+    Annex K), so the 64k-slot build cost amortizes to zero."""
+    lut = _LUT_CACHE.get(table)
+    if lut is None:
+        bits, huffval = table
+        lut = _lut16(list(bits), list(huffval))
+        _LUT_CACHE[table] = lut
+    return lut
