@@ -60,6 +60,87 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert spark.read.parquet(sink_dir).count() == total + more
 
 
+def test_wire_journal_survives_server_restart(spark, tmp_path):
+    """The full practical shape of the D1 row (wire door -> durable
+    journal -> readStream -> sink) across a PROCESS RESTART: batches
+    acked by server generation 1 and drained mid-stream must not be
+    re-landed by generation 2, and batches acked between the crash and
+    the restart drain land exactly once — the checkpoint's file-offset
+    log plus the atomically-renamed journal files are the only state
+    that survives, exactly like a redeployed ingest node."""
+    import json
+    import os
+
+    from bristle_spark.ingest import service as svc
+    from bristle_spark.ingest.fixtures import (
+        encode_example_row,
+        example_binding,
+        example_descriptor_set,
+    )
+    from bristle_spark.ingest.server import IngestServer
+    from bristle_spark.ingest.service import (
+        IngestSocketClient,
+        IngestSocketService,
+    )
+
+    (tmp_path / "example.pb").write_bytes(example_descriptor_set())
+    cfg = {
+        "autobind": True,
+        "proto_descriptor_paths": ["example.pb"],
+        "tables": [
+            {
+                "name": "default.example_table",
+                "columns": [
+                    {"name": c.name, "type": c.ch_type, "default": c.default}
+                    for c in example_binding().sink_columns
+                ],
+                "ts_column": "timestamp",
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    data_root = str(tmp_path / "data")
+    sink = os.path.join(data_root, "sink", "default__example_table")
+
+    def rows(tag: str, n: int) -> list[bytes]:
+        return [
+            encode_example_row(
+                name=f"{tag}_{i}", type_code=1, ts=(1_700_000_000 + i, 0), value=i
+            )
+            for i in range(n)
+        ]
+
+    # --- generation 1: ack two batches, drain ONE pump, then "crash"
+    gen1 = IngestServer(spark, str(cfg_path), data_root)
+    with IngestSocketService(gen1) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            assert client.write_batch(rows("a", 4), type_name="ExampleMessage") == svc.OK
+            gen1.pump()  # mid-stream drain: checkpoint now covers batch a
+            assert client.write_batch(rows("b", 3), type_name="ExampleMessage") == svc.OK
+            # crash here: batch b is journaled + acked but NOT drained
+    del gen1
+
+    # --- generation 2: fresh server object over the same durable state
+    gen2 = IngestServer(spark, str(cfg_path), data_root)
+    with IngestSocketService(gen2) as service:
+        with IngestSocketClient("127.0.0.1", service.port) as client:
+            assert client.write_batch(rows("c", 2), type_name="ExampleMessage") == svc.OK
+    gen2.pump()
+
+    out = spark.read.parquet(sink)
+    names = sorted(r["name"] for r in out.collect())
+    assert names == sorted(
+        [f"a_{i}" for i in range(4)]
+        + [f"b_{i}" for i in range(3)]
+        + [f"c_{i}" for i in range(2)]
+    )
+    # idempotence: another restart + pump adds nothing
+    gen3 = IngestServer(spark, str(cfg_path), data_root)
+    gen3.pump()
+    assert spark.read.parquet(sink).count() == 9
+
+
 def test_stream_ingest_schema_matches_batch(spark, tmp_path):
     binding = finnhub_binding()
     payload_dir = str(tmp_path / "payloads")
