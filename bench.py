@@ -297,6 +297,7 @@ HEADLINE = [
     # round-12 additions: the baseline-JPEG stdlib codec keys
     "m_jpeg_pixel_stats",
     "m_jpeg_resize",
+    "m_png_augment",
 ]
 
 
@@ -310,15 +311,22 @@ def _select_queries(args: argparse.Namespace) -> list[str]:
     return list(HEADLINE)
 
 
-def is_closing_gate_run(args: argparse.Namespace) -> bool:
+GATE_SF_DIR = "/root/testdata/sf0.1"  # the closing-gate scale
+
+
+def is_closing_gate_run(args: argparse.Namespace, sf_dir: str | None = None) -> bool:
     """True iff this invocation may overwrite bench_summary.json.
 
-    The committed summary is the closing-gate record: full HEADLINE,
-    warm, min-of-2, no session recycling. Scratch selections
-    (--queries/--family/--subset) and methodology overrides
-    (--cold/--recycle/--runs) produce numbers that are not comparable
-    to it and must never clobber it (self-review + ADVICE r11).
-    """
+    The committed summary is the closing-gate record: full HEADLINE at
+    sf0.1, warm, min-of-2, no session recycling. Scratch selections
+    (--queries/--family/--subset), methodology overrides
+    (--cold/--recycle/--runs), AND a different $SPARK_GRAFT_SF_DIR all
+    produce numbers that are not comparable to it and must never
+    clobber it (self-review + ADVICE r11, sf gap closed r12)."""
+    if sf_dir is not None and os.path.realpath(sf_dir) != os.path.realpath(
+        GATE_SF_DIR
+    ):
+        return False
     return not (args.queries or args.family or args.subset
                 or args.cold or args.recycle or args.runs != 2)
 
@@ -413,7 +421,7 @@ def main() -> None:
     # clobber happened once), and neither may a --cold/--recycle/--runs
     # run, whose numbers are methodologically different even though
     # they cover every HEADLINE key (ADVICE r11).
-    if is_closing_gate_run(args):
+    if is_closing_gate_run(args, sf_dir):
         try:
             summary_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"

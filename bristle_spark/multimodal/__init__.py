@@ -148,6 +148,33 @@ _DECODERS = {
 }
 
 
+def _dims_stacks(pdf: pd.DataFrame, decode):
+    """Shared scaffolding of every image kernel: group a mapInPandas
+    batch by (width, height) from the meta struct and yield
+    ``(w, h, idx, stack)`` — ``idx`` the batch positions of the group,
+    ``stack`` the decoded ``(n, h, w)`` uint8 tensor (zero-copy
+    frombuffer views stacked once). Kernels keep only their transform,
+    so the group-by-dims plumbing can't drift between them (review
+    r12). A payload shorter than ``w*h`` pixels is a payload error."""
+    import numpy as np
+
+    widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
+    heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
+    payloads = pdf["payload"].to_numpy()
+    for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+        idx = np.flatnonzero((widths == w) & (heights == h))
+        group = [
+            np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
+            for i in idx
+        ]
+        short = [g.size for g in group if g.size < w * h]
+        if short:
+            raise ValueError(
+                f"payload shorter than {w}x{h} pixels: {short[0]} bytes"
+            )
+        yield w, h, idx, np.stack(group).reshape(len(idx), h, w)
+
+
 def decode_pixels(df: DataFrame, decode_backend: str = "png") -> DataFrame:
     """Decode the payload column in place: (key, payload, meta) ->
     (key, payload=RAW PIXEL BYTES, meta). The bridge that lets
@@ -518,24 +545,18 @@ def edge_stats(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            decoded = [decode(bytes(p)) for p in pdf["payload"]]
-            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
-            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
             h_sums = np.zeros(n, dtype=np.int64)
             v_sums = np.zeros(n, dtype=np.int64)
             maxes = np.zeros(n, dtype=np.int64)
             edges = np.zeros(n, dtype=np.int64)
             dens = np.zeros(n, dtype=np.float64)
-            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
-                idx = np.flatnonzero((widths == w) & (heights == h))
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
                 total = h * (w - 1) + (h - 1) * w
                 # 1x1 (or empty) image: no gradient field exists — the
                 # pre-zeroed sums/max/edges/density stand
                 if total == 0:
                     continue
-                cube = np.stack(
-                    [np.frombuffer(decoded[i], dtype=np.uint8) for i in idx]
-                ).reshape(len(idx), h, w).astype(np.int16)
+                cube = stack.astype(np.int16)
                 hg = np.abs(cube[:, :, 1:] - cube[:, :, :-1])
                 vg = np.abs(cube[:, 1:, :] - cube[:, :-1, :])
                 h_sums[idx] = hg.sum(axis=(1, 2), dtype=np.int64)
@@ -651,28 +672,14 @@ def phash(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
                 yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                     "phash": pd.Series([], dtype="int64")})
                 continue
-            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
-            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
-            payloads = pdf["payload"].to_numpy()
             doc_ids = pdf["doc_id"].to_numpy()
             out_docs: list = []
             out_hash: list = []
-            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
                 if w < 8 or h < 8:
                     raise ValueError(
                         f"phash needs at least an 8x8 image, got {w}x{h}"
                     )
-                idx = np.flatnonzero((widths == w) & (heights == h))
-                group = [
-                    np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
-                    for i in idx
-                ]
-                short = [g.size for g in group if g.size < w * h]
-                if short:
-                    raise ValueError(
-                        f"payload shorter than {w}x{h} pixels: {short[0]} bytes"
-                    )
-                stack = np.stack(group).reshape(len(idx), h, w)
                 bh, bw = h // 8, w // 8
                 pooled = (
                     stack[:, : 8 * bh, : 8 * bw]
@@ -717,28 +724,17 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # group rows by (width, height) so each group pools as ONE
-            # stacked (g, h, w) tensor — the per-row work is only the
-            # zero-copy frombuffer view
-            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
-            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
-            payloads = pdf["payload"].to_numpy()
+            # each (width, height) group pools as ONE stacked tensor —
+            # the per-row work is only the zero-copy frombuffer view
             doc_ids = pdf["doc_id"].to_numpy()
             out_docs: list = []
             out_bytes: list = []
-            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
                 if w < out_width or h < out_height:
                     raise ValueError(
                         f"resize is an average pool (downscale only): "
                         f"source {w}x{h} < target {out_width}x{out_height}"
                     )
-                idx = np.flatnonzero((widths == w) & (heights == h))
-                stack = np.stack(
-                    [
-                        np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
-                        for i in idx
-                    ]
-                ).reshape(len(idx), h, w)
                 bh, bw = h // out_height, w // out_width
                 pooled = (
                     stack[:, : out_height * bh, : out_width * bw]
@@ -758,6 +754,61 @@ def resize(df: DataFrame, out_width: int = 8, out_height: int = 8,
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("augmented", T.BinaryType()),
+    ]
+)
+
+
+def augment(
+    df: DataFrame,
+    crop: int = 8,
+    flip: bool = True,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Deterministic vision-training augmentation: horizontal flip then
+    center crop to ``crop`` x ``crop`` — the eval-time transform pair of
+    every image training pipeline (random variants differ only in the
+    offset/flip coin, which a distributed pipeline derives from a
+    per-sample seed, not a global RNG). Zero-copy numpy views per
+    (width, height) group; partition-local mapInPandas, no shuffle."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_docs: list = []
+            out_bytes: list = []
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
+                if w < crop or h < crop:
+                    raise ValueError(
+                        f"center crop {crop}x{crop} exceeds source {w}x{h}"
+                    )
+                if flip:
+                    stack = stack[:, :, ::-1]
+                top = (h - crop) // 2
+                left = (w - crop) // 2
+                cropped = stack[:, top : top + crop, left : left + crop]
+                out_docs.extend(doc_ids[idx].tolist())
+                out_bytes.extend(p.tobytes() for p in cropped)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_docs,
+                    "out_width": np.full(len(out_docs), crop, dtype=np.int32),
+                    "out_height": np.full(len(out_docs), crop, dtype=np.int32),
+                    "augmented": out_bytes,
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUGMENT_SCHEMA)
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -1002,9 +1053,6 @@ def patchify(df: DataFrame, patch: int = 4, decode_backend: str = "fake") -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths = pdf["meta"].map(lambda m: int(m["width"])).to_numpy()
-            heights = pdf["meta"].map(lambda m: int(m["height"])).to_numpy()
-            payloads = pdf["payload"].to_numpy()
             doc_ids = pdf["doc_id"].to_numpy()
             out: dict[str, list] = {
                 "doc_id": [],
@@ -1012,18 +1060,11 @@ def patchify(df: DataFrame, patch: int = 4, decode_backend: str = "fake") -> Dat
                 "patch": [],
                 "patch_mean": [],
             }
-            for w, h in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
                 if w % patch or h % patch:
                     raise ValueError(
                         f"image {w}x{h} not divisible into {patch}x{patch} patches"
                     )
-                idx = np.flatnonzero((widths == w) & (heights == h))
-                stack = np.stack(
-                    [
-                        np.frombuffer(decode(bytes(payloads[i])), dtype=np.uint8)[: w * h]
-                        for i in idx
-                    ]
-                ).reshape(len(idx), h, w)
                 gh, gw = h // patch, w // patch
                 # (n, gh, patch, gw, patch) -> (n, gh, gw, patch, patch)
                 patches = (

@@ -74,25 +74,22 @@ AC_HUFFVAL = [
 
 
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length), canonical assignment (T.81 Annex C)."""
+    """value -> (code, length), canonical assignment (T.81 Annex C).
+    Rejects oversubscribed tables (more codes than the code space
+    holds — Kraft violation): a corrupt DHT must be a ValueError, not
+    an IndexError downstream in the LUT build."""
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("oversubscribed Huffman table")
             codes[huffval[k]] = (code, length)
             code += 1
             k += 1
         code <<= 1
     return codes
-
-
-def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value, for the bit-at-a-time decoder."""
-    table: dict[tuple[int, int], int] = {}
-    for value, (code, length) in _canonical_codes(bits, huffval).items():
-        table[(length, code)] = value
-    return table
 
 
 def _lut16(bits: list[int], huffval: list[int]) -> tuple[list[int], list[int]]:
@@ -312,13 +309,6 @@ def _receive_extend(reader: _BitReader, s: int) -> int:
     return v
 
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code in entropy stream")
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -451,6 +441,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     n_by, n_bx = height // 8, width // 8
     n_blocks = n_by * n_bx
+    # bound the coefficient allocation by what the entropy segment can
+    # possibly code BEFORE allocating (the PNG codec's inflate-bomb
+    # guard, twinned): every block costs at least 2 bits (1-bit DC
+    # symbol + 1-bit EOB under the most degenerate legal tables), so a
+    # tiny payload declaring a huge SOF0 is rejected, not materialized
+    if n_blocks * 2 > buf_len * 8 + 16:
+        raise ValueError(
+            "entropy segment too small for the declared dimensions"
+        )
     zzs = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = 0
     acc = 0
@@ -506,6 +505,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise overrun
                 if run == 15:  # ZRL
                     k += 16
+                    if k > 64:
+                        raise ValueError("AC run overflows the block")
                     continue
                 break  # EOB
             k += run
@@ -549,12 +550,17 @@ _LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], tuple[list[int], list[
 
 
 def _cached_lut16(table: tuple[tuple[int, ...], tuple[int, ...]]):
-    """Build (or reuse) the 65536-slot lookahead tables for a DHT table;
-    real corpora reuse a handful of Huffman tables (usually just
-    Annex K), so the 64k-slot build cost amortizes to zero."""
+    """Build (or reuse) the 65536-slot lookahead tables for a DHT table.
+    Spec-standard corpora reuse the Annex-K tables, but optimized
+    baseline JPEGs (mozjpeg, jpegtran -optimize) carry per-image custom
+    tables — on a long-lived executor the cache must stay bounded, so
+    it resets past a small working set instead of growing one ~1 MB
+    entry per distinct image."""
     lut = _LUT_CACHE.get(table)
     if lut is None:
         bits, huffval = table
         lut = _lut16(list(bits), list(huffval))
+        if len(_LUT_CACHE) >= 16:
+            _LUT_CACHE.clear()
         _LUT_CACHE[table] = lut
     return lut

@@ -744,6 +744,49 @@ def l_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.gzip_text_stats(payloads).orderBy("doc_id")
 
 
+_AUGMENT_ORACLE = f"""
+    WITH {_BYTES_CTES}
+    SELECT doc_id,
+           CAST(8 AS INT)     AS out_width,
+           CAST(8 AS INT)     AS out_height,
+           CAST(64 AS BIGINT) AS n_bytes,
+           -- flip then center-crop: output (r, c) reads source row 4+r,
+           -- source column 11-c (the flip mirrors 15-(4+c))
+           array_to_string(list_transform(range(0, 64),
+               k -> printf('%02x',
+                   bytes[(4 + k // 8) * 16 + (11 - k % 8) + 1])), '')
+               AS augmented_hex
+    FROM f
+    ORDER BY doc_id
+"""
+
+
+@register("m_png_augment", oracle=_AUGMENT_ORACLE)
+def m_png_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-training augmentation through the real PNG codec:
+    horizontal flip + 8x8 center crop over the decoded pixels — the
+    deterministic eval-time transform pair of an image training
+    pipeline (the random train-time variants differ only in a
+    per-sample-seeded offset/flip coin). Pure index permutation, so the
+    oracle re-derives every output byte from the hex-side pixel
+    construction: output (r, c) = source pixel (4 + r, 11 - c).
+
+    Scale shape: two partition-local mapInPandas stages (PNG wrap,
+    decode + zero-copy flip/crop views), no shuffle — the augmented
+    stream inherits the scan's partitioning and feeds the patchify /
+    embedding stages without a repartition."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    aug = multimodal.augment(payloads, crop=8, flip=True, decode_backend="png")
+    return aug.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.length("augmented").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("augmented")).alias("augmented_hex"),
+    ).orderBy("doc_id")
+
+
 # The JPEG payload's hex-side derivation: four 8x8 constant blocks,
 # block (by, bx) = byte 2*by+bx of md5(text || '0') — the one image
 # family baseline JPEG roundtrips byte-exactly (DC-only spectra), so

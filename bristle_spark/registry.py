@@ -67,6 +67,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) cont.: the baseline-JPEG codec keys (VERDICT r11 #4) ---
     "m_jpeg_pixel_stats",
     "m_jpeg_resize",
+    # --- (1) cont.: deterministic augmentation through the PNG codec ---
+    "m_png_augment",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     # --- (3) oldest-first drain: the round-6 cohort (graded r6) ---
     "l_ann_recall_eval",
@@ -116,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_hll_merge",
     "r_scd2",
     "r_skew_salted_join",
-    "r_mode_per_group",
 )
 
 

@@ -48,10 +48,13 @@ def test_summary_write_gated_on_closing_methodology():
         return argparse.Namespace(**base)
 
     assert _bench.is_closing_gate_run(ns())
+    assert _bench.is_closing_gate_run(ns(), _bench.GATE_SF_DIR)
     for bad in (ns(queries="r_hash_agg"), ns(family="l_"),
                 ns(subset="shared38"), ns(cold=True),
                 ns(recycle=5), ns(runs=1), ns(runs=3)):
         assert not _bench.is_closing_gate_run(bad), bad
+    # a full run at a non-gate scale must not clobber the record either
+    assert not _bench.is_closing_gate_run(ns(), "/root/testdata/sf0.01")
 
 
 def test_committed_bench_summary_covers_headline():

@@ -185,6 +185,59 @@ def test_bad_dimensions_rejected_by_encoder():
         encode_jpeg(b"\x00" * 256, 16, 16, quant=0)
 
 
+def test_dimension_bomb_rejected_before_allocation():
+    """A tiny payload declaring a huge SOF0 must be rejected by the
+    entropy-size bound (the PNG inflate-bomb guard, twinned) — never
+    materialize n_blocks*64 coefficients from header-declared dims
+    (review r12: 65528x65528 would allocate ~34 GB)."""
+    blob = bytearray(encode_jpeg(_noise(16, 16), 16, 16))
+    sof = blob.index(b"\xff\xc0")
+    # SOF0 body: precision(1) height(2) width(2) — patch both to 65528
+    struct.pack_into(">HH", blob, sof + 5, 65528, 65528)
+    with pytest.raises(ValueError, match="entropy segment too small"):
+        decode_jpeg(bytes(blob))
+
+
+def test_oversubscribed_dht_is_value_error():
+    """A DHT declaring more codes than the code space holds (Kraft
+    violation) must raise ValueError, not IndexError in the LUT build
+    (review r12)."""
+    blob = bytearray(encode_jpeg(_noise(16, 16), 16, 16))
+    dht = blob.index(b"\xff\xc4")
+    # BITS starts at dht+5 (marker 2 + length 2 + Tc/Th 1): declare 3
+    # one-bit codes — only 2 fit. Shrink the 3-bit count by the same
+    # amount so the total code count (and huffval framing) is unchanged
+    # and the Kraft check itself is what fires.
+    blob[dht + 5] = 3
+    blob[dht + 7] -= 3
+    with pytest.raises(ValueError, match="oversubscribed"):
+        decode_jpeg(bytes(blob))
+
+
+def test_zrl_overflowing_block_is_value_error():
+    """A ZRL landing past coefficient 63 must raise like the nonzero-
+    coefficient overflow path, not silently accept a misread block
+    (review r12). Built bit-exactly: DC size 0, then four ZRLs (only
+    63 AC slots exist, 4*16 = 64 > 63)."""
+    from bristle_spark.multimodal.jpeg import (
+        _ENC_AC_CODES,
+        _ENC_DC_CODES,
+        _BitWriter,
+    )
+
+    good = encode_jpeg(_noise(8, 8), 8, 8)
+    sos = good.index(b"\xff\xda")
+    head = good[: sos + 2 + 8]  # everything through the SOS header
+    bw = _BitWriter()
+    code, length = _ENC_DC_CODES[0]
+    bw.write(code, length)  # DC diff = 0
+    code, length = _ENC_AC_CODES[0xF0]
+    for _ in range(4):  # 4 ZRLs = 64 zero ACs, 1 past the block end
+        bw.write(code, length)
+    with pytest.raises(ValueError, match="AC run overflows"):
+        decode_jpeg(head + bw.flush() + b"\xff\xd9")
+
+
 def test_spark_jpeg_pipeline_end_to_end(spark):
     """attach_jpeg_payload -> decode_backend='jpeg' recovers exactly the
     block-constant pixels the hex-side oracle derives from md5(text)."""

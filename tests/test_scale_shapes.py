@@ -85,6 +85,7 @@ SCALE_FAMILY = [
     "m_png_patchify",
     "m_jpeg_pixel_stats",
     "m_jpeg_resize",
+    "m_png_augment",
     "l_source_overlap",
 ]
 
