@@ -53,8 +53,12 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 12: starts empty (every r11 plan-changed key was re-graded in
-# r11); grows as this round's plan changes land.
+# Round 12: empty. Two round-12 refactors touched shared HELPERS, not
+# plans: streaming_q's _fresh_dir (driver-side emission-dir hygiene —
+# checkpointed plans unchanged, every s_* key re-verified against its
+# oracle plus the new restart-replay matrix) and multimodal's
+# _dims_stacks (kernel-internal stacking inside unchanged mapInPandas
+# nodes — all 20 m_*/codec keys re-verified against their oracles).
 PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
