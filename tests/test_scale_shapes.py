@@ -177,7 +177,15 @@ def test_sparse_similarity_shuffle_count_pinned(name, spark, sf_dir, specs):
     """The exact hash-partitioning exchange count of the sparse-
     similarity plans is a contract (the docstrings state the blowup
     bound these shuffles implement); update the pin ONLY with a plan
-    change that keeps the linear-in-shingle-volume bound."""
+    change that keeps the linear-in-shingle-volume bound.
+
+    Cache-clean slate first: other keys in the suite persist shared
+    plan fragments (bisected to l_minhash_error's persisted shingle
+    frame), and Spark's cache manager substitutes InMemoryRelation into
+    any later plan containing that subtree — 13 exchanges became 17
+    with an InMemoryTableScan, making the absolute pin order-dependent
+    (r12 verify_all shard0)."""
+    spark.catalog.clearCache()
     df = specs[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == (
