@@ -39,6 +39,14 @@ PING = 0x6
 GOAWAY = 0x7
 WINDOW_UPDATE = 0x8
 CONTINUATION = 0x9
+PRIORITY_UPDATE = 0x10  # RFC 9218 §7.1 (Extensible Priorities)
+
+# RFC 9218 §4.1: urgency 0 (highest) .. 7 (lowest), default 3
+DEFAULT_URGENCY = 3
+# stashed PRIORITY_UPDATEs for streams the peer has signalled but not
+# yet opened (§7.2 allows the frame to race ahead of HEADERS); bounded
+# so a peer spraying ids cannot grow state
+MAX_STASHED_PRIORITIES = 64
 
 # flags
 FLAG_END_STREAM = 0x1
@@ -137,6 +145,26 @@ class WindowOpened:
 # ------------------------------------------------------------------ frames
 
 
+def parse_priority_field(value: bytes) -> tuple[int, bool]:
+    """Parse an RFC 9218 Priority field value (e.g. ``u=2, i``) into
+    (urgency, incremental). Tolerant structured-field-dictionary
+    subset: unknown keys and malformed members are ignored (§4.3), so
+    defaults survive garbage."""
+    urgency, incremental = DEFAULT_URGENCY, False
+    for item in value.split(b","):
+        item = item.strip()
+        if item in (b"i", b"i=?1"):
+            incremental = True
+        elif item == b"i=?0":
+            incremental = False
+        elif item.startswith(b"u="):
+            try:
+                urgency = min(7, max(0, int(item[2:])))
+            except ValueError:
+                pass
+    return urgency, incremental
+
+
 def encode_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
     return (
         len(payload).to_bytes(3, "big")
@@ -157,6 +185,15 @@ class _Stream:
     # a field block was already delivered on this stream: the next one
     # is trailers (no pseudo-fields allowed, RFC 9113 §8.1)
     recv_headers: bool = False
+    # RFC 9218 priority: urgency 0..7 (lower = more urgent) and the
+    # incremental flag (True = the response is useful in pieces, so
+    # same-urgency incremental streams share bandwidth round-robin)
+    urgency: int = DEFAULT_URGENCY
+    incremental: bool = False
+    # arrival order (FIFO key within an urgency level) and the
+    # round-robin clock of the last scheduler turn this stream got
+    seq: int = 0
+    last_served: int = 0
     # data accepted by send_data but deferred by flow control
     pending: list[tuple[bytes, bool]] = field(default_factory=list)
     # trailers accepted while DATA was still flow-blocked; held raw
@@ -191,6 +228,10 @@ class H2Connection:
         self._hdr_flags = 0
         self._hdr_buf = bytearray()
         self.closed = False
+        # RFC 9218 priority scheduling state
+        self._stream_seq = 0  # arrival counter (FIFO key)
+        self._serve_tick = 0  # round-robin clock
+        self._stashed_priorities: dict[int, tuple[int, bool]] = {}
 
     # ------------------------------------------------------------ lifecycle
 
@@ -243,12 +284,33 @@ class H2Connection:
                 # protocol violation
                 return None
             st = _Stream(stream_id, send_window=self.peer_initial_window)
+            self._init_stream_priority(st)
             self.streams[stream_id] = st
             if not self._peer_initiated(stream_id):
                 self._highest_local_opened = max(
                     self._highest_local_opened, stream_id
                 )
         return st
+
+    def _init_stream_priority(self, st: _Stream) -> None:
+        """Assign the FIFO arrival seq and apply any PRIORITY_UPDATE
+        that raced ahead of the stream's HEADERS (RFC 9218 §7.2)."""
+        self._stream_seq += 1
+        st.seq = self._stream_seq
+        stashed = self._stashed_priorities.pop(st.stream_id, None)
+        if stashed is not None:
+            st.urgency, st.incremental = stashed
+
+    def set_priority(
+        self, stream_id: int, urgency: int = DEFAULT_URGENCY, incremental: bool = False
+    ) -> None:
+        """Set a stream's RFC 9218 scheduling parameters — the server
+        calls this from the request's `priority` header (§5); received
+        PRIORITY_UPDATE frames land here too."""
+        st = self.streams.get(stream_id)
+        if st is not None:
+            st.urgency = min(7, max(0, int(urgency)))
+            st.incremental = bool(incremental)
 
     def send_headers(
         self,
@@ -305,8 +367,14 @@ class H2Connection:
         self._flush_stream(st)
         self._maybe_retire(st)
 
-    def _flush_stream(self, st: _Stream) -> None:
+    def _flush_stream(self, st: _Stream, max_bytes: int | None = None) -> int:
+        """Emit as much pending DATA as the windows (and the optional
+        per-turn byte cap the RFC 9218 scheduler passes) allow. Returns
+        the payload bytes written this call."""
+        written = 0
         while st.pending:
+            if max_bytes is not None and written >= max_bytes:
+                return written
             data, end_stream = st.pending[0]
             if not data and end_stream:  # bare end-of-stream marker
                 self._out += encode_frame(DATA, FLAG_END_STREAM, st.stream_id, b"")
@@ -317,9 +385,11 @@ class H2Connection:
                 budget = min(
                     len(data), self.conn_send_window, st.send_window, self.peer_max_frame
                 )
+                if max_bytes is not None:
+                    budget = min(budget, max_bytes - written)
                 if budget <= 0:
                     st.pending[0] = (data, end_stream)
-                    return
+                    return written
                 chunk, data = data[:budget], data[budget:]
                 last = not data and end_stream
                 self._out += encode_frame(
@@ -327,6 +397,7 @@ class H2Connection:
                 )
                 self.conn_send_window -= len(chunk)
                 st.send_window -= len(chunk)
+                written += len(chunk)
                 if last:
                     st.send_closed = True
             st.pending.pop(0)
@@ -337,6 +408,50 @@ class H2Connection:
             trailers = st.pending_trailers
             st.pending_trailers = None
             self._emit_headers(st, trailers, end_stream=True)
+        return written
+
+    def _scheduled_flush(self) -> list[object]:
+        """Distribute a re-opened CONNECTION send window across blocked
+        streams by RFC 9218 priority: strict precedence across urgency
+        levels (lower value first); within a level, non-incremental
+        responses complete one at a time in arrival order (§10), then
+        incremental ones share the window round-robin, one
+        max-frame-sized turn each. Replaces the old insertion-order
+        greedy drain, which let the earliest stream starve every later
+        one whenever the connection window was the constraint."""
+        events: list[object] = []
+        had = sorted(
+            st.stream_id for st in self.streams.values() if st.pending
+        )
+        while self.conn_send_window > 0:
+            cands = [
+                st
+                for st in self.streams.values()
+                if st.pending and not st.reset and st.send_window > 0
+            ]
+            if not cands:
+                break
+            top = min(st.urgency for st in cands)
+            level = [st for st in cands if st.urgency == top]
+            fifo = [st for st in level if not st.incremental]
+            if fifo:
+                st = min(fifo, key=lambda s: s.seq)
+                before = len(st.pending)
+                wrote = self._flush_stream(st)
+            else:
+                st = min(level, key=lambda s: (s.last_served, s.seq))
+                self._serve_tick += 1
+                st.last_served = self._serve_tick
+                before = len(st.pending)
+                wrote = self._flush_stream(st, max_bytes=self.peer_max_frame)
+            self._maybe_retire(st)
+            if wrote == 0 and len(st.pending) >= before:
+                break  # stream-window-blocked head of line: no progress
+        for sid in had:
+            st = self.streams.get(sid)
+            if st is None or not st.pending:
+                events.append(WindowOpened(sid))
+        return events
 
     def send_rst_stream(self, stream_id: int, code: int = CANCEL) -> None:
         st = self._stream_for_send(stream_id)
@@ -418,6 +533,8 @@ class H2Connection:
             if len(payload) != 5:
                 raise H2ConnectionError(FRAME_SIZE_ERROR, "bad PRIORITY length")
             return []
+        if ftype == PRIORITY_UPDATE:
+            return self._on_priority_update(stream_id, payload)
         if ftype == PUSH_PROMISE:
             raise H2ConnectionError(PROTOCOL_ERROR, "push is disabled")
         return []  # unknown frame types are ignored (§4.1)
@@ -458,6 +575,7 @@ class H2Connection:
                 return None
             self._highest_peer_stream = stream_id
             st = _Stream(stream_id, send_window=self.peer_initial_window)
+            self._init_stream_priority(st)
             self.streams[stream_id] = st
             return st
         # locally-numbered id from the peer: never valid as a NEW stream
@@ -729,12 +847,9 @@ class H2Connection:
             self.conn_send_window += inc
             if self.conn_send_window > MAX_WINDOW:
                 raise H2ConnectionError(FLOW_CONTROL_ERROR, "window overflow")
-            # snapshot: _flush_stream may retire streams (see above)
-            for st in list(self.streams.values()):
-                had = bool(st.pending)
-                self._flush_stream(st)
-                if had and not st.pending:
-                    events.append(WindowOpened(st.stream_id))
+            # the re-opened connection window is shared: distribute it
+            # by RFC 9218 priority instead of insertion order
+            events.extend(self._scheduled_flush())
         else:
             st = self.streams.get(stream_id)
             if st is None:
@@ -760,6 +875,26 @@ class H2Connection:
             if had and not st.pending:
                 events.append(WindowOpened(stream_id))
         return events
+
+    def _on_priority_update(self, stream_id: int, payload: bytes) -> list[object]:
+        """RFC 9218 §7: PRIORITY_UPDATE rides stream 0 and names the
+        prioritized stream in its payload. Applied live if the stream
+        is open; stashed (bounded) if it raced ahead of the stream's
+        HEADERS; ignored for closed streams."""
+        if stream_id != 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "PRIORITY_UPDATE on a stream")
+        if len(payload) < 4:
+            raise H2ConnectionError(FRAME_SIZE_ERROR, "bad PRIORITY_UPDATE length")
+        target = int.from_bytes(payload[0:4], "big") & 0x7FFFFFFF
+        if target == 0:
+            raise H2ConnectionError(PROTOCOL_ERROR, "PRIORITY_UPDATE for stream 0")
+        urgency, incremental = parse_priority_field(payload[4:])
+        if target in self.streams:
+            self.set_priority(target, urgency, incremental)
+        elif self._peer_initiated(target) and target > self._highest_peer_stream:
+            if len(self._stashed_priorities) < MAX_STASHED_PRIORITIES:
+                self._stashed_priorities[target] = (urgency, incremental)
+        return []
 
     def _on_rst(self, stream_id: int, payload: bytes) -> list[object]:
         if len(payload) != 4:
