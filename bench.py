@@ -298,6 +298,13 @@ HEADLINE = [
     "m_jpeg_pixel_stats",
     "m_jpeg_resize",
     "m_png_augment",
+    # round-12 session-2 additions
+    "l_graph_triangles",
+    "r_recursive_hierarchy",
+    "l_seq_poisson_sample",
+    "r_largest_remainder_alloc",
+    "m_jpeg_phash_dedup",
+    "l_rendezvous_shard",
 ]
 
 

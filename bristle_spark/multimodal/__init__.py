@@ -318,7 +318,10 @@ def attach_png_payload(
 
 
 def attach_jpeg_payload(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    noise_from_key: bool = False,
 ) -> DataFrame:
     """Deterministic REAL-JPEG image payload: a 16x16 greyscale image
     whose four 8x8 blocks are each CONSTANT — block (by, bx) is byte
@@ -329,6 +332,13 @@ def attach_jpeg_payload(
     hex-derivable SQL-side and the oracle witnesses the WHOLE decode
     path: marker parse, Huffman entropy decode, differential DC
     prediction across the four blocks, dequantize, IDCT, level shift.
+
+    With ``noise_from_key=True`` one block constant is perturbed per
+    image — block (key %% 4) becomes (byte + 1 + key %% 7) mod 256 —
+    planting keyed decode-noise in the BLOCK-CONSTANT domain (a
+    baseline JPEG stays byte-exact only while blocks are constant, so
+    per-pixel splicing would break the hex-side oracle; this is the
+    JPEG analog of attach_png_payload's pixel-domain noise).
 
     Same mapInPandas shape as attach_png_payload: the entropy bytes
     depend on the pixels, so the wrap runs partition-local over Arrow
@@ -360,8 +370,11 @@ def attach_jpeg_payload(
 
         for pdf in batches:
             payloads = []
-            for text in pdf["__text"]:
-                blocks = _hl.md5(str(text).encode() + b"0").digest()[:4]
+            for key, text in zip(pdf[key_col], pdf["__text"]):
+                blocks = list(_hl.md5(str(text).encode() + b"0").digest()[:4])
+                if noise_from_key:
+                    bi = int(key) % 4
+                    blocks[bi] = (blocks[bi] + 1 + int(key) % 7) % 256
                 img = np.empty((16, 16), dtype=np.uint8)
                 for by in range(2):
                     for bx in range(2):

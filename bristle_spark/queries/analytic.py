@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table, register_views
+from bristle_spark.functions.hashing import hash60, hash60_sql
 from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
 from bristle_spark.functions.skew import salted_agg
 from bristle_spark.registry import register
@@ -2941,4 +2942,177 @@ def r_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("kv", lambda e: e["s_cents"].cast("string"))
         ).alias("type_sums_cents"),
+    )
+
+
+# ------------------------------------------ largest-remainder allocation
+ALLOC_SEATS = 997  # prime, so floor shares never absorb every remainder
+
+
+@register(
+    "r_largest_remainder_alloc",
+    oracle=f"""
+    WITH per AS (
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM per),
+    base AS (
+        SELECT p.n_name, p.n_customers,
+               ({ALLOC_SEATS} * p.n_customers) // t.total AS floor_seats,
+               ({ALLOC_SEATS} * p.n_customers) % t.total  AS remainder
+        FROM per p, tot t
+    ),
+    lo AS (SELECT CAST({ALLOC_SEATS} - sum(floor_seats) AS BIGINT) AS leftover
+           FROM base),
+    rk AS (
+        SELECT b.n_name, b.n_customers, b.floor_seats, b.remainder,
+               (SELECT count(*) FROM base o
+                WHERE o.remainder > b.remainder
+                   OR (o.remainder = b.remainder AND o.n_name < b.n_name))
+                   AS rnk
+        FROM base b
+    )
+    SELECT r.n_name,
+           r.n_customers,
+           CAST(r.floor_seats
+                + CASE WHEN r.rnk < l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM rk r, lo l
+    """,
+)
+def r_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: distribute a fixed
+    integer budget of {ALLOC_SEATS} "seats" across nations in proportion
+    to customer count — the exact-integer allocation every quota system
+    needs (sampling budgets per domain, shard counts per tenant, crawl
+    budgets per host). floor(S*c/T) seats up front, then one extra seat
+    to the largest remainders until the budget is spent. All math is
+    BIGINT (integer DIV / MOD — no doubles anywhere), so Spark and
+    DuckDB agree bit-for-bit including the tie rule (remainder DESC,
+    n_name ASC).
+
+    Scale shape: ONE map-side-combined count per nationkey collapses
+    the fact table; everything downstream lives on the bounded nation
+    domain (<= 25 rows) as broadcast joins — the remainder-rank pairwise
+    join is |nations|^2, a constant, NOT a data-scaled window (the
+    test_no_global_windows contract). At 100 TB the only corpus-sized
+    stage is the first aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    tot = per.agg(F.sum("n_customers").cast("bigint").alias("total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_customers",
+        F.expr(f"({ALLOC_SEATS} * n_customers) DIV total").alias("floor_seats"),
+        F.expr(f"({ALLOC_SEATS} * n_customers) % total").alias("remainder"),
+    )
+    lo = base.agg(
+        (F.lit(ALLOC_SEATS) - F.sum("floor_seats")).cast("bigint").alias("leftover")
+    )
+    other = base.select(
+        F.col("remainder").alias("o_rem"), F.col("n_name").alias("o_name")
+    )
+    rnk = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("remainder"))
+            | ((F.col("o_rem") == F.col("remainder")) & (F.col("o_name") < F.col("n_name"))),
+            "left",
+        )
+        .groupBy("n_name", "n_customers", "floor_seats", "remainder")
+        .agg(F.count("o_name").cast("bigint").alias("rnk"))
+    )
+    return rnk.crossJoin(F.broadcast(lo)).select(
+        "n_name",
+        "n_customers",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rnk") < F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+
+# --------------------------------------------- recursive hierarchy depth
+TREE_SALT = ":tree"  # decorrelates the synthetic parent from other hash uses
+# Pointer-doubling rounds: round r resolves every chain of length
+# <= 2^r, so 12 rounds cover depth 4096 — far past the O(e*ln n) depth
+# of the random recursive tree at any conceivable part count (~60 at
+# 2^31 nodes). The loop exits early the first round nothing is pending.
+TREE_MAX_ROUNDS = 12
+
+
+@register(
+    "r_recursive_hierarchy",
+    oracle=f"""
+    WITH RECURSIVE walk(node, anc, d) AS (
+        SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0 FROM part
+        UNION ALL
+        SELECT node,
+               {hash60_sql(f"CAST(anc AS VARCHAR) || '{TREE_SALT}'")} % anc,
+               d + 1
+        FROM walk WHERE anc > 0
+    )
+    SELECT node AS p_partkey, CAST(max(d) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def r_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal (the ANSI WITH RECURSIVE /
+    ClickHouse hierarchical-dictionary workload): every part is a node
+    in a random recursive tree — parent(p) = hash60(p || salt) mod p,
+    strictly smaller so the graph is acyclic with root 0 — and the
+    query resolves each node's DEPTH (path length to the root). The
+    oracle walks the chains one edge per recursion step, exactly as a
+    SQL engine executes the CTE.
+
+    Scale shape — pointer doubling (Valiant's list-ranking trick, the
+    distributed answer to an inherently sequential walk): the state
+    table (node, jump, depth) starts at the 1-step parent map and each
+    round self-joins state to state, composing jumps so round r knows
+    every node's 2^r-step ancestor. Depth-D chains resolve in
+    ceil(log2 D) id-keyed shuffles — ~6 rounds for the ~60-deep tree a
+    2-billion-part catalog implies — instead of D sequential passes;
+    the root's (0 -> 0, +0) row is the natural fixpoint, so converged
+    nodes ride along unchanged. localCheckpoint per round keeps lineage
+    O(1); the convergence probe is a count(), never a collect."""
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("node")
+    )
+    parent = F.when(F.col("node") == 0, F.lit(0).cast("bigint")).otherwise(
+        hash60(F.concat(F.col("node").cast("string"), F.lit(TREE_SALT)))
+        % F.col("node")
+    )
+    state = nodes.select(
+        "node",
+        parent.alias("jump"),
+        F.when(F.col("node") == 0, F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+    ).localCheckpoint()
+    for _ in range(TREE_MAX_ROUNDS):
+        if state.filter(F.col("jump") != 0).count() == 0:
+            break
+        j = state.select(
+            F.col("node").alias("jn"),
+            F.col("jump").alias("jj"),
+            F.col("depth").alias("jd"),
+        )
+        state = (
+            state.join(j, state.jump == F.col("jn"))
+            .select(
+                "node",
+                F.col("jj").alias("jump"),
+                (F.col("depth") + F.col("jd")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        F.col("node").alias("p_partkey"), F.col("depth").cast("bigint").alias("depth")
     )

@@ -2861,3 +2861,188 @@ def l_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("example_doc"),
         )
     )
+
+
+# ------------------------------------- sequential Poisson (PPS) sampling
+SPPS_K = 100  # fixed sample size
+SPPS_SALT = ":spps"  # decorrelates from the other hash-gated samplers
+_SPPS_DENOM = float(1 << 60)  # 2^60: u = (hash60 + 1) / 2^60 in (0, 1]
+
+
+@register(
+    "l_seq_poisson_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, n_tokens,
+               (CAST({hash60_sql(f"CAST(doc_id AS VARCHAR) || '{SPPS_SALT}'")} + 1
+                     AS DOUBLE) / 1152921504606846976.0)
+               / CAST(n_tokens AS DOUBLE) AS priority
+        FROM s WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, priority
+    FROM k ORDER BY priority, doc_id LIMIT {SPPS_K}
+    """,
+)
+def l_seq_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size probability-proportional-to-size sampling WITHOUT
+    replacement via sequential Poisson sampling (Ohlsson 1998, the
+    estimator Statistics Sweden runs): each document draws a uniform
+    u = (hash60(doc_id || salt) + 1) / 2^60 and is ranked by the
+    priority u / w with w = its token count; the {SPPS_K} smallest
+    priorities are the sample. Long documents (large w) get small
+    priorities — inclusion probability ~ proportional to token mass,
+    the right sampling design when each kept document later contributes
+    w tokens to a training mix. Deterministic (hash-gated, no RNG), so
+    the sample is reproducible across runs, shards, and engines.
+
+    Cross-engine exactness: the priority is int->double conversion
+    (round-to-nearest, identical in JVM and DuckDB), one division by
+    the constant 2^60 (exact power-of-two scaling), and one
+    correctly-rounded IEEE division by w — bit-identical on both sides,
+    so even the ORDER BY tie structure matches.
+
+    Scale shape: weight and priority are row-local scan expressions
+    (zero shuffles), and the fixed-K cut is orderBy().limit() ->
+    TakeOrderedAndProject: per-partition top-K then a K-row merge on
+    the driver — never a global sort. One narrow stage at any corpus
+    size."""
+    t = F.filter(F.split("text", " "), lambda w: w != "")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(t).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(SPPS_SALT))) + 1
+    ).cast("double") / F.lit(_SPPS_DENOM)
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            (u / F.col("n_tokens").cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(SPPS_K)
+    )
+
+
+# ------------------------------------------- rendezvous (HRW) sharding
+RDV_SHARDS = 8
+RDV_SALT = ":rdv:"
+
+
+def _rdv_hashes(n: int):
+    """The doc's rendezvous weights against shards 0..n-1."""
+    return F.array(
+        *[
+            hash60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f"{RDV_SALT}{k}"))
+            )
+            for k in range(n)
+        ]
+    )
+
+
+def _rdv_hashes_sql(n: int) -> str:
+    cols = ", ".join(
+        hash60_sql(f"CAST(doc_id AS VARCHAR) || '{RDV_SALT}{k}'") for k in range(n)
+    )
+    return f"[{cols}]"
+
+
+@register(
+    "l_rendezvous_shard",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               {_rdv_hashes_sql(RDV_SHARDS)} AS h8,
+               {_rdv_hashes_sql(RDV_SHARDS - 1)} AS h7
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id,
+               list_position(h8, list_max(h8)) - 1 AS shard,
+               list_position(h7, list_max(h7)) - 1 AS shard_after
+        FROM w
+    ),
+    full_ring AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        FROM a GROUP BY shard
+    ),
+    small_ring AS (
+        SELECT shard_after,
+               CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(CASE WHEN shard <> shard_after THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_in
+        FROM a GROUP BY shard_after
+    )
+    SELECT CAST(f.shard AS BIGINT) AS shard,
+           f.n_docs,
+           COALESCE(s.n_after, 0)    AS n_docs_after_removal,
+           COALESCE(s.n_moved_in, 0) AS n_moved_in
+    FROM full_ring f LEFT JOIN small_ring s ON s.shard_after = f.shard
+    """,
+)
+def l_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler-Ravishankar 1998)
+    sharding of the corpus — the assignment a long-lived pipeline wants
+    for shard-stable storage: doc -> argmax_k hash(doc || k) over
+    {RDV_SHARDS} shards. The output demonstrates HRW's minimal-
+    disruption guarantee live: the same assignment recomputed with
+    shard {RDV_SHARDS - 1} removed (n_docs_after_removal / n_moved_in
+    columns) relocates ONLY the removed shard's documents — every
+    surviving shard's n_moved_in sums to exactly the dead shard's
+    n_docs, nothing else moves (each doc's weights against surviving
+    shards are unchanged, so its argmax can only change if the removed
+    shard WAS its argmax).
+
+    Cross-engine exactness: md5-based 60-bit weights; argmax via
+    first-position-of-max (array_position / list_position), the same
+    tie rule both sides.
+
+    Scale shape: the weights and both argmaxes are row-local array
+    expressions in the scan (zero shuffles, {RDV_SHARDS} hashes per
+    row); the only shuffles are two map-side-combined aggregations on
+    a {RDV_SHARDS}-value key, and the final join runs on two <=
+    {RDV_SHARDS}-row frames. Linear at any corpus size, no skew (the
+    hash equidistributes)."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _rdv_hashes(RDV_SHARDS).alias("h8"),
+        _rdv_hashes(RDV_SHARDS - 1).alias("h7"),
+    )
+    a = w.select(
+        "doc_id",
+        (F.array_position(F.col("h8"), F.array_max("h8")) - 1).alias("shard"),
+        (F.array_position(F.col("h7"), F.array_max("h7")) - 1).alias("shard_after"),
+    )
+    full_ring = a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    small_ring = a.groupBy("shard_after").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum((F.col("shard") != F.col("shard_after")).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_in"),
+    )
+    return (
+        full_ring.join(
+            F.broadcast(small_ring),
+            full_ring.shard == small_ring.shard_after,
+            "left",
+        )
+        .select(
+            "shard",
+            "n_docs",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias(
+                "n_docs_after_removal"
+            ),
+            F.coalesce("n_moved_in", F.lit(0)).cast("bigint").alias("n_moved_in"),
+        )
+    )

@@ -206,35 +206,11 @@ PHASH_BANDS = 4  # 4 x 16-bit bands: banding is EXACT for Hamming <= 3
 PHASH_MAX_HAMMING = 3
 
 
-_PHASH_ORACLE = """
-    WITH d AS (SELECT doc_id, text FROM documents),
-    j AS (
-        SELECT a.doc_id, b.text AS ctext
-        FROM d a JOIN d b ON b.doc_id = a.doc_id - a.doc_id % 4
-    ),
-    h0 AS (SELECT doc_id, md5(ctext || '0') || md5(ctext || '1') || md5(ctext || '2') || md5(ctext || '3') || md5(ctext || '4') || md5(ctext || '5') || md5(ctext || '6') || md5(ctext || '7') || md5(ctext || '8') || md5(ctext || '9') || md5(ctext || '10') || md5(ctext || '11') || md5(ctext || '12') || md5(ctext || '13') || md5(ctext || '14') || md5(ctext || '15') AS hx0 FROM j),
-    h AS (
-        SELECT doc_id,
-               substr(hx0, 1, 2 * (doc_id % 200))
-               || printf('%02x', (doc_id % 4) * 63)
-               || substr(hx0, 2 * (doc_id % 200) + 3, 512) AS hx
-        FROM h0
-    ),
-    f AS (
-        SELECT doc_id,
-               list_transform(range(1, 257),
-                   i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)) AS bytes
-        FROM h
-    ),
-    pooled AS (
-        SELECT doc_id,
-               list_transform(range(0, 64), k ->
-                   (  bytes[(k // 8) * 32 + (k % 8) * 2 + 1]
-                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 2]
-                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 17]
-                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 18]) / 4.0) AS cells
-        FROM f
-    ),
+# The phash -> bands -> candidate-pairs -> Hamming verify pipeline in
+# SQL, shared by every phash-dedup oracle; each oracle supplies its own
+# payload derivation ending in a `pooled (doc_id, cells)` CTE of 64
+# average-pool cells.
+_PHASH_TAIL_SQL = """
     packed AS (
         SELECT doc_id,
                list_sum(list_transform(range(0, 64), k ->
@@ -267,6 +243,37 @@ _PHASH_ORACLE = """
     FROM cand
     WHERE bit_count(xor(pa, pb)) <= 3
 """
+
+_PHASH_ORACLE = """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    j AS (
+        SELECT a.doc_id, b.text AS ctext
+        FROM d a JOIN d b ON b.doc_id = a.doc_id - a.doc_id % 4
+    ),
+    h0 AS (SELECT doc_id, md5(ctext || '0') || md5(ctext || '1') || md5(ctext || '2') || md5(ctext || '3') || md5(ctext || '4') || md5(ctext || '5') || md5(ctext || '6') || md5(ctext || '7') || md5(ctext || '8') || md5(ctext || '9') || md5(ctext || '10') || md5(ctext || '11') || md5(ctext || '12') || md5(ctext || '13') || md5(ctext || '14') || md5(ctext || '15') AS hx0 FROM j),
+    h AS (
+        SELECT doc_id,
+               substr(hx0, 1, 2 * (doc_id % 200))
+               || printf('%02x', (doc_id % 4) * 63)
+               || substr(hx0, 2 * (doc_id % 200) + 3, 512) AS hx
+        FROM h0
+    ),
+    f AS (
+        SELECT doc_id,
+               list_transform(range(1, 257),
+                   i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)) AS bytes
+        FROM h
+    ),
+    pooled AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   (  bytes[(k // 8) * 32 + (k % 8) * 2 + 1]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 2]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 17]
+                    + bytes[(k // 8) * 32 + (k % 8) * 2 + 18]) / 4.0) AS cells
+        FROM f
+    ),
+""" + _PHASH_TAIL_SQL
 
 
 def _planted_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +888,56 @@ def m_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("resized")).alias("resized_hex"),
     ).orderBy("doc_id")
+
+
+_JPEG_PHASH_ORACLE = """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    j AS (
+        SELECT a.doc_id, b.text AS ctext
+        FROM d a JOIN d b ON b.doc_id = a.doc_id - a.doc_id % 4
+    ),
+    jb AS (SELECT doc_id, md5(ctext || '0') AS hx FROM j),
+    blk AS (
+        SELECT doc_id,
+               list_transform(range(0, 4), bi ->
+                   CASE WHEN bi = doc_id % 4
+                        THEN (CAST('0x' || substr(hx, 2 * bi + 1, 2) AS INT)
+                              + 1 + doc_id % 7) % 256
+                        ELSE CAST('0x' || substr(hx, 2 * bi + 1, 2) AS INT)
+                   END) AS bc
+        FROM jb
+    ),
+    -- 2x2 average-pool cell (r = k // 8, c = k %% 8) lies inside ONE
+    -- constant 8x8 block, so it equals block constant 2*(r//4) + (c//4)
+    pooled AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   CAST(bc[2 * ((k // 8) // 4) + ((k % 8) // 4) + 1]
+                        AS DOUBLE)) AS cells
+        FROM blk
+    ),
+""" + _PHASH_TAIL_SQL
+
+
+@register("m_jpeg_phash_dedup", oracle=_JPEG_PHASH_ORACLE)
+def m_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_phash_dedup driven through the REAL baseline JPEG codec:
+    planted 4-clique near-dups (canonical text per run of 4 doc_ids),
+    keyed decode noise, 4x16-bit banding, bit_count(xor) verify — the
+    m_png_phash_dedup pattern with multimodal/jpeg.py doing the decode.
+    The noise moves to the BLOCK-CONSTANT domain (block doc_id %% 4
+    shifts by 1 + doc_id %% 7): a baseline JPEG roundtrips byte-exactly
+    only while each 8x8 block is constant, so this is the JPEG analog
+    of the PNG key's pixel-domain noise, and the oracle re-derives
+    every pooled cell from the perturbed block constants.
+
+    Scale shape: identical to m_phash_dedup — banded candidate joins on
+    (band_idx, band_val), never all-pairs; the codec adds a fixed
+    per-payload cost inside the partition-local phash pass."""
+    docs = _planted_near_dup_docs(spark, sf_dir)
+    jpgs = multimodal.attach_jpeg_payload(docs, text_col="ctext", noise_from_key=True)
+    hashes = multimodal.phash(jpgs, decode_backend="jpeg")
+    return _phash_band_pairs(hashes)
 
 
 EDGE_T = 96

@@ -62,7 +62,14 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: the round-12 real-PNG promotions of
+    # --- (1) never driver-graded: the round-12 session-2 additions ---
+    "l_graph_triangles",
+    "l_rendezvous_shard",
+    "r_recursive_hierarchy",
+    "l_seq_poisson_sample",
+    "r_largest_remainder_alloc",
+    "m_jpeg_phash_dedup",
+    # --- (1) cont.: the round-12 real-PNG promotions of
     # --- the remaining fake-backend multimodal keys (VERDICT r11 #2) ---
     "m_png_binary_features",
     "m_png_frame_sample",
@@ -116,12 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_bloom_prune",
     "r_snapshot_diff",
     "r_gap_fill",
-    "r_ntile",
-    "r_islands",
-    "r_interval_coverage",
-    "r_hll_merge",
-    "r_scd2",
-    "r_skew_salted_join",
 )
 
 

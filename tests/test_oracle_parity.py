@@ -55,6 +55,9 @@ _HEAVY = {
     "m_png_phash_dedup": 5,
     "m_png_edge_density": 5,
     "s_stream_decayed_ltv": 6,
+    # round-12: triangle graph build + real-JPEG phash decode
+    "l_graph_triangles": 6,
+    "m_jpeg_phash_dedup": 5,
 }
 _FALLBACK_W = 3
 

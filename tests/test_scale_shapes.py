@@ -87,6 +87,15 @@ SCALE_FAMILY = [
     "m_jpeg_resize",
     "m_png_augment",
     "l_source_overlap",
+    # round-12 session-2: degree-oriented triangle join, pointer-doubled
+    # closure, TakeOrdered PPS sample, bounded-domain allocation, and the
+    # JPEG-fed banded phash join — all must ignore the partition knob
+    "l_graph_triangles",
+    "r_recursive_hierarchy",
+    "l_seq_poisson_sample",
+    "r_largest_remainder_alloc",
+    "m_jpeg_phash_dedup",
+    "l_rendezvous_shard",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
