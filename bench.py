@@ -305,6 +305,8 @@ HEADLINE = [
     "r_largest_remainder_alloc",
     "m_jpeg_phash_dedup",
     "l_rendezvous_shard",
+    "t_ipv4_codec",
+    "t_uuid_format",
 ]
 
 

@@ -320,3 +320,134 @@ def t_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 3).alias("head_3"),
         F.element_at("embedding", 4).alias("head_4"),
     )
+
+
+# ------------------------------------------------- IPv4 / UUID codecs
+# ClickHouse's IPv4 column type is a UInt32 with dotted-quad text I/O
+# and UUID is 16 bytes with 8-4-4-4-12 text I/O (public ClickHouse type
+# docs; the reference's transcode surface, clickhouse_table.go:249-380,
+# maps proto scalars onto ClickHouse column types — these two keys
+# extend that surface to the address/identifier types an ingest schema
+# routinely carries). The synthetic uint32/bytes come from the event id
+# hash so both engines re-derive them independently.
+_IPV4_SALT = ":ip"
+
+
+@register(
+    "t_ipv4_codec",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_id,
+               {{h}} % 4294967296 AS ip_num
+        FROM events
+    ),
+    txt AS (
+        SELECT event_id, ip_num,
+               CAST(ip_num // 16777216 AS VARCHAR) || '.' ||
+               CAST((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((ip_num // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(ip_num % 256 AS VARCHAR) AS ip_str
+        FROM src
+    )
+    SELECT event_id, ip_num, ip_str,
+           CAST(CASE WHEN
+                    CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(ip_str, '.')[4] AS BIGINT) = ip_num
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok,
+           CAST(ip_num // 16777216 AS BIGINT) AS octet_a
+    FROM txt
+    """.format(h="CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ip'), 1, 15) AS BIGINT)"),
+)
+def t_ipv4_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 codec semantics: UInt32 <-> dotted-quad text,
+    both directions, with a per-row roundtrip witness (parse(format(x))
+    == x must hold for every value) and the /8 network octet a
+    ClickHouse query would GROUP BY. The uint32 is hash-derived per
+    event so the oracle re-derives it independently.
+
+    All math is BIGINT divide/modulo and string concat — exact in both
+    engines; scale shape: pure row-local scan expressions, zero
+    shuffles."""
+    from bristle_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    ip = (
+        hash60(F.concat(F.col("event_id").cast("string"), F.lit(_IPV4_SALT)))
+        % F.lit(4294967296)
+    ).alias("ip_num")
+    src = ev.select("event_id", ip)
+    octets = [
+        (F.col("ip_num") / F.lit(16777216)).cast("bigint") % 256,
+        (F.col("ip_num") / F.lit(65536)).cast("bigint") % 256,
+        (F.col("ip_num") / F.lit(256)).cast("bigint") % 256,
+        F.col("ip_num") % 256,
+    ]
+    txt = src.select(
+        "event_id",
+        "ip_num",
+        F.concat_ws(".", *[o.cast("string") for o in octets]).alias("ip_str"),
+    )
+    parts = F.split(F.col("ip_str"), "\\.")
+    parsed = (
+        parts.getItem(0).cast("bigint") * 16777216
+        + parts.getItem(1).cast("bigint") * 65536
+        + parts.getItem(2).cast("bigint") * 256
+        + parts.getItem(3).cast("bigint")
+    )
+    return txt.select(
+        "event_id",
+        "ip_num",
+        "ip_str",
+        (parsed == F.col("ip_num")).cast("int").alias("roundtrip_ok"),
+        (F.col("ip_num") / F.lit(16777216)).cast("bigint").alias("octet_a"),
+    )
+
+
+@register(
+    "t_uuid_format",
+    oracle="""
+    WITH h AS (
+        SELECT event_id, md5(CAST(event_id AS VARCHAR) || ':uuid') AS hx
+        FROM events
+    )
+    SELECT event_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-4' ||
+           substr(hx, 14, 3) || '-' ||
+           substr('89ab', CAST(('0x' || substr(hx, 17, 1)) AS INT) % 4 + 1, 1) ||
+           substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid_str,
+           CAST(substr(hx, 13, 1) AS VARCHAR) AS displaced_nibble
+    FROM h
+    """,
+)
+def t_uuid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse UUID text I/O: 16 hash-derived bytes formatted as an
+    RFC 4122 version-4 UUID — 8-4-4-4-12 grouping with the version
+    nibble forced to 4 and the variant nibble mapped into [89ab] from
+    the source nibble's low 2 bits (exactly what a v4 generator does to
+    122 random bits). displaced_nibble carries the overwritten source
+    nibble so the oracle also witnesses WHERE the version landed.
+
+    Pure substring/concat on the md5 hex both sides; row-local, zero
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":uuid")))
+    variant = F.substring(
+        F.lit("89ab"),
+        (F.conv(F.substring(hx, 17, 1), 16, 10).cast("int") % 4 + 1),
+        1,
+    )
+    uuid = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"),
+        F.substring(hx, 9, 4), F.lit("-4"),
+        F.substring(hx, 14, 3), F.lit("-"),
+        variant,
+        F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12),
+    )
+    return ev.select(
+        "event_id",
+        uuid.alias("uuid_str"),
+        F.substring(hx, 13, 1).alias("displaced_nibble"),
+    )

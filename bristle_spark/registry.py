@@ -65,6 +65,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-2 additions ---
     "l_graph_triangles",
     "l_rendezvous_shard",
+    "t_ipv4_codec",
+    "t_uuid_format",
     "r_recursive_hierarchy",
     "l_seq_poisson_sample",
     "r_largest_remainder_alloc",
@@ -121,8 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_approx_distinct",
     "r_approx_percentiles",
     "r_bloom_prune",
-    "r_snapshot_diff",
-    "r_gap_fill",
 )
 
 
