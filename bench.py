@@ -307,6 +307,20 @@ HEADLINE = [
     "l_rendezvous_shard",
     "t_ipv4_codec",
     "t_uuid_format",
+    "r_mann_whitney",
+    "r_spearman_corr",
+    "r_cramers_v",
+    "r_counter_rate",
+    "r_lttb_downsample",
+    "r_bit_aggregates",
+    "t_ipv6_codec",
+    "s_stream_counter_rate",
+    "l_rank_biased_overlap",
+    "r_topk_others",
+    "r_histogram_equi_depth",
+    "r_window_funnel_strict",
+    "t_fixed_string_codec",
+    "t_datetime64_codec",
 ]
 
 

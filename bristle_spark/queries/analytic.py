@@ -3116,3 +3116,578 @@ def r_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         F.col("node").alias("p_partkey"), F.col("depth").cast("bigint").alias("depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_counter_rate — ClickHouse deltaSum / Prometheus increase() semantics
+
+# Shared with s_stream_counter_rate: the streamed segment-merge must
+# land the SAME final state this batch SQL defines.
+COUNTER_RATE_ORACLE_SQL = """
+    WITH src AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               ts
+        FROM events
+    ),
+    deltas AS (
+        SELECT user_id, vc,
+               vc - lag(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        FROM src
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(CASE WHEN d < 0 THEN 1 END) AS BIGINT) AS resets,
+           CAST(COALESCE(sum(CASE WHEN d > 0 THEN d END), 0) AS BIGINT) AS delta_sum_cents,
+           CAST(COALESCE(sum(CASE WHEN d >= 0 THEN d WHEN d < 0 THEN vc END), 0) AS BIGINT) AS prom_increase_cents
+    FROM deltas
+    GROUP BY user_id
+    """
+
+
+@register("r_counter_rate", oracle=COUNTER_RATE_ORACLE_SQL)
+def r_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter rate extraction over gauge samples — BOTH
+    public semantics side by side: ClickHouse ``deltaSum`` (sum of
+    positive consecutive differences, negative deltas skipped) and
+    Prometheus ``increase()`` (a negative delta means the counter
+    reset, so the new sample value is the post-reset increase).  Each
+    user's event values are read as counter samples in (ts, event_id)
+    order; the first sample anchors and contributes no delta (exactly
+    deltaSum's seeding).  The observability query every metrics
+    warehouse runs on cumulative counters.
+
+    Determinism: samples are exact BIGINT cents; deltas, both running
+    sums, and the reset count are pure integer arithmetic — no doubles
+    anywhere.  The (ts, event_id) tiebreak pins the lag order
+    identically in both engines.
+
+    Scale shape: one lag window partitioned by user_id (high
+    cardinality, never global) feeding a map-side-combined rollup on
+    the same key — Catalyst keeps the window and the groupBy in ONE
+    exchange because the partition keys match.  Skewed users are
+    inherently serial per key (counter order is semantic); the 100 TB
+    fix is time-bucketing each user's stream and merging bucket
+    endpoints, the same trade s_stream_decayed_ltv documents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = src.select(
+        "user_id",
+        "vc",
+        (F.col("vc") - F.lag("vc").over(w)).alias("d"),
+    )
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.count(F.when(F.col("d") < 0, F.lit(1))).cast("bigint").alias("resets"),
+        F.coalesce(F.sum(F.when(F.col("d") > 0, F.col("d"))), F.lit(0))
+        .cast("bigint")
+        .alias("delta_sum_cents"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("d") >= 0, F.col("d")).when(
+                    F.col("d") < 0, F.col("vc")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prom_increase_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_lttb_downsample — largestTriangleThreeBuckets, the parallel variant
+
+LTTB_BUCKETS = 16
+
+
+@register(
+    "r_lttb_downsample",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    ext AS (SELECT min(d) AS dmin, max(d) AS dmax FROM daily),
+    pts AS (
+        SELECT daily.d, daily.y,
+               CAST(floor(CAST((daily.d - ext.dmin) * {LTTB_BUCKETS} AS DOUBLE)
+                          / (ext.dmax - ext.dmin + 1)) AS BIGINT) AS b
+        FROM daily CROSS JOIN ext
+    ),
+    means AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd, CAST(sum(y) AS BIGINT) AS sy
+        FROM pts GROUP BY b
+    ),
+    interior AS (
+        SELECT p.b, p.d, p.y,
+               abs( (CAST(l.sd AS DOUBLE) / l.n - CAST(r.sd AS DOUBLE) / r.n)
+                    * (CAST(p.y AS DOUBLE) - CAST(l.sy AS DOUBLE) / l.n)
+                  - (CAST(l.sd AS DOUBLE) / l.n - CAST(p.d AS DOUBLE))
+                    * (CAST(r.sy AS DOUBLE) / r.n - CAST(l.sy AS DOUBLE) / l.n) ) AS area
+        FROM pts p
+        JOIN means l ON l.b = p.b - 1
+        JOIN means r ON r.b = p.b + 1
+    ),
+    picked AS (
+        SELECT b, d, y, area,
+               row_number() OVER (PARTITION BY b ORDER BY area DESC, d) AS rn
+        FROM interior
+    )
+    SELECT b AS bucket, d AS day_idx, y AS y_cents, {r6_sql('area')} AS area
+    FROM picked WHERE rn = 1
+    UNION ALL
+    SELECT b, d, y, NULL FROM (
+        SELECT b, d, y, row_number() OVER (ORDER BY d) AS rn
+        FROM pts WHERE b = 0
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT b, d, y, NULL FROM (
+        SELECT b, d, y, row_number() OVER (ORDER BY d DESC) AS rn
+        FROM pts WHERE b = {LTTB_BUCKETS - 1}
+    ) WHERE rn = 1
+    """,
+)
+def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (the ClickHouse
+    ``largestTriangleThreeBuckets`` analog) of the daily-total series to
+    {LTTB_BUCKETS} visually-representative points — the standard
+    time-series thinning for dashboards.  This is the PARALLEL variant:
+    each interior bucket keeps the point maximizing the triangle area
+    against its NEIGHBOR BUCKETS' MEAN points (the sequential original
+    chains through the previously-selected point, which is inherently
+    serial; the bucket-mean form is the published parallelization and
+    what a distributed engine should run), and the first/last buckets
+    keep their extreme endpoints, exactly as LTTB anchors the series.
+
+    Determinism: day indexes and daily cents are exact BIGINTs; bucket
+    assignment is integer floor division; each candidate's area is ONE
+    double expression in identical operand order, so the per-bucket
+    argmax (area DESC, day ASC tiebreak) compares identical doubles in
+    both engines.  No cross-row float accumulation anywhere.
+
+    Scale shape: the corpus collapses to |days| rows in one map-side-
+    combined aggregation; everything after operates on the bounded
+    daily/bucket frames (broadcast joins, bucket-partitioned windows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    ext = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    pts = daily.crossJoin(F.broadcast(ext)).select(
+        "d",
+        "y",
+        F.floor(
+            ((F.col("d") - F.col("dmin")) * LTTB_BUCKETS).cast("double")
+            / (F.col("dmax") - F.col("dmin") + 1)
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    means = pts.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    l = means.select(
+        (F.col("b") + 1).alias("b"),
+        (F.col("sd").cast("double") / F.col("n")).alias("mxl"),
+        (F.col("sy").cast("double") / F.col("n")).alias("myl"),
+    )
+    r = means.select(
+        (F.col("b") - 1).alias("b"),
+        (F.col("sd").cast("double") / F.col("n")).alias("mxr"),
+        (F.col("sy").cast("double") / F.col("n")).alias("myr"),
+    )
+    interior = pts.join(F.broadcast(l), "b").join(F.broadcast(r), "b").select(
+        "b",
+        "d",
+        "y",
+        F.abs(
+            (F.col("mxl") - F.col("mxr")) * (F.col("y").cast("double") - F.col("myl"))
+            - (F.col("mxl") - F.col("d").cast("double")) * (F.col("myr") - F.col("myl"))
+        ).alias("area"),
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("area"), "d")
+    picked = (
+        interior.select("b", "d", "y", "area", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("d").alias("day_idx"),
+            F.col("y").alias("y_cents"),
+            r6(F.col("area")).alias("area"),
+        )
+    )
+    first = (
+        pts.filter(F.col("b") == 0)
+        .orderBy("d")
+        .limit(1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("d").alias("day_idx"),
+            F.col("y").alias("y_cents"),
+            F.lit(None).cast("double").alias("area"),
+        )
+    )
+    last = (
+        pts.filter(F.col("b") == LTTB_BUCKETS - 1)
+        .orderBy(F.desc("d"))
+        .limit(1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("d").alias("day_idx"),
+            F.col("y").alias("y_cents"),
+            F.lit(None).cast("double").alias("area"),
+        )
+    )
+    return picked.unionAll(first).unionAll(last)
+
+
+# ---------------------------------------------------------------------------
+# r_bit_aggregates — ClickHouse groupBitAnd / groupBitOr / groupBitXor
+
+_BITS_SALT = ":bits"
+
+
+@register(
+    "r_bit_aggregates",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               {hash60_sql("CAST(event_id AS VARCHAR) || ':bits'")} % 4294967296 AS mask
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_and(mask) AS BIGINT) AS mask_and,
+           CAST(bit_or(mask) AS BIGINT) AS mask_or,
+           CAST(bit_xor(mask) AS BIGINT) AS mask_xor,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS total_bits,
+           CAST(bit_count(bit_xor(mask)) AS BIGINT) AS xor_bits
+    FROM src
+    GROUP BY event_type
+    """,
+)
+def r_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — the ClickHouse groupBitAnd / groupBitOr /
+    groupBitXor family plus popcounts — over hash-derived 32-bit
+    feature masks per event type.  These are the flag-rollup queries a
+    warehouse runs on bitmask columns (capability flags, bloom slices,
+    permission sets): which bits are universal (AND), which ever occur
+    (OR), and the parity fingerprint (XOR, the mergeable checksum that
+    detects double-counted rows).
+
+    Determinism: the mask is the shared 60-bit md5 hash folded to 32
+    bits, and every aggregate is integer-exact, associative, AND
+    commutative — bit ops are order-free by algebra, so no rounding or
+    quantization is needed anywhere.
+
+    Scale shape: one map-side-combined aggregation to |event_types|
+    rows; partial AND/OR/XOR combine losslessly on the map side (the
+    definition of a mergeable sketch — same property r_hll_merge
+    leans on).  The corpus is scanned once, two columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mask = (
+        hash60(F.concat(F.col("event_id").cast("string"), F.lit(_BITS_SALT)))
+        % F.lit(4294967296)
+    ).alias("mask")
+    src = ev.select("event_type", mask)
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("bit_and(mask)").cast("bigint").alias("mask_and"),
+        F.expr("bit_or(mask)").cast("bigint").alias("mask_or"),
+        F.expr("bit_xor(mask)").cast("bigint").alias("mask_xor"),
+        F.sum(F.bit_count("mask")).cast("bigint").alias("total_bits"),
+        F.bit_count(F.expr("bit_xor(mask)")).cast("bigint").alias("xor_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_topk_others — ClickHouse topK + "everything else" rollup
+
+TOPK_OTHERS_K = 3
+
+
+@register(
+    "r_topk_others",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_mktsegment, n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_mktsegment, n_name, cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY cents DESC, n_name
+               ) AS rk
+        FROM rev
+    )
+    SELECT c_mktsegment, n_name AS label, cents,
+           CAST(1 AS BIGINT) AS n_nations, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {TOPK_OTHERS_K}
+    UNION ALL
+    SELECT c_mktsegment, 'OTHERS' AS label,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(0 AS BIGINT) AS rk
+    FROM ranked WHERE rk > {TOPK_OTHERS_K}
+    GROUP BY c_mktsegment
+    """,
+)
+def r_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K groups plus an explicit OTHERS rollup — the dashboard
+    staple ClickHouse serves with ``topK``/LIMIT BY plus a second
+    aggregation: per market segment the {TOPK_OTHERS_K} highest-revenue
+    nations keep their identity and everything else collapses into one
+    OTHERS row (carrying how many nations it absorbs), so the consumer
+    sees a complete partition of revenue, not a truncated one.
+
+    Determinism: revenue is exact BIGINT cents; ranking ties break on
+    nation name; the OTHERS row is an exact integer sum.  Scale shape:
+    one map-side-combined rollup to the bounded (segment, nation)
+    frame after broadcast dimension joins; the window partitions by
+    segment over ≤|nations| rows — never the raw corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("cents"), "n_name")
+    ranked = rev.select(
+        "c_mktsegment", "n_name", "cents", F.row_number().over(w).alias("rk")
+    )
+    top = ranked.filter(F.col("rk") <= TOPK_OTHERS_K).select(
+        "c_mktsegment",
+        F.col("n_name").alias("label"),
+        "cents",
+        F.lit(1).cast("bigint").alias("n_nations"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+    others = (
+        ranked.filter(F.col("rk") > TOPK_OTHERS_K)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+        .select(
+            "c_mktsegment",
+            F.lit("OTHERS").alias("label"),
+            "cents",
+            "n_nations",
+            F.lit(0).cast("bigint").alias("rk"),
+        )
+    )
+    return top.unionAll(others)
+
+
+# ---------------------------------------------------------------------------
+# r_histogram_equi_depth — quantile-bucket histogram (optimizer stats shape)
+
+EQUI_DEPTH_BUCKETS = 8
+
+
+@register(
+    "r_histogram_equi_depth",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM src
+    )
+    SELECT event_type,
+           CAST((rk - 1) * {EQUI_DEPTH_BUCKETS} // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(vc) AS BIGINT) AS lo_cents,
+           CAST(max(vc) AS BIGINT) AS hi_cents,
+           CAST(count(DISTINCT vc) AS BIGINT) AS ndv
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def r_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type — {EQUI_DEPTH_BUCKETS}
+    equal-population value buckets each reporting bounds, population,
+    and NDV: exactly the statistics shape cost-based optimizers and
+    data-profiling dashboards maintain (the complement of
+    `r_histogram`'s fixed-WIDTH buckets, which starve on skewed data).
+
+    Determinism: bucket assignment is pure integer math on row_number
+    ranks with an event_id tiebreak — (rk−1)·B // n floors identically
+    in both engines because it never leaves BIGINT; bounds and NDV are
+    exact integer aggregates.  Ties across a bucket boundary split by
+    the tiebreak, which is the standard equi-depth contract (bounded
+    bucket population beats merged ties for optimizer use).
+
+    Scale shape: one rank window partitioned by event_type feeding a
+    map-side-combined rollup on the same partition key (one exchange
+    total).  At extreme per-type N the full sort is the cost — the
+    production trade is sampling or sketching (r_approx_percentiles),
+    which this exact form exists to validate against.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = src.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer DIV keeps the bucket math in BIGINT end to end (Spark `/`
+    # detours through double)
+    bucket = F.expr(f"CAST(((rk - 1) * {EQUI_DEPTH_BUCKETS}) DIV n AS BIGINT)")
+    return (
+        ranked.select("event_type", "vc", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("vc").cast("bigint").alias("lo_cents"),
+            F.max("vc").cast("bigint").alias("hi_cents"),
+            F.countDistinct("vc").cast("bigint").alias("ndv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_window_funnel_strict — ClickHouse windowFunnel(strict_order)
+
+
+@register(
+    "r_window_funnel_strict",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    lvl AS (
+        SELECT u.user_id,
+          CASE
+            WHEN EXISTS (
+                SELECT 1 FROM seq v, seq c, seq p
+                WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                  AND p.user_id = u.user_id
+                  AND v.event_type = 'view' AND c.event_type = 'click'
+                  AND p.event_type = 'purchase'
+                  AND c.rn = v.rn + 1 AND p.rn = v.rn + 2
+                  AND p.t - v.t <= {FUNNEL_WINDOW_US}
+            ) THEN 3
+            WHEN EXISTS (
+                SELECT 1 FROM seq v, seq c
+                WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                  AND v.event_type = 'view' AND c.event_type = 'click'
+                  AND c.rn = v.rn + 1
+                  AND c.t - v.t <= {FUNNEL_WINDOW_US}
+            ) THEN 2
+            WHEN EXISTS (
+                SELECT 1 FROM seq v
+                WHERE v.user_id = u.user_id AND v.event_type = 'view'
+            ) THEN 1
+            ELSE 0
+          END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM seq) u
+    )
+    SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY funnel_level
+    """,
+)
+def r_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel 'strict_order' mode: the
+    view -> click -> purchase chain only counts when NO other event
+    interrupts it — the matched steps must be CONSECUTIVE rows of the
+    user's (ts, event_id)-ordered stream (CH docs: in A->B->D->C, D
+    breaks the A->B->C search), with the whole chain inside the same
+    24 h window as `r_window_funnel`'s relaxed mode.  Together the two
+    keys cover both published windowFunnel semantics.
+
+    The oracle states the semantics independently as adjacency
+    self-joins on row_number; this side runs the O(n) single-scan
+    form: two lead() lookaheads per row — a 'view' row checks its
+    immediate successor for 'click' and the one after for 'purchase'
+    (with the window bound on the lead timestamps), then one rollup
+    takes the per-user max level.  One shuffle on user_id, no
+    self-joins — per-user cost is linear, which is what survives a
+    100 TB event log where the adjacency join cannot.
+
+    Determinism: integer microsecond arithmetic; (ts, event_id)
+    ordering is total (no user has two events at one instant —
+    driver-fixture property the relaxed key also leans on).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e2 = e.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.lead("event_type", 1).over(w).alias("nx1"),
+        F.lead("t", 1).over(w).alias("nt1"),
+        F.lead("event_type", 2).over(w).alias("nx2"),
+        F.lead("t", 2).over(w).alias("nt2"),
+    )
+    is_view = F.col("event_type") == "view"
+    lvl3 = (
+        is_view
+        & (F.col("nx1") == "click")
+        & (F.col("nx2") == "purchase")
+        & (F.col("nt2") - F.col("t") <= FUNNEL_WINDOW_US)
+    )
+    lvl2 = (
+        is_view
+        & (F.col("nx1") == "click")
+        & (F.col("nt1") - F.col("t") <= FUNNEL_WINDOW_US)
+    )
+    levels = e2.groupBy("user_id").agg(
+        F.max(
+            F.when(lvl3, 3).when(lvl2, 2).when(is_view, 1).otherwise(0)
+        ).alias("funnel_level")
+    )
+    return levels.groupBy(F.col("funnel_level").cast("bigint").alias("funnel_level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

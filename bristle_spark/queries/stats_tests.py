@@ -624,3 +624,358 @@ def r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers") * F.col("total_cents")).cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_mann_whitney
+
+# Day-of-week derived as pure integer arithmetic from a known Monday so
+# both engines agree (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+# 0=Sunday — neither matches the other, so we use neither).
+_MW_MONDAY = "2020-01-06"
+
+
+@register(
+    "r_mann_whitney",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               CAST(CASE WHEN ((date_diff('day', DATE '{_MW_MONDAY}', CAST(ts AS DATE)) % 7) + 7) % 7 >= 5
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, vc, is_weekend,
+               CAST(rank() OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS rk,
+               CAST(count(*) OVER (PARTITION BY event_type, vc) AS BIGINT) AS teq
+        FROM src
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(is_weekend) AS BIGINT) AS n_a,
+               CAST(sum(1 - is_weekend) AS BIGINT) AS n_b,
+               CAST(sum(is_weekend * (2 * rk + teq - 1)) AS BIGINT) AS r2a,
+               CAST(sum(teq * teq - 1) AS BIGINT) AS tie3
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_a AS n_weekend, n_b AS n_weekday,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_weekend,
+           {r6_sql('CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)')} AS auc_weekend,
+           {r6_sql('(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * n_b AS DOUBLE))'
+                   ' / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE)'
+                   '     * (CAST(n_a + n_b + 1 AS DOUBLE)'
+                   '        - CAST(tie3 AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))'
+                   '     / 12.0))')} AS z_score
+    FROM agg
+    WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (the ClickHouse `mannWhitneyUTest`
+    analog) per event type: do weekend event values stochastically
+    dominate weekday values?  Reports the U statistic, the equivalent
+    AUC (P(weekend value > weekday value) + ½·P(tie) — the rank-sum AUC
+    estimator used for classifier eval), and the tie-corrected normal
+    z-score.  The nonparametric sibling of `r_welch_ttest`.
+
+    Determinism: fractional tie ranks are kept as EXACT BIGINT doubled
+    ranks (2·r = 2·rank() + t_eq − 1, integer even through .5 tie
+    averages), so the rank sum, the doubled U (u2 = 2·U), and the tie
+    term Σ(t³−t) (accumulated per-row as Σ(t_eq²−1), one pass, no
+    second frame) are all exact integer sums; doubles appear only in
+    the closed-form AUC and z ratios written identically in both
+    engines.  Weekend/weekday comes from integer day arithmetic
+    anchored at a known Monday, not engine dayofweek conventions.
+
+    Scale shape: one rank window partitioned by event_type (never
+    global), one map-side-combined rollup to |event_types| rows.  At
+    extreme per-type N the rank window is the cost — the standard
+    scale fix is pre-bucketing values to bounded histograms and
+    ranking bucket boundaries, the same trade r_percentile_disc makes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    dow = ((F.datediff(F.col("ts").cast("date"), F.lit(_MW_MONDAY).cast("date")) % 7) + 7) % 7
+    src = ev.select(
+        "event_type",
+        vc.alias("vc"),
+        F.when(dow >= 5, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("is_weekend"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("vc")
+    w_eq = Window.partitionBy("event_type", "vc")
+    ranked = src.select(
+        "event_type",
+        "is_weekend",
+        F.rank().over(w_rank).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_eq).cast("bigint").alias("teq"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("is_weekend").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_weekend")).cast("bigint").alias("n_b"),
+        F.sum(F.col("is_weekend") * (2 * F.col("rk") + F.col("teq") - 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.col("teq") * F.col("teq") - 1).cast("bigint").alias("tie3"),
+    )
+    u2 = (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("bigint")
+    n = F.col("n_a") + F.col("n_b")
+    sigma2x4 = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+        )
+        / F.lit(12.0)
+    )
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "event_type",
+        F.col("n_a").alias("n_weekend"),
+        F.col("n_b").alias("n_weekday"),
+        u2.alias("u2_weekend"),
+        r6(u2.cast("double") / (2 * F.col("n_a") * F.col("n_b")).cast("double")).alias(
+            "auc_weekend"
+        ),
+        r6(
+            (u2.cast("double") - (F.col("n_a") * F.col("n_b")).cast("double"))
+            / (F.lit(2.0) * F.sqrt(sigma2x4))
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_spearman_corr
+
+
+@register(
+    "r_spearman_corr",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               CAST(hour(ts) AS BIGINT) AS hr
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY vc)
+                    + count(*) OVER (PARTITION BY event_type, vc) - 1 AS BIGINT) AS r2x,
+               CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY hr)
+                    + count(*) OVER (PARTITION BY event_type, hr) - 1 AS BIGINT) AS r2y,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM src
+    ),
+    centered AS (
+        SELECT event_type, n, r2x - (n + 1) AS cx, r2y - (n + 1) AS cy
+        FROM ranked
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(cx * cy) AS BIGINT) AS sxy,
+               CAST(sum(cx * cx) AS BIGINT) AS sxx,
+               CAST(sum(cy * cy) AS BIGINT) AS syy
+        FROM centered GROUP BY event_type
+    )
+    SELECT event_type, n, sxy, sxx, syy,
+           {r6_sql('CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))')} AS spearman_rho
+    FROM agg
+    WHERE sxx > 0 AND syy > 0
+    """,
+)
+def r_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (the ClickHouse `rankCorr` analog) per
+    event type between event value and hour-of-day — the monotone-
+    association screen for "does spend drift across the day", robust to
+    the value distribution's shape where `r_stats_agg`'s Pearson corr is
+    not.  Hour has only 24 distinct values, so the fractional-rank tie
+    handling (identical to scipy's `spearmanr`) is exercised hard.
+
+    Determinism: doubled fractional ranks 2·r = 2·rank() + t_eq − 1 are
+    exact BIGINTs; centering by their known mean (N+1) makes Σc = 0 an
+    algebraic identity, so ρ = Σcxcy / (√Σcx²·√Σcy²) needs only three
+    exact BIGINT moments and one final double ratio.  |c| ≤ N bounds
+    Σc² ≤ N³ — int64-safe through sf10 per event type; beyond that the
+    standard fix is scaling ranks to a bounded grid before the moment
+    pass (the r_ols_by_group headroom note, same trade).
+
+    Scale shape: two rank windows sharing the event_type partition and a
+    map-side-combined moment rollup to |event_types| rows; no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    w_t = Window.partitionBy("event_type")
+    r2x = (
+        2 * F.rank().over(w_t.orderBy("vc"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "vc"))
+        - 1
+    ).cast("bigint")
+    r2y = (
+        2 * F.rank().over(w_t.orderBy("hr"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "hr"))
+        - 1
+    ).cast("bigint")
+    ranked = src.select(
+        "event_type",
+        r2x.alias("r2x"),
+        r2y.alias("r2y"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+    )
+    centered = ranked.select(
+        "event_type",
+        "n",
+        (F.col("r2x") - (F.col("n") + 1)).alias("cx"),
+        (F.col("r2y") - (F.col("n") + 1)).alias("cy"),
+    )
+    agg = centered.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("bigint").alias("syy"),
+    )
+    return agg.filter((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
+        "event_type",
+        "n",
+        "sxy",
+        "sxx",
+        "syy",
+        r6(
+            F.col("sxy").cast("double")
+            / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double")))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_cramers_v
+
+# chi² is accumulated in integer micro-units (floor(term·1e6 + 0.5) per
+# cell, BIGINT-summed) because a cross-cell DOUBLE sum is shuffle-order-
+# dependent; the quantization IS the defined semantics, identical in
+# both engines, and bounds the chi² error by |cells|·5e-7.
+_CV_SCALE = 1_000_000
+
+
+@register(
+    "r_cramers_v",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               ((date_diff('day', DATE '{_MW_MONDAY}', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow
+        FROM events
+    ),
+    cells0 AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_ij
+        FROM src GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, CAST(sum(n_ij) AS BIGINT) AS r_i FROM cells0 GROUP BY 1),
+    cols_ AS (SELECT dow, CAST(sum(n_ij) AS BIGINT) AS c_j FROM cells0 GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(n_ij) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        FROM cells0
+    ),
+    grid AS (
+        SELECT rows_.event_type, cols_.dow, rows_.r_i, cols_.c_j, tot.n, tot.nr, tot.nc,
+               COALESCE(cells0.n_ij, 0) AS n_ij
+        FROM rows_ CROSS JOIN cols_ CROSS JOIN tot
+        LEFT JOIN cells0 ON cells0.event_type = rows_.event_type AND cells0.dow = cols_.dow
+    ),
+    terms AS (
+        SELECT n, nr, nc,
+               CAST(floor(
+                   CAST(n_ij * n - r_i * c_j AS DOUBLE) * CAST(n_ij * n - r_i * c_j AS DOUBLE)
+                   / (CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE) * CAST(n AS DOUBLE))
+                   * {_CV_SCALE} + 0.5) AS BIGINT) AS micro
+        FROM grid
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_total,
+           CAST(max(nr) AS BIGINT) AS n_rows,
+           CAST(max(nc) AS BIGINT) AS n_cols,
+           CAST(sum(micro) AS BIGINT) AS chi2_micro,
+           {r6_sql(f'CAST(sum(micro) AS DOUBLE) / {_CV_SCALE}')} AS chi2,
+           {r6_sql(f'sqrt(CAST(sum(micro) AS DOUBLE) / {_CV_SCALE}'
+                   ' / (CAST(max(n) AS DOUBLE)'
+                   '    * CAST(CASE WHEN max(nr) < max(nc) THEN max(nr) ELSE max(nc) END - 1 AS DOUBLE)))')} AS cramers_v
+    FROM terms
+    """,
+)
+def r_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week (the
+    ClickHouse `cramersV` analog): the [0,1]-normalized chi-squared over
+    the full R×C contingency grid, including structurally-zero cells
+    (which still carry expected mass r_i·c_j/N).  The categorical
+    sibling of `r_stats_agg`'s corr and `l_chi2_terms`' 2×2 form.
+
+    Determinism: cell counts and margins are exact BIGINTs; each cell's
+    chi² term is the closed form (n_ij·N − r_i·c_j)²/(r_i·c_j·N)
+    evaluated in identically-ordered double arithmetic, then QUANTIZED
+    to integer micro-units and BIGINT-summed — a cross-cell double sum
+    would be shuffle-order-dependent, the exact failure l_chi2_terms
+    dodges by never summing cells; here the scalar test statistic IS
+    the product, so the quantized-sum semantics (error ≤ |cells|·5e-7,
+    far under the r6 report grain) is the cross-engine contract.
+    (n_ij·N − r_i·c_j is an exact BIGINT — |·| ≤ N² is int64-safe
+    through N≈3e9 — cast to double only for the squaring, which would
+    need 4·log2(N) bits no integer register has.)
+
+    Scale shape: one map-side-combined count to the bounded R×7 cell
+    frame; margins and the grid are broadcast joins over that bounded
+    frame; the final rollup is a 1-row aggregate.  The corpus is
+    touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = ((F.datediff(F.col("ts").cast("date"), F.lit(_MW_MONDAY).cast("date")) % 7) + 7) % 7
+    cells0 = ev.select("event_type", dow.alias("dow")).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    rows_ = cells0.groupBy("event_type").agg(F.sum("n_ij").cast("bigint").alias("r_i"))
+    cols_ = cells0.groupBy("dow").agg(F.sum("n_ij").cast("bigint").alias("c_j"))
+    tot = cells0.agg(
+        F.sum("n_ij").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells0), ["event_type", "dow"], "left")
+        .select(
+            "r_i",
+            "c_j",
+            "n",
+            "nr",
+            "nc",
+            F.coalesce(F.col("n_ij"), F.lit(0)).alias("n_ij"),
+        )
+    )
+    dev = (F.col("n_ij") * F.col("n") - F.col("r_i") * F.col("c_j")).cast("double")
+    term = dev * dev / (
+        F.col("r_i").cast("double") * F.col("c_j").cast("double") * F.col("n").cast("double")
+    )
+    terms = grid.select(
+        "n",
+        "nr",
+        "nc",
+        F.floor(term * _CV_SCALE + F.lit(0.5)).cast("bigint").alias("micro"),
+    )
+    chi2 = F.sum("micro").cast("double") / F.lit(float(_CV_SCALE))
+    min_dim = F.when(F.max("nr") < F.max("nc"), F.max("nr")).otherwise(F.max("nc"))
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.max("nr").cast("bigint").alias("n_rows"),
+        F.max("nc").cast("bigint").alias("n_cols"),
+        F.sum("micro").cast("bigint").alias("chi2_micro"),
+        r6(chi2).alias("chi2"),
+        r6(
+            F.sqrt(
+                chi2
+                / (F.max("n").cast("double") * (min_dim - 1).cast("double"))
+            )
+        ).alias("cramers_v"),
+    )

@@ -1614,3 +1614,130 @@ def s_stream_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("scw").cast("double") / F.col("sw").cast("double") / F.lit(100.0), 6
         ).alias("decayed_ltv"),
     )
+
+
+# ------------------------------------------- streaming counter rate
+# The order-SENSITIVE stateful key: deltaSum / increase() semantics
+# over per-user counter samples, continuously maintained.  Unlike the
+# additive partials of s_stream_decayed_ltv, consecutive-delta sums do
+# NOT commute — the streamed design is the classic segment monoid:
+# each micro-batch lands, per user, its segment's (first sample, last
+# sample, intra-segment sums), and segments compose by bridging the
+# boundary delta between one segment's last sample and the next's
+# first.  Composition is exact because the time-ordered source
+# (split_events_files order_col="ts") makes every micro-batch a
+# contiguous (ts, event_id) range, so per-user segments never
+# interleave.
+
+from bristle_spark.queries.analytic import COUNTER_RATE_ORACLE_SQL  # noqa: E402
+
+
+def _counter_partials(df: DataFrame) -> DataFrame:
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    src = df.select("user_id", "event_id", "ts", vc.alias("vc"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (F.col("vc") - F.lag("vc").over(w)).alias("d")
+    deltas = src.select("user_id", "ts", "event_id", "vc", d)
+    key = F.struct("ts", "event_id")
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("d") < 0, F.lit(1))).cast("bigint").alias("resets_in"),
+        F.coalesce(F.sum(F.when(F.col("d") > 0, F.col("d"))), F.lit(0))
+        .cast("bigint")
+        .alias("dsum_in"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("d") >= 0, F.col("d")).when(F.col("d") < 0, F.col("vc"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prom_in"),
+        F.min(key).getField("ts").alias("first_ts"),
+        F.min(key).getField("event_id").cast("bigint").alias("first_eid"),
+        F.min_by("vc", key).cast("bigint").alias("first_vc"),
+        F.max_by("vc", key).cast("bigint").alias("last_vc"),
+    )
+
+
+@register("s_stream_counter_rate", oracle=COUNTER_RATE_ORACLE_SQL)
+def s_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained monotonic-counter rates (ClickHouse
+    ``deltaSum`` + Prometheus ``increase()``, the r_counter_rate
+    contract) — the ORDER-SENSITIVE streaming state: consecutive-delta
+    sums don't commute, so per-batch partials carry the segment
+    boundary samples (first/last vc in (ts, event_id) order) alongside
+    the intra-segment sums, and the serve-time merge bridges each
+    boundary delta between time-adjacent segments.  Oracle-backed
+    against the SAME batch SQL as r_counter_rate
+    (``COUNTER_RATE_ORACLE_SQL``): the streamed segment composition
+    must land the batch-defined final state exactly.
+
+    Exactness: every partial field is BIGINT; the bridge delta
+    first_vc(next) − last_vc(prev) is exactly the consecutive delta the
+    batch window would have computed at the segment seam, because the
+    time-ordered chunking makes per-user segments contiguous and
+    non-interleaved — so streamed state == batch state bit-for-bit,
+    including after a crash/restart replay (checkpointed file offsets;
+    re-landing a segment would double its seam, breaking the hash — the
+    exactly-once witness).
+
+    Scale shape: per-batch lag windows partition by user (high
+    cardinality), partials map-side-combine to one row per (user,
+    batch); the merge is one user-keyed window + rollup over
+    |batches|×|users| partial rows — never the raw corpus twice.
+    """
+    work = _workdir(sf_dir, "ctrrate")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4, order_col="ts")
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _counter_partials(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    p = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy("first_ts", "first_eid")
+    bridged = p.select(
+        "user_id",
+        "n",
+        "resets_in",
+        "dsum_in",
+        "prom_in",
+        "first_vc",
+        (F.col("first_vc") - F.lag("last_vc").over(w)).alias("bridge"),
+    )
+    return bridged.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_samples"),
+        (
+            F.sum("resets_in") + F.count(F.when(F.col("bridge") < 0, F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("resets"),
+        (
+            F.sum("dsum_in")
+            + F.coalesce(F.sum(F.when(F.col("bridge") > 0, F.col("bridge"))), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("delta_sum_cents"),
+        (
+            F.sum("prom_in")
+            + F.coalesce(
+                F.sum(
+                    F.when(F.col("bridge") >= 0, F.col("bridge")).when(
+                        F.col("bridge") < 0, F.col("first_vc")
+                    )
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("prom_increase_cents"),
+    )
+

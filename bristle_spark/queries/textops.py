@@ -1718,3 +1718,124 @@ def l_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("toks").cast("double") / F.sum("words")).alias("fertility"),
         r6(F.sum("chars").cast("double") / F.sum("toks")).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_rank_biased_overlap — RBO between two document rankings
+
+RBO_P = 0.9
+RBO_DEPTH = 50
+# (1-p)·p^(d-1) weights rendered ONCE in Python so both engines parse
+# identical 17-significant-digit literals instead of evaluating pow()
+# at run time (the _BENFORD_P discipline).
+_RBO_W = {d: repr((1.0 - RBO_P) * RBO_P ** (d - 1)) for d in range(1, RBO_DEPTH + 1)}
+_RBO_VALUES_SQL = ", ".join(f"({d}, CAST({w} AS DOUBLE))" for d, w in _RBO_W.items())
+# contribution quantum: w_d·A_d ∈ [0,1] per depth, 50 terms — nano
+# units keep the quantized total's error ≤ 50·5e-10, far under r6
+_RBO_SCALE = 1_000_000_000
+
+
+@register(
+    "l_rank_biased_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r1,
+               row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS r2
+        FROM toks
+    ),
+    both_prefix AS (
+        SELECT lang, CASE WHEN r1 > r2 THEN r1 ELSE r2 END AS m
+        FROM ranked
+        WHERE r1 <= {RBO_DEPTH} AND r2 <= {RBO_DEPTH}
+    ),
+    depths(d, w) AS (VALUES {_RBO_VALUES_SQL}),
+    ovl AS (
+        SELECT b.lang, depths.d, depths.w,
+               CAST(count(*) AS BIGINT) AS ov
+        FROM both_prefix b JOIN depths ON b.m <= depths.d
+        GROUP BY 1, 2, 3
+    ),
+    terms AS (
+        SELECT lang, d, ov,
+               CAST(floor(w * CAST(ov AS DOUBLE) / d * {_RBO_SCALE} + 0.5) AS BIGINT) AS micro
+        FROM ovl
+    )
+    SELECT lang,
+           CAST(max(CASE WHEN d = {RBO_DEPTH} THEN ov END) AS BIGINT) AS overlap_at_k,
+           CAST(sum(micro) AS BIGINT) AS rbo_micro,
+           {r6_sql(f'CAST(sum(micro) AS DOUBLE) / {_RBO_SCALE}')} AS rbo
+    FROM terms
+    GROUP BY lang
+    """,
+)
+def l_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., the top-weighted ranking
+    similarity used to compare retrieval/quality rankers) between two
+    document orderings per language: ranking A by character count,
+    ranking B by whitespace token count.  Truncated at depth
+    {RBO_DEPTH} with persistence p={RBO_P}: RBO = Σ (1−p)p^(d−1)·A_d
+    where A_d is the overlap fraction of the two depth-d prefixes —
+    the eval-harness complement of l_rank_fusion (which MERGES
+    rankings; this MEASURES their agreement).
+
+    Determinism: prefix overlap counts are exact BIGINTs (a doc joins
+    A_d for every d ≥ max(r1, r2)); the geometric weights are literals
+    rendered once in Python for both engines; each depth's
+    contribution is ONE double product quantized to integer
+    nano-units and BIGINT-summed (the r_cramers_v discipline — a
+    cross-depth double sum would be order-dependent).
+
+    Scale shape: two row_number windows partitioned by lang; the
+    depth join touches only the ≤{RBO_DEPTH}-per-lang prefix frame
+    against a {RBO_DEPTH}-row literal dimension — the corpus is
+    scanned once, three columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w1 = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    w2 = Window.partitionBy("lang").orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = toks.select(
+        "lang",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    both_prefix = ranked.filter(
+        (F.col("r1") <= RBO_DEPTH) & (F.col("r2") <= RBO_DEPTH)
+    ).select("lang", F.greatest("r1", "r2").alias("m"))
+    depths = spark.createDataFrame(
+        [(d, float(w)) for d, w in _RBO_W.items()], "d int, w double"
+    )
+    overlaps = (
+        both_prefix.join(F.broadcast(depths), F.col("m") <= F.col("d"))
+        .groupBy("lang", "d", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+    )
+    terms = overlaps.select(
+        "lang",
+        "d",
+        "ov",
+        F.floor(
+            F.col("w") * F.col("ov").cast("double") / F.col("d") * _RBO_SCALE
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return terms.groupBy("lang").agg(
+        F.max(F.when(F.col("d") == RBO_DEPTH, F.col("ov"))).cast("bigint").alias(
+            "overlap_at_k"
+        ),
+        F.sum("micro").cast("bigint").alias("rbo_micro"),
+        r6(F.sum("micro").cast("double") / F.lit(float(_RBO_SCALE))).alias("rbo"),
+    )

@@ -451,3 +451,315 @@ def t_uuid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         uuid.alias("uuid_str"),
         F.substring(hx, 13, 1).alias("displaced_nibble"),
     )
+
+
+# ------------------------------------------------------------- IPv6 codec
+# ClickHouse's IPv6 column type is 16 raw bytes with RFC 5952 text I/O:
+# lowercase minimal-hex groups, and the LONGEST (leftmost on tie) run of
+# >= 2 zero groups compressed to '::'.  Complements t_ipv4_codec on the
+# reference's address-type transcode surface (clickhouse_table.go:249-380
+# maps proto scalars onto ClickHouse column types).  A zero-mask hash
+# zeroes each group with p=1/2 so compression, tie-breaking, and the
+# all-zero '::' edge are all exercised on real rows.
+
+# Per-group SQL fragments are rendered ONCE in Python (the _BENFORD_CASE
+# pattern) so both engines parse identical expressions.
+_IP6_GROUPS_SQL = ", ".join(
+    f"CASE WHEN (zmask // {2 ** (i - 1)}) % 2 = 1 THEN CAST(0 AS BIGINT)"
+    f" ELSE CAST('0x' || substr(hx, {4 * i - 3}, 4) AS BIGINT) END"
+    for i in range(1, 9)
+)
+
+
+@register(
+    "t_ipv6_codec",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_id,
+               md5(CAST(event_id AS VARCHAR) || ':ip6') AS hx,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ip6z'), 1, 2) AS BIGINT) AS zmask
+        FROM events
+    ),
+    g AS (
+        SELECT event_id, [{_IP6_GROUPS_SQL}] AS gs
+        FROM h
+    ),
+    built AS (
+        SELECT event_id, gs,
+               list_transform(gs, x -> lower(to_hex(x))) AS hxg,
+               list_aggregate(list_transform(gs, x -> CASE WHEN x = 0 THEN '0' ELSE '1' END), 'string_agg', '') AS zmap
+        FROM g
+    ),
+    runs AS (
+        SELECT event_id, hxg,
+               array_to_string(hxg, ':') AS full_txt,
+               CASE WHEN position('00000000' IN zmap) > 0 THEN 8
+                    WHEN position('0000000' IN zmap) > 0 THEN 7
+                    WHEN position('000000' IN zmap) > 0 THEN 6
+                    WHEN position('00000' IN zmap) > 0 THEN 5
+                    WHEN position('0000' IN zmap) > 0 THEN 4
+                    WHEN position('000' IN zmap) > 0 THEN 3
+                    WHEN position('00' IN zmap) > 0 THEN 2
+                    ELSE 0 END AS l,
+               CAST(8 - length(replace(zmap, '0', '')) AS BIGINT) AS zero_groups,
+               zmap
+        FROM built
+    ),
+    comp AS (
+        SELECT event_id, full_txt, l, zero_groups,
+               CASE WHEN l >= 2 THEN position(repeat('0', l) IN zmap) ELSE 0 END AS p,
+               hxg
+        FROM runs
+    ),
+    txt AS (
+        SELECT event_id, full_txt, l, zero_groups,
+               -- DuckDB array_to_string(<empty list>) is NULL, not ''
+               CASE WHEN l >= 2 THEN
+                   COALESCE(array_to_string(list_slice(hxg, 1, p - 1), ':'), '')
+                   || '::' ||
+                   COALESCE(array_to_string(list_slice(hxg, p + l, 8), ':'), '')
+               ELSE full_txt END AS ip6
+        FROM comp
+    ),
+    parsed AS (
+        SELECT event_id, full_txt, l, zero_groups, ip6,
+               CASE WHEN len(string_split(ip6, '::')) = 2 THEN
+                   array_to_string(
+                       list_concat(list_concat(
+                           list_filter(string_split(string_split(ip6, '::')[1], ':'), x -> x <> ''),
+                           list_transform(generate_series(1,
+                               8 - len(list_filter(string_split(string_split(ip6, '::')[1], ':'), x -> x <> ''))
+                                 - len(list_filter(string_split(string_split(ip6, '::')[2], ':'), x -> x <> ''))),
+                               x -> '0')),
+                           list_filter(string_split(string_split(ip6, '::')[2], ':'), x -> x <> '')),
+                       ':')
+               ELSE ip6 END AS rebuilt
+        FROM txt
+    )
+    SELECT event_id, full_txt AS ip6_full, ip6,
+           CAST(l AS BIGINT) AS run_len, zero_groups,
+           CAST(CASE WHEN rebuilt = full_txt THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+    FROM parsed
+    """,
+)
+def t_ipv6_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv6 codec semantics: 16 hash-derived bytes formatted
+    per RFC 5952 — lowercase minimal-hex groups, longest (leftmost on
+    tie) run of >=2 zero groups compressed to '::' — then PARSED BACK
+    ('::' re-expanded to the elided zero groups) with a per-row
+    roundtrip witness against the uncompressed form, exactly the
+    t_ipv4_codec contract at 8x the width.  A second hash zeroes each
+    group with p=1/2, so single zeros (never compressed), tied runs
+    (leftmost wins), and the all-zero '::' address all occur in data.
+
+    Determinism: groups are exact BIGINT hex parses; the zero-run scan
+    is pure string matching on an 8-char '0'/'1' map; both engines
+    build and re-parse the text with the same list/split primitives.
+    Scale shape: row-local scan expressions only — zero shuffles, zero
+    joins, exactly like the rest of the Group T transcode surface.
+    """
+    from bristle_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ip6")))
+    zmask = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ip6z"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    groups = [
+        F.when(
+            F.shiftright(F.col("zmask"), i - 1).bitwiseAND(F.lit(1)) == 1,
+            F.lit(0).cast("bigint"),
+        ).otherwise(F.conv(F.substring(F.col("hx"), 4 * i - 3, 4), 16, 10).cast("bigint"))
+        for i in range(1, 9)
+    ]
+    g = ev.select("event_id", hx.alias("hx"), zmask.alias("zmask")).select(
+        "event_id", F.array(*groups).alias("gs")
+    )
+    built = g.select(
+        "event_id",
+        F.transform(F.col("gs"), lambda x: F.lower(F.hex(x))).alias("hxg"),
+        F.array_join(
+            F.transform(
+                F.col("gs"),
+                lambda x: F.when(x == 0, F.lit("0")).otherwise(F.lit("1")),
+            ),
+            "",
+        ).alias("zmap"),
+    )
+    l_col = (
+        F.when(F.instr(F.col("zmap"), "0" * 8) > 0, 8)
+        .when(F.instr(F.col("zmap"), "0" * 7) > 0, 7)
+        .when(F.instr(F.col("zmap"), "0" * 6) > 0, 6)
+        .when(F.instr(F.col("zmap"), "0" * 5) > 0, 5)
+        .when(F.instr(F.col("zmap"), "0" * 4) > 0, 4)
+        .when(F.instr(F.col("zmap"), "0" * 3) > 0, 3)
+        .when(F.instr(F.col("zmap"), "0" * 2) > 0, 2)
+        .otherwise(0)
+    )
+    runs = built.select(
+        "event_id",
+        "hxg",
+        F.array_join("hxg", ":").alias("full_txt"),
+        l_col.alias("l"),
+        (8 - F.length(F.replace(F.col("zmap"), F.lit("0"), F.lit(""))))
+        .cast("bigint")
+        .alias("zero_groups"),
+        "zmap",
+    )
+    comp = runs.select(
+        "event_id",
+        "full_txt",
+        "l",
+        "zero_groups",
+        F.when(
+            F.col("l") >= 2, F.expr("instr(zmap, repeat('0', l))")
+        )
+        .otherwise(0)
+        .alias("p"),
+        "hxg",
+    )
+    txt = comp.select(
+        "event_id",
+        "full_txt",
+        "l",
+        "zero_groups",
+        F.when(
+            F.col("l") >= 2,
+            F.concat(
+                F.array_join(F.expr("slice(hxg, 1, p - 1)"), ":"),
+                F.lit("::"),
+                F.array_join(F.expr("slice(hxg, p + l, 9 - p - l)"), ":"),
+            ),
+        )
+        .otherwise(F.col("full_txt"))
+        .alias("ip6"),
+    )
+    parts = F.split(F.col("ip6"), "::")
+    lft = F.filter(F.split(F.element_at(parts, 1), ":"), lambda x: x != "")
+    rgt = F.filter(F.split(F.element_at(parts, 2), ":"), lambda x: x != "")
+    rebuilt = F.when(
+        F.size(parts) == 2,
+        F.array_join(
+            F.concat(
+                lft,
+                F.array_repeat(F.lit("0"), (8 - F.size(lft) - F.size(rgt))),
+                rgt,
+            ),
+            ":",
+        ),
+    ).otherwise(F.col("ip6"))
+    return txt.select(
+        "event_id",
+        F.col("full_txt").alias("ip6_full"),
+        "ip6",
+        F.col("l").cast("bigint").alias("run_len"),
+        "zero_groups",
+        (rebuilt == F.col("full_txt")).cast("int").alias("roundtrip_ok"),
+    )
+
+
+# -------------------------------------------------- FixedString / DateTime64
+# Completes the ClickHouse column-type transcode family (IPv4, IPv6,
+# UUID, Enum, Decimal, Array, Map already covered): FixedString(N)
+# pads short values with NUL bytes and REJECTS long ones at write time
+# (the S9 bind-time-reject -> quarantine discipline), DateTime64(3)
+# carries millisecond precision through text I/O.
+
+FIXED_STRING_N = 6
+
+
+@register(
+    "t_fixed_string_codec",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(length(event_type) AS BIGINT) AS byte_len,
+           CAST(CASE WHEN length(event_type) <= {FIXED_STRING_N} THEN 1 ELSE 0 END AS INT) AS fits,
+           CASE WHEN length(event_type) <= {FIXED_STRING_N}
+                THEN rpad(upper(hex(event_type)), {FIXED_STRING_N} * 2, '0')
+                ELSE NULL END AS fixed_hex,
+           CASE WHEN length(event_type) <= {FIXED_STRING_N}
+                THEN CAST({FIXED_STRING_N} - length(event_type) AS BIGINT)
+                ELSE NULL END AS pad_bytes
+    FROM events
+    """,
+)
+def t_fixed_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse FixedString({FIXED_STRING_N}) write semantics over the
+    event_type column: values at most N bytes are stored NUL-padded to
+    exactly N (witnessed as the padded buffer's hex — rpad of the hex
+    with '00' pairs is byte-identical to NUL-padding the buffer), and
+    LONGER values are rejected at write time ('Too large value for
+    FixedString(N)') — here surfaced as fits=0 with NULL storage
+    columns, the same per-row quarantine discipline the ingest path
+    applies to bind-time rejects (S9).  'purchase' (8 bytes) exercises
+    the reject branch on real rows.
+
+    Determinism: pure string length / hex / pad expressions, row-local,
+    ASCII payloads (hex() is byte-wise so the witness would hold for
+    any bytes).  Scale shape: zero shuffles, zero joins — scan
+    expressions only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    blen = F.length("event_type")
+    fits = blen <= FIXED_STRING_N
+    return ev.select(
+        "event_id",
+        "event_type",
+        blen.cast("bigint").alias("byte_len"),
+        fits.cast("int").alias("fits"),
+        F.when(fits, F.rpad(F.upper(F.hex(F.col("event_type"))), FIXED_STRING_N * 2, "0"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("fixed_hex"),
+        F.when(fits, (F.lit(FIXED_STRING_N) - blen).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("pad_bytes"),
+    )
+
+
+@register(
+    "t_datetime64_codec",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms_epoch,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS dt64_str,
+           CAST(CASE WHEN epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%g'),
+                                            '%Y-%m-%d %H:%M:%S.%g')) // 1000
+                     = epoch_us(ts) // 1000
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok,
+           CAST((epoch_us(ts) // 1000) % 1000 AS BIGINT) AS ms_frac
+    FROM events
+    """,
+)
+def t_datetime64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse DateTime64(3) text I/O: the microsecond source
+    timestamp narrows to millisecond precision (epoch-ms BIGINT, floor
+    — exactly ClickHouse's scale-3 storage), renders as
+    'YYYY-MM-DD hh:mm:ss.mmm' (zero-padded), and parses back with a
+    per-row roundtrip witness at the stored precision.  The temporal
+    sibling of t_timestamp_epoch (which covers whole-second
+    DateTime); sub-second columns are where naive codecs silently
+    truncate or round differently across engines — the witness pins
+    floor semantics on both sides.
+
+    Determinism: epoch math is exact BIGINT floor-division; both
+    engines format/parse in the session's pinned UTC.  Scale shape:
+    row-local scan expressions, zero shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    txt = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS")
+    ms = F.expr("unix_micros(ts) DIV 1000")
+    back = F.expr(
+        "unix_micros(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSS'),"
+        " 'yyyy-MM-dd HH:mm:ss.SSS')) DIV 1000"
+    )
+    return ev.select(
+        "event_id",
+        ms.cast("bigint").alias("ms_epoch"),
+        txt.alias("dt64_str"),
+        (back == ms).cast("int").alias("roundtrip_ok"),
+        (ms % 1000).cast("bigint").alias("ms_frac"),
+    )

@@ -62,6 +62,21 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- (1) never driver-graded: the round-12 session-3 additions ---
+    "s_stream_counter_rate",
+    "r_window_funnel_strict",
+    "t_fixed_string_codec",
+    "t_datetime64_codec",
+    "l_rank_biased_overlap",
+    "r_topk_others",
+    "r_histogram_equi_depth",
+    "r_mann_whitney",
+    "r_spearman_corr",
+    "r_cramers_v",
+    "r_counter_rate",
+    "r_lttb_downsample",
+    "r_bit_aggregates",
+    "t_ipv6_codec",
     # --- (1) never driver-graded: the round-12 session-2 additions ---
     "l_graph_triangles",
     "l_rendezvous_shard",
@@ -106,23 +121,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_robust_stats",
     "r_window_running",
     "s_stream_enrich",
-    "s_stream_rollup",
-    "s_stream_upsert",
-    "t_array_ops",
-    "t_bool_to_int",
-    "t_enum_codes",
-    "t_json_props_extract",
-    "t_map_to_arrays",
-    "t_null_default",
-    "t_timestamp_epoch",
-    # --- round-8 cohort: 20 of the 42 r8-graded keys (the rest drain
-    # --- next window); the two multimodal keys lead because their
-    # --- family is the round-12 promotion target ---
-    "m_scene_cut",
-    "m_audio_fingerprint",
-    "r_approx_distinct",
-    "r_approx_percentiles",
-    "r_bloom_prune",
+    # (the remaining Group-T r7 re-confirmations and the whole r8
+    # cohort rotate out this window: the fourteen session-3 keys take
+    # rule-1 slots, and ties within the r7 cohort may drain in any
+    # order)
 )
 
 

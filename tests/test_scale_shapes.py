@@ -96,6 +96,21 @@ SCALE_FAMILY = [
     "r_largest_remainder_alloc",
     "m_jpeg_phash_dedup",
     "l_rendezvous_shard",
+    # round-12 session-3: rank windows, bounded contingency/bucket
+    # frames, per-user lag rollup, bit aggregates, row-local v6 codec
+    "r_mann_whitney",
+    "r_spearman_corr",
+    "r_cramers_v",
+    "r_counter_rate",
+    "r_lttb_downsample",
+    "r_bit_aggregates",
+    "t_ipv6_codec",
+    "l_rank_biased_overlap",
+    "r_topk_others",
+    "r_histogram_equi_depth",
+    "r_window_funnel_strict",
+    "t_fixed_string_codec",
+    "t_datetime64_codec",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale

@@ -40,6 +40,7 @@ STATEFUL_KEYS = [
     "s_stream_bloom_merge",
     "s_stream_cdc",
     "s_stream_count_min",
+    "s_stream_counter_rate",
     "s_stream_decayed_ltv",
     "s_stream_dedup",
     "s_stream_dedup_watermark",
