@@ -321,6 +321,9 @@ HEADLINE = [
     "r_window_funnel_strict",
     "t_fixed_string_codec",
     "t_datetime64_codec",
+    "r_mann_kendall",
+    "l_bloom_fpp_eval",
+    "m_png_hist_equalize",
 ]
 
 

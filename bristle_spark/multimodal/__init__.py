@@ -1095,3 +1095,75 @@ def patchify(df: DataFrame, patch: int = 4, decode_backend: str = "fake") -> Dat
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, PATCH_SCHEMA)
+
+
+HIST_EQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("equalized", T.BinaryType()),
+        T.StructField("eq_min", T.IntegerType()),
+        T.StructField("eq_max", T.IntegerType()),
+        T.StructField("eq_sum", T.LongType()),
+    ]
+)
+
+
+def hist_equalize(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
+    """Per-image histogram equalization — the classic contrast
+    normalization a vision-preprocessing pipeline applies before
+    feature extraction: each pixel maps through the image's own CDF,
+    new = ((cdf(v) − cdf_min) · 255) // (N − cdf_min) (floor; a
+    constant image maps to 0).  Integer end to end, so an oracle can
+    re-derive every output byte hex-side.
+
+    Vectorized per (width, height) group: the group's images flatten
+    into one (n, N) tensor; per-image histograms come from ONE
+    bincount over offset-shifted values (row_id·256 + pixel), CDFs
+    from a row-wise cumsum, and the mapping is a fancy-index gather —
+    no Python loop over pixels.  Partition-local mapInPandas, zero
+    shuffles, same plan at any scale."""
+    import numpy as np
+
+    decode = _DECODERS[decode_backend]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_docs: list = []
+            out_bytes: list = []
+            out_min: list = []
+            out_max: list = []
+            out_sum: list = []
+            for w, h, idx, stack in _dims_stacks(pdf, decode):
+                n_img = len(idx)
+                npx = h * w
+                flat = stack.reshape(n_img, npx).astype(np.int64)
+                offsets = np.arange(n_img, dtype=np.int64)[:, None] * 256
+                hist = np.bincount(
+                    (flat + offsets).ravel(), minlength=n_img * 256
+                ).reshape(n_img, 256)
+                cdf = np.cumsum(hist, axis=1)
+                cvals = np.take_along_axis(cdf, flat, axis=1)
+                cmin = cvals.min(axis=1, keepdims=True)
+                denom = npx - cmin
+                # constant image: every pixel IS the minimum -> all 0
+                safe = np.where(denom == 0, 1, denom)
+                eq = np.where(
+                    denom == 0, 0, ((cvals - cmin) * 255) // safe
+                ).astype(np.uint8)
+                out_docs.extend(doc_ids[idx].tolist())
+                out_bytes.extend(e.tobytes() for e in eq)
+                out_min.extend(eq.min(axis=1).astype(int).tolist())
+                out_max.extend(eq.max(axis=1).astype(int).tolist())
+                out_sum.extend(eq.sum(axis=1, dtype=np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_docs,
+                    "equalized": out_bytes,
+                    "eq_min": np.array(out_min, dtype=np.int32),
+                    "eq_max": np.array(out_max, dtype=np.int32),
+                    "eq_sum": np.array(out_sum, dtype=np.int64),
+                }
+            )
+
+    return df.mapInPandas(run, schema=HIST_EQ_SCHEMA)

@@ -1515,3 +1515,129 @@ def l_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_pairs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_bloom_fpp_eval — measured false-positive rate of a concrete Bloom filter
+
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+BLOOM_N_PROBES = 2000
+
+
+@register(
+    "l_bloom_fpp_eval",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+    ),
+    occupied AS (
+        SELECT DISTINCT
+               {hash60_sql("members.key || ':h' || CAST(h.i AS VARCHAR)")} % {BLOOM_M_BITS} AS pos
+        FROM members CROSS JOIN range(0, {BLOOM_K}) h(i)
+    ),
+    probes AS (
+        SELECT 'probe:' || CAST(p.i AS VARCHAR) AS key FROM range(0, {BLOOM_N_PROBES}) p(i)
+    ),
+    probe_hits AS (
+        SELECT probes.key,
+               CAST(count(occupied.pos) AS BIGINT) AS n_hit
+        FROM probes
+        CROSS JOIN range(0, {BLOOM_K}) h(i)
+        LEFT JOIN occupied
+          ON occupied.pos = {hash60_sql("probes.key || ':h' || CAST(h.i AS VARCHAR)")} % {BLOOM_M_BITS}
+        GROUP BY probes.key
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM probe_hits
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM occupied) AS occupied_bits,
+           {r6_sql(f'(SELECT CAST(count(*) AS DOUBLE) FROM occupied) / {BLOOM_M_BITS}')} AS fill_ratio,
+           agg.n_probes, agg.n_false_pos,
+           {r6_sql('CAST(agg.n_false_pos AS DOUBLE) / agg.n_probes')} AS measured_fpp
+    FROM agg
+    """,
+)
+def l_bloom_fpp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter calibration eval (the l_minhash_error discipline for
+    the OTHER probabilistic structure this engine fields in
+    r_bloom_prune / s_stream_bloom_merge): build a concrete
+    m={BLOOM_M_BITS}, k={BLOOM_K} Bloom over the distinct order
+    customer keys, probe it with {BLOOM_N_PROBES} keys that are
+    non-members BY CONSTRUCTION (a disjoint 'probe:i' keyspace), and
+    report the measured false-positive rate next to the fill ratio —
+    the harness a pipeline runs before trusting a Bloom size at scale.
+    (The theoretical (1−e^{{−kn/m}})^k curve is transcendental and
+    engine-pow-dependent, so it is pinned by a numpy unit test, not an
+    oracle column — measured counts are exact integers here.)
+
+    Determinism: bit positions are the shared md5 hash60 mod m; the
+    occupied set, per-probe hit counts, and the FP count are exact
+    integer aggregates; the two ratios are single closed-form doubles.
+
+    Scale shape: members reduce to ≤m distinct positions (map-side
+    combined) and the occupied set broadcasts to the probe join — at
+    any corpus size the join side is bounded by m rows.  Exactly the
+    r_bloom_prune scan shape, evaluated instead of assumed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    hrange = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    members = orders.select(
+        F.col("o_custkey").cast("string").alias("key")
+    ).distinct()
+    occupied = (
+        members.crossJoin(F.broadcast(hrange))
+        .select(
+            (
+                hash60(
+                    F.concat(F.col("key"), F.lit(":h"), F.col("i").cast("string"))
+                )
+                % BLOOM_M_BITS
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = spark.range(BLOOM_N_PROBES).select(
+        F.concat(F.lit("probe:"), F.col("id").cast("string")).alias("key")
+    )
+    ppos = probes.crossJoin(F.broadcast(hrange)).select(
+        "key",
+        (
+            hash60(F.concat(F.col("key"), F.lit(":h"), F.col("i").cast("string")))
+            % BLOOM_M_BITS
+        ).alias("pos"),
+    )
+    probe_hits = (
+        ppos.join(F.broadcast(occupied), "pos", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    # probes with ZERO hits drop out of the left-semi + groupBy path;
+    # n_probes must still count them, so take totals from the probe frame
+    agg = probe_hits.agg(
+        F.sum(F.when(F.col("n_hit") == BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos")
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    occ = occupied.agg(F.count(F.lit(1)).cast("bigint").alias("occupied_bits"))
+    return (
+        n_members.crossJoin(F.broadcast(occ))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_members",
+            "occupied_bits",
+            r6(F.col("occupied_bits").cast("double") / F.lit(BLOOM_M_BITS)).alias(
+                "fill_ratio"
+            ),
+            F.lit(BLOOM_N_PROBES).cast("bigint").alias("n_probes"),
+            F.coalesce(F.col("n_false_pos"), F.lit(0)).alias("n_false_pos"),
+            r6(
+                F.coalesce(F.col("n_false_pos"), F.lit(0)).cast("double")
+                / F.lit(float(BLOOM_N_PROBES))
+            ).alias("measured_fpp"),
+        )
+    )

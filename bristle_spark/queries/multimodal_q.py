@@ -992,3 +992,65 @@ def m_png_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.edge_stats(
         payloads, threshold=EDGE_T, decode_backend="png"
     ).orderBy("doc_id")
+
+
+_HIST_EQ_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    px AS (
+        SELECT f.doc_id, r.i AS idx, f.bytes[r.i] AS b
+        FROM f CROSS JOIN range(1, 257) r(i)
+    ),
+    cdf0 AS (
+        SELECT doc_id, idx, b,
+               CAST(rank() OVER (PARTITION BY doc_id ORDER BY b) +
+                    count(*) OVER (PARTITION BY doc_id, b) - 1 AS BIGINT) AS c
+        FROM px
+    ),
+    cdf AS (
+        SELECT doc_id, idx, c,
+               CAST(min(c) OVER (PARTITION BY doc_id) AS BIGINT) AS cmin
+        FROM cdf0
+    ),
+    m AS (
+        SELECT doc_id, idx,
+               CASE WHEN cmin = 256 THEN 0
+                    ELSE ((c - cmin) * 255) // (256 - cmin) END AS eq
+        FROM cdf
+    )
+    SELECT doc_id,
+           string_agg(printf('%02x', eq), '' ORDER BY idx) AS eq_hex,
+           CAST(min(eq) AS INT) AS eq_min,
+           CAST(max(eq) AS INT) AS eq_max,
+           CAST(sum(eq) AS BIGINT) AS eq_sum
+    FROM m GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register("m_png_hist_equalize", oracle=_HIST_EQ_ORACLE)
+def m_png_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization through the REAL PNG codec: each 16x16
+    image decoded from its genuine PNG container maps every pixel
+    through its own CDF (new = ((cdf(v) − cdf_min)·255) // (N −
+    cdf_min), floor) — the classic contrast normalization in front of
+    feature extraction, and the first m_* kernel whose OUTPUT depends
+    on the image's full value DISTRIBUTION rather than local pixel
+    neighborhoods (stats, pooling, gradients, patches), so it
+    exercises the per-image bincount/cumsum path.
+
+    Oracle-backed at full byte granularity: DuckDB re-derives the CDF
+    with rank-window arithmetic over the hex-side pixels and replays
+    every output byte — a rounding or off-by-one in the kernel's
+    integer mapping breaks the hash.  Scale shape: two partition-local
+    mapInPandas stages (PNG wrap, decode+equalize), zero shuffles; the
+    equalized buffer lands as binary, never exploded."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d)
+    eq = multimodal.hist_equalize(payloads, decode_backend="png")
+    return eq.select(
+        "doc_id",
+        F.lower(F.hex("equalized")).alias("eq_hex"),
+        "eq_min",
+        "eq_max",
+        "eq_sum",
+    ).orderBy("doc_id")

@@ -979,3 +979,130 @@ def r_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_mann_kendall
+
+
+@register(
+    "r_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_var,
+               CAST(COALESCE(sum(t * (t - 1)), 0) AS BIGINT) AS tie_pairs
+        FROM (
+            SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, c
+        ) GROUP BY event_type
+    )
+    SELECT s.event_type, ties.n AS n_days, s.s_stat,
+           {r6_sql('(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)'
+                   '      WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)'
+                   '      ELSE 0.0 END)'
+                   ' / sqrt(CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie_var AS DOUBLE) / 18.0)')} AS z_score,
+           {r6_sql('CAST(s.s_stat AS DOUBLE)'
+                   ' / (sqrt(CAST(ties.n * (ties.n - 1) / 2 - ties.tie_pairs / 2 AS DOUBLE))'
+                   '    * sqrt(CAST(ties.n * (ties.n - 1) / 2 AS DOUBLE)))')} AS tau_b
+    FROM s JOIN ties ON s.event_type = ties.event_type
+    """,
+)
+def r_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test with Kendall's tau-b on the
+    daily spend series per event type — the nonparametric trend screen
+    (is the series rising?) that pairs with `r_theil_sen`'s robust
+    slope ESTIMATE and `r_ols_by_group`'s parametric fit: S counts
+    concordant minus discordant day pairs, the z-score applies the
+    standard continuity correction and tie-corrected variance
+    (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, and tau-b normalizes S by the
+    tie-adjusted pair counts (time has no ties; values might).
+
+    Determinism: S, both tie terms, and every variance operand are
+    exact BIGINT sums; doubles appear only in the two closed-form
+    ratios written identically in both engines.
+
+    Scale shape: the corpus collapses to the |types|×|days| daily
+    frame FIRST (one map-side-combined shuffle); the pairwise
+    self-join runs on that bounded frame (|days|² per type — ~130k
+    pairs/type/year, constant in corpus size), exactly the bound
+    r_theil_sen documents.  Never all-pairs on raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    tie_groups = daily.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    ties = tie_groups.groupBy("event_type").agg(
+        F.sum(F.lit(1) * F.col("t")).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tie_var"),
+        F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("tie_pairs"),
+    )
+    j = s.join(ties, "event_type")
+    z_num = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_var")).cast("double") / F.lit(18.0)
+    n0 = n * (n - 1) / 2
+    return j.select(
+        "event_type",
+        n.alias("n_days"),
+        "s_stat",
+        r6(z_num / F.sqrt(var18)).alias("z_score"),
+        r6(
+            F.col("s_stat").cast("double")
+            / (
+                F.sqrt((n0 - F.col("tie_pairs") / 2).cast("double"))
+                * F.sqrt(n0.cast("double"))
+            )
+        ).alias("tau_b"),
+    )

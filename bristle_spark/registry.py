@@ -64,6 +64,9 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-3 additions ---
     "s_stream_counter_rate",
+    "m_png_hist_equalize",
+    "r_mann_kendall",
+    "l_bloom_fpp_eval",
     "r_window_funnel_strict",
     "t_fixed_string_codec",
     "t_datetime64_codec",
@@ -118,11 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_join_multi",
     "r_join_outer",
     "r_join_semi_anti",
-    "r_robust_stats",
-    "r_window_running",
-    "s_stream_enrich",
     # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the fourteen session-3 keys take
+    # cohort rotate out this window: the seventeen session-3 keys take
     # rule-1 slots, and ties within the r7 cohort may drain in any
     # order)
 )

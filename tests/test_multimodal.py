@@ -178,3 +178,30 @@ def test_edge_stats_matches_pixel_loop_reference(spark):
             0.0 if total == 0 else math.floor(n_edges / total * 1e6 + 0.5) / 1e6
         )
         assert row.edge_density == expect_d, (w, h)
+
+
+def test_hist_equalize_hand_computed_and_constant_image(spark):
+    """hist_equalize on a hand-computable 2x2 image plus the
+    constant-image edge (denominator N - cdf_min = 0 -> all zeros, not
+    a division error)."""
+    from bristle_spark import multimodal as M
+
+    # pixels [10, 10, 20, 30]: cdf(10)=2, cdf(20)=3, cdf(30)=4, cmin=2
+    # eq = ((c-2)*255) // (4-2) -> [0, 0, 127, 255]
+    px = bytes([10, 10, 20, 30])
+    flat = bytes([7, 7, 7, 7])
+    d = spark.createDataFrame(
+        [
+            (1, px, {"width": 2, "height": 2, "format": "fake"}),
+            (2, flat, {"width": 2, "height": 2, "format": "fake"}),
+        ],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    rows = {
+        r.doc_id: r
+        for r in M.hist_equalize(d, decode_backend="fake").collect()
+    }
+    assert bytes(rows[1].equalized) == bytes([0, 0, 127, 255])
+    assert (rows[1].eq_min, rows[1].eq_max, rows[1].eq_sum) == (0, 255, 382)
+    assert bytes(rows[2].equalized) == bytes([0, 0, 0, 0])
+    assert (rows[2].eq_min, rows[2].eq_max, rows[2].eq_sum) == (0, 0, 0)

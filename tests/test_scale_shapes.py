@@ -111,6 +111,9 @@ SCALE_FAMILY = [
     "r_window_funnel_strict",
     "t_fixed_string_codec",
     "t_datetime64_codec",
+    "r_mann_kendall",
+    "l_bloom_fpp_eval",
+    "m_png_hist_equalize",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
