@@ -1003,7 +1003,7 @@ def r_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ties AS (
         SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS n,
                CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_var,
                CAST(COALESCE(sum(t * (t - 1)), 0) AS BIGINT) AS tie_pairs
         FROM (
@@ -1074,7 +1074,7 @@ def r_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("t")
     )
     ties = tie_groups.groupBy("event_type").agg(
-        F.sum(F.lit(1) * F.col("t")).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n"),
         F.coalesce(
             F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
         )

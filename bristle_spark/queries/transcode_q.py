@@ -558,8 +558,6 @@ def t_ipv6_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: row-local scan expressions only — zero shuffles, zero
     joins, exactly like the rest of the Group T transcode surface.
     """
-    from bristle_spark.functions.hashing import hash60
-
     ev = load_table(spark, sf_dir, "events")
     hx = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ip6")))
     zmask = F.conv(
