@@ -324,6 +324,9 @@ HEADLINE = [
     "r_mann_kendall",
     "l_bloom_fpp_eval",
     "m_png_hist_equalize",
+    "l_silhouette_by_label",
+    "l_centroid_drift",
+    "l_retrieval_mrr",
 ]
 
 

@@ -2206,3 +2206,383 @@ def l_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
         rN(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(NDCG_IDCG), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_silhouette_by_label / l_centroid_drift — embedding-space QA monitors
+
+# silhouette micro-units: per-vector s in [-1, 1] quantized before the
+# cross-vector sum (a float sum over vectors would be shuffle-order-
+# dependent; the r_cramers_v discipline)
+_SIL_SCALE = 1_000_000
+
+
+@register(
+    "l_silhouette_by_label",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS c
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ) GROUP BY label, pos
+    ),
+    carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    dists AS (
+        SELECT e.vec_id, e.label, carr.clabel,
+               round(1.0 - {cosine_sql("e.v", "carr.cv")}, 6) AS d
+        FROM e CROSS JOIN carr
+    ),
+    own AS (SELECT vec_id, label, d AS a FROM dists WHERE label = clabel),
+    other AS (
+        SELECT vec_id, min(d) AS b,
+               -- composite argmin key: fixed-width d then label, so
+               -- lexicographic == (d, label) (min_by has no struct
+               -- ordering in DuckDB)
+               min_by(clabel, printf('%012.6f', d) || '|' || clabel) AS confusable_label
+        FROM dists WHERE label <> clabel GROUP BY vec_id
+    ),
+    s AS (
+        SELECT own.label, other.confusable_label,
+               CAST(floor(
+                   (CASE WHEN own.a = 0 AND other.b = 0 THEN 0.0
+                         ELSE (other.b - own.a) /
+                              (CASE WHEN own.a > other.b THEN own.a ELSE other.b END)
+                    END) * {_SIL_SCALE} + 0.5) AS BIGINT) AS s_micro
+        FROM own JOIN other ON own.vec_id = other.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_micro) AS BIGINT) AS sil_micro,
+           {r6_sql(f'CAST(sum(s_micro) AS DOUBLE) / count(*) / {_SIL_SCALE}')} AS mean_silhouette,
+           CAST(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           -- argmin over s (the worst-clustered vector's nearest foreign
+           -- label); s_micro offset to non-negative for the string key
+           min_by(confusable_label,
+                  printf('%07d', s_micro + 1000000) || '|' || confusable_label)
+               AS worst_confusable
+    FROM s GROUP BY label
+    """,
+)
+def l_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the label structure
+    of the embedding space, in cosine distance: per vector, a = distance
+    to its OWN label centroid, b = the nearest OTHER centroid, s =
+    (b−a)/max(a,b) — the cluster-quality monitor an embedding pipeline
+    runs after every re-embed (mean silhouette per label, how many
+    vectors sit closer to a foreign prototype, and WHICH label they
+    confuse toward).  The medoid-free variant is the one that scales:
+    full silhouette is O(n²) pairwise; this is O(n·L) against L
+    broadcast centroids.
+
+    Determinism: centroids are the l_centroid_by_label quantized
+    (r6-rounded per dimension) prototypes, so every downstream distance
+    is a function of already-pinned values; cosine runs through the
+    sequential-fold contract (functions/vectors.py) and rounds to 6
+    BEFORE the min/argmin; per-vector s quantizes to integer micro
+    units before the per-label sum (cross-row float sums are
+    shuffle-order-dependent).  Ties in the nearest-other argmin break
+    on label name via a (d, label) struct min in both engines.
+
+    Scale shape: one |labels|×dims centroid aggregation (map-side
+    combined), then a corpus × L broadcast join — no all-pairs
+    anywhere; the final rollup rides the label key.
+    """
+    e = _embeddings(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos0", "cv"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(F.round(F.avg("cv"), 6).alias("c"))
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dists = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(F.lit(1.0) - cosine(F.col("v"), F.col("cv")), 6).alias("d"),
+    )
+    own = dists.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("d").alias("a")
+    )
+    other = (
+        dists.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(
+            F.min("d").alias("b"),
+            F.min_by(
+                "clabel",
+                F.concat(
+                    F.format_string("%012.6f", F.col("d")),
+                    F.lit("|"),
+                    F.col("clabel"),
+                ),
+            ).alias("confusable_label"),
+        )
+    )
+    s_expr = (
+        F.when((F.col("a") == 0) & (F.col("b") == 0), F.lit(0.0))
+        .otherwise(
+            (F.col("b") - F.col("a"))
+            / F.when(F.col("a") > F.col("b"), F.col("a")).otherwise(F.col("b"))
+        )
+    )
+    s = own.join(other, "vec_id").select(
+        "label",
+        "confusable_label",
+        F.floor(s_expr * _SIL_SCALE + F.lit(0.5)).cast("bigint").alias("s_micro"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("s_micro").cast("bigint").alias("sil_micro"),
+        r6(
+            F.sum("s_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(_SIL_SCALE))
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("s_micro") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+        F.min_by(
+            "confusable_label",
+            F.concat(
+                F.format_string("%07d", F.col("s_micro") + F.lit(1_000_000)),
+                F.lit("|"),
+                F.col("confusable_label"),
+            ),
+        ).alias("worst_confusable"),
+    )
+
+
+@register(
+    "l_centroid_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, pos, round(avg(CAST(v AS DOUBLE)), 6) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM halves GROUP BY label, half, pos
+    ),
+    wide AS (
+        SELECT a.label, a.pos,
+               a.c AS c0, b.c AS c1,
+               a.n AS n0, b.n AS n1,
+               round((b.c - a.c) * (b.c - a.c), 12) AS d2
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(max(n0) AS BIGINT) AS n_even,
+           CAST(max(n1) AS BIGINT) AS n_odd,
+           CAST(sum(CAST(floor(d2 * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS d2_pico,
+           round(sqrt(CAST(sum(CAST(floor(d2 * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1000000000000), 6) AS drift_l2,
+           -- argmax by (|shift| rounded, then LOWEST pos): fixed-width
+           -- magnitude then inverted pos keeps lexicographic == numeric
+           CAST(max_by(pos, printf('%012.6f', round(abs(b_minus_a), 6))
+                            || '|' || printf('%03d', 999 - pos)) AS BIGINT) AS max_shift_pos
+    FROM (SELECT *, c1 - c0 AS b_minus_a FROM wide)
+    GROUP BY label
+    """,
+)
+def l_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two interleaved
+    snapshots (even/odd vec_id — the A/B halves a re-embedding job
+    would produce), compute each label's per-dimension centroid in
+    both, and report the L2 centroid shift plus the dimension that
+    moved most — the check an ML-ops pipeline runs before swapping an
+    embedding model version (silent drift breaks every downstream ANN
+    index).
+
+    Determinism: both half-centroids quantize to r6 per dimension
+    BEFORE differencing (the l_centroid_by_label contract); each
+    dimension's squared shift rounds at 1e-12 and accumulates in
+    integer pico-units (cross-dimension float sums are order-
+    dependent); the argmax dimension breaks ties toward the LOWEST
+    pos via a (|shift|, −pos) struct max in both engines.
+
+    Scale shape: one map-side-combined (label, half, pos) aggregation
+    — centroid-sized, never corpus-sized — then joins and rollups on
+    the bounded |labels|×dims frame.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    halves = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("label", "half", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = halves.groupBy("label", "half", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    wide = a.join(b, ["label", "pos"]).select(
+        "label",
+        "pos",
+        "n0",
+        "n1",
+        F.round((F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0")), 12).alias(
+            "d2"
+        ),
+        (F.col("c1") - F.col("c0")).alias("b_minus_a"),
+    )
+    pico = F.floor(F.col("d2") * F.lit(1_000_000_000_000) + F.lit(0.5)).cast("bigint")
+    return wide.groupBy("label").agg(
+        F.max("n0").cast("bigint").alias("n_even"),
+        F.max("n1").cast("bigint").alias("n_odd"),
+        F.sum(pico).cast("bigint").alias("d2_pico"),
+        F.round(
+            F.sqrt(F.sum(pico).cast("double") / F.lit(1_000_000_000_000.0)), 6
+        ).alias("drift_l2"),
+        F.max_by(
+            "pos",
+            F.concat(
+                F.format_string("%012.6f", F.round(F.abs(F.col("b_minus_a")), 6)),
+                F.lit("|"),
+                F.format_string("%03d", F.lit(999) - F.col("pos")),
+            ),
+        )
+        .cast("bigint")
+        .alias("max_shift_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_retrieval_mrr — mean reciprocal rank of the first relevant hit
+
+MRR_PROBES = 50
+MRR_K = 10
+# reciprocal ranks quantized to micro units before the cross-probe mean
+# (1/rank for rank 1..10 is not exactly representable for 3,6,7,9 —
+# identical doubles both sides, but the SUM order across probes is not
+# pinned; quantize-then-BIGINT-sum is)
+_MRR_SCALE = 1_000_000
+
+
+@register(
+    "l_retrieval_mrr",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT vec_id AS probe_id, label AS true_label, v AS pv
+        FROM e WHERE vec_id < {MRR_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, p.true_label, e.vec_id, e.label,
+               round({cosine_sql("e.v", "p.pv")}, 6) AS cos_sim
+        FROM e CROSS JOIN p
+        WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, true_label, label,
+               row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+               ) AS rn
+        FROM scored
+    ),
+    firsts AS (
+        SELECT probe_id, true_label,
+               min(CASE WHEN label = true_label AND rn <= {MRR_K} THEN rn END) AS first_rel
+        FROM ranked GROUP BY probe_id, true_label
+    ),
+    rr AS (
+        SELECT true_label, first_rel,
+               CAST(CASE WHEN first_rel IS NULL THEN 0
+                    ELSE floor(1.0 / first_rel * {_MRR_SCALE} + 0.5) END AS BIGINT) AS rr_micro
+        FROM firsts
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(rr_micro) AS BIGINT) AS rr_micro_sum,
+           {r6_sql(f'CAST(sum(rr_micro) AS DOUBLE) / count(*) / {_MRR_SCALE}')} AS mrr,
+           CAST(sum(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k
+    FROM rr GROUP BY true_label
+    """,
+)
+def l_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank at k={MRR_K} over a bounded probe sample:
+    for each probe, the rank of the FIRST same-label vector in the
+    exact-cosine ordering (self excluded), rr = 1/rank (0 if no
+    relevant hit in the top {MRR_K}), averaged per true label with
+    hits@1 and hits@k — the third standard retrieval-eval metric
+    beside l_ndcg_eval (graded relevance) and l_knn_eval (vote
+    accuracy); MRR is what RAG pipelines report when only the first
+    relevant passage matters.
+
+    Determinism: ranking cuts on the ROUNDED cosine with vec_id
+    tiebreak (the knn_eval contract); reciprocal ranks quantize to
+    integer micro-units before the cross-probe sum.  Scale shape:
+    bounded broadcast probe set × one corpus scan (never N²);
+    per-probe windows partition on probe_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < MRR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    ranked = scored.select(
+        "probe_id", "true_label", "label", F.row_number().over(w).alias("rn")
+    )
+    firsts = ranked.groupBy("probe_id", "true_label").agg(
+        F.min(
+            F.when(
+                (F.col("label") == F.col("true_label")) & (F.col("rn") <= MRR_K),
+                F.col("rn"),
+            )
+        ).alias("first_rel")
+    )
+    rr_micro = (
+        F.when(F.col("first_rel").isNull(), F.lit(0))
+        .otherwise(
+            F.floor(F.lit(1.0) / F.col("first_rel") * _MRR_SCALE + F.lit(0.5))
+        )
+        .cast("bigint")
+    )
+    rr = firsts.select("true_label", "first_rel", rr_micro.alias("rr_micro"))
+    return rr.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("rr_micro").cast("bigint").alias("rr_micro_sum"),
+        r6(
+            F.sum("rr_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(_MRR_SCALE))
+        ).alias("mrr"),
+        F.sum(F.when(F.col("first_rel") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_1"),
+        F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_k"),
+    )

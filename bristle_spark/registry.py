@@ -64,6 +64,9 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-3 additions ---
     "s_stream_counter_rate",
+    "l_silhouette_by_label",
+    "l_centroid_drift",
+    "l_retrieval_mrr",
     "m_png_hist_equalize",
     "r_mann_kendall",
     "l_bloom_fpp_eval",
@@ -118,11 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_token_entropy",
     "r_attribution",
     "r_distinct_count",
-    "r_join_multi",
-    "r_join_outer",
-    "r_join_semi_anti",
     # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the seventeen session-3 keys take
+    # cohort rotate out this window: the twenty session-3 keys take
     # rule-1 slots, and ties within the r7 cohort may drain in any
     # order)
 )

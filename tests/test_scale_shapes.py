@@ -114,6 +114,9 @@ SCALE_FAMILY = [
     "r_mann_kendall",
     "l_bloom_fpp_eval",
     "m_png_hist_equalize",
+    "l_silhouette_by_label",
+    "l_centroid_drift",
+    "l_retrieval_mrr",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
