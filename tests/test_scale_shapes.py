@@ -143,6 +143,14 @@ PLAN_PIN_FAMILY = [
     # the composed-offset global ordering must keep its exchange count
     # when the partition knob moves (no re-planned global sort)
     "l_curriculum_order",
+    # round-12 session-3: bounded-frame analytics — the partition knob
+    # must never add a shuffle to these
+    "r_mann_kendall",
+    "r_cramers_v",
+    "r_topk_others",
+    "r_lttb_downsample",
+    "l_rank_biased_overlap",
+    "r_window_funnel_strict",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
@@ -155,6 +163,22 @@ SPARSE_SIMILARITY_SHUFFLE_PINS = {
     "l_sparse_cosine_topk": 12,
     "l_source_overlap": 13,
 }
+
+# Absolute single-exchange pins (round-12 session-3): each of these
+# keys' docstring claims Catalyst satisfies the window partitioning AND
+# the downstream groupBy with ONE hash exchange (the grouping keys are
+# a superset of — or equal to — the window partition keys, and
+# HashPartitioning on a subset satisfies ClusteredDistribution).  That
+# claim IS the 100 TB story (the corpus is shuffled exactly once), so
+# it fails loudly if a refactor re-keys a window or splits the
+# aggregation.
+SINGLE_EXCHANGE_PINS = [
+    "r_counter_rate",
+    "r_histogram_equi_depth",
+    "r_mann_whitney",
+    "r_spearman_corr",
+    "r_bit_aggregates",
+]
 
 HOT_COPIES = 300  # rows in the artificially hot band
 
@@ -198,6 +222,16 @@ def test_exchange_count_invariant_to_partition_setting(name, spark, sf_dir, spec
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert at_8 == at_512
+
+
+@pytest.mark.parametrize("name", SINGLE_EXCHANGE_PINS)
+def test_single_exchange_pinned(name, spark, sf_dir, specs):
+    """The corpus is shuffled exactly once: window partition keys are
+    reused by the downstream aggregation (see SINGLE_EXCHANGE_PINS)."""
+    spark.catalog.clearCache()
+    df = specs[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, name
 
 
 @pytest.mark.parametrize(
