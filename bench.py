@@ -327,6 +327,9 @@ HEADLINE = [
     "l_silhouette_by_label",
     "l_centroid_drift",
     "l_retrieval_mrr",
+    "r_geohash_encode",
+    "r_point_in_polygon",
+    "r_spatial_grid_join",
 ]
 
 

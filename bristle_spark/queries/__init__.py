@@ -17,6 +17,7 @@ _MODULES = (
     "textops",
     "corpus",
     "similarity",
+    "geo",
     "graph",
     "streaming_q",
     "multimodal_q",

@@ -64,6 +64,9 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-3 additions ---
     "s_stream_counter_rate",
+    "r_geohash_encode",
+    "r_point_in_polygon",
+    "r_spatial_grid_join",
     "l_silhouette_by_label",
     "l_centroid_drift",
     "l_retrieval_mrr",
@@ -118,11 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_similarity_cosine",
     "l_span_corruption",
     "l_stratified_sample",
-    "l_token_entropy",
-    "r_attribution",
-    "r_distinct_count",
     # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the twenty session-3 keys take
+    # cohort rotate out this window: the twenty-three session-3 keys take
     # rule-1 slots, and ties within the r7 cohort may drain in any
     # order)
 )

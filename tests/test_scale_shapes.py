@@ -117,6 +117,9 @@ SCALE_FAMILY = [
     "l_silhouette_by_label",
     "l_centroid_drift",
     "l_retrieval_mrr",
+    "r_geohash_encode",
+    "r_point_in_polygon",
+    "r_spatial_grid_join",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
