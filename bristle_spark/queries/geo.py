@@ -55,25 +55,30 @@ def _lon_col() -> F.Column:
 GEOHASH_BITS = 20  # per axis; 40 bits total = 8 base32 chars
 _GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
-# Bit-interleave rendered ONCE in Python for both engines: geohash
-# alternates lon (even positions from the top) and lat bits.  With
-# latq/lonq as 20-bit integers (bit 19 = MSB), the 40-bit code is
-#   code = Σ_i  lon_bit(19-i) << (39-2i)  +  lat_bit(19-i) << (38-2i)
-_INTERLEAVE_TERMS_SQL = " + ".join(
-    f"(((lonq // {1 << (19 - i)}) % 2) * {1 << (39 - 2 * i)})"
-    f" + (((latq // {1 << (19 - i)}) % 2) * {1 << (38 - 2 * i)})"
-    for i in range(20)
-)
-# per-digit base32 chars rendered once (no correlated subquery, no
-# float pow): digit k = (code // 32^(7-k)) % 32 indexes the alphabet
-_B32_CONCAT_SQL = " || ".join(
-    f"substr('{_GEOHASH_ALPHABET}', CAST((code // {32 ** (7 - k)}) % 32 AS INT) + 1, 1)"
-    for k in range(8)
-)
-_B32_CONCAT_SPARK = " || ".join(
-    f"substr('{_GEOHASH_ALPHABET}', CAST((code DIV {32 ** (7 - k)}) % 32 AS INT) + 1, 1)"
-    for k in range(8)
-)
+# Both engines render from ONE generator parameterized by the integer-
+# division token ('//' DuckDB, 'DIV' Spark) — the _ray_terms pattern —
+# so the 20-term interleave and 8-term base32 expressions cannot drift
+# between sides.
+
+
+def _interleave_terms(div: str) -> str:
+    """Geohash bit interleave: lon (even positions from the top) and
+    lat bits alternate.  With latq/lonq as 20-bit integers (bit 19 =
+    MSB), code = Σ_i lon_bit(19-i) << (39-2i) + lat_bit(19-i) << (38-2i)."""
+    return " + ".join(
+        f"(((lonq {div} {1 << (19 - i)}) % 2) * {1 << (39 - 2 * i)})"
+        f" + (((latq {div} {1 << (19 - i)}) % 2) * {1 << (38 - 2 * i)})"
+        for i in range(20)
+    )
+
+
+def _b32_concat(div: str) -> str:
+    """Per-digit base32 chars (no correlated subquery, no float pow):
+    digit k = (code div 32^(7-k)) % 32 indexes the alphabet."""
+    return " || ".join(
+        f"substr('{_GEOHASH_ALPHABET}', CAST((code {div} {32 ** (7 - k)}) % 32 AS INT) + 1, 1)"
+        for k in range(8)
+    )
 
 
 @register(
@@ -93,12 +98,12 @@ _B32_CONCAT_SPARK = " || ".join(
     ),
     coded AS (
         SELECT event_id, ilat, ilon, latq, lonq,
-               CAST({_INTERLEAVE_TERMS_SQL} AS BIGINT) AS code
+               CAST({_interleave_terms("//")} AS BIGINT) AS code
         FROM q
     ),
     hashed AS (
         SELECT event_id, ilat, ilon, latq, lonq, code,
-               {_B32_CONCAT_SQL} AS geohash8
+               {_b32_concat("//")} AS geohash8
         FROM coded
     )
     SELECT event_id, ilat, ilon, geohash8,
@@ -144,20 +149,15 @@ def r_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lonq"
         ),
     )
-    interleave_spark = " + ".join(
-        f"(((lonq DIV {1 << (19 - i)}) % 2) * {1 << (39 - 2 * i)})"
-        f" + (((latq DIV {1 << (19 - i)}) % 2) * {1 << (38 - 2 * i)})"
-        for i in range(20)
-    )
     coded = q.select(
         "event_id",
         "ilat",
         "ilon",
         "latq",
         "lonq",
-        F.expr(f"CAST({interleave_spark} AS BIGINT)").alias("code"),
+        F.expr(f"CAST({_interleave_terms('DIV')} AS BIGINT)").alias("code"),
     )
-    geohash8 = F.expr(_B32_CONCAT_SPARK)
+    geohash8 = F.expr(_b32_concat("DIV"))
     hashed = coded.select(
         "event_id",
         "ilat",
