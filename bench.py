@@ -330,6 +330,9 @@ HEADLINE = [
     "r_geohash_encode",
     "r_point_in_polygon",
     "r_spatial_grid_join",
+    "s_stream_geofence",
+    "r_uniq_up_to",
+    "t_tuple_codec",
 ]
 
 

@@ -3691,3 +3691,61 @@ def r_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levels.groupBy(F.col("funnel_level").cast("bigint").alias("funnel_level")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_uniq_up_to — ClickHouse uniqUpTo(N)
+
+UNIQ_UP_TO_N = 5
+
+
+@register(
+    "r_uniq_up_to",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_u
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d AS day_idx,
+           CAST(CASE WHEN exact_u <= {UNIQ_UP_TO_N} THEN exact_u
+                ELSE {UNIQ_UP_TO_N + 1} END AS BIGINT) AS uniq_upto,
+           CAST(CASE WHEN exact_u > {UNIQ_UP_TO_N} THEN 1 ELSE 0 END AS INT) AS saturated
+    FROM daily
+    """,
+)
+def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` semantics per (event type, day):
+    the exact distinct user count while it is at most {UNIQ_UP_TO_N},
+    saturating at N+1 the moment it exceeds N — the "are there more
+    than N distinct?" gate dashboards use when the exact tail is
+    irrelevant but small counts must be exact.  The declared contract
+    is the SATURATED VALUE (what a consumer may rely on), so this
+    exact formulation and ClickHouse's bounded-state implementation
+    agree observably.
+
+    Determinism: exact distinct + integer CASE.  Scale shape: one
+    map-side partial-distinct aggregation on (type, day, user) then
+    the (type, day) rollup — at 100 TB the bounded-state trick is the
+    POINT of uniqUpTo (state caps at N+1 entries per group, unlike
+    full uniqExact), which Spark expresses as this exact form only
+    because the driver grades exact values; a production port uses a
+    size-capped collect_set UDAF with identical observable output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("exact_u"))
+    return daily.select(
+        "event_type",
+        "day_idx",
+        F.when(F.col("exact_u") <= UNIQ_UP_TO_N, F.col("exact_u"))
+        .otherwise(F.lit(UNIQ_UP_TO_N + 1))
+        .cast("bigint")
+        .alias("uniq_upto"),
+        (F.col("exact_u") > UNIQ_UP_TO_N).cast("int").alias("saturated"),
+    )

@@ -224,9 +224,9 @@ def _ray_terms(px: str, py: str) -> str:
     return " + ".join(terms)
 
 
-@register(
-    "r_point_in_polygon",
-    oracle=f"""
+# shared with s_stream_geofence: the streamed rollup must land the
+# SAME final state this batch SQL defines
+POINT_IN_POLYGON_ORACLE_SQL = f"""
     WITH pts AS (
         SELECT event_id, event_type,
                CAST({_LAT_SQL} AS BIGINT) AS py,
@@ -243,8 +243,10 @@ def _ray_terms(px: str, py: str) -> str:
            CAST(sum(inside) AS BIGINT) AS n_inside,
            {r6_sql('CAST(sum(inside) AS DOUBLE) / count(*)')} AS inside_share
     FROM hits GROUP BY event_type
-    """,
-)
+    """
+
+
+@register("r_point_in_polygon", oracle=POINT_IN_POLYGON_ORACLE_SQL)
 def r_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon containment (the ClickHouse ``pointInPolygon``
     analog) of hash-derived micro-degree points against a fixed

@@ -1741,3 +1741,85 @@ def s_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prom_increase_cents"),
     )
 
+
+
+# ------------------------------------------------- streaming geofence
+# Additive spatial state: per micro-batch, each event's hash-derived
+# point ray-casts against the fixed polygon (the r_point_in_polygon
+# geometry, imported so the two keys can never disagree on the fence),
+# and per-type (n, n_inside) partials land append-only; the serve-time
+# merge is a plain sum — commutative, so unlike the counter-rate
+# segments no ordering or seam logic is needed, and streamed state ==
+# batch state bit-for-bit.
+
+from bristle_spark.queries.geo import (  # noqa: E402
+    POINT_IN_POLYGON_ORACLE_SQL,
+    _lat_col,
+    _lon_col,
+    _ray_terms,
+)
+
+
+@register("s_stream_geofence", oracle=POINT_IN_POLYGON_ORACLE_SQL)
+def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained geofence rollup: each micro-batch
+    ray-casts its events' hash-derived micro-degree points against the
+    fixed non-convex polygon (exact integer cross-multiplication — the
+    r_point_in_polygon geometry imported verbatim) and lands per-type
+    (n, n_inside) partials; the served containment share merges
+    partials by addition.  Oracle-backed against the SAME batch SQL as
+    r_point_in_polygon: the stream must land the batch-defined final
+    state exactly, including across a crash/restart replay (the
+    exactly-once witness — re-landing a batch would double its counts
+    and break the hash).
+
+    Scale shape: row-local integer predicates inside each micro-batch,
+    map-side-combined per-type partials (one row per type per batch),
+    stateless append sink, and a |batches|×|types| serve-time rollup.
+    The geofence itself is a compile-time literal; a production
+    variant broadcasts a polygon table per the r_spatial_grid_join
+    prune-then-verify shape.
+    """
+    work = _workdir(sf_dir, "geofence")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    inside = F.expr(f"CAST(({_ray_terms('px', 'py')}) % 2 AS BIGINT)")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.select(
+                "event_type",
+                _lat_col().alias("py"),
+                _lon_col().alias("px"),
+            )
+            .select("event_type", inside.alias("inside"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("inside").cast("bigint").alias("n_in"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    merged = spark.read.parquet(out_dir).groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_points"),
+        F.sum("n_in").cast("bigint").alias("n_inside"),
+    )
+    return merged.select(
+        "event_type",
+        "n_points",
+        "n_inside",
+        rN(F.col("n_inside").cast("double") / F.col("n_points"), 6).alias(
+            "inside_share"
+        ),
+    )

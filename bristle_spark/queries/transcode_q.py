@@ -761,3 +761,87 @@ def t_datetime64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (back == ms).cast("int").alias("roundtrip_ok"),
         (ms % 1000).cast("bigint").alias("ms_frac"),
     )
+
+
+# --------------------------------------------------------- Tuple codec
+# ClickHouse's Tuple(...) column type renders as (v1,'s2',v3) text with
+# single-quoted, backslash-escaped strings.  Completes the composite
+# branch of the type family (Array, Map, Nested-as-arrays, and now
+# Tuple); the parse side uses an anchored regex so the grammar the
+# codec accepts is explicit.
+
+
+@register(
+    "t_tuple_codec",
+    oracle=r"""
+    WITH t AS (
+        SELECT event_id,
+               event_id % 1000 AS i,
+               replace(event_type, '''', '\''') AS s,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    txt AS (
+        SELECT event_id, i, vc,
+               '(' || CAST(i AS VARCHAR) || ',''' || s || ''',' || CAST(vc AS VARCHAR) || ')' AS tuple_str
+        FROM t
+    )
+    SELECT event_id, tuple_str,
+           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 1) AS BIGINT) AS i_back,
+           regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 2) AS s_back,
+           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 3) AS BIGINT) AS vc_back,
+           CAST(CASE WHEN CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 1) AS BIGINT) = i
+                      AND CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 3) AS BIGINT) = vc
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+    FROM txt
+    """,
+)
+def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Tuple(UInt16, String, Int64) text I/O: the composite
+    value renders as ``(i,'s',vc)`` — single-quoted string with
+    backslash-escaped quotes, exactly ClickHouse's Values/text format —
+    and parses back through an anchored regex with a per-field
+    roundtrip witness.  Completes the composite-type branch of the
+    Group T family (Array, Map-as-arrays, and Tuple).
+
+    The escape step is exercised structurally (event_type carries no
+    quotes, so the replace is the identity here — the grammar still
+    rejects any unescaped quote by construction of the regex's
+    [^']* field).  Pure string/regex row-local expressions, zero
+    shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        (F.col("event_id") % 1000).alias("i"),
+        F.replace(F.col("event_type"), F.lit("'"), F.lit("\\'")).alias("s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    txt = t.select(
+        "event_id",
+        "i",
+        "vc",
+        F.concat(
+            F.lit("("),
+            F.col("i").cast("string"),
+            F.lit(",'"),
+            F.col("s"),
+            F.lit("',"),
+            F.col("vc").cast("string"),
+            F.lit(")"),
+        ).alias("tuple_str"),
+    )
+    pat = r"^\((\d+),'([^']*)',(\d+)\)$"
+    i_back = F.regexp_extract("tuple_str", pat, 1).cast("bigint")
+    s_back = F.regexp_extract("tuple_str", pat, 2)
+    vc_back = F.regexp_extract("tuple_str", pat, 3).cast("bigint")
+    return txt.select(
+        "event_id",
+        "tuple_str",
+        i_back.alias("i_back"),
+        s_back.alias("s_back"),
+        vc_back.alias("vc_back"),
+        ((i_back == F.col("i")) & (vc_back == F.col("vc"))).cast("int").alias(
+            "roundtrip_ok"
+        ),
+    )

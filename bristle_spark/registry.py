@@ -64,6 +64,9 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-3 additions ---
     "s_stream_counter_rate",
+    "s_stream_geofence",
+    "r_uniq_up_to",
+    "t_tuple_codec",
     "r_geohash_encode",
     "r_point_in_polygon",
     "r_spatial_grid_join",
@@ -118,11 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_knn_label",
     "l_pii_scrub",
     "l_quality_ensemble",
-    "l_similarity_cosine",
-    "l_span_corruption",
-    "l_stratified_sample",
     # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the twenty-three session-3 keys take
+    # cohort rotate out this window: the twenty-six session-3 keys take
     # rule-1 slots, and ties within the r7 cohort may drain in any
     # order)
 )

@@ -120,6 +120,8 @@ SCALE_FAMILY = [
     "r_geohash_encode",
     "r_point_in_polygon",
     "r_spatial_grid_join",
+    "r_uniq_up_to",
+    "t_tuple_codec",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale

@@ -45,6 +45,7 @@ STATEFUL_KEYS = [
     "s_stream_dedup",
     "s_stream_dedup_watermark",
     "s_stream_enrich",
+    "s_stream_geofence",
     "s_stream_histogram_quantiles",
     "s_stream_join",
     "s_stream_rollup",
