@@ -333,6 +333,8 @@ HEADLINE = [
     "s_stream_geofence",
     "r_uniq_up_to",
     "t_tuple_codec",
+    "r_runs_test",
+    "t_date32_codec",
 ]
 
 

@@ -1106,3 +1106,134 @@ def r_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_runs_test — Wald–Wolfowitz runs test on the daily series
+
+
+@register(
+    "r_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, c AS med_c FROM (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c, d) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT daily.event_type, daily.d,
+               CAST(CASE WHEN daily.c > med.med_c THEN 1 ELSE 0 END AS BIGINT) AS s
+        FROM daily JOIN med ON daily.event_type = med.event_type
+    ),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                     OR lag(s) OVER (PARTITION BY event_type ORDER BY d) <> s
+                    THEN 1 ELSE 0 END AS boundary
+        FROM signs
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(boundary) AS BIGINT) AS r_runs,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(sum(1 - s) AS BIGINT) AS n2
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, r_runs, n1, n2,
+           {r6_sql('(CAST(r_runs AS DOUBLE)'
+                   ' - (2.0 * n1 * n2 / (n1 + n2) + 1.0))'
+                   ' / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)'
+                   '        / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * (n1 + n2 - 1)))')} AS z_score
+    FROM agg
+    WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def r_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness of the daily
+    spend series per event type: days split into above/at-or-below the
+    discrete median (the rank-⌈n/2⌉ value with a (value, day)
+    tie-break — a deterministic threshold both engines cut
+    identically), R counts maximal same-sign runs in day order, and
+    the z-score compares R to its randomness expectation
+    μ = 2n₁n₂/(n₁+n₂) + 1 — too FEW runs means trending/clustering,
+    too many means oscillation.  The serial-independence sibling of
+    `r_mann_kendall`'s monotonic-trend screen and
+    `r_autocorrelation`'s linear lag view.
+
+    Determinism: the run count is a lag-window boundary sum over the
+    bounded daily frame; R, n₁, n₂ are exact BIGINTs; only the final
+    closed-form z is a double, written identically in both engines.
+
+    Scale shape: the corpus collapses to the |types|×|days| daily
+    frame first; median, signs, and run boundaries are windows
+    partitioned by event_type over that bounded frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c", "d")
+    w_n = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "c",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("c").alias("med_c"))
+    )
+    signs = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        F.when(F.col("c") > F.col("med_c"), F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    w_day = Window.partitionBy("event_type").orderBy("d")
+    runs = signs.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(w_day).isNull() | (F.lag("s").over(w_day) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("boundary").cast("bigint").alias("r_runs"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (((n1 + n2) * (n1 + n2)).cast("double") * (n1 + n2 - 1))
+    )
+    return agg.filter((n1 > 0) & (n2 > 0) & (n1 + n2 > 1)).select(
+        "event_type",
+        "r_runs",
+        "n1",
+        "n2",
+        r6((F.col("r_runs").cast("double") - mu) / F.sqrt(var)).alias("z_score"),
+    )

@@ -845,3 +845,63 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+# --------------------------------------------------------- Date32 codec
+
+
+@register(
+    "t_date32_codec",
+    oracle="""
+    WITH d AS (
+        SELECT event_id,
+               CAST((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':d32'), 1, 15) AS BIGINT)
+                     % 51134) - 25567 AS BIGINT) AS days
+        FROM events
+    )
+    SELECT event_id, days,
+           strftime(DATE '1970-01-01' + CAST(days AS INT), '%Y-%m-%d') AS date_str,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(strftime(DATE '1970-01-01' + CAST(days AS INT), '%Y-%m-%d') AS DATE))
+                AS BIGINT) AS days_back,
+           CAST(CASE WHEN date_diff('day', DATE '1970-01-01',
+                          CAST(strftime(DATE '1970-01-01' + CAST(days AS INT), '%Y-%m-%d') AS DATE)) = days
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok,
+           CAST(CASE WHEN days < 0 THEN 1 ELSE 0 END AS INT) AS pre_epoch
+    FROM d
+    """,
+)
+def t_date32_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Date32 codec semantics: a signed day offset from the
+    Unix epoch (here hash-derived in [-25567, 25567) ≈ 1900–2040, so
+    the PRE-epoch branch — where Date, a UInt16, cannot go — is
+    exercised on ~half the rows), rendered as ISO text and parsed back
+    with a per-row roundtrip witness.  Completes the temporal branch
+    of the Group T family (DateTime via t_timestamp_epoch, DateTime64
+    via t_datetime64_codec, and now the wide signed date).
+
+    Determinism: integer day arithmetic and ISO rendering on both
+    sides (date +/- int days is exact in both engines; no timezones
+    touch a pure DATE).  Row-local, zero shuffles.
+    """
+    from bristle_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        hash60(F.concat(F.col("event_id").cast("string"), F.lit(":d32"))) % 51134
+        - 25567
+    ).cast("bigint")
+    d = ev.select("event_id", days.alias("days"))
+    date_col = F.date_add(F.lit("1970-01-01").cast("date"), F.col("days").cast("int"))
+    date_str = F.date_format(date_col, "yyyy-MM-dd")
+    days_back = F.datediff(
+        F.to_date(date_str, "yyyy-MM-dd"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return d.select(
+        "event_id",
+        "days",
+        date_str.alias("date_str"),
+        days_back.alias("days_back"),
+        (days_back == F.col("days")).cast("int").alias("roundtrip_ok"),
+        (F.col("days") < 0).cast("int").alias("pre_epoch"),
+    )

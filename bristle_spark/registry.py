@@ -65,6 +65,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: the round-12 session-3 additions ---
     "s_stream_counter_rate",
     "s_stream_geofence",
+    "r_runs_test",
+    "t_date32_codec",
     "r_uniq_up_to",
     "t_tuple_codec",
     "r_geohash_encode",
@@ -119,10 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_corpus_stats",
     "l_dedup_containment",
     "l_knn_label",
-    "l_pii_scrub",
-    "l_quality_ensemble",
     # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the twenty-six session-3 keys take
+    # cohort rotate out this window: the twenty-eight session-3 keys take
     # rule-1 slots, and ties within the r7 cohort may drain in any
     # order)
 )

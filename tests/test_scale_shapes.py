@@ -122,6 +122,8 @@ SCALE_FAMILY = [
     "r_spatial_grid_join",
     "r_uniq_up_to",
     "t_tuple_codec",
+    "r_runs_test",
+    "t_date32_codec",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
