@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
-from bristle_spark.functions.rounding import rN, rN_sql
+from bristle_spark.functions.rounding import r6, rN, rN_sql
 from bristle_spark.streaming.buffer import POLICIES, BoundedBuffer
 from bristle_spark.streaming.source import (
     FLUSH_EVENT_TYPE,
@@ -1819,7 +1819,7 @@ def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_points",
         "n_inside",
-        rN(F.col("n_inside").cast("double") / F.col("n_points"), 6).alias(
+        r6(F.col("n_inside").cast("double") / F.col("n_points")).alias(
             "inside_share"
         ),
     )

@@ -787,11 +787,11 @@ def t_datetime64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT event_id, tuple_str,
-           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 1) AS BIGINT) AS i_back,
-           regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 2) AS s_back,
-           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 3) AS BIGINT) AS vc_back,
-           CAST(CASE WHEN CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 1) AS BIGINT) = i
-                      AND CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(\d+)\)$', 3) AS BIGINT) = vc
+           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1) AS BIGINT) AS i_back,
+           regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 2) AS s_back,
+           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3) AS BIGINT) AS vc_back,
+           CAST(CASE WHEN CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1) AS BIGINT) = i
+                      AND CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3) AS BIGINT) = vc
                 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
     FROM txt
     """,
@@ -831,7 +831,7 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(")"),
         ).alias("tuple_str"),
     )
-    pat = r"^\((\d+),'([^']*)',(\d+)\)$"
+    pat = r"^\((\d+),'([^']*)',(-?\d+)\)$"
     i_back = F.regexp_extract("tuple_str", pat, 1).cast("bigint")
     s_back = F.regexp_extract("tuple_str", pat, 2)
     vc_back = F.regexp_extract("tuple_str", pat, 3).cast("bigint")
@@ -850,13 +850,17 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- Date32 codec
 
 
+from bristle_spark.functions.hashing import hash60_sql  # noqa: E402
+
+_D32_HASH = hash60_sql("CAST(event_id AS VARCHAR) || ':d32'")
+
+
 @register(
     "t_date32_codec",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT event_id,
-               CAST((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':d32'), 1, 15) AS BIGINT)
-                     % 51134) - 25567 AS BIGINT) AS days
+               CAST(({_D32_HASH} % 51134) - 25567 AS BIGINT) AS days
         FROM events
     )
     SELECT event_id, days,
