@@ -110,7 +110,6 @@ HEADLINE = [
     "l_token_entropy",
     "l_dedup_containment",
     "l_ann_int8_rerank",
-    "m_phash_dedup",
     # round-6 session-2 additions: corpus LM scoring, Zipf fit,
     # cross-snapshot dedup, label centroids, unpivot, audio features
     "l_unigram_logprob",
@@ -161,7 +160,6 @@ HEADLINE = [
     "l_matryoshka_eval",
     "l_ann_ivfpq",
     "m_audio_fingerprint",
-    "m_scene_cut",
     "l_hard_negatives",
     # round-8 backfill: every declared non-streaming key that had no
     # BENCH row in any prior round (VERDICT r7 ask #8) — with these,
@@ -204,9 +202,6 @@ HEADLINE = [
     "l_clean_funnel",
     "l_ann_lsh",
     "l_ann_ivf_nprobe",
-    "m_binary_features",
-    "m_frame_sample",
-    "m_resize",
     # round-8 second batch
     "l_bm25",
     "r_islands",
@@ -233,7 +228,6 @@ HEADLINE = [
     "l_pagerank",
     "l_uncertainty_sample",
     "r_sliding_distinct",
-    "m_patchify",
     "l_cluster_size_histogram",
     "l_poisson_bootstrap",
     "r_bitmap_distinct",

@@ -3248,12 +3248,12 @@ LTTB_BUCKETS = 16
     UNION ALL
     SELECT b, d, y, NULL FROM (
         SELECT b, d, y, row_number() OVER (ORDER BY d) AS rn
-        FROM pts WHERE b = 0
+        FROM pts
     ) WHERE rn = 1
     UNION ALL
     SELECT b, d, y, NULL FROM (
         SELECT b, d, y, row_number() OVER (ORDER BY d DESC) AS rn
-        FROM pts WHERE b = {LTTB_BUCKETS - 1}
+        FROM pts
     ) WHERE rn = 1
     """,
 )
@@ -3266,8 +3266,16 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its NEIGHBOR BUCKETS' MEAN points (the sequential original
     chains through the previously-selected point, which is inherently
     serial; the bucket-mean form is the published parallelization and
-    what a distributed engine should run), and the first/last buckets
-    keep their extreme endpoints, exactly as LTTB anchors the series.
+    what a distributed engine should run), and the series' global
+    first/last points are kept as anchors, exactly as LTTB pins the
+    endpoints.  Anchoring on the GLOBAL min/max day (not on "the point
+    in bucket 0 / bucket B-1") keeps the endpoint contract even when
+    the span is shorter than the bucket count and the last bucket is
+    empty (ADVICE r12); for spans >= {LTTB_BUCKETS} days the two forms
+    are identical because the extreme days land in the extreme buckets.
+    The anchors never collide with picked rows: an interior bucket
+    needs BOTH neighbor buckets occupied, which the extreme occupied
+    buckets never have.
 
     Determinism: day indexes and daily cents are exact BIGINTs; bucket
     assignment is integer floor division; each candidate's area is ONE
@@ -3334,8 +3342,7 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     first = (
-        pts.filter(F.col("b") == 0)
-        .orderBy("d")
+        pts.orderBy("d")
         .limit(1)
         .select(
             F.col("b").alias("bucket"),
@@ -3345,8 +3352,7 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     last = (
-        pts.filter(F.col("b") == LTTB_BUCKETS - 1)
-        .orderBy(F.desc("d"))
+        pts.orderBy(F.desc("d"))
         .limit(1)
         .select(
             F.col("b").alias("bucket"),

@@ -782,16 +782,17 @@ def t_datetime64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     txt AS (
-        SELECT event_id, i, vc,
+        SELECT event_id, i, s, vc,
                '(' || CAST(i AS VARCHAR) || ',''' || s || ''',' || CAST(vc AS VARCHAR) || ')' AS tuple_str
         FROM t
     )
     SELECT event_id, tuple_str,
-           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1) AS BIGINT) AS i_back,
+           TRY_CAST(NULLIF(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1), '') AS BIGINT) AS i_back,
            regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 2) AS s_back,
-           CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3) AS BIGINT) AS vc_back,
-           CAST(CASE WHEN CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1) AS BIGINT) = i
-                      AND CAST(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3) AS BIGINT) = vc
+           TRY_CAST(NULLIF(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3), '') AS BIGINT) AS vc_back,
+           CAST(CASE WHEN TRY_CAST(NULLIF(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 1), '') AS BIGINT) = i
+                      AND regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 2) = s
+                      AND TRY_CAST(NULLIF(regexp_extract(tuple_str, '^\((\d+),''([^'']*)'',(-?\d+)\)$', 3), '') AS BIGINT) = vc
                 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
     FROM txt
     """,
@@ -807,8 +808,12 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     The escape step is exercised structurally (event_type carries no
     quotes, so the replace is the identity here — the grammar still
     rejects any unescaped quote by construction of the regex's
-    [^']* field).  Pure string/regex row-local expressions, zero
-    shuffles.
+    [^']* field).  The witness covers all three fields (s_back against
+    the escaped form), and the fail branch is NULL-safe on both sides:
+    Spark's '' -> NULL cast is mirrored by TRY_CAST(NULLIF(.., ''))
+    in the oracle, and roundtrip_ok is CASE-style (NULL condition ->
+    0) on both engines.  Pure string/regex row-local expressions,
+    zero shuffles.
     """
     ev = load_table(spark, sf_dir, "events")
     t = ev.select(
@@ -820,6 +825,7 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = t.select(
         "event_id",
         "i",
+        "s",
         "vc",
         F.concat(
             F.lit("("),
@@ -841,9 +847,13 @@ def t_tuple_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         i_back.alias("i_back"),
         s_back.alias("s_back"),
         vc_back.alias("vc_back"),
-        ((i_back == F.col("i")) & (vc_back == F.col("vc"))).cast("int").alias(
-            "roundtrip_ok"
-        ),
+        F.when(
+            (i_back == F.col("i")) & (s_back == F.col("s")) & (vc_back == F.col("vc")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("roundtrip_ok"),
     )
 
 

@@ -53,78 +53,75 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 12: empty. Two round-12 refactors touched shared HELPERS, not
-# plans: streaming_q's _fresh_dir (driver-side emission-dir hygiene —
-# checkpointed plans unchanged, every s_* key re-verified against its
-# oracle plus the new restart-replay matrix) and multimodal's
-# _dims_stacks (kernel-internal stacking inside unchanged mapInPandas
-# nodes — all 20 m_*/codec keys re-verified against their oracles).
-PLAN_CHANGED_KEYS: tuple[str, ...] = ()
+# Round 13: the two ADVICE r12 fixes. t_tuple_codec gained the s_back
+# witness + NULL-safe fail branch (TRY_CAST oracle, when/otherwise
+# roundtrip); r_lttb_downsample now anchors on the global min/max day
+# (identical output at >=15-day spans, correct anchors below). The six
+# retired fake-backend multimodal keys (m_binary_features,
+# m_frame_sample, m_resize, m_phash_dedup, m_scene_cut, m_patchify —
+# VERDICT r12 ask #3) are deletions, not plan changes: their
+# real-codec twins' plans are untouched.
+PLAN_CHANGED_KEYS: tuple[str, ...] = ("t_tuple_codec", "r_lttb_downsample")
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: the round-12 session-3 additions ---
-    "s_stream_counter_rate",
-    "s_stream_geofence",
-    "r_runs_test",
-    "t_date32_codec",
-    "r_uniq_up_to",
-    "t_tuple_codec",
-    "r_geohash_encode",
-    "r_point_in_polygon",
-    "r_spatial_grid_join",
-    "l_silhouette_by_label",
-    "l_centroid_drift",
-    "l_retrieval_mrr",
-    "m_png_hist_equalize",
-    "r_mann_kendall",
-    "l_bloom_fpp_eval",
-    "r_window_funnel_strict",
-    "t_fixed_string_codec",
-    "t_datetime64_codec",
-    "l_rank_biased_overlap",
-    "r_topk_others",
-    "r_histogram_equi_depth",
-    "r_mann_whitney",
-    "r_spearman_corr",
-    "r_cramers_v",
-    "r_counter_rate",
-    "r_lttb_downsample",
-    "r_bit_aggregates",
-    "t_ipv6_codec",
-    # --- (1) never driver-graded: the round-12 session-2 additions ---
-    "l_graph_triangles",
-    "l_rendezvous_shard",
-    "t_ipv4_codec",
-    "t_uuid_format",
-    "r_recursive_hierarchy",
-    "l_seq_poisson_sample",
-    "r_largest_remainder_alloc",
-    "m_jpeg_phash_dedup",
-    # --- (1) cont.: the round-12 real-PNG promotions of
-    # --- the remaining fake-backend multimodal keys (VERDICT r11 #2) ---
-    "m_png_binary_features",
-    "m_png_frame_sample",
-    "m_png_scene_cut",
-    "m_png_patchify",
-    # --- (1) cont.: the baseline-JPEG codec keys (VERDICT r11 #4) ---
-    "m_jpeg_pixel_stats",
-    "m_jpeg_resize",
-    # --- (1) cont.: deterministic augmentation through the PNG codec ---
-    "m_png_augment",
+    # --- (1) never driver-graded: round-13 additions ---
+    # (new keys land here as the round progresses)
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
-    # --- (3) oldest-first drain: the round-6 cohort (graded r6) ---
-    "l_ann_recall_eval",
-    "l_centroid_by_label",
-    "l_knn_eval",
-    # --- round-7 cohort (all 27 oracle-backed keys last graded r7) ---
-    "l_ann_int8_rerank",
-    "l_corpus_stats",
-    "l_dedup_containment",
-    "l_knn_label",
-    # (the remaining Group-T r7 re-confirmations and the whole r8
-    # cohort rotate out this window: the twenty-eight session-3 keys take
-    # rule-1 slots, and ties within the r7 cohort may drain in any
-    # order)
+    "t_tuple_codec",
+    "r_lttb_downsample",
+    # --- (3) oldest-first drain: the full r7 cohort (23 keys — 8 of
+    # them SURVEY §2.D contract keys, stale five rounds: VERDICT r12
+    # ask #2) ---
+    "l_pii_scrub",
+    "l_quality_ensemble",
+    "l_similarity_cosine",
+    "l_span_corruption",
+    "l_stratified_sample",
+    "l_token_entropy",
+    "r_attribution",
+    "r_distinct_count",
+    "r_join_multi",
+    "r_join_outer",
+    "r_join_semi_anti",
+    "r_robust_stats",
+    "r_window_running",
+    "s_stream_enrich",
+    "s_stream_rollup",
+    "s_stream_upsert",
+    "t_array_ops",
+    "t_bool_to_int",
+    "t_enum_codes",
+    "t_json_props_extract",
+    "t_map_to_arrays",
+    "t_null_default",
+    "t_timestamp_epoch",
+    # --- (3) cont.: 27 of the 41-key r8 cohort (ties within a cohort
+    # may drain in any order; the 14 left wait for round 14) ---
+    "l_ann_ivfpq",
+    "l_ann_pq",
+    "l_bm25",
+    "l_char_ngram_lang_id",
+    "l_dedup_embedding",
+    "l_dedup_semantic",
+    "l_domain_mix",
+    "l_dsir_importance",
+    "l_embedding_outliers",
+    "l_gopher_rules",
+    "l_hard_negatives",
+    "l_inverted_index",
+    "l_lang_confusion",
+    "l_lang_id_eval",
+    "l_matryoshka_eval",
+    "l_mips_topk",
+    "l_mixture_sampler",
+    "l_mmr_diversify",
+    "l_ngram_novelty",
+    "l_oov_rate",
+    "l_perplexity_filter",
+    "l_prefix_dedup",
+    "l_score_calibration",
+    "l_weighted_sample",
+    "l_winnow_fingerprint",
 )
 
 

@@ -148,6 +148,6 @@ def test_stream_join_matches_batch_range_join(spark, sf_dir):
 
 
 def test_m_resize_deterministic(spark, sf_dir):
-    a = canon_frame(SPECS["m_resize"].fn(spark, sf_dir).toPandas())
-    b = canon_frame(SPECS["m_resize"].fn(spark, sf_dir).toPandas())
+    a = canon_frame(SPECS["m_png_resize"].fn(spark, sf_dir).toPandas())
+    b = canon_frame(SPECS["m_png_resize"].fn(spark, sf_dir).toPandas())
     assert a == b

@@ -141,7 +141,7 @@ def test_beyond_window_queries_still_registered(specs):
     """Rotated-out queries stay registered (just past the driver
     window) — spot-checks the r10 window plus a spread of older keys."""
     ordered = list(specs)
-    for key in ("m_binary_features", "m_frame_sample", "m_resize",
+    for key in ("m_png_binary_features", "m_png_frame_sample", "m_png_resize",
                 "m_audio_features", "s_session_window", "s_stateful_totals",
                 "s_stream_dedup", "s_stream_dedup_watermark", "s_stream_join",
                 "r_string_funcs", "r_date_funcs", "r_percentile_disc",
@@ -156,6 +156,6 @@ def test_beyond_window_queries_still_registered(specs):
                 "r_range_join", "r_skew_salted_agg", "r_window_lag",
                 "l_fingerprint", "r_hash_agg", "r_join_broadcast",
                 "l_dedup_exact", "l_text_stats", "l_count_min",
-                "l_pagerank", "m_patchify", "r_weighted_median"):
+                "l_pagerank", "m_png_patchify", "r_weighted_median"):
         assert key in specs
         assert ordered.index(key) >= 50, key

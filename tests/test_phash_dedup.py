@@ -1,4 +1,4 @@
-"""m_phash_dedup: perceptual-hash near-dup detection over planted image
+"""m_png_phash_dedup: perceptual-hash near-dup detection over planted image
 variants. Pins (a) recall inside the planted canonical groups, (b) zero
 cross-group false positives, (c) double-run determinism, and (d) the
 banded plan never degenerates into an all-pairs product."""
@@ -11,7 +11,7 @@ from tests.conftest import canon_frame
 
 
 def _run(spark, sf_dir):
-    return all_specs()["m_phash_dedup"].fn(spark, sf_dir)
+    return all_specs()["m_png_phash_dedup"].fn(spark, sf_dir)
 
 
 def test_pairs_are_within_planted_groups(spark, sf_dir):

@@ -161,7 +161,7 @@ def test_stratified_sample_broadcasts_decision_table(spark, sf_dir):
 
 
 def test_phash_dedup_is_band_keyed(spark, sf_dir):
-    df = all_specs()["m_phash_dedup"].fn(spark, sf_dir)
+    df = all_specs()["m_png_phash_dedup"].fn(spark, sf_dir)
     assert not plans.has_node(df, "CartesianProduct")
     assert not plans.has_node(df, "BroadcastNestedLoopJoin")
 
@@ -430,7 +430,7 @@ def test_scene_cut_is_partition_local(spark, sf_dir):
     """Shot-boundary detection is pure mapInPandas over the scan: the
     ONLY exchange is the presentation orderBy's range partitioning
     (shared with every m_* query; the compute itself is narrow)."""
-    df = SPECS["m_scene_cut"].fn(spark, sf_dir)
+    df = SPECS["m_png_scene_cut"].fn(spark, sf_dir)
     assert plans.exchange_count(df) <= 1
     assert not plans.has_node(df, "HashAggregate")
     assert not plans.has_node(df, "SortMergeJoin")

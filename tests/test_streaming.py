@@ -104,8 +104,8 @@ def test_s_proto_roundtrip_matches_source(spark, sf_dir):
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
-    df1 = SPECS["m_binary_features"].fn(spark, sf_dir).limit(5).collect()
-    df2 = SPECS["m_binary_features"].fn(spark, sf_dir).limit(5).collect()
+    df1 = SPECS["m_png_binary_features"].fn(spark, sf_dir).limit(5).collect()
+    df2 = SPECS["m_png_binary_features"].fn(spark, sf_dir).limit(5).collect()
     assert df1 == df2
     r = df1[0]
     assert r["n_bytes"] == 256
