@@ -329,6 +329,8 @@ HEADLINE = [
     "t_tuple_codec",
     "r_runs_test",
     "t_date32_codec",
+    # round-13 additions
+    "m_jpeg_rgb_stats",
 ]
 
 

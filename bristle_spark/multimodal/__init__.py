@@ -395,6 +395,149 @@ def attach_jpeg_payload(
     return src.mapInPandas(run, schema=schema)
 
 
+def attach_jpeg_rgb_payload(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic REAL-COLOR-JPEG payload: a 32x32 RGB image whose
+    four 16x16 MCUs are each a CONSTANT color — MCU k (row-major) is
+    bytes (3k, 3k+1, 3k+2) of md5(text || '0') — encoded as a genuine
+    baseline 4:2:0 YCbCr JPEG (multimodal/jpeg.py encode_jpeg_color,
+    unit quantization). MCU-constant color images are the family the
+    subsampled codec roundtrips EXACTLY: constant blocks are DC-only in
+    all three planes and the 2x2 chroma mean of a constant is that
+    constant, so the decoded YCbCr is bit-identical to the encoded one
+    and the integer fixed-point color chain stays hex-derivable
+    SQL-side. The oracle therefore witnesses the WHOLE color decode
+    path: 3-component SOF0 parse, interleaved-MCU entropy decode with
+    per-component predictors and chroma Huffman tables, per-component
+    dequant/IDCT, chroma upsampling, and YCbCr->RGB.
+
+    Same mapInPandas shape as attach_jpeg_payload: partition-local
+    over Arrow batches, zero shuffles."""
+    import hashlib as _hl
+
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    src = df.select(F.col(key_col), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                colors = _hl.md5(str(text).encode() + b"0").digest()[:12]
+                img = np.empty((32, 32, 3), dtype=np.uint8)
+                for k in range(4):
+                    my, mx = divmod(k, 2)
+                    img[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = [
+                        colors[3 * k], colors[3 * k + 1], colors[3 * k + 2]
+                    ]
+                payloads.append(
+                    jpeg_codec.encode_jpeg_color(img.tobytes(), 32, 32)
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": 32, "height": 32, "format": "jpeg-rgb420"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def rgb_mcu_stats(df: DataFrame, mcu: int = 16) -> DataFrame:
+    """Color-image MCU statistics over REAL color JPEGs: decode each
+    payload (3-channel path of multimodal/jpeg.py), split into
+    ``mcu`` x ``mcu`` tiles, and emit one row per tile with the
+    per-channel minimum and the count of distinct RGB triples — the
+    color-QA shape of a curation pipeline (flat-tile detection,
+    banner/letterbox screening) and, over MCU-constant fixtures, a
+    full-content witness: a decode wrong in ANY pixel either moves a
+    channel min or pushes n_colors above 1.
+
+    Scale shape: one partition-local mapInPandas pass (vectorized
+    numpy over the decoded tensor), zero shuffles before the
+    presentation sort."""
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mcu_idx", T.IntegerType()),
+            T.StructField("r", T.LongType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("n_colors", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys, idxs, rs, gs, bs, ncs = [], [], [], [], [], []
+            for key, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, pixels = jpeg_codec.decode_jpeg(bytes(payload))
+                if channels != 3:
+                    raise ValueError(
+                        f"jpeg payload has {channels} channels; RGB expected"
+                    )
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                n_my, n_mx = h // mcu, w // mcu
+                tiles = (
+                    img.reshape(n_my, mcu, n_mx, mcu, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(n_my * n_mx, mcu * mcu, 3)
+                )
+                mins = tiles.min(axis=1)
+                packed = (
+                    tiles[..., 0].astype(np.int64) * 65536
+                    + tiles[..., 1].astype(np.int64) * 256
+                    + tiles[..., 2].astype(np.int64)
+                )
+                for t in range(tiles.shape[0]):
+                    keys.append(int(key))
+                    idxs.append(t)
+                    rs.append(int(mins[t, 0]))
+                    gs.append(int(mins[t, 1]))
+                    bs.append(int(mins[t, 2]))
+                    ncs.append(int(np.unique(packed[t]).size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": keys,
+                    "mcu_idx": np.array(idxs, dtype=np.int32),
+                    "r": rs,
+                    "g": gs,
+                    "b": bs,
+                    "n_colors": ncs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def attach_gzip_payload(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

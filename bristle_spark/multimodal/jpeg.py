@@ -9,11 +9,20 @@ payload needs, with no dependency beyond numpy. Format details follow
 the PUBLIC ITU-T T.81 specification (the Annex K "typical" luminance
 Huffman tables are part of that spec).
 
-Scope: 8-bit greyscale (one component, no subsampling), baseline
-sequential (SOF0) only — the kernels' pixel format plus the common
-curation case. Progressive (SOF2), arithmetic coding, restart
-intervals, and multi-component scans raise ValueError (a payload
-error, never a silent misread) — the WAV/PNG rejection policy.
+Scope: baseline sequential (SOF0), 8-bit precision, one component
+(greyscale) or three components (YCbCr) with 4:4:4 or 4:2:0 chroma
+subsampling — the ML-curation reality is 3-component 4:2:0 (VERDICT
+r12 ask #5). Progressive (SOF2), arithmetic coding, restart
+intervals, other sampling-factor combinations, and 12-bit precision
+raise ValueError (a payload error, never a silent misread) — the
+WAV/PNG rejection policy.
+
+Color math is INTEGER fixed-point (the libjpeg discipline, constants
+FIX(x) = round(x * 65536) from the public ITU-T T.871 / BT.601
+coefficients), with every numerator pre-biased positive so plain
+integer division is floor division on any engine — this is what lets
+DuckDB replay the full RGB->YCbCr->RGB chain exactly (see
+rgb_to_ycbcr / ycbcr_to_rgb).
 
 Exactness contract the graded keys build on: baseline JPEG is lossy in
 general, but an image whose 8x8 blocks are each CONSTANT roundtrips
@@ -71,6 +80,74 @@ AC_HUFFVAL = [
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+
+# --- Annex K "typical" chrominance Huffman tables (Tables K.4 / K.6,
+# public spec text) ---
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_HUFFVAL = list(range(12))
+
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_HUFFVAL = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+# --- integer fixed-point YCbCr (ITU-T T.871 / BT.601 coefficients,
+# FIX(x) = round(x * 2^16); the libjpeg jccolor/jdcolor discipline).
+# Every numerator below is PRE-BIASED positive (the bias is a multiple
+# of 2^16, subtracted back after the division), so `// 65536` is the
+# same floor division in numpy int64, DuckDB BIGINT `//`, and Spark
+# `DIV` — no negative-division semantics can diverge across engines.
+
+def rgb_to_ycbcr(rgb: "np.ndarray") -> "np.ndarray":
+    """(..., 3) uint8 RGB -> (..., 3) uint8 YCbCr (full-range JFIF).
+    Y  = 0.299 R + 0.587 G + 0.114 B
+    Cb = 128 - 0.168736 R - 0.331264 G + 0.5 B    (clipped to 255:
+    Cr = 128 + 0.5 R - 0.418688 G - 0.081312 B     pure blue/red hit 256)
+    """
+    v = rgb.astype(np.int64)
+    r, g, b = v[..., 0], v[..., 1], v[..., 2]
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) // 65536
+    cb = (-11059 * r - 21709 * g + 32768 * b + 8421376) // 65536
+    cr = (32768 * r - 27439 * g - 5329 * b + 8421376) // 65536
+    out = np.stack(
+        [y, np.minimum(cb, 255), np.minimum(cr, 255)], axis=-1
+    )
+    return out.astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: "np.ndarray") -> "np.ndarray":
+    """(..., 3) uint8 YCbCr -> (..., 3) uint8 RGB (full-range JFIF).
+    R = Y + 1.402 (Cr-128);  G = Y - 0.344136 (Cb-128) - 0.714136
+    (Cr-128);  B = Y + 1.772 (Cb-128); each clipped to [0, 255]."""
+    v = ycc.astype(np.int64)
+    y, cb, cr = v[..., 0], v[..., 1] - 128, v[..., 2] - 128
+    r = y + (91881 * cr + 32768 + 16777216) // 65536 - 256
+    g = y - ((22554 * cb + 46802 * cr + 32768 + 33554432) // 65536 - 512)
+    b = y + (116130 * cb + 32768 + 33554432) // 65536 - 512
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
@@ -151,6 +228,43 @@ class _BitWriter:
 # the encoder always emits the Annex-K tables — build their code maps once
 _ENC_DC_CODES = _canonical_codes(DC_BITS, DC_HUFFVAL)
 _ENC_AC_CODES = _canonical_codes(AC_BITS, AC_HUFFVAL)
+_ENC_DC_CHROMA_CODES = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_HUFFVAL)
+_ENC_AC_CHROMA_CODES = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_HUFFVAL)
+
+
+def _encode_block(
+    bw: "_BitWriter",
+    row: list[int],
+    dc_diff: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Entropy-code one zigzagged 8x8 block (T.81 F.1.2): differential
+    DC magnitude, then run-length AC with ZRL/EOB."""
+    s, amp = _magnitude(dc_diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    bw.write(amp, s)
+    run = 0
+    nz = [k for k in range(1, 64) if row[k]]
+    last_nonzero = nz[-1] if nz else 0
+    for k in range(1, last_nonzero + 1):
+        v = row[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s, amp = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(amp, s)
+        run = 0
+    if last_nonzero < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -202,33 +316,7 @@ def encode_jpeg(
     dcs = zzs[:, 0]
     diffs = np.diff(dcs, prepend=0)
     for b in range(len(zzs)):
-        row = zzs[b].tolist()
-        # DC: differential
-        s, amp = _magnitude(int(diffs[b]))
-        code, length = dc_codes[s]
-        bw.write(code, length)
-        bw.write(amp, s)
-        # AC: run-length of zeros in zigzag order
-        run = 0
-        nz = [k for k in range(1, 64) if row[k]]
-        last_nonzero = nz[-1] if nz else 0
-        for k in range(1, last_nonzero + 1):
-            v = row[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
-                run -= 16
-            s, amp = _magnitude(v)
-            code, length = ac_codes[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(amp, s)
-            run = 0
-        if last_nonzero < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
+        _encode_block(bw, zzs[b].tolist(), int(diffs[b]), dc_codes, ac_codes)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -254,6 +342,136 @@ def encode_jpeg(
         + entropy
         + b"\xff\xd9"  # EOI
     )
+
+
+def _fdct_quant_zz(plane: "np.ndarray", quant: int) -> "np.ndarray":
+    """(n, 8, 8) uint8 blocks -> (n, 64) int64 quantized zigzag
+    coefficients (batched orthonormal FDCT, level shift, flat quant)."""
+    coeffs = _A @ (plane.astype(np.float64) - 128.0) @ _A.T
+    return np.round(coeffs.reshape(-1, 64) / float(quant)).astype(np.int64)[:, ZIGZAG]
+
+
+def _blocks_of(plane: "np.ndarray") -> "np.ndarray":
+    """(H, W) -> (H//8 * W//8, 8, 8) raster-ordered 8x8 blocks."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg_color(
+    pixels: bytes,
+    width: int,
+    height: int,
+    *,
+    quant: int = 1,
+    subsampling: str = "420",
+) -> bytes:
+    """Encode raw 8-bit interleaved RGB pixels as a baseline sequential
+    COLOR JPEG (SOF0, 3-component YCbCr interleaved scan): Annex-K
+    luminance tables for Y, Annex-K chrominance tables for Cb/Cr, flat
+    quantization tables (id 0 luma, id 1 chroma, both ``quant``).
+
+    ``subsampling='420'`` is the ML-curation reality — 16x16 MCUs of
+    four Y blocks + one Cb + one Cr, chroma reduced by exact 2x2 mean
+    ((sum + 2) // 4); dimensions must be multiples of 16.
+    ``subsampling='444'`` keeps full chroma (8x8 MCUs, one block per
+    component); dimensions must be multiples of 8.
+
+    ``quant=1`` preserves MCU-constant images exactly: constant blocks
+    are DC-only in every plane, the 2x2 chroma mean of a constant is
+    that constant, so decode returns bit-identical YCbCr and the
+    integer fixed-point color chain (rgb_to_ycbcr / ycbcr_to_rgb) is
+    replayable hex-side — the greyscale exactness contract, extended
+    to three components."""
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"subsampling {subsampling!r} not in ('420', '444')")
+    mcu = 16 if subsampling == "420" else 8
+    if width % mcu or height % mcu or width == 0 or height == 0:
+        raise ValueError(
+            f"dimensions {width}x{height} not multiples of {mcu} "
+            f"(required for {subsampling} MCUs)"
+        )
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; {width * height * 3} expected"
+        )
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant {quant} outside [1, 255]")
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb)
+    y_plane = ycc[..., 0]
+    if subsampling == "420":
+        c = ycc.astype(np.int64)
+        # exact 2x2 mean, round-half-up — integer, engine-replayable
+        sub = (
+            c[0::2, 0::2, 1:] + c[0::2, 1::2, 1:] + c[1::2, 0::2, 1:] + c[1::2, 1::2, 1:] + 2
+        ) // 4
+        cb_plane = sub[..., 0].astype(np.uint8)
+        cr_plane = sub[..., 1].astype(np.uint8)
+        y_samp, c_samp = 0x22, 0x11
+    else:
+        cb_plane = ycc[..., 1]
+        cr_plane = ycc[..., 2]
+        y_samp, c_samp = 0x11, 0x11
+
+    y_zz = _fdct_quant_zz(_blocks_of(y_plane), quant)
+    cb_zz = _fdct_quant_zz(_blocks_of(cb_plane), quant)
+    cr_zz = _fdct_quant_zz(_blocks_of(cr_plane), quant)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_my, n_mx = height // mcu, width // mcu
+    y_bx = width // 8  # Y block-grid width
+    for my in range(n_my):
+        for mx in range(n_mx):
+            if subsampling == "420":
+                y_idx = [
+                    (2 * my + i) * y_bx + (2 * mx + j)
+                    for i in range(2)
+                    for j in range(2)
+                ]
+            else:
+                y_idx = [my * y_bx + mx]
+            for bi in y_idx:
+                row = y_zz[bi]
+                _encode_block(
+                    bw, row.tolist(), int(row[0]) - pred[0], _ENC_DC_CODES, _ENC_AC_CODES
+                )
+                pred[0] = int(row[0])
+            ci = my * n_mx + mx
+            for comp, zz in ((1, cb_zz), (2, cr_zz)):
+                row = zz[ci]
+                _encode_block(
+                    bw,
+                    row.tolist(),
+                    int(row[0]) - pred[comp],
+                    _ENC_DC_CHROMA_CODES,
+                    _ENC_AC_CHROMA_CODES,
+                )
+                pred[comp] = int(row[0])
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qbytes = bytes([quant]) * 64
+    dqt = seg(0xFFDB, bytes([0x00]) + qbytes + bytes([0x01]) + qbytes)
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, y_samp, 0, 2, c_samp, 1, 3, c_samp, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_HUFFVAL)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_HUFFVAL)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_HUFFVAL)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_HUFFVAL),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -312,12 +530,14 @@ def _receive_extend(reader: _BitReader, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline greyscale JPEG to ``(width, height, channels,
-    pixels)`` — raw 8-bit row-major samples, channels always 1 in this
-    subset. Raises ValueError on anything outside the supported subset
-    (progressive, multi-component, subsampling, restart intervals,
-    12-bit precision) so a payload the codec cannot faithfully decode
-    is an error, never a misread."""
+    """Decode a baseline JPEG to ``(width, height, channels, pixels)``
+    — raw 8-bit row-major samples. channels is 1 for greyscale, 3
+    (interleaved RGB, converted from YCbCr via the integer fixed-point
+    chain) for 3-component images in 4:4:4 or 4:2:0. Raises ValueError
+    on anything outside the supported subset (progressive, arithmetic
+    coding, restart intervals, 12-bit precision, other sampling-factor
+    combinations) so a payload the codec cannot faithfully decode is an
+    error, never a misread."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -325,7 +545,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     dc_tables: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {}
     ac_tables: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {}
     width = height = -1
-    comp_qtab = comp_dc = comp_ac = 0
+    ncomp = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, qtab id)
+    scan_dc: list[int] = []
+    scan_ac: list[int] = []
     sos_pos = -1
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -366,24 +589,36 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 )
                 b += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"{ncomp}-component JPEG unsupported; greyscale required"
+                    f"{ncomp}-component JPEG unsupported (greyscale or YCbCr)"
                 )
-            cid, sampling, comp_qtab = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("subsampling unsupported for 1 component")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
+            samp = tuple((h, v) for _, h, v, _ in comps)
+            if ncomp == 1:
+                if samp != ((1, 1),):
+                    raise ValueError("subsampling unsupported for 1 component")
+            elif samp not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
+                raise ValueError(
+                    f"sampling factors {samp} unsupported (4:4:4 or 4:2:0 only)"
+                )
             if width == 0 or height == 0:
                 raise ValueError("zero image dimension")
-            if width % 8 or height % 8:
+            mcu_w, mcu_h = 8 * comps[0][1], 8 * comps[0][2]
+            if width % mcu_w or height % mcu_h:
                 raise ValueError(
-                    f"dimensions {width}x{height} not multiples of 8 "
-                    f"(edge-padded images outside this subset)"
+                    f"dimensions {width}x{height} not multiples of "
+                    f"{mcu_w}x{mcu_h} (edge-padded images outside this subset)"
                 )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -396,13 +631,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xFFDA:  # SOS
-            if len(body) < 6:
+            if not comps:
+                raise ValueError("SOS before SOF0")
+            if len(body) < 1 + 2 * ncomp + 3:
                 raise ValueError("truncated SOS header")
             ns = body[0]
-            if ns != 1:
-                raise ValueError(f"{ns}-component scan unsupported")
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
+            if ns != ncomp:
+                raise ValueError(
+                    f"{ns}-component scan over {ncomp}-component frame "
+                    f"unsupported (one interleaved scan only)"
+                )
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                if cs != comps[c][0]:
+                    raise ValueError(
+                        "scan component order must match the frame header"
+                    )
+                scan_dc.append(tt >> 4)
+                scan_ac.append(tt & 0x0F)
             sos_pos = pos + 2 + length
             break
         # APPn / COM: skipped
@@ -411,13 +657,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing SOF0")
     if sos_pos < 0:
         raise ValueError("missing SOS")
-    if comp_qtab not in qtables:
-        raise ValueError(f"missing quantization table {comp_qtab}")
-    if comp_dc not in dc_tables or comp_ac not in ac_tables:
-        raise ValueError("missing Huffman table referenced by scan")
-    qtab = qtables[comp_qtab]
-    dc_val, dc_ln = _cached_lut16(dc_tables[comp_dc])
-    ac_val, ac_ln = _cached_lut16(ac_tables[comp_ac])
+    comp_q: list[np.ndarray] = []
+    comp_luts: list[tuple[list[int], list[int], list[int], list[int]]] = []
+    for c in range(ncomp):
+        tq = comps[c][3]
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        if scan_dc[c] not in dc_tables or scan_ac[c] not in ac_tables:
+            raise ValueError("missing Huffman table referenced by scan")
+        comp_q.append(qtables[tq])
+        dc_val, dc_ln = _cached_lut16(dc_tables[scan_dc[c]])
+        ac_val, ac_ln = _cached_lut16(ac_tables[scan_ac[c]])
+        comp_luts.append((dc_val, dc_ln, ac_val, ac_ln))
 
     # unstuff the whole entropy segment once (numpy): drop the 0x00
     # after each 0xFF data byte, cut at the first real marker — the bit
@@ -439,111 +690,145 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     buf = arr[:end][keep].tolist()
     buf_len = len(buf)
 
-    n_by, n_bx = height // 8, width // 8
-    n_blocks = n_by * n_bx
+    # per-component block grids; MCU geometry from the max sampling
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    n_mx, n_my = width // (8 * hmax), height // (8 * vmax)
+    grid: list[tuple[int, int]] = []  # (block-grid width, height) per comp
+    for _, h, v, _ in comps:
+        grid.append((n_mx * h, n_my * v))
+    blocks_per_mcu = sum(h * v for _, h, v, _ in comps)
+    n_mcus = n_my * n_mx
     # bound the coefficient allocation by what the entropy segment can
     # possibly code BEFORE allocating (the PNG codec's inflate-bomb
     # guard, twinned): every block costs at least 2 bits (1-bit DC
     # symbol + 1-bit EOB under the most degenerate legal tables), so a
     # tiny payload declaring a huge SOF0 is rejected, not materialized
-    if n_blocks * 2 > buf_len * 8 + 16:
+    if n_mcus * blocks_per_mcu * 2 > buf_len * 8 + 16:
         raise ValueError(
             "entropy segment too small for the declared dimensions"
         )
-    zzs = np.zeros((n_blocks, 64), dtype=np.int64)
-    prev_dc = 0
+    comp_zzs = [
+        np.zeros((gw * gh, 64), dtype=np.int64) for gw, gh in grid
+    ]
+    # flatten the MCU traversal into one block schedule per MCU:
+    # (component, sub-row, sub-col) in T.81 interleave order
+    mcu_order = [
+        (c, i, j)
+        for c in range(ncomp)
+        for i in range(comps[c][2])
+        for j in range(comps[c][1])
+    ]
+    prev_dc = [0] * ncomp
     acc = 0
     nbits = 0
     bi = 0
     overrun = ValueError("entropy stream ran past end of data")
-    for b in range(n_blocks):
-        row = zzs[b]
-        # --- DC symbol ---
-        while nbits < 16:  # peek16 (virtual zero-pad near stream end)
-            acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
-            bi += 1
-            nbits += 8
-        idx = (acc >> (nbits - 16)) & 0xFFFF
-        s = dc_val[idx]
-        length = dc_ln[idx]
-        if length == 0:
-            raise ValueError("invalid Huffman code in entropy stream")
-        if s > 11:
-            raise ValueError(f"DC size category {s} out of range")
-        nbits -= length
-        if s:
-            while nbits < s:
-                acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
-                bi += 1
-                nbits += 8
-            nbits -= s
-            v = (acc >> nbits) & ((1 << s) - 1)
-            if v < (1 << (s - 1)):
-                v -= (1 << s) - 1
-            prev_dc += v
-        if bi * 8 - nbits > buf_len * 8:
-            raise overrun
-        row[0] = prev_dc
-        acc &= (1 << nbits) - 1
-        # --- AC symbols ---
-        k = 1
-        while k < 64:
-            while nbits < 16:
+    for m in range(n_mcus):
+        my, mx = divmod(m, n_mx)
+        for c, i, j in mcu_order:
+            dc_val, dc_ln, ac_val, ac_ln = comp_luts[c]
+            gw = grid[c][0]
+            row = comp_zzs[c][(comps[c][2] * my + i) * gw + (comps[c][1] * mx + j)]
+            # --- DC symbol ---
+            while nbits < 16:  # peek16 (virtual zero-pad near stream end)
                 acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
                 bi += 1
                 nbits += 8
             idx = (acc >> (nbits - 16)) & 0xFFFF
-            rs = ac_val[idx]
-            length = ac_ln[idx]
+            s = dc_val[idx]
+            length = dc_ln[idx]
             if length == 0:
                 raise ValueError("invalid Huffman code in entropy stream")
+            if s > 11:
+                raise ValueError(f"DC size category {s} out of range")
             nbits -= length
-            run = rs >> 4
-            size = rs & 0x0F
-            if size == 0:
-                if bi * 8 - nbits > buf_len * 8:
-                    raise overrun
-                if run == 15:  # ZRL
-                    k += 16
-                    if k > 64:
-                        raise ValueError("AC run overflows the block")
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows the block")
-            while nbits < size:
-                acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
-                bi += 1
-                nbits += 8
-            nbits -= size
-            v = (acc >> nbits) & ((1 << size) - 1)
-            if v < (1 << (size - 1)):
-                v -= (1 << size) - 1
+            if s:
+                while nbits < s:
+                    acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                    bi += 1
+                    nbits += 8
+                nbits -= s
+                v = (acc >> nbits) & ((1 << s) - 1)
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                prev_dc[c] += v
             if bi * 8 - nbits > buf_len * 8:
                 raise overrun
-            row[k] = v
-            k += 1
-        acc &= (1 << nbits) - 1
+            row[0] = prev_dc[c]
+            acc &= (1 << nbits) - 1
+            # --- AC symbols ---
+            k = 1
+            while k < 64:
+                while nbits < 16:
+                    acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                    bi += 1
+                    nbits += 8
+                idx = (acc >> (nbits - 16)) & 0xFFFF
+                rs = ac_val[idx]
+                length = ac_ln[idx]
+                if length == 0:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                nbits -= length
+                run = rs >> 4
+                size = rs & 0x0F
+                if size == 0:
+                    if bi * 8 - nbits > buf_len * 8:
+                        raise overrun
+                    if run == 15:  # ZRL
+                        k += 16
+                        if k > 64:
+                            raise ValueError("AC run overflows the block")
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows the block")
+                while nbits < size:
+                    acc = (acc << 8) | (buf[bi] if bi < buf_len else 0)
+                    bi += 1
+                    nbits += 8
+                nbits -= size
+                v = (acc >> nbits) & ((1 << size) - 1)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                if bi * 8 - nbits > buf_len * 8:
+                    raise overrun
+                row[k] = v
+                k += 1
+            acc &= (1 << nbits) - 1
 
-    # dequantize + dezigzag + IDCT every block at once (matmul
-    # broadcasts over the block axis), then scatter the 8x8 grid back
-    # into raster order with one transpose
+    # dequantize + dezigzag + IDCT every block at once per component
+    # (matmul broadcasts over the block axis), then scatter each 8x8
+    # grid back into raster order with one transpose
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[ZIGZAG] = np.arange(64)
-    coeffs = (zzs * qtab[None, :])[:, inv_zz].astype(np.float64).reshape(
-        n_blocks, 8, 8
-    )
-    blocks = _A.T @ coeffs @ _A + 128.0
-    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
-    out = (
-        pix.reshape(n_by, n_bx, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(height, width)
-    )
+    planes: list[np.ndarray] = []
+    for c in range(ncomp):
+        gw, gh = grid[c]
+        coeffs = (comp_zzs[c] * comp_q[c][None, :])[:, inv_zz].astype(
+            np.float64
+        ).reshape(gw * gh, 8, 8)
+        blocks = _A.T @ coeffs @ _A + 128.0
+        pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+        planes.append(
+            pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
     # trailing EOI is advisory here: the MCU count fully determines the
     # scan, matching decoders that tolerate truncated tails
-    return width, height, 1, out.tobytes()
+    if ncomp == 1:
+        return width, height, 1, planes[0].tobytes()
+    # upsample chroma by sample replication to the luma grid, then the
+    # integer fixed-point YCbCr -> RGB chain
+    full = []
+    for c in range(3):
+        p = planes[c]
+        ry, rx = height // p.shape[0], width // p.shape[1]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p)
+    rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    return width, height, 3, rgb.tobytes()
 
 
 _LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], tuple[list[int], list[int]]] = {}

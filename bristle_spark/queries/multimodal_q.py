@@ -792,6 +792,71 @@ def m_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_band_pairs(hashes)
 
 
+_JPEG_RGB_ORACLE = """
+    WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
+    mc AS (
+        SELECT doc_id, m.k AS mcu_idx,
+               CAST('0x' || substr(hx, 6 * m.k + 1, 2) AS BIGINT) AS r0,
+               CAST('0x' || substr(hx, 6 * m.k + 3, 2) AS BIGINT) AS g0,
+               CAST('0x' || substr(hx, 6 * m.k + 5, 2) AS BIGINT) AS b0
+        FROM jb CROSS JOIN range(0, 4) m(k)
+    ),
+    -- forward integer fixed-point RGB -> YCbCr (jpeg.rgb_to_ycbcr):
+    -- every numerator is pre-biased positive, so // is the same floor
+    -- division in DuckDB BIGINT and numpy int64
+    ycc AS (
+        SELECT doc_id, mcu_idx,
+               (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536 AS y,
+               LEAST(255, (-11059 * r0 - 21709 * g0 + 32768 * b0 + 8421376) // 65536) AS cb,
+               LEAST(255, (32768 * r0 - 27439 * g0 - 5329 * b0 + 8421376) // 65536) AS cr
+        FROM mc
+    )
+    -- inverse chain (jpeg.ycbcr_to_rgb); the DCT roundtrip of the
+    -- MCU-constant planes is exact, so decoded YCbCr == encoded YCbCr
+    SELECT doc_id,
+           CAST(mcu_idx AS INT) AS mcu_idx,
+           CAST(LEAST(255, GREATEST(0,
+               y + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256))
+               AS BIGINT) AS r,
+           CAST(LEAST(255, GREATEST(0,
+               y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
+                     + 33554432) // 65536 - 512))) AS BIGINT) AS g,
+           CAST(LEAST(255, GREATEST(0,
+               y + (116130 * (cb - 128) + 32768 + 33554432) // 65536 - 512))
+               AS BIGINT) AS b,
+           CAST(1 AS BIGINT) AS n_colors
+    FROM ycc
+    ORDER BY doc_id, mcu_idx
+"""
+
+
+@register("m_jpeg_rgb_stats", oracle=_JPEG_RGB_ORACLE)
+def m_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color statistics through the REAL 4:2:0 color JPEG codec
+    (VERDICT r12 ask #5 — the ML-curation reality is 3-component
+    4:2:0, not greyscale): each document carries a genuine baseline
+    YCbCr JPEG whose four 16x16 MCUs are constant colors
+    (multimodal.attach_jpeg_rgb_payload), and the kernel decodes it —
+    3-component SOF0, interleaved MCU entropy decode with per-component
+    DC predictors and the Annex-K CHROMA Huffman tables, per-component
+    dequant/IDCT, chroma upsampling, integer fixed-point YCbCr->RGB —
+    then emits per-MCU channel minima and the distinct-color count.
+
+    Full-content witness: over MCU-constant fixtures a decode wrong in
+    ANY pixel either moves a channel min or pushes n_colors above 1,
+    and the oracle re-derives the exact decoded constants hex-side by
+    replaying the integer color chain (the constant-block exactness
+    contract extended to three components — the forward and inverse
+    transforms are pure BIGINT expressions with pre-biased-positive
+    numerators, identical under DuckDB // and numpy int64 //).
+
+    Scale shape: two partition-local mapInPandas stages (color-JPEG
+    wrap, decode+stats), zero shuffles before the presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_rgb_payload(d)
+    return multimodal.rgb_mcu_stats(payloads, mcu=16).orderBy("doc_id", "mcu_idx")
+
+
 EDGE_T = 96
 
 _EDGE_ORACLE = f"""

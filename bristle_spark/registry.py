@@ -65,7 +65,7 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ("t_tuple_codec", "r_lttb_downsample")
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: round-13 additions ---
-    # (new keys land here as the round progresses)
+    "m_jpeg_rgb_stats",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -121,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_prefix_dedup",
     "l_score_calibration",
     "l_weighted_sample",
-    "l_winnow_fingerprint",
 )
 
 

@@ -160,11 +160,18 @@ def test_progressive_and_multicomponent_rejected_not_misread():
     progressive = bytes(blob[:sof]) + b"\xff\xc2" + bytes(blob[sof + 2 :])
     with pytest.raises(ValueError, match="SOF0 only"):
         decode_jpeg(progressive)
-    # 3-component SOF0 header
+    # 3-component SOF0 header on a 1-component segment: the declared
+    # component list overruns the body (3 components are supported
+    # since round 13, but a lying header is still a payload error)
     multi = bytearray(blob)
     multi[sof + 9] = 3  # ncomp byte of SOF0 body
-    with pytest.raises(ValueError, match="greyscale required"):
+    with pytest.raises(ValueError, match="truncated SOF0 component list"):
         decode_jpeg(bytes(multi))
+    # 2-component frames remain outside the subset
+    two = bytearray(blob)
+    two[sof + 9] = 2
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(bytes(two))
 
 
 def test_restart_interval_rejected():
@@ -306,3 +313,118 @@ def test_arbitrary_bytes_never_crash_decoder(blob):
             decode_jpeg(candidate)
         except ValueError:
             pass
+
+
+# --------------------------------------------------- color (round 13)
+
+
+def _mcu_rgb(seed: int, n: int = 2, mcu: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    consts = rng.integers(0, 256, (n, n, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(consts, mcu, axis=0), mcu, axis=1)
+
+
+def test_color_420_mcu_constant_exact():
+    """The three-component exactness contract: an MCU-constant RGB
+    image roundtrips to exactly ycbcr_to_rgb(rgb_to_ycbcr(rgb)) — the
+    DCT/quant/entropy chain is bit-transparent, only the (replayable)
+    integer color transforms touch the values."""
+    from bristle_spark.multimodal.jpeg import (
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rgb = _mcu_rgb(7)
+    w, h, c, px = decode_jpeg(encode_jpeg_color(rgb.tobytes(), 32, 32))
+    assert (w, h, c) == (32, 32, 3)
+    dec = np.frombuffer(px, np.uint8).reshape(32, 32, 3)
+    assert (dec == ycbcr_to_rgb(rgb_to_ycbcr(rgb))).all()
+    # and every MCU decodes constant
+    for my in range(2):
+        for mx in range(2):
+            tile = dec[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+            assert (tile == tile[0, 0]).all()
+
+
+def test_color_444_block_constant_exact():
+    from bristle_spark.multimodal.jpeg import (
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rgb = _mcu_rgb(11, mcu=8)
+    w, h, c, px = decode_jpeg(
+        encode_jpeg_color(rgb.tobytes(), 16, 16, subsampling="444")
+    )
+    assert (w, h, c) == (16, 16, 3)
+    dec = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+    assert (dec == ycbcr_to_rgb(rgb_to_ycbcr(rgb))).all()
+
+
+def test_color_420_lossy_noise_bounded_on_smooth_image():
+    """A chroma-smooth gradient survives 4:2:0 within a small bound
+    (luma untouched by subsampling; chroma varies slowly)."""
+    from bristle_spark.multimodal.jpeg import encode_jpeg_color
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rgb = np.stack(
+        [(4 * yy).astype(np.uint8), (4 * xx).astype(np.uint8),
+         np.full((32, 32), 96, np.uint8)],
+        axis=-1,
+    )
+    _, _, _, px = decode_jpeg(encode_jpeg_color(rgb.tobytes(), 32, 32))
+    dec = np.frombuffer(px, np.uint8).reshape(32, 32, 3)
+    err = np.abs(dec.astype(np.int64) - rgb.astype(np.int64)).max()
+    assert err <= 12, err
+
+
+def test_color_fixed_point_transforms_match_float_reference():
+    """The integer fixed-point transforms track the T.871 float math
+    within 1 LSB on every representable color (sampled grid)."""
+    from bristle_spark.multimodal.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+
+    g = np.arange(0, 256, 17, dtype=np.uint8)
+    rgb = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    ycc = rgb_to_ycbcr(rgb).astype(np.float64)
+    r, gg, b = (rgb[:, i].astype(np.float64) for i in range(3))
+    ref_y = 0.299 * r + 0.587 * gg + 0.114 * b
+    ref_cb = np.minimum(255, 128 - 0.168736 * r - 0.331264 * gg + 0.5 * b)
+    ref_cr = np.minimum(255, 128 + 0.5 * r - 0.418688 * gg - 0.081312 * b)
+    assert np.abs(ycc[:, 0] - ref_y).max() <= 1.0
+    assert np.abs(ycc[:, 1] - ref_cb).max() <= 1.0
+    assert np.abs(ycc[:, 2] - ref_cr).max() <= 1.0
+    back = ycbcr_to_rgb(rgb_to_ycbcr(rgb)).astype(np.int64)
+    assert np.abs(back - rgb.astype(np.int64)).max() <= 2
+
+
+def test_color_bad_inputs_rejected():
+    from bristle_spark.multimodal.jpeg import encode_jpeg_color
+
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg_color(b"\x00" * (24 * 24 * 3), 24, 24)
+    with pytest.raises(ValueError, match="expected"):
+        encode_jpeg_color(b"\x00" * 100, 32, 32)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_color(b"\x00" * (32 * 32 * 3), 32, 32, subsampling="422")
+
+
+def test_color_422_sampling_rejected_by_decoder():
+    """An unsupported sampling-factor combination (4:2:2) is a payload
+    error, never a misread."""
+    from bristle_spark.multimodal.jpeg import encode_jpeg_color
+
+    blob = bytearray(encode_jpeg_color(_mcu_rgb(3).tobytes(), 32, 32))
+    sof = bytes(blob).index(b"\xff\xc0")
+    blob[sof + 11] = 0x21  # Y sampling 2x1
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(blob))
+
+
+def test_color_greyscale_decoder_unchanged_on_grey_payloads():
+    """The 1-component fast path still returns channels=1 (the graded
+    m_jpeg_* keys' contract) after the multi-component generalization."""
+    img = _block_image([10, 80, 160, 250])
+    w, h, c, px = decode_jpeg(encode_jpeg(img, 16, 16))
+    assert (w, h, c, px) == (16, 16, 1, img)

@@ -124,6 +124,8 @@ SCALE_FAMILY = [
     "t_tuple_codec",
     "r_runs_test",
     "t_date32_codec",
+    # round-13: the 4:2:0 color-JPEG codec pass is partition-local
+    "m_jpeg_rgb_stats",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
