@@ -331,6 +331,7 @@ HEADLINE = [
     "t_date32_codec",
     # round-13 additions
     "m_jpeg_rgb_stats",
+    "r_geo_distance",
 ]
 
 

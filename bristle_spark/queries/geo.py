@@ -2,10 +2,11 @@
 
 The ClickHouse deployment story ships geo functions (geohashEncode,
 pointInPolygon, greatCircleDistance); this module covers the EXACT-
-geometry members of that family — the ones whose math is integer end
-to end, so the DuckDB oracle matches bit-for-bit (trig-based distance
-is deliberately out: libm sin/cos is not correctly rounded, so no
-cross-engine contract can hold; a deployment reaches a UDF for it).
+geometry members of that family with bit-exact DuckDB oracles, plus
+the FLOAT member (r_geo_distance, round 13) as a ROWS-ONLY key: libm
+sin/cos is not correctly rounded, so trig can never enter a hash
+oracle — instead it pins to an independent numpy haversine within
+stated bounds (tests/test_geo_distance.py, the l_pagerank pattern).
 
 Coordinates are micro-degree BIGINTs derived from the shared md5 hash
 (lat in [-90e6, 90e6), lon in [-180e6, 180e6)), so both engines
@@ -414,4 +415,98 @@ def r_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
             F.sum(contained.cast("int")).cast("bigint").alias("n_contained"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_geo_distance — the FLOAT member of the geo family (rows-only)
+
+# fixed hub set (well-known city coordinates, micro-degree-exact
+# literals so both the Spark plan and the numpy pin share them)
+GEO_HUBS: tuple[tuple[str, float, float], ...] = (
+    ("london", 51.507400, -0.127800),
+    ("new_york", 40.712800, -74.006000),
+    ("tokyo", 35.689500, 139.691700),
+    ("sydney", -33.868800, 151.209300),
+    ("sao_paulo", -23.550500, -46.633300),
+    ("johannesburg", -26.204100, 28.047300),
+)
+
+R_EARTH_M = 6_371_000.0  # mean Earth radius (the ClickHouse constant)
+
+
+@register("r_geo_distance", oracle=None)
+def r_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) nearest-hub rollup — the ClickHouse
+    ``greatCircleDistance`` family member this module's header excludes
+    from the hash-oracle surface (libm trig is not correctly rounded,
+    so no bit-exact cross-engine contract can hold; VERDICT r12 ask
+    #4). Registered ROWS-ONLY on the l_pagerank pattern: the driver
+    checks shape, and tests/test_geo_distance.py pins every value to
+    an independent numpy haversine within stated bounds.
+
+    Per event: distance from the hash-derived point to each of the
+    {len(GEO_HUBS)} fixed hubs (2R·asin(√(sin²(Δφ/2) +
+    cosφ₁cosφ₂sin²(Δλ/2))), R = 6371 km), nearest hub wins (ties →
+    lowest hub id via the struct ordering). Distances quantize to
+    INTEGER meters per row before any aggregation, so the per-hub
+    rollup (count / min / max / exact BIGINT sum) is shuffle-order-
+    independent — the only float steps are row-local trig, which is
+    exactly the part the tolerance contract covers.
+
+    Scale shape: the hub table is a plan literal (array of structs —
+    nothing to broadcast), the trig is whole-stage-codegen JVM math
+    (no Python), and the rollup is ONE map-side-combined aggregation
+    to {len(GEO_HUBS)} rows. One corpus scan, one shuffle of
+    {len(GEO_HUBS)}-key partials."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    la = F.radians(_lat_col().cast("double") / F.lit(1_000_000.0))
+    lo = F.radians(_lon_col().cast("double") / F.lit(1_000_000.0))
+    pts = ev.select(la.alias("la"), lo.alias("lo"))
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(2.0 * R_EARTH_M)
+                    * F.asin(
+                        F.sqrt(
+                            F.pow(F.sin((F.col("la") - F.lit(math.radians(hlat))) / 2), 2)
+                            + F.cos(F.col("la"))
+                            * F.lit(math.cos(math.radians(hlat)))
+                            * F.pow(
+                                F.sin((F.col("lo") - F.lit(math.radians(hlon))) / 2), 2
+                            )
+                        )
+                    )
+                ).alias("d"),
+                F.lit(i).alias("hub"),
+            )
+            for i, (_name, hlat, hlon) in enumerate(GEO_HUBS)
+        ]
+    )
+    best = pts.select(F.array_min(cands).alias("b"))
+    names = F.array(*[F.lit(name) for name, _la, _lo in GEO_HUBS])
+    quant = best.select(
+        F.col("b.hub").alias("hub_id"),
+        F.floor(F.col("b.d") + F.lit(0.5)).cast("bigint").alias("dm"),
+    )
+    return (
+        quant.groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("dm").alias("min_m"),
+            F.max("dm").alias("max_m"),
+            F.sum("dm").alias("sum_m"),
+        )
+        .select(
+            F.element_at(names, F.col("hub_id") + 1).alias("hub"),
+            "n",
+            "min_m",
+            "max_m",
+            "sum_m",
+            F.round(F.col("sum_m") / F.col("n") / 1000.0, 3).alias("mean_km"),
+        )
+        .orderBy("hub")
     )
