@@ -332,6 +332,10 @@ HEADLINE = [
     # round-13 additions
     "m_jpeg_rgb_stats",
     "r_geo_distance",
+    "r_kendall_tau",
+    "t_lowcardinality_codec",
+    "t_map_codec",
+    "l_dedup_url",
 ]
 
 

@@ -3046,3 +3046,179 @@ def l_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).cast("bigint").alias("n_moved_in"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_dedup_url — URL canonicalization dedup (the CommonCrawl hygiene pass)
+
+
+@register(
+    "l_dedup_url",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               'src-' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS hb
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+               || (CASE WHEN doc_id % 5 = 0
+                        THEN upper(CASE WHEN doc_id % 3 = 0 THEN 'www.' || hb ELSE hb END)
+                        ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' || hb ELSE hb END) END)
+               || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || '?'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN 'utm_source=' || source || '&id=' || CAST(doc_id % 200 AS VARCHAR)
+                             || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE 'id=' || CAST(doc_id % 200 AS VARCHAR)
+                             || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+                             || '&utm_source=' || source END)
+               || (CASE WHEN doc_id % 3 > 0
+                        THEN '#p' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+        FROM b
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               string_split(url, '#')[1] AS base
+        FROM u
+    ),
+    split2 AS (
+        SELECT doc_id, url,
+               string_split(base, '?')[1] AS pre,
+               CASE WHEN len(string_split(base, '?')) > 1
+                    THEN string_split(base, '?')[2] ELSE '' END AS q
+        FROM parts
+    ),
+    canon0 AS (
+        SELECT doc_id, url,
+               regexp_replace(lower(regexp_extract(pre, '^https?://([^/]+)', 1)),
+                              '^www\\.', '') AS chost,
+               regexp_replace(COALESCE(regexp_extract(pre, '^https?://[^/]+(/.*)$', 1), ''),
+                              '/+$', '') AS cpath0,
+               list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+        FROM split2
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/#?]+)', 1) AS raw_host,
+               'https://' || chost
+               || (CASE WHEN cpath0 = '' THEN '/' ELSE cpath0 END)
+               || (CASE WHEN len(params) > 0
+                        THEN '?' || COALESCE(array_to_string(params, '&'), '')
+                        ELSE '' END) AS curl
+        FROM canon0
+    )
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(count(DISTINCT raw_host) AS BIGINT) AS n_hosts
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) >= 2
+    """,
+)
+def l_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the hygiene pass every web-crawl
+    curation pipeline runs BEFORE content dedup (CommonCrawl re-crawls
+    the same page under scheme/case/www/trailing-slash/tracking-param/
+    fragment variants; canonicalizing collapses them without touching
+    the text).  URLs here are derived deterministically from doc_id so
+    both engines build the identical fixture: scheme flips http/https,
+    the host gains 'www.' and UPPERCASE variants, the path a trailing
+    slash, the query carries utm_* tracking params in varying ORDER
+    around a stable id param, and a #fragment rides along.
+
+    The canonicalizer (applied to the URL STRING, not the parts):
+    scheme -> https, host lowercased and 'www.'-stripped, trailing
+    slashes trimmed (empty path -> '/'), fragment dropped, utm_*
+    params dropped, surviving params SORTED.  Groups of 2+ variants
+    emit (canonical_url, n_variants, keeper = min doc_id, n_dropped,
+    n_hosts folded) — the keep-first discipline of l_dedup_exact.
+
+    Determinism: pure string/regex/array expressions on both engines
+    (ASCII, so lower()/sort order agree); the empty-params branch is
+    COALESCE-guarded (DuckDB's array_to_string of an empty list is
+    NULL — the IPv6 lesson).
+
+    Scale shape: row-local canonicalization (zero joins), then ONE
+    map-side-combined aggregation keyed on the canonical string —
+    identical to l_dedup_exact's plan; the 100 TB fix for hot
+    canonical URLs (a viral page) is the same count/min partial
+    combine, which this plan already is."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hb = F.concat(F.lit("src-"), (did % 50).cast("string"), F.lit(".example.com"))
+    host = F.when(did % 3 == 0, F.concat(F.lit("www."), hb)).otherwise(hb)
+    host = F.when(did % 5 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    path = F.concat(
+        F.lit("/docs/"),
+        (did % 100).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    idp = F.concat(F.lit("id="), (did % 200).cast("string"))
+    utm1 = F.concat(F.lit("utm_source="), F.col("source"))
+    utm2 = F.concat(F.lit("utm_campaign=c"), (did % 7).cast("string"))
+    query = F.when(
+        did % 2 == 0, F.concat_ws("&", utm1, idp, utm2)
+    ).otherwise(F.concat_ws("&", idp, utm2, utm1))
+    frag = F.when(
+        did % 3 > 0, F.concat(F.lit("#p"), (did % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    urls = d.select(
+        "doc_id",
+        F.concat(scheme, host, path, F.lit("?"), query, frag).alias("url"),
+    )
+
+    base = F.element_at(F.split(F.col("url"), "#"), 1)
+    pre = F.element_at(F.split(base, r"\?"), 1)
+    q = F.when(
+        F.size(F.split(base, r"\?")) > 1, F.element_at(F.split(base, r"\?"), 2)
+    ).otherwise(F.lit(""))
+    chost = F.regexp_replace(
+        F.lower(F.regexp_extract(pre, r"^https?://([^/]+)", 1)), r"^www\.", ""
+    )
+    cpath0 = F.regexp_replace(
+        F.regexp_extract(pre, r"^https?://[^/]+(/.*)$", 1), r"/+$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+        )
+    )
+    curl = F.concat(
+        F.lit("https://"),
+        chost,
+        F.when(cpath0 == "", F.lit("/")).otherwise(cpath0),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.coalesce(F.array_join(params, "&"), F.lit(""))),
+        ).otherwise(F.lit("")),
+    )
+    canon = urls.select(
+        "doc_id",
+        F.regexp_extract(F.col("url"), r"^https?://([^/#?]+)", 1).alias("raw_host"),
+        curl.alias("curl"),
+    )
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+            F.countDistinct("raw_host").cast("bigint").alias("n_hosts"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .select(
+            F.col("curl").alias("canonical_url"),
+            "n_variants",
+            "keeper",
+            "n_dropped",
+            "n_hosts",
+        )
+    )

@@ -1237,3 +1237,171 @@ def r_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         r6((F.col("r_runs").cast("double") - mu) / F.sqrt(var)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_kendall_tau
+
+KENDALL_Y_BUCKETS = 10
+
+
+@register(
+    "r_kendall_tau",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               event_id
+        FROM events
+    ),
+    bucketed AS (
+        SELECT event_type, x,
+               ({KENDALL_Y_BUCKETS} * (row_number() OVER
+                    (PARTITION BY event_type ORDER BY vc, event_id) - 1))
+                   // (count(*) OVER (PARTITION BY event_type)) AS y
+        FROM src
+    ),
+    cells AS (
+        SELECT event_type, x, y, CAST(count(*) AS BIGINT) AS m
+        FROM bucketed GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(COALESCE(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                                      THEN a.m * b.m END), 0) AS BIGINT) AS nc,
+               CAST(COALESCE(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                                      THEN a.m * b.m END), 0) AS BIGINT) AS nd
+        FROM cells a JOIN cells b ON a.event_type = b.event_type
+        GROUP BY 1
+    ),
+    tots AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY 1),
+    txs AS (
+        SELECT event_type, CAST(sum(rm * (rm - 1) // 2) AS BIGINT) AS tx
+        FROM (SELECT event_type, x, sum(m) AS rm FROM cells GROUP BY 1, 2) r
+        GROUP BY 1
+    ),
+    tys AS (
+        SELECT event_type, CAST(sum(cm * (cm - 1) // 2) AS BIGINT) AS ty
+        FROM (SELECT event_type, y, sum(m) AS cm FROM cells GROUP BY 1, 2) c
+        GROUP BY 1
+    )
+    SELECT p.event_type, n, nc, nd, tx, ty,
+           {r6_sql('CAST(nc - nd AS DOUBLE) / (sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)) * sqrt(CAST(n * (n - 1) // 2 - ty AS DOUBLE)))')} AS tau_b
+    FROM pairs p
+    JOIN tots USING (event_type)
+    JOIN txs USING (event_type)
+    JOIN tys USING (event_type)
+    WHERE n * (n - 1) // 2 - tx > 0 AND n * (n - 1) // 2 - ty > 0
+    """,
+)
+def r_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation tau-b per event type between hour-of-day
+    and the value's exact within-type decile — the third member of the
+    rank-association family (Pearson in r_stats_agg, Spearman rho in
+    r_spearman_corr; tau's pairwise-concordance form is the one robust
+    to monotone transforms AND interpretable as a probability).  Both
+    margins are BOUNDED (24 hours x {KENDALL_Y_BUCKETS} deciles), so
+    concordant/discordant pairs come EXACTLY off the contingency grid:
+    C = sum over cell pairs (a, b) with b.x > a.x, b.y > a.y of
+    m_a * m_b, D likewise with b.y < a.y, and the tie terms come from
+    the row/column margins — never an observation-pair join.
+
+    Determinism: deciles are (K * (row_number - 1)) DIV n on the exact
+    (vc, event_id) order — integer on both engines; C/D/tie counts are
+    exact BIGINTs (nc <= n^2/2: int64-safe through ~3e9 rows per
+    type); the single double step is the final ratio whose sqrt is
+    IEEE-correctly-rounded on both sides (the r_runs_test contract).
+
+    Scale shape: the corpus collapses in ONE exchange (the decile
+    window's event_type partitioning also satisfies the cell groupBy —
+    grouping keys are a superset); everything after operates on the
+    <= 240-cell-per-type frame: a broadcast self-join over cell pairs
+    and three margin rollups, all bounded by |types| * 240 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    bucketed = src.select(
+        "event_type",
+        "x",
+        F.expr(
+            f"({KENDALL_Y_BUCKETS} * (row_number() OVER "
+            f"(PARTITION BY event_type ORDER BY vc, event_id) - 1)) DIV "
+            f"(count(*) OVER (PARTITION BY event_type))"
+        ).alias("y"),
+    )
+    cells = (
+        bucketed.groupBy("event_type", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .persist()
+    )
+    a = cells.select("event_type", F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("m").alias("am"))
+    b = cells.select("event_type", F.col("x").alias("bx"), F.col("y").alias("by"), F.col("m").alias("bm"))
+    pairs = (
+        a.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+                        F.col("am") * F.col("bm"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+                        F.col("am") * F.col("bm"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nd"),
+        )
+    )
+    tots = cells.groupBy("event_type").agg(F.sum("m").cast("bigint").alias("n"))
+    txs = (
+        cells.groupBy("event_type", "x")
+        .agg(F.sum("m").alias("rm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("rm * (rm - 1) DIV 2")).cast("bigint").alias("tx"))
+    )
+    tys = (
+        cells.groupBy("event_type", "y")
+        .agg(F.sum("m").alias("cm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("cm * (cm - 1) DIV 2")).cast("bigint").alias("ty"))
+    )
+    n0 = F.expr("n * (n - 1) DIV 2")
+    return (
+        pairs.join(tots, "event_type")
+        .join(txs, "event_type")
+        .join(tys, "event_type")
+        .filter((n0 - F.col("tx") > 0) & (n0 - F.col("ty") > 0))
+        .select(
+            "event_type",
+            "n",
+            "nc",
+            "nd",
+            "tx",
+            "ty",
+            r6(
+                (F.col("nc") - F.col("nd")).cast("double")
+                / (
+                    F.sqrt((n0 - F.col("tx")).cast("double"))
+                    * F.sqrt((n0 - F.col("ty")).cast("double"))
+                )
+            ).alias("tau_b"),
+        )
+    )

@@ -919,3 +919,177 @@ def t_date32_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (days_back == F.col("days")).cast("int").alias("roundtrip_ok"),
         (F.col("days") < 0).cast("int").alias("pre_epoch"),
     )
+
+
+# ------------------------------------------------- LowCardinality codec
+# ClickHouse's LowCardinality(String) wraps a column in a dictionary:
+# a dense index per distinct value plus the dictionary itself.  The
+# dictionary order here is LEXICOGRAPHIC (deterministic on any engine
+# and any partitioning — ClickHouse's own insertion order is load-order
+# -dependent, which no distributed recompute can pin).
+
+
+@register(
+    "t_lowcardinality_codec",
+    oracle="""
+    WITH dvals AS (SELECT DISTINCT event_type AS v FROM events),
+    dict AS (
+        SELECT a.v, CAST(count(b.v) AS BIGINT) AS id
+        FROM dvals a LEFT JOIN dvals b ON b.v < a.v
+        GROUP BY a.v
+    ),
+    sz AS (SELECT CAST(count(*) AS BIGINT) AS dict_size FROM dvals)
+    SELECT e.event_id, e.event_type,
+           enc.id AS dict_id,
+           dec.v AS decoded,
+           CAST(CASE WHEN dec.v = e.event_type THEN 1 ELSE 0 END AS INT)
+               AS roundtrip_ok,
+           sz.dict_size,
+           CAST(CASE WHEN sz.dict_size <= 256 THEN 1 ELSE 0 END AS INT)
+               AS fits_uint8
+    FROM events e
+    JOIN dict enc ON enc.v = e.event_type
+    JOIN dict dec ON dec.id = enc.id
+    CROSS JOIN sz
+    """,
+)
+def t_lowcardinality_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse LowCardinality(String) codec semantics: the column's
+    distinct values form a dictionary (lexicographic ids — see module
+    note on why not insertion order), every row encodes to its dense
+    dict id, decodes back through the dictionary, and a per-row witness
+    confirms the roundtrip; dict_size / fits_uint8 report whether the
+    index fits ClickHouse's one-byte fast path.
+
+    The dictionary id is computed WITHOUT a global window (a
+    partition-less rank would serialize the build at scale): id(v) =
+    |{u in dict : u < v}| via a tiny self-join on the distinct frame —
+    exact, associative, and identical SQL-side.  Encode and decode are
+    broadcast joins against that dictionary.
+
+    Scale shape: one map-side-combined distinct over the corpus (the
+    dictionary, |types| rows), a |dict|^2 self-join on that tiny frame,
+    then two broadcast joins back to the scan — the corpus never
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    dvals = ev.select(F.col("event_type").alias("v")).distinct()
+    a = dvals.select(F.col("v"))
+    b = dvals.select(F.col("v").alias("u"))
+    dict_df = (
+        a.join(F.broadcast(b), F.col("u") < F.col("v"), "left")
+        .groupBy("v")
+        .agg(F.count("u").cast("bigint").alias("id"))
+    )
+    sz = dvals.agg(F.count(F.lit(1)).cast("bigint").alias("dict_size"))
+    enc = dict_df.select(F.col("v").alias("enc_v"), F.col("id").alias("dict_id"))
+    dec = dict_df.select(F.col("id").alias("dec_id"), F.col("v").alias("decoded"))
+    return (
+        ev.select("event_id", "event_type")
+        .join(F.broadcast(enc), F.col("event_type") == F.col("enc_v"))
+        .join(F.broadcast(dec), F.col("dict_id") == F.col("dec_id"))
+        .crossJoin(F.broadcast(sz))
+        .select(
+            "event_id",
+            "event_type",
+            "dict_id",
+            "decoded",
+            (F.col("decoded") == F.col("event_type")).cast("int").alias("roundtrip_ok"),
+            "dict_size",
+            (F.col("dict_size") <= 256).cast("int").alias("fits_uint8"),
+        )
+    )
+
+
+# --------------------------------------------------------- Map codec
+# ClickHouse's Map(String, UInt64) renders as {'k1':v1,'k2':v2} text.
+# Completes the composite text-codec branch (Tuple in t_tuple_codec,
+# Array/Map storage in t_array_ops / t_map_to_arrays); keys are
+# rendered in sorted order so the text form is deterministic.
+
+
+@register(
+    "t_map_codec",
+    oracle=r"""
+    WITH m AS (
+        SELECT event_id,
+               CAST(hour(ts) AS BIGINT) AS h,
+               CAST(length(event_type) AS BIGINT) AS t,
+               CAST(user_id % 256 AS BIGINT) AS u
+        FROM events
+    ),
+    txt AS (
+        SELECT event_id, h, t, u,
+               '{''h'':' || CAST(h AS VARCHAR)
+               || ',''t'':' || CAST(t AS VARCHAR)
+               || ',''u'':' || CAST(u AS VARCHAR) || '}' AS map_str
+        FROM m
+    )
+    SELECT event_id, map_str,
+           TRY_CAST(NULLIF(regexp_extract(map_str,
+               '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 1), '') AS BIGINT) AS h_back,
+           TRY_CAST(NULLIF(regexp_extract(map_str,
+               '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 2), '') AS BIGINT) AS t_back,
+           TRY_CAST(NULLIF(regexp_extract(map_str,
+               '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 3), '') AS BIGINT) AS u_back,
+           CAST(CASE WHEN TRY_CAST(NULLIF(regexp_extract(map_str,
+                              '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 1), '') AS BIGINT) = h
+                      AND TRY_CAST(NULLIF(regexp_extract(map_str,
+                              '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 2), '') AS BIGINT) = t
+                      AND TRY_CAST(NULLIF(regexp_extract(map_str,
+                              '^\{''h'':(\d+),''t'':(\d+),''u'':(\d+)\}$', 3), '') AS BIGINT) = u
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+    FROM txt
+    """,
+)
+def t_map_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Map(String, UInt64) text I/O: a three-entry map
+    derived from the row ({'h': hour, 't': len(event_type),
+    'u': user_id % 256}) renders as ClickHouse's Values/text form —
+    single-quoted keys, sorted key order — and parses back through an
+    anchored regex with a per-field roundtrip witness.  Completes the
+    composite text-codec branch begun by t_tuple_codec (whose NULL-safe
+    fail-branch discipline this inherits: Spark's '' -> NULL cast is
+    mirrored by TRY_CAST(NULLIF(.., '')) and roundtrip_ok is
+    CASE-style on both engines).
+
+    Pure string/regex row-local expressions, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("h"),
+        F.length("event_type").cast("bigint").alias("t"),
+        (F.col("user_id") % 256).cast("bigint").alias("u"),
+    )
+    txt = m.select(
+        "event_id",
+        "h",
+        "t",
+        "u",
+        F.concat(
+            F.lit("{'h':"),
+            F.col("h").cast("string"),
+            F.lit(",'t':"),
+            F.col("t").cast("string"),
+            F.lit(",'u':"),
+            F.col("u").cast("string"),
+            F.lit("}"),
+        ).alias("map_str"),
+    )
+    pat = r"^\{'h':(\d+),'t':(\d+),'u':(\d+)\}$"
+    h_back = F.regexp_extract("map_str", pat, 1).cast("bigint")
+    t_back = F.regexp_extract("map_str", pat, 2).cast("bigint")
+    u_back = F.regexp_extract("map_str", pat, 3).cast("bigint")
+    return txt.select(
+        "event_id",
+        "map_str",
+        h_back.alias("h_back"),
+        t_back.alias("t_back"),
+        u_back.alias("u_back"),
+        F.when(
+            (h_back == F.col("h")) & (t_back == F.col("t")) & (u_back == F.col("u")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )

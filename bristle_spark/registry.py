@@ -66,6 +66,10 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ("t_tuple_codec", "r_lttb_downsample")
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: round-13 additions ---
     "m_jpeg_rgb_stats",
+    "r_kendall_tau",
+    "t_lowcardinality_codec",
+    "t_map_codec",
+    "l_dedup_url",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -117,10 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_mmr_diversify",
     "l_ngram_novelty",
     "l_oov_rate",
-    "l_perplexity_filter",
-    "l_prefix_dedup",
-    "l_score_calibration",
-    "l_weighted_sample",
 )
 
 

@@ -124,8 +124,15 @@ SCALE_FAMILY = [
     "t_tuple_codec",
     "r_runs_test",
     "t_date32_codec",
-    # round-13: the 4:2:0 color-JPEG codec pass is partition-local
+    # round-13: the 4:2:0 color-JPEG codec pass is partition-local;
+    # the tau grid / dictionary / canonical-URL group are bounded or
+    # map-side-combined frames the partition knob must not touch
     "m_jpeg_rgb_stats",
+    "r_kendall_tau",
+    "t_lowcardinality_codec",
+    "t_map_codec",
+    "l_dedup_url",
+    "r_geo_distance",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
