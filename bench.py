@@ -336,6 +336,7 @@ HEADLINE = [
     "t_lowcardinality_codec",
     "t_map_codec",
     "l_dedup_url",
+    "r_skyline",
 ]
 
 

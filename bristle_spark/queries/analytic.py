@@ -3755,3 +3755,93 @@ def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("uniq_upto"),
         (F.col("exact_u") > UNIQ_UP_TO_N).cast("int").alias("saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_skyline — Pareto-front (dominance) analytics
+
+
+@register(
+    "r_skyline",
+    oracle="""
+    WITH src AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, event_id, vc, day,
+               max(day) OVER (PARTITION BY event_type
+                              ORDER BY vc DESC, day DESC, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS runmax
+        FROM src
+    ),
+    front AS (
+        SELECT * FROM run WHERE runmax IS NULL OR runmax < day
+    )
+    SELECT event_type, event_id,
+           vc AS value_cents,
+           day AS day_idx,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY vc DESC, day, event_id)
+                AS BIGINT) AS front_rank
+    FROM front
+    """,
+)
+def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front extraction per event type over the
+    (value, recency) plane: an event is on the front iff no other event
+    of the same type has BOTH value >= and day >= it (one strictly) —
+    the "best trade-offs" query of recommendation and market analytics
+    (maximal points, dominance pruning).
+
+    One pass, no pairwise join: ordered by (value DESC, day DESC,
+    event_id), a point is dominated exactly when the RUNNING MAX of
+    day over all preceding rows reaches its own day — preceding rows
+    are precisely the candidates with value >= (strictly greater, or
+    equal with later day), so the window test IS the dominance test.
+    Duplicate (value, day) pairs keep their lowest event_id (the
+    keep-first discipline); the surviving front is strictly decreasing
+    in value and strictly increasing in day by construction, which
+    front_rank witnesses.
+
+    Determinism: integer cents and day indexes, total ordering pinned
+    by event_id — no floats anywhere.
+
+    Scale shape: ONE window partitioned by event_type (never global)
+    plus a tiny rank over the surviving front (expected O(log n) points
+    per type for independent dimensions). The 100 TB refinement for a
+    single monster type is the standard two-phase skyline: per-
+    partition local fronts first (this same expression), then the
+    union's front — both phases are this operator."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("vc"), F.desc("day"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = src.select(
+        "event_type", "event_id", "vc", "day", F.max("day").over(w).alias("runmax")
+    )
+    front = run.filter(F.col("runmax").isNull() | (F.col("runmax") < F.col("day")))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("vc"), F.asc("day"), F.asc("event_id")
+    )
+    return front.select(
+        "event_type",
+        "event_id",
+        F.col("vc").alias("value_cents"),
+        F.col("day").alias("day_idx"),
+        F.row_number().over(w_rank).cast("bigint").alias("front_rank"),
+    )

@@ -133,6 +133,7 @@ SCALE_FAMILY = [
     "t_map_codec",
     "l_dedup_url",
     "r_geo_distance",
+    "r_skyline",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
