@@ -337,6 +337,7 @@ HEADLINE = [
     "t_map_codec",
     "l_dedup_url",
     "r_skyline",
+    "l_ann_list_balance",
 ]
 
 

@@ -2586,3 +2586,97 @@ def l_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hits_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_ann_list_balance — IVF inverted-list balance QA
+
+
+@register(
+    "l_ann_list_balance",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql("e.v", "cent.cv")}, 6) DESC, cent.cid
+                   ) AS arn
+            FROM e, cent
+        ) WHERE arn = 1
+    ),
+    lists AS (
+        SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assign GROUP BY cid
+    ),
+    tot AS (
+        SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+               CAST(sum(n_vectors * n_vectors) AS BIGINT) AS sq,
+               CAST(max(n_vectors) AS BIGINT) AS mx
+        FROM lists
+    )
+    SELECT cluster_id, n_vectors,
+           CAST(n_vectors * 1000000 // tot.n AS BIGINT) AS share_ppm,
+           {r6_sql(f'CAST(n_vectors AS DOUBLE) * {IVF_CENTROIDS} / tot.n')} AS skew_vs_uniform,
+           CAST(tot.sq * 1000000 // (tot.n * tot.n) AS BIGINT) AS expected_scan_ppm,
+           {r6_sql(f'CAST(tot.mx AS DOUBLE) * {IVF_CENTROIDS} / tot.n')} AS hottest_skew
+    FROM lists CROSS JOIN tot
+    """,
+)
+def l_ann_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance QA — the diagnostic that decides
+    whether an IVF index will hot-spot at scale: per coarse cell, the
+    list size, its corpus share (exact ppm), and its skew vs the
+    uniform ideal; plus two corpus-level figures repeated per row —
+    the expected scan fraction at nprobe=1 under query-follows-data
+    (sum of squared shares, exact ppm: the probability a random query
+    lands in a cell TIMES that cell's share of the corpus) and the
+    hottest cell's skew (the straggler bound: the slowest search
+    worker does hottest_skew x the average work).
+
+    Assignment is EXACTLY l_ann_ivf's (round-6dp max-cosine, ties to
+    the smallest centroid id), so this key also re-witnesses the
+    assignment the whole IVF family builds on.
+
+    Determinism: counts and ppm shares are exact BIGINT (ppm division
+    is integer floor on both engines); the two ratio columns divide
+    exact integers once per row.
+
+    Scale shape: the 16-row centroid table broadcasts; assignment is
+    the map-side cross join every IVF key uses (no shuffle before the
+    16-key count rollup, which map-side combines); the balance math
+    runs on the 16-row lists frame."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") == 1)
+    )
+    lists = assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    tot = lists.agg(
+        F.sum("n_vectors").cast("bigint").alias("n"),
+        F.sum(F.col("n_vectors") * F.col("n_vectors")).cast("bigint").alias("sq"),
+        F.max("n_vectors").cast("bigint").alias("mx"),
+    )
+    return lists.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_vectors",
+        F.expr("n_vectors * 1000000 DIV n").cast("bigint").alias("share_ppm"),
+        r6(F.col("n_vectors").cast("double") * IVF_CENTROIDS / F.col("n")).alias(
+            "skew_vs_uniform"
+        ),
+        F.expr("sq * 1000000 DIV (n * n)").cast("bigint").alias("expected_scan_ppm"),
+        r6(F.col("mx").cast("double") * IVF_CENTROIDS / F.col("n")).alias(
+            "hottest_skew"
+        ),
+    )

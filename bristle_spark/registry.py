@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_map_codec",
     "l_dedup_url",
     "r_skyline",
+    "l_ann_list_balance",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_mips_topk",
     "l_mixture_sampler",
     "l_mmr_diversify",
-    "l_ngram_novelty",
 )
 
 

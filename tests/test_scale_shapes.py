@@ -134,6 +134,7 @@ SCALE_FAMILY = [
     "l_dedup_url",
     "r_geo_distance",
     "r_skyline",
+    "l_ann_list_balance",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
