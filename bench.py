@@ -338,6 +338,7 @@ HEADLINE = [
     "l_dedup_url",
     "r_skyline",
     "l_ann_list_balance",
+    "s_stream_skyline",
 ]
 
 

@@ -3761,9 +3761,9 @@ def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r_skyline — Pareto-front (dominance) analytics
 
 
-@register(
-    "r_skyline",
-    oracle="""
+# Shared with s_stream_skyline: the streamed front-of-fronts merge
+# must land the SAME final state this batch SQL defines.
+SKYLINE_ORACLE_SQL = """
     WITH src AS (
         SELECT event_type, event_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
@@ -3789,8 +3789,58 @@ def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY vc DESC, day, event_id)
                 AS BIGINT) AS front_rank
     FROM front
-    """,
-)
+    """
+
+
+def skyline_points(ev: DataFrame) -> DataFrame:
+    """(event_type, event_id, vc, day) frame every skyline consumer
+    derives from raw events — shared so the batch and streaming keys
+    can never disagree on the plane."""
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+
+
+def skyline_front(src: DataFrame) -> DataFrame:
+    """The dominance filter: survivors of a (event_type, event_id, vc,
+    day) frame under (vc, day) maximization — the running-max window
+    test r_skyline documents.  Used per micro-batch AND at serve time
+    by s_stream_skyline (front-of-fronts equals the global front by
+    dominance transitivity), so it must stay a pure frame->frame
+    function."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("vc"), F.desc("day"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = src.select(
+        "event_type", "event_id", "vc", "day", F.max("day").over(w).alias("runmax")
+    )
+    return run.filter(
+        F.col("runmax").isNull() | (F.col("runmax") < F.col("day"))
+    ).drop("runmax")
+
+
+def skyline_present(front: DataFrame) -> DataFrame:
+    """Presentation columns + front_rank over a (tiny) front frame."""
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("vc"), F.asc("day"), F.asc("event_id")
+    )
+    return front.select(
+        "event_type",
+        "event_id",
+        F.col("vc").alias("value_cents"),
+        F.col("day").alias("day_idx"),
+        F.row_number().over(w_rank).cast("bigint").alias("front_rank"),
+    )
+
+
+@register("r_skyline", oracle=SKYLINE_ORACLE_SQL)
 def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-front extraction per event type over the
     (value, recency) plane: an event is on the front iff no other event
@@ -3818,30 +3868,4 @@ def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition local fronts first (this same expression), then the
     union's front — both phases are this operator."""
     ev = load_table(spark, sf_dir, "events")
-    src = ev.select(
-        "event_type",
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.desc("vc"), F.desc("day"), F.asc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run = src.select(
-        "event_type", "event_id", "vc", "day", F.max("day").over(w).alias("runmax")
-    )
-    front = run.filter(F.col("runmax").isNull() | (F.col("runmax") < F.col("day")))
-    w_rank = Window.partitionBy("event_type").orderBy(
-        F.desc("vc"), F.asc("day"), F.asc("event_id")
-    )
-    return front.select(
-        "event_type",
-        "event_id",
-        F.col("vc").alias("value_cents"),
-        F.col("day").alias("day_idx"),
-        F.row_number().over(w_rank).cast("bigint").alias("front_rank"),
-    )
+    return skyline_present(skyline_front(skyline_points(ev)))

@@ -1823,3 +1823,63 @@ def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inside_share"
         ),
     )
+
+
+# ------------------------------------------------- streaming skyline
+# Mergeable-by-dominance state: the Pareto front is a front-of-fronts
+# (a dominated point can never become undominated when more points
+# arrive, and any dominator of a discarded point either survives its
+# own batch's front or is dominated by a survivor — transitivity), so
+# per-batch LOCAL fronts are the partials and the serve-time merge is
+# the SAME dominance filter over their union.
+
+from bristle_spark.queries.analytic import (  # noqa: E402
+    SKYLINE_ORACLE_SQL,
+    skyline_front,
+    skyline_points,
+    skyline_present,
+)
+
+
+@register("s_stream_skyline", oracle=SKYLINE_ORACLE_SQL)
+def s_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Pareto front: each micro-batch reduces
+    its events to the batch-LOCAL skyline (the r_skyline dominance
+    window, imported verbatim) and lands only those candidate points;
+    the served front re-applies the same filter to the union of
+    partials.  front(∪ front(batch_i)) = front(∪ batch_i) by dominance
+    transitivity, and the duplicate-(value, day) representative rule
+    (keep lowest event_id) composes the same way — a global-front
+    point is on every batch front that contains it, so its global
+    minimum id always survives to the merge.  Oracle-backed against
+    the SAME batch SQL as r_skyline: the streamed front must land the
+    batch-defined final state exactly, including across crash/restart
+    replay.  Unlike the additive partial keys, this merge is also
+    IDEMPOTENT — a re-landed duplicate point ties with its twin and is
+    absorbed by the dominance pass — so the operator is safe under
+    at-least-once delivery, not just exactly-once; the checkpointed
+    file offsets still provide exactly-once, but the hash here
+    witnesses state recovery (stage-1 partials surviving the restart),
+    not double-landing.
+
+    Scale shape: per-batch dominance windows partition by event_type
+    and see only that batch's rows; partials are expected O(log n)
+    points per type per batch, so the serve-time pass runs on a
+    |batches| x |types| x O(log n) frame — never the corpus twice."""
+    work = _workdir(sf_dir, "skyline")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        skyline_front(skyline_points(df)).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    partials = spark.read.parquet(out_dir)
+    return skyline_present(skyline_front(partials))

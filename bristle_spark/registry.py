@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_dedup_url",
     "r_skyline",
     "l_ann_list_balance",
+    "s_stream_skyline",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_matryoshka_eval",
     "l_mips_topk",
     "l_mixture_sampler",
-    "l_mmr_diversify",
 )
 
 

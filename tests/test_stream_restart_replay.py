@@ -49,6 +49,7 @@ STATEFUL_KEYS = [
     "s_stream_histogram_quantiles",
     "s_stream_join",
     "s_stream_rollup",
+    "s_stream_skyline",
     "s_stream_topk",
     "s_stream_upsert",
 ]
