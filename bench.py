@@ -339,6 +339,8 @@ HEADLINE = [
     "r_skyline",
     "l_ann_list_balance",
     "s_stream_skyline",
+    "t_array_codec",
+    "r_conversion_wilson_ci",
 ]
 
 

@@ -1405,3 +1405,77 @@ def r_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r_conversion_wilson_ci
+
+_WILSON_Z = "1.96"      # 95% two-sided normal quantile, shared literal
+_WILSON_ZZ = "3.8416"   # z^2, shared DECIMAL literal (identical parse on
+                        # both engines — never computed as z*z at runtime)
+WILSON_SUCCESS_CENTS = 5000
+
+
+@register(
+    "r_conversion_wilson_ci",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN floor(value * 100 + 0.5) >= {WILSON_SUCCESS_CENTS}
+                                THEN 1 END) AS BIGINT) AS successes
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, successes,
+           {r6_sql('CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)')} AS p_hat,
+           {r6_sql(f'((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) + {_WILSON_ZZ} / (2.0 * CAST(n AS DOUBLE)) - {_WILSON_Z} * sqrt((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + {_WILSON_ZZ} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + {_WILSON_ZZ} / CAST(n AS DOUBLE))')} AS wilson_lo,
+           {r6_sql(f'((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) + {_WILSON_ZZ} / (2.0 * CAST(n AS DOUBLE)) + {_WILSON_Z} * sqrt((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + {_WILSON_ZZ} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + {_WILSON_ZZ} / CAST(n AS DOUBLE))')} AS wilson_hi
+    FROM agg
+    """,
+)
+def r_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) on a per-type success rate — the
+    uncertainty-aware conversion metric every experimentation dashboard
+    puts beside the point estimate (and what ClickHouse users build
+    from countIf/avg by hand).  Success = event value >= {WILSON_SUCCESS_CENTS}
+    cents; the interval is the Wilson form, which stays inside [0, 1]
+    and behaves at small n where the Wald interval collapses.
+
+    Determinism: n and successes are exact BIGINTs; p̂ and the interval
+    are ONE double expression per output column built from +, −, ×, ÷
+    and sqrt — all IEEE-correctly-rounded operations — in identical
+    operand order on both engines, with z and z² as shared DECIMAL
+    LITERALS (never computed), so the doubles agree bit-for-bit before
+    the shared 6-dp rounding.  This is the boundary of the exactness
+    policy: algebraic ops + sqrt are portable; transcendentals (erf,
+    ln) are not and stay out (the geo/entropy rule).
+
+    Scale shape: one map-side-combined aggregation to |event_types|
+    rows; the interval math runs on the tiny aggregate frame."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(
+            F.when(
+                F.floor(F.col("value") * 100 + F.lit(0.5)) >= WILSON_SUCCESS_CENTS,
+                F.lit(1),
+            )
+        )
+        .cast("bigint")
+        .alias("successes"),
+    )
+    p = F.expr("CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)")
+    nd = F.expr("CAST(n AS DOUBLE)")
+    zz = F.expr(_WILSON_ZZ)
+    z = F.expr(_WILSON_Z)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / nd + zz / (F.lit(4.0) * nd * nd))
+    denom = F.lit(1.0) + zz / nd
+    center_num = p + zz / (F.lit(2.0) * nd)
+    return agg.select(
+        "event_type",
+        "n",
+        "successes",
+        r6(p).alias("p_hat"),
+        r6((center_num - half) / denom).alias("wilson_lo"),
+        r6((center_num + half) / denom).alias("wilson_hi"),
+    )

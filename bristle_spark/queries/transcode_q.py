@@ -1093,3 +1093,98 @@ def t_map_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------- Array codec
+# ClickHouse's Array(Int64) renders as [v1,v2,v3] text.  Third member
+# of the composite text-codec trio (Tuple, Map, Array) — bracketed,
+# unquoted, comma-joined, parsed back through an anchored regex.
+
+
+@register(
+    "t_array_codec",
+    oracle=r"""
+    WITH a AS (
+        SELECT event_id,
+               CAST(event_id % 7 AS BIGINT) AS a0,
+               CAST(user_id % 5 AS BIGINT) AS a1,
+               CAST(length(event_type) AS BIGINT) AS a2
+        FROM events
+    ),
+    txt AS (
+        SELECT event_id, a0, a1, a2,
+               '[' || CAST(a0 AS VARCHAR) || ',' || CAST(a1 AS VARCHAR)
+                   || ',' || CAST(a2 AS VARCHAR) || ']' AS arr_str
+        FROM a
+    )
+    SELECT event_id, arr_str,
+           TRY_CAST(NULLIF(regexp_extract(arr_str,
+               '^\[(\d+),(\d+),(\d+)\]$', 1), '') AS BIGINT) AS a0_back,
+           TRY_CAST(NULLIF(regexp_extract(arr_str,
+               '^\[(\d+),(\d+),(\d+)\]$', 2), '') AS BIGINT) AS a1_back,
+           TRY_CAST(NULLIF(regexp_extract(arr_str,
+               '^\[(\d+),(\d+),(\d+)\]$', 3), '') AS BIGINT) AS a2_back,
+           CAST(len(string_split(trim(arr_str, '[]'), ',')) AS BIGINT) AS n_elems,
+           CAST(CASE WHEN TRY_CAST(NULLIF(regexp_extract(arr_str,
+                              '^\[(\d+),(\d+),(\d+)\]$', 1), '') AS BIGINT) = a0
+                      AND TRY_CAST(NULLIF(regexp_extract(arr_str,
+                              '^\[(\d+),(\d+),(\d+)\]$', 2), '') AS BIGINT) = a1
+                      AND TRY_CAST(NULLIF(regexp_extract(arr_str,
+                              '^\[(\d+),(\d+),(\d+)\]$', 3), '') AS BIGINT) = a2
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+    FROM txt
+    """,
+)
+def t_array_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Array(Int64) text I/O: a three-element array derived
+    from the row renders as the bracketed Values/text form and parses
+    back through an anchored regex with per-element witnesses plus an
+    element-count check (split on the comma, brackets trimmed).
+    Completes the composite text-codec trio (t_tuple_codec, t_map_codec)
+    and inherits their NULL-safe fail-branch discipline.
+
+    Pure string/regex row-local expressions, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_id",
+        (F.col("event_id") % 7).cast("bigint").alias("a0"),
+        (F.col("user_id") % 5).cast("bigint").alias("a1"),
+        F.length("event_type").cast("bigint").alias("a2"),
+    )
+    txt = a.select(
+        "event_id",
+        "a0",
+        "a1",
+        "a2",
+        F.concat(
+            F.lit("["),
+            F.col("a0").cast("string"),
+            F.lit(","),
+            F.col("a1").cast("string"),
+            F.lit(","),
+            F.col("a2").cast("string"),
+            F.lit("]"),
+        ).alias("arr_str"),
+    )
+    pat = r"^\[(\d+),(\d+),(\d+)\]$"
+    backs = [F.regexp_extract("arr_str", pat, i).cast("bigint") for i in (1, 2, 3)]
+    n_elems = F.size(F.split(F.expr("trim(BOTH '[]' FROM arr_str)"), ",")).cast(
+        "bigint"
+    )
+    return txt.select(
+        "event_id",
+        "arr_str",
+        backs[0].alias("a0_back"),
+        backs[1].alias("a1_back"),
+        backs[2].alias("a2_back"),
+        n_elems.alias("n_elems"),
+        F.when(
+            (backs[0] == F.col("a0"))
+            & (backs[1] == F.col("a1"))
+            & (backs[2] == F.col("a2")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )

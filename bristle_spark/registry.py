@@ -73,6 +73,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_skyline",
     "l_ann_list_balance",
     "s_stream_skyline",
+    "t_array_codec",
+    "r_conversion_wilson_ci",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -119,8 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_lang_confusion",
     "l_lang_id_eval",
     "l_matryoshka_eval",
-    "l_mips_topk",
-    "l_mixture_sampler",
 )
 
 

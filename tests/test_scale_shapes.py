@@ -135,6 +135,8 @@ SCALE_FAMILY = [
     "r_geo_distance",
     "r_skyline",
     "l_ann_list_balance",
+    "t_array_codec",
+    "r_conversion_wilson_ci",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
