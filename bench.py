@@ -341,6 +341,8 @@ HEADLINE = [
     "s_stream_skyline",
     "t_array_codec",
     "r_conversion_wilson_ci",
+    "r_anova_oneway",
+    "r_levene_brown_forsythe",
 ]
 
 

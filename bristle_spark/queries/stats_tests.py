@@ -1479,3 +1479,269 @@ def r_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((center_num - half) / denom).alias("wilson_lo"),
         r6((center_num + half) / denom).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r_anova_oneway / r_levene_brown_forsythe
+
+# Per-group sum-of-squares terms are quantized to CENTI units
+# (floor-free divmod: ipart*100 + rem*100 DIV n) before the cross-group
+# BIGINT sum — a double sum over even a 5-row frame is shuffle-order-
+# dependent, so the quantization IS the defined semantics (the
+# r_cramers_v discipline), identical on both engines and bounding the
+# SS error by |groups| * 0.005.  Values center on a FIXED literal (not
+# the data mean) so every divmod numerator is a positive square and
+# floor-vs-trunc division can never diverge.
+_ANOVA_CENTER = 5000  # cents; mid-range literal, shared by both engines
+
+
+def _ss_centi_sql(t: str, n: str) -> str:
+    """BIGINT centi-units of t^2 / n (t may be negative; t^2 is not).
+    Fully parenthesized: the expression is spliced after minus signs."""
+    return f"((({t} * {t}) // {n}) * 100 + ((({t} * {t}) % {n}) * 100) // {n})"
+
+
+@register(
+    "r_anova_oneway",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER}) AS BIGINT) AS t,
+               CAST(sum((CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})
+                        * (CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})) AS BIGINT) AS sdd
+        FROM events GROUP BY event_type
+    ),
+    terms AS (
+        SELECT event_type, n, t, sdd,
+               {_ss_centi_sql('t', 'n')} AS bterm_centi,
+               sdd * 100 - {_ss_centi_sql('t', 'n')} AS wterm_centi
+        FROM m WHERE n >= 2
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(t) AS BIGINT) AS tt,
+               CAST(sum(bterm_centi) AS BIGINT) AS sb0,
+               CAST(sum(wterm_centi) AS BIGINT) AS ssw_centi
+        FROM terms
+    )
+    SELECT k, nn AS n,
+           CAST(sb0 - {_ss_centi_sql('tt', 'nn')} AS BIGINT) AS ssb_centi,
+           ssw_centi,
+           {r6_sql('(CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (k - 1)) / (CAST(ssw_centi AS DOUBLE) / (nn - k))')} AS f_stat,
+           {r6_sql('CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) + CAST(ssw_centi AS DOUBLE))')} AS eta_squared
+    FROM tot
+    WHERE k >= 2 AND nn > k AND ssw_centi > 0
+    """,
+)
+def r_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types on the event value (BIGINT
+    cents): between/within sums of squares, the F statistic, and
+    eta-squared effect size — the k-group generalization of
+    r_welch_ttest's pairwise screen.
+
+    Exactness: per-group sufficient statistics (n, Σd, Σd² around the
+    FIXED {_ANOVA_CENTER}-cent center) reduce in one map-side-combined
+    pass as exact BIGINTs; SSB = Σ Tᵢ²/nᵢ − T²/N and SSW = Σdᵢ² −
+    Tᵢ²/nᵢ are assembled from CENTI-quantized integer terms (see
+    module note), so no cross-row double sum exists anywhere; F and η²
+    are single double ratios of those integers.
+
+    Int64 headroom (the r_welch_ttest note, tightened by the squaring
+    of group sums): Tᵢ² ≤ (nᵢ·C)² with C = max |cents − {_ANOVA_CENTER}|
+    ≈ 5·10³ stays inside 2⁶³ up to nᵢ ≈ 6·10⁵ rows per group; past
+    that, pre-aggregate per (group, day) first (the r_lttb daily
+    compression) or widen the center pass — documented, not silent.
+
+    Scale shape: ONE map-side-combined aggregation to |event_types|
+    rows; everything after runs on that bounded frame (a 1-row total
+    via a second tiny aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - F.lit(
+        _ANOVA_CENTER
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d).cast("bigint").alias("t"),
+        F.sum(d * d).cast("bigint").alias("sdd"),
+    )
+
+    def ss_centi(t: str, n: str):
+        return F.expr(
+            f"(({t} * {t}) DIV {n}) * 100 + ((({t} * {t}) % {n}) * 100) DIV {n}"
+        )
+
+    terms = m.filter(F.col("n") >= 2).select(
+        "n",
+        "t",
+        ss_centi("t", "n").alias("bterm_centi"),
+        (F.col("sdd") * 100 - ss_centi("t", "n")).alias("wterm_centi"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("t").cast("bigint").alias("tt"),
+        F.sum("bterm_centi").cast("bigint").alias("sb0"),
+        F.sum("wterm_centi").cast("bigint").alias("ssw_centi"),
+    )
+    ssb = (F.col("sb0") - ss_centi("tt", "nn")).cast("bigint")
+    return (
+        tot.filter(
+            (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ssw_centi") > 0)
+        )
+        .select(
+            "k",
+            F.col("nn").alias("n"),
+            ssb.alias("ssb_centi"),
+            "ssw_centi",
+            r6(
+                (ssb.cast("double") / (F.col("k") - 1))
+                / (F.col("ssw_centi").cast("double") / (F.col("nn") - F.col("k")))
+            ).alias("f_stat"),
+            r6(
+                ssb.cast("double") / (ssb.cast("double") + F.col("ssw_centi").cast("double"))
+            ).alias("eta_squared"),
+        )
+    )
+
+
+_BF_CENTER = 10000  # half-cent units; |2*vc - med2| mid-range literal
+
+
+@register(
+    "r_levene_brown_forsythe",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM src
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN vc END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN vc END) AS BIGINT) AS med2
+        FROM ranked GROUP BY event_type
+    ),
+    z AS (
+        SELECT s.event_type,
+               abs(2 * s.vc - med.med2) - {_BF_CENTER} AS d
+        FROM src s JOIN med ON med.event_type = s.event_type
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS t,
+               CAST(sum(d * d) AS BIGINT) AS sdd
+        FROM z GROUP BY event_type
+    ),
+    terms AS (
+        SELECT n, t,
+               {_ss_centi_sql('t', 'n')} AS bterm_centi,
+               sdd * 100 - {_ss_centi_sql('t', 'n')} AS wterm_centi
+        FROM m WHERE n >= 2
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(t) AS BIGINT) AS tt,
+               CAST(sum(bterm_centi) AS BIGINT) AS sb0,
+               CAST(sum(wterm_centi) AS BIGINT) AS ssw_centi
+        FROM terms
+    )
+    SELECT k, nn AS n,
+           CAST(sb0 - {_ss_centi_sql('tt', 'nn')} AS BIGINT) AS ssb_centi,
+           ssw_centi,
+           {r6_sql('(CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (k - 1)) / (CAST(ssw_centi AS DOUBLE) / (nn - k))')} AS w_stat
+    FROM tot
+    WHERE k >= 2 AND nn > k AND ssw_centi > 0
+    """,
+)
+def r_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with MEDIAN centers) for
+    equality of variances across event types — the robust
+    variance-homogeneity screen run before trusting r_anova_oneway's
+    pooled-variance F (scipy's ``levene(center='median')``).  Each
+    value maps to its absolute deviation from the group MEDIAN, then
+    the one-way ANOVA F of those deviations is the W statistic.
+
+    Exactness: the group median is rank-exact (sum of the two middle
+    order statistics, so z = |2·vc − med2| stays a half-cent BIGINT —
+    no .5 ever materializes); the SS assembly is the shared
+    centi-quantized integer machinery of r_anova_oneway (no cross-row
+    double sums), and W is one double ratio.
+
+    Scale shape: the rank window and BOTH aggregations share the
+    event_type partitioning (one corpus exchange); the median table is
+    a |types|-row broadcast back to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    ranked = src.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    med = ranked.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("vc")))
+            + F.sum(F.when(F.col("rn") == hi, F.col("vc")))
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    d = (F.abs(2 * F.col("vc") - F.col("med2")) - F.lit(_BF_CENTER)).alias("d")
+    z = src.join(F.broadcast(med), "event_type").select("event_type", d)
+    m = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("t"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+
+    def ss_centi(t: str, n: str):
+        return F.expr(
+            f"((({t} * {t}) DIV {n}) * 100 + ((({t} * {t}) % {n}) * 100) DIV {n})"
+        )
+
+    terms = m.filter(F.col("n") >= 2).select(
+        "n",
+        "t",
+        ss_centi("t", "n").alias("bterm_centi"),
+        (F.col("sdd") * 100 - ss_centi("t", "n")).alias("wterm_centi"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("t").cast("bigint").alias("tt"),
+        F.sum("bterm_centi").cast("bigint").alias("sb0"),
+        F.sum("wterm_centi").cast("bigint").alias("ssw_centi"),
+    )
+    ssb = (F.col("sb0") - ss_centi("tt", "nn")).cast("bigint")
+    return (
+        tot.filter(
+            (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ssw_centi") > 0)
+        )
+        .select(
+            "k",
+            F.col("nn").alias("n"),
+            ssb.alias("ssb_centi"),
+            "ssw_centi",
+            r6(
+                (ssb.cast("double") / (F.col("k") - 1))
+                / (F.col("ssw_centi").cast("double") / (F.col("nn") - F.col("k")))
+            ).alias("w_stat"),
+        )
+    )

@@ -75,6 +75,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_skyline",
     "t_array_codec",
     "r_conversion_wilson_ci",
+    "r_anova_oneway",
+    "r_levene_brown_forsythe",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -119,8 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_hard_negatives",
     "l_inverted_index",
     "l_lang_confusion",
-    "l_lang_id_eval",
-    "l_matryoshka_eval",
 )
 
 

@@ -137,6 +137,8 @@ SCALE_FAMILY = [
     "l_ann_list_balance",
     "t_array_codec",
     "r_conversion_wilson_ci",
+    "r_anova_oneway",
+    "r_levene_brown_forsythe",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
