@@ -343,6 +343,7 @@ HEADLINE = [
     "r_conversion_wilson_ci",
     "r_anova_oneway",
     "r_levene_brown_forsythe",
+    "r_cuped_variance_reduction",
 ]
 
 

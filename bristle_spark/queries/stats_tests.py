@@ -1745,3 +1745,99 @@ def r_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r_cuped_variance_reduction
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period = days before this literal
+
+
+@register(
+    "r_cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(sum(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS x,
+               CAST(COALESCE(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per_user
+    )
+    SELECT n, sx, sy,
+           {r6_sql('(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)')} AS theta,
+           {r6_sql('(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * n)')} AS var_post,
+           {r6_sql('((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))')} AS rho_squared,
+           {r6_sql('1.0 - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))')} AS var_reduction_ratio
+    FROM m
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+)
+def r_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) readout
+    — the variance-reduction computation every experimentation platform
+    runs before an A/B test: per user, pre-period spend (before
+    {_CUPED_SPLIT}) is the covariate x and experiment-period spend the
+    metric y; theta = cov(x, y)/var(x) is the adjustment coefficient
+    and the adjusted metric's variance shrinks by exactly rho^2, the
+    squared pre/post correlation (var_reduction_ratio = 1 - rho^2 is
+    what remains).
+
+    Exactness: per-user x/y are exact BIGINT cents from one map-side-
+    combined pass; the five moments (Σx, Σy, Σx², Σxy, Σy²) reduce as
+    exact BIGINTs (x, y ≤ ~10⁶ cents keeps Σx² inside 2⁶³ to ~10⁹
+    users); theta / var / rho² are single double expressions over
+    those integers on a 1-row frame — no cross-row float sums (the
+    n·Σxy − Σx·Σy forms evaluate in DOUBLE because (Σx)² alone would
+    overflow int64, and identical operand order keeps both engines
+    bit-equal before rounding).
+
+    Scale shape: one user-keyed aggregation (map-side combined), one
+    1-row moment rollup — two exchanges total, both combiner-friendly."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts").cast("date") < split, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts").cast("date") >= split, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return (
+        m.filter((F.col("n") >= 2) & (varx_n > 0) & (vary_n > 0))
+        .select(
+            "n",
+            "sx",
+            "sy",
+            r6(cov_n / varx_n).alias("theta"),
+            r6(vary_n / (nd * F.col("n"))).alias("var_post"),
+            r6(rho2).alias("rho_squared"),
+            r6(F.lit(1.0) - rho2).alias("var_reduction_ratio"),
+        )
+    )

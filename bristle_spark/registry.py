@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_conversion_wilson_ci",
     "r_anova_oneway",
     "r_levene_brown_forsythe",
+    "r_cuped_variance_reduction",
     # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
     "t_tuple_codec",
     "r_lttb_downsample",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_gopher_rules",
     "l_hard_negatives",
     "l_inverted_index",
-    "l_lang_confusion",
 )
 
 

@@ -139,6 +139,7 @@ SCALE_FAMILY = [
     "r_conversion_wilson_ci",
     "r_anova_oneway",
     "r_levene_brown_forsythe",
+    "r_cuped_variance_reduction",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
