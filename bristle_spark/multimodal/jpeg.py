@@ -120,6 +120,18 @@ AC_CHROMA_HUFFVAL = [
 # same floor division in numpy int64, DuckDB BIGINT `//`, and Spark
 # `DIV` — no negative-division semantics can diverge across engines.
 
+# the FIX(x)*2^16 coefficient set, exported so oracles splice THESE
+# values (one source — a retune here must flow into every hex-side
+# replay, review r13): forward (Y, Cb, Cr row weights + bias) and
+# inverse (per-channel chroma weights + positivity bias + bias/65536)
+YCC_FWD_Y = (19595, 38470, 7471, 32768)
+YCC_FWD_CB = (-11059, -21709, 32768, 8421376)
+YCC_FWD_CR = (32768, -27439, -5329, 8421376)
+YCC_INV_R = (91881, 16777216, 256)          # R = Y + (wr*cr + 32768 + bias)//65536 - bias//65536
+YCC_INV_G = (22554, 46802, 33554432, 512)   # G = Y - ((wcb*cb + wcr*cr + 32768 + bias)//65536 - bias//65536)
+YCC_INV_B = (116130, 33554432, 512)         # B = Y + (wb*cb + 32768 + bias)//65536 - bias//65536
+
+
 def rgb_to_ycbcr(rgb: "np.ndarray") -> "np.ndarray":
     """(..., 3) uint8 RGB -> (..., 3) uint8 YCbCr (full-range JFIF).
     Y  = 0.299 R + 0.587 G + 0.114 B
@@ -128,9 +140,10 @@ def rgb_to_ycbcr(rgb: "np.ndarray") -> "np.ndarray":
     """
     v = rgb.astype(np.int64)
     r, g, b = v[..., 0], v[..., 1], v[..., 2]
-    y = (19595 * r + 38470 * g + 7471 * b + 32768) // 65536
-    cb = (-11059 * r - 21709 * g + 32768 * b + 8421376) // 65536
-    cr = (32768 * r - 27439 * g - 5329 * b + 8421376) // 65536
+    wy, wcb, wcr = YCC_FWD_Y, YCC_FWD_CB, YCC_FWD_CR
+    y = (wy[0] * r + wy[1] * g + wy[2] * b + wy[3]) // 65536
+    cb = (wcb[0] * r + wcb[1] * g + wcb[2] * b + wcb[3]) // 65536
+    cr = (wcr[0] * r + wcr[1] * g + wcr[2] * b + wcr[3]) // 65536
     out = np.stack(
         [y, np.minimum(cb, 255), np.minimum(cr, 255)], axis=-1
     )
@@ -143,9 +156,10 @@ def ycbcr_to_rgb(ycc: "np.ndarray") -> "np.ndarray":
     (Cr-128);  B = Y + 1.772 (Cb-128); each clipped to [0, 255]."""
     v = ycc.astype(np.int64)
     y, cb, cr = v[..., 0], v[..., 1] - 128, v[..., 2] - 128
-    r = y + (91881 * cr + 32768 + 16777216) // 65536 - 256
-    g = y - ((22554 * cb + 46802 * cr + 32768 + 33554432) // 65536 - 512)
-    b = y + (116130 * cb + 32768 + 33554432) // 65536 - 512
+    ir, ig, ib = YCC_INV_R, YCC_INV_G, YCC_INV_B
+    r = y + (ir[0] * cr + 32768 + ir[1]) // 65536 - ir[2]
+    g = y - ((ig[0] * cb + ig[1] * cr + 32768 + ig[2]) // 65536 - ig[3])
+    b = y + (ib[0] * cb + 32768 + ib[1]) // 65536 - ib[2]
     out = np.stack([r, g, b], axis=-1)
     return np.clip(out, 0, 255).astype(np.uint8)
 

@@ -3246,15 +3246,13 @@ LTTB_BUCKETS = 16
     SELECT b AS bucket, d AS day_idx, y AS y_cents, {r6_sql('area')} AS area
     FROM picked WHERE rn = 1
     UNION ALL
-    SELECT b, d, y, NULL FROM (
-        SELECT b, d, y, row_number() OVER (ORDER BY d) AS rn
-        FROM pts
-    ) WHERE rn = 1
+    SELECT b, d, y, NULL
+    FROM pts, (SELECT min(d) AS mn, max(d) AS mx FROM pts) e
+    WHERE d = e.mn
     UNION ALL
-    SELECT b, d, y, NULL FROM (
-        SELECT b, d, y, row_number() OVER (ORDER BY d DESC) AS rn
-        FROM pts
-    ) WHERE rn = 1
+    SELECT b, d, y, NULL
+    FROM pts, (SELECT min(d) AS mn, max(d) AS mx FROM pts) e
+    WHERE d = e.mx AND e.mx > e.mn
     """,
 )
 def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,7 +3273,8 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical because the extreme days land in the extreme buckets.
     The anchors never collide with picked rows: an interior bucket
     needs BOTH neighbor buckets occupied, which the extreme occupied
-    buckets never have.
+    buckets never have; a single-day series emits its one point ONCE
+    (the last anchor requires max day > min day).
 
     Determinism: day indexes and daily cents are exact BIGINTs; bucket
     assignment is integer floor division; each candidate's area is ONE
@@ -3341,25 +3340,26 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("area")).alias("area"),
         )
     )
+    # anchors join the 1-row (min, max) frame: pts has one row per day,
+    # so each filter yields exactly one row, and the strict mx > mn
+    # guard keeps a single-day series from emitting the same anchor
+    # twice (review r13)
+    anchor_ext = pts.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    anchor_cols = [
+        F.col("b").alias("bucket"),
+        F.col("d").alias("day_idx"),
+        F.col("y").alias("y_cents"),
+        F.lit(None).cast("double").alias("area"),
+    ]
     first = (
-        pts.orderBy("d")
-        .limit(1)
-        .select(
-            F.col("b").alias("bucket"),
-            F.col("d").alias("day_idx"),
-            F.col("y").alias("y_cents"),
-            F.lit(None).cast("double").alias("area"),
-        )
+        pts.crossJoin(F.broadcast(anchor_ext))
+        .filter(F.col("d") == F.col("mn"))
+        .select(*anchor_cols)
     )
     last = (
-        pts.orderBy(F.desc("d"))
-        .limit(1)
-        .select(
-            F.col("b").alias("bucket"),
-            F.col("d").alias("day_idx"),
-            F.col("y").alias("y_cents"),
-            F.lit(None).cast("double").alias("area"),
-        )
+        pts.crossJoin(F.broadcast(anchor_ext))
+        .filter((F.col("d") == F.col("mx")) & (F.col("mx") > F.col("mn")))
+        .select(*anchor_cols)
     )
     return picked.unionAll(first).unionAll(last)
 

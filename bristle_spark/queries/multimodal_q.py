@@ -792,7 +792,16 @@ def m_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_band_pairs(hashes)
 
 
-_JPEG_RGB_ORACLE = """
+from bristle_spark.multimodal.jpeg import (  # noqa: E402
+    YCC_FWD_CB,
+    YCC_FWD_CR,
+    YCC_FWD_Y,
+    YCC_INV_B,
+    YCC_INV_G,
+    YCC_INV_R,
+)
+
+_JPEG_RGB_ORACLE = f"""
     WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
     mc AS (
         SELECT doc_id, m.k AS mcu_idx,
@@ -801,28 +810,29 @@ _JPEG_RGB_ORACLE = """
                CAST('0x' || substr(hx, 6 * m.k + 5, 2) AS BIGINT) AS b0
         FROM jb CROSS JOIN range(0, 4) m(k)
     ),
-    -- forward integer fixed-point RGB -> YCbCr (jpeg.rgb_to_ycbcr):
-    -- every numerator is pre-biased positive, so // is the same floor
+    -- forward integer fixed-point RGB -> YCbCr: the coefficients are
+    -- SPLICED from jpeg.YCC_FWD_* (one source, review r13); every
+    -- numerator is pre-biased positive, so // is the same floor
     -- division in DuckDB BIGINT and numpy int64
     ycc AS (
         SELECT doc_id, mcu_idx,
-               (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536 AS y,
-               LEAST(255, (-11059 * r0 - 21709 * g0 + 32768 * b0 + 8421376) // 65536) AS cb,
-               LEAST(255, (32768 * r0 - 27439 * g0 - 5329 * b0 + 8421376) // 65536) AS cr
+               ({YCC_FWD_Y[0]} * r0 + {YCC_FWD_Y[1]} * g0 + {YCC_FWD_Y[2]} * b0 + {YCC_FWD_Y[3]}) // 65536 AS y,
+               LEAST(255, ({YCC_FWD_CB[0]} * r0 + {YCC_FWD_CB[1]} * g0 + {YCC_FWD_CB[2]} * b0 + {YCC_FWD_CB[3]}) // 65536) AS cb,
+               LEAST(255, ({YCC_FWD_CR[0]} * r0 + {YCC_FWD_CR[1]} * g0 + {YCC_FWD_CR[2]} * b0 + {YCC_FWD_CR[3]}) // 65536) AS cr
         FROM mc
     )
-    -- inverse chain (jpeg.ycbcr_to_rgb); the DCT roundtrip of the
+    -- inverse chain (jpeg.YCC_INV_*); the DCT roundtrip of the
     -- MCU-constant planes is exact, so decoded YCbCr == encoded YCbCr
     SELECT doc_id,
            CAST(mcu_idx AS INT) AS mcu_idx,
            CAST(LEAST(255, GREATEST(0,
-               y + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256))
+               y + ({YCC_INV_R[0]} * (cr - 128) + 32768 + {YCC_INV_R[1]}) // 65536 - {YCC_INV_R[2]}))
                AS BIGINT) AS r,
            CAST(LEAST(255, GREATEST(0,
-               y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
-                     + 33554432) // 65536 - 512))) AS BIGINT) AS g,
+               y - (({YCC_INV_G[0]} * (cb - 128) + {YCC_INV_G[1]} * (cr - 128) + 32768
+                     + {YCC_INV_G[2]}) // 65536 - {YCC_INV_G[3]}))) AS BIGINT) AS g,
            CAST(LEAST(255, GREATEST(0,
-               y + (116130 * (cb - 128) + 32768 + 33554432) // 65536 - 512))
+               y + ({YCC_INV_B[0]} * (cb - 128) + 32768 + {YCC_INV_B[1]}) // 65536 - {YCC_INV_B[2]}))
                AS BIGINT) AS b,
            CAST(1 AS BIGINT) AS n_colors
     FROM ycc

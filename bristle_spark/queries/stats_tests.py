@@ -1325,7 +1325,8 @@ def r_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
         "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    # (the decile window lives in the F.expr below — SQL text is the one
+    # source shared with the oracle)
     bucketed = src.select(
         "event_type",
         "x",
@@ -1501,19 +1502,17 @@ def _ss_centi_sql(t: str, n: str) -> str:
     return f"((({t} * {t}) // {n}) * 100 + ((({t} * {t}) % {n}) * 100) // {n})"
 
 
-@register(
-    "r_anova_oneway",
-    oracle=f"""
-    WITH m AS (
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER}) AS BIGINT) AS t,
-               CAST(sum((CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})
-                        * (CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})) AS BIGINT) AS sdd
-        FROM events GROUP BY event_type
-    ),
+def _anova_tail_sql(stat_alias: str, extra: str = "") -> str:
+    """The shared terms/tot/SELECT SS-assembly over a CTE ``m(n, t,
+    sdd)`` — ONE generator for both oracles (the memory-file
+    discipline), so a quantization fix can never drift between them.
+    SSB is clamped at 0: the centi quantization can undershoot by up
+    to |groups| quanta when group means are near-identical, and a
+    negative sum of squares must never escape (review r13)."""
+    ssb = f"GREATEST(CAST(sb0 - {_ss_centi_sql('tt', 'nn')} AS BIGINT), 0)"
+    return f"""
     terms AS (
-        SELECT event_type, n, t, sdd,
+        SELECT n, t,
                {_ss_centi_sql('t', 'n')} AS bterm_centi,
                sdd * 100 - {_ss_centi_sql('t', 'n')} AS wterm_centi
         FROM m WHERE n >= 2
@@ -1527,12 +1526,87 @@ def _ss_centi_sql(t: str, n: str) -> str:
         FROM terms
     )
     SELECT k, nn AS n,
-           CAST(sb0 - {_ss_centi_sql('tt', 'nn')} AS BIGINT) AS ssb_centi,
+           {ssb} AS ssb_centi,
            ssw_centi,
-           {r6_sql('(CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (k - 1)) / (CAST(ssw_centi AS DOUBLE) / (nn - k))')} AS f_stat,
-           {r6_sql('CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) + CAST(ssw_centi AS DOUBLE))')} AS eta_squared
+           {r6_sql(f'(CAST({ssb} AS DOUBLE) / (k - 1)) / (CAST(ssw_centi AS DOUBLE) / (nn - k))')} AS {stat_alias}{extra}
     FROM tot
     WHERE k >= 2 AND nn > k AND ssw_centi > 0
+    """
+
+
+def _ss_centi_expr(t: str, n: str) -> "F.Column":
+    """Spark twin of _ss_centi_sql (DIV for the exact-integer token)."""
+    return F.expr(
+        f"((({t} * {t}) DIV {n}) * 100 + ((({t} * {t}) % {n}) * 100) DIV {n})"
+    )
+
+
+def _anova_tail(m: DataFrame, stat_alias: str, with_eta: bool) -> DataFrame:
+    """Spark twin of _anova_tail_sql over a frame m(n, t, sdd)."""
+    terms = m.filter(F.col("n") >= 2).select(
+        "n",
+        "t",
+        _ss_centi_expr("t", "n").alias("bterm_centi"),
+        (F.col("sdd") * 100 - _ss_centi_expr("t", "n")).alias("wterm_centi"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("t").cast("bigint").alias("tt"),
+        F.sum("bterm_centi").cast("bigint").alias("sb0"),
+        F.sum("wterm_centi").cast("bigint").alias("ssw_centi"),
+    )
+    ssb = F.greatest(
+        (F.col("sb0") - _ss_centi_expr("tt", "nn")).cast("bigint"), F.lit(0)
+    )
+    cols = [
+        "k",
+        F.col("nn").alias("n"),
+        ssb.alias("ssb_centi"),
+        "ssw_centi",
+        r6(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (F.col("ssw_centi").cast("double") / (F.col("nn") - F.col("k")))
+        ).alias(stat_alias),
+    ]
+    if with_eta:
+        cols.append(
+            r6(
+                ssb.cast("double")
+                / (ssb.cast("double") + F.col("ssw_centi").cast("double"))
+            ).alias("eta_squared")
+        )
+    return tot.filter(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ssw_centi") > 0)
+    ).select(*cols)
+
+
+# eta^2 column spliced into the shared tail (clamped SSB on both sides)
+_ANOVA_SSB = (
+    "GREATEST(CAST(sb0 - " + _ss_centi_sql("tt", "nn") + " AS BIGINT), 0)"
+)
+_ANOVA_ETA_EXTRA = (
+    ",\n           "
+    + r6_sql(
+        "CAST(" + _ANOVA_SSB + " AS DOUBLE) / (CAST(" + _ANOVA_SSB
+        + " AS DOUBLE) + CAST(ssw_centi AS DOUBLE))"
+    )
+    + " AS eta_squared"
+)
+
+
+@register(
+    "r_anova_oneway",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER}) AS BIGINT) AS t,
+               CAST(sum((CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})
+                        * (CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER})) AS BIGINT) AS sdd
+        FROM events GROUP BY event_type
+    ),
+    {_anova_tail_sql('f_stat', _ANOVA_ETA_EXTRA)}
     """,
 )
 def r_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,44 +1640,7 @@ def r_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d).cast("bigint").alias("t"),
         F.sum(d * d).cast("bigint").alias("sdd"),
     )
-
-    def ss_centi(t: str, n: str):
-        return F.expr(
-            f"(({t} * {t}) DIV {n}) * 100 + ((({t} * {t}) % {n}) * 100) DIV {n}"
-        )
-
-    terms = m.filter(F.col("n") >= 2).select(
-        "n",
-        "t",
-        ss_centi("t", "n").alias("bterm_centi"),
-        (F.col("sdd") * 100 - ss_centi("t", "n")).alias("wterm_centi"),
-    )
-    tot = terms.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum("t").cast("bigint").alias("tt"),
-        F.sum("bterm_centi").cast("bigint").alias("sb0"),
-        F.sum("wterm_centi").cast("bigint").alias("ssw_centi"),
-    )
-    ssb = (F.col("sb0") - ss_centi("tt", "nn")).cast("bigint")
-    return (
-        tot.filter(
-            (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ssw_centi") > 0)
-        )
-        .select(
-            "k",
-            F.col("nn").alias("n"),
-            ssb.alias("ssb_centi"),
-            "ssw_centi",
-            r6(
-                (ssb.cast("double") / (F.col("k") - 1))
-                / (F.col("ssw_centi").cast("double") / (F.col("nn") - F.col("k")))
-            ).alias("f_stat"),
-            r6(
-                ssb.cast("double") / (ssb.cast("double") + F.col("ssw_centi").cast("double"))
-            ).alias("eta_squared"),
-        )
-    )
+    return _anova_tail(m, "f_stat", with_eta=True)
 
 
 _BF_CENTER = 10000  # half-cent units; |2*vc - med2| mid-range literal
@@ -1641,26 +1678,7 @@ _BF_CENTER = 10000  # half-cent units; |2*vc - med2| mid-range literal
                CAST(sum(d * d) AS BIGINT) AS sdd
         FROM z GROUP BY event_type
     ),
-    terms AS (
-        SELECT n, t,
-               {_ss_centi_sql('t', 'n')} AS bterm_centi,
-               sdd * 100 - {_ss_centi_sql('t', 'n')} AS wterm_centi
-        FROM m WHERE n >= 2
-    ),
-    tot AS (
-        SELECT CAST(count(*) AS BIGINT) AS k,
-               CAST(sum(n) AS BIGINT) AS nn,
-               CAST(sum(t) AS BIGINT) AS tt,
-               CAST(sum(bterm_centi) AS BIGINT) AS sb0,
-               CAST(sum(wterm_centi) AS BIGINT) AS ssw_centi
-        FROM terms
-    )
-    SELECT k, nn AS n,
-           CAST(sb0 - {_ss_centi_sql('tt', 'nn')} AS BIGINT) AS ssb_centi,
-           ssw_centi,
-           {r6_sql('(CAST(sb0 - ' + _ss_centi_sql('tt', 'nn') + ' AS DOUBLE) / (k - 1)) / (CAST(ssw_centi AS DOUBLE) / (nn - k))')} AS w_stat
-    FROM tot
-    WHERE k >= 2 AND nn > k AND ssw_centi > 0
+    {_anova_tail_sql('w_stat')}
     """,
 )
 def r_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,41 +1728,7 @@ def r_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("t"),
         F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
     )
-
-    def ss_centi(t: str, n: str):
-        return F.expr(
-            f"((({t} * {t}) DIV {n}) * 100 + ((({t} * {t}) % {n}) * 100) DIV {n})"
-        )
-
-    terms = m.filter(F.col("n") >= 2).select(
-        "n",
-        "t",
-        ss_centi("t", "n").alias("bterm_centi"),
-        (F.col("sdd") * 100 - ss_centi("t", "n")).alias("wterm_centi"),
-    )
-    tot = terms.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum("t").cast("bigint").alias("tt"),
-        F.sum("bterm_centi").cast("bigint").alias("sb0"),
-        F.sum("wterm_centi").cast("bigint").alias("ssw_centi"),
-    )
-    ssb = (F.col("sb0") - ss_centi("tt", "nn")).cast("bigint")
-    return (
-        tot.filter(
-            (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (F.col("ssw_centi") > 0)
-        )
-        .select(
-            "k",
-            F.col("nn").alias("n"),
-            ssb.alias("ssb_centi"),
-            "ssw_centi",
-            r6(
-                (ssb.cast("double") / (F.col("k") - 1))
-                / (F.col("ssw_centi").cast("double") / (F.col("nn") - F.col("k")))
-            ).alias("w_stat"),
-        )
-    )
+    return _anova_tail(m, "w_stat", with_eta=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1802,6 +1786,12 @@ def r_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σxy − Σx·Σy forms evaluate in DOUBLE because (Σx)² alone would
     overflow int64, and identical operand order keeps both engines
     bit-equal before rounding).
+
+    Int64 headroom (corrected r13 review): Σx² ≤ users·(max cents)²
+    stays inside 2⁶³ only to ~9·10⁶ users at x ≤ 10⁶ cents — past
+    that, pre-scale per-user sums to whole dollars (or widen to a
+    per-cohort first pass) before the moment reduction, the
+    r_anova_oneway prescription; documented, not silent.
 
     Scale shape: one user-keyed aggregation (map-side combined), one
     1-row moment rollup — two exchanges total, both combiner-friendly."""

@@ -90,3 +90,36 @@ def test_anova_detects_planted_shift(spark, tmp_path):
     r = all_specs()["r_anova_oneway"].fn(spark, str(tmp_path)).collect()[0]
     assert r["f_stat"] > 1000
     assert r["eta_squared"] > 0.9
+
+
+def _identical_groups_fixture(tmp_path):
+    import pandas as pd
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [i % 5 for i in range(n)],
+            "event_type": ["a", "b", "c"] * (n // 3),
+            # value depends only on i mod 3-coprime cycle -> every type
+            # sees the same multiset: group means identical
+            "value": [((i * 13) % 40) / 10.0 for i in range(n)],
+            "ts": pd.to_datetime(["2024-01-05 10:00:00"] * n)
+            + pd.to_timedelta(range(n), unit="s"),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ssb_clamped_nonnegative_on_identical_groups(spark, tmp_path):
+    """Review r13: the centi quantization can undershoot by up to
+    |groups| quanta when group means coincide — SSB (and therefore
+    F/W/eta) must clamp at 0 instead of going negative."""
+    sf = _identical_groups_fixture(tmp_path)
+    a = all_specs()["r_anova_oneway"].fn(spark, sf).collect()[0]
+    w = all_specs()["r_levene_brown_forsythe"].fn(spark, sf).collect()[0]
+    for r, stat in ((a, "f_stat"), (w, "w_stat")):
+        assert r["ssb_centi"] >= 0
+        assert r[stat] >= 0.0
+    assert a["eta_squared"] >= 0.0
