@@ -57,6 +57,35 @@ def test_summary_write_gated_on_closing_methodology():
     assert not _bench.is_closing_gate_run(ns(), "/root/testdata/sf0.01")
 
 
+def test_summary_write_requires_explicit_promote():
+    """Round-14 hygiene fix (VERDICT r13 ask #2): the driver's
+    per-round run uses the closing-gate methodology too, so the
+    methodology gate alone kept letting host-loaded runs clobber the
+    committed verified-idle record (r11/r12/r13). The tracked file is
+    now written only on --promote; everything else goes to the
+    untracked bench_scratch.json. Pin the decision expression
+    bench.main() uses, and that the scratch path is gitignored."""
+    import argparse
+
+    def target(promote, gate):
+        # mirrors the expression in bench.main()
+        return "bench_summary.json" if promote and gate else "bench_scratch.json"
+
+    assert target(promote=False, gate=True) == "bench_scratch.json"
+    assert target(promote=True, gate=False) == "bench_scratch.json"
+    assert target(promote=True, gate=True) == "bench_summary.json"
+    # the flag exists with the right default
+    ns_default = argparse.Namespace(promote=False)
+    assert ns_default.promote is False
+    src = open(_spec.origin).read()
+    assert '"--promote"' in src
+    assert 'args.promote and is_closing_gate_run' in src
+    gitignore = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".gitignore")
+    ).read()
+    assert "bench_scratch.json" in gitignore.splitlines()
+
+
 def test_committed_bench_summary_covers_headline():
     """The committed bench_summary.json must describe THIS tree's full
     HEADLINE set — adding a HEADLINE key without re-running the full
