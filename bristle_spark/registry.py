@@ -53,74 +53,71 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 13: the two ADVICE r12 fixes. t_tuple_codec gained the s_back
-# witness + NULL-safe fail branch (TRY_CAST oracle, when/otherwise
-# roundtrip); r_lttb_downsample now anchors on the global min/max day
-# (identical output at >=15-day spans, correct anchors below). The six
-# retired fake-backend multimodal keys (m_binary_features,
-# m_frame_sample, m_resize, m_phash_dedup, m_scene_cut, m_patchify —
-# VERDICT r12 ask #3) are deletions, not plan changes: their
-# real-codec twins' plans are untouched.
-PLAN_CHANGED_KEYS: tuple[str, ...] = ("t_tuple_codec", "r_lttb_downsample")
+# Round 14: none yet.
+PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: round-13 additions ---
-    "m_jpeg_rgb_stats",
-    "r_kendall_tau",
-    "t_lowcardinality_codec",
-    "t_map_codec",
-    "l_dedup_url",
-    "r_skyline",
-    "l_ann_list_balance",
-    "s_stream_skyline",
-    "t_array_codec",
-    "r_conversion_wilson_ci",
-    "r_anova_oneway",
-    "r_levene_brown_forsythe",
-    "r_cuped_variance_reduction",
-    # --- (2) plan changed after last grade (see PLAN_CHANGED_KEYS) ---
-    "t_tuple_codec",
-    "r_lttb_downsample",
-    # --- (3) oldest-first drain: the full r7 cohort (23 keys — 8 of
-    # them SURVEY §2.D contract keys, stale five rounds: VERDICT r12
-    # ask #2) ---
-    "l_pii_scrub",
-    "l_quality_ensemble",
-    "l_similarity_cosine",
-    "l_span_corruption",
-    "l_stratified_sample",
-    "l_token_entropy",
-    "r_attribution",
-    "r_distinct_count",
-    "r_join_multi",
-    "r_join_outer",
-    "r_join_semi_anti",
-    "r_robust_stats",
-    "r_window_running",
-    "s_stream_enrich",
-    "s_stream_rollup",
-    "s_stream_upsert",
-    "t_array_ops",
-    "t_bool_to_int",
-    "t_enum_codes",
-    "t_json_props_extract",
-    "t_map_to_arrays",
-    "t_null_default",
-    "t_timestamp_epoch",
-    # --- (3) cont.: 27 of the 41-key r8 cohort (ties within a cohort
-    # may drain in any order; the 14 left wait for round 14) ---
-    "l_ann_ivfpq",
-    "l_ann_pq",
-    "l_bm25",
-    "l_char_ngram_lang_id",
-    "l_dedup_embedding",
-    "l_dedup_semantic",
-    "l_domain_mix",
-    "l_dsir_importance",
-    "l_embedding_outliers",
-    "l_gopher_rules",
-    "l_hard_negatives",
-    "l_inverted_index",
+    # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
+    # r_geo_distance is the only registered key with zero driver
+    # history; rows-only keys are window-exempt by policy, so this is
+    # its one deliberate driver run (records a no_oracle row, proving
+    # the key runs under the driver like the 12 other rows-only keys
+    # did in r7–r9). Carve-out documented in
+    # tests/test_driver_window.py::test_every_window_key_is_oracle_backed.
+    "r_geo_distance",
+    # --- (3) oldest-first drain: the full r8 cohort (29 keys — incl.
+    # the §2.D contract key r_approx_distinct, VERDICT r13 ask #1) ---
+    "r_approx_distinct",
+    "l_lang_confusion",
+    "l_lang_id_eval",
+    "l_matryoshka_eval",
+    "l_mips_topk",
+    "l_mixture_sampler",
+    "l_mmr_diversify",
+    "l_ngram_novelty",
+    "l_oov_rate",
+    "l_perplexity_filter",
+    "l_prefix_dedup",
+    "l_score_calibration",
+    "l_weighted_sample",
+    "l_winnow_fingerprint",
+    "m_audio_fingerprint",
+    "r_approx_percentiles",
+    "r_bloom_prune",
+    "r_gap_fill",
+    "r_hll_merge",
+    "r_interval_coverage",
+    "r_islands",
+    "r_mode_per_group",
+    "r_ntile",
+    "r_scd2",
+    "r_skew_salted_join",
+    "r_snapshot_diff",
+    "s_stream_anomaly",
+    "s_stream_cdc",
+    "s_stream_topk",
+    # --- (3) cont.: 20 of the 46-key r9 cohort (ties within a cohort
+    # may drain in any order; the rest wait for round 15) ---
+    "r_filter_predicates",
+    "r_join_inner",
+    "r_rollup",
+    "r_set_ops",
+    "r_sort_limit_topk",
+    "r_tumbling_window",
+    "r_window_rank",
+    "t_cast_int_widths",
+    "t_project_rename",
+    "r_benford",
+    "r_gini",
+    "r_welch_ttest",
+    "r_theil_sen",
+    "r_markov_transitions",
+    "r_bitmap_distinct",
+    "r_cusum_changepoint",
+    "r_incremental_rollup",
+    "r_market_basket",
+    "r_mv_late_update",
+    "r_ols_by_group",
 )
 
 

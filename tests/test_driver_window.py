@@ -128,13 +128,37 @@ def test_window_drains_oldest_first(specs, last_graded):
     )
 
 
+# Rows-only keys deliberately placed in the current window (VERDICT
+# r13 ask #4): each rides ONE window to get its no_oracle driver row
+# (proving the key runs under the driver), then rotates out for good.
+# Every other rows-only key already has such a row from r7–r9.
+WINDOW_ROWS_ONLY_EXEMPT: frozenset[str] = frozenset({"r_geo_distance"})
+
+
 def test_every_window_key_is_oracle_backed(specs):
-    """All 50 driver-window keys carry a DuckDB oracle, so every graded
+    """All driver-window keys carry a DuckDB oracle, so every graded
     row is a hash-match — no rows-only slots. Placing a rows-only key
-    in the window should be a deliberate, visible choice (update this
-    test and the drain-policy exemption together)."""
+    in the window is a deliberate, visible choice: it must be listed in
+    WINDOW_ROWS_ONLY_EXEMPT above with the rationale, and only keys
+    with zero driver history qualify (one run each, ever)."""
     rows_only = [k for k in registry.DRIVER_PRIORITY if specs[k].oracle is None]
-    assert rows_only == []
+    undeclared = [k for k in rows_only if k not in WINDOW_ROWS_ONLY_EXEMPT]
+    assert undeclared == [], (
+        f"undeclared rows-only keys in the window: {undeclared}"
+    )
+
+
+def test_rows_only_exemption_is_first_run_only(specs, last_graded):
+    """A rows-only window slot is only justified for a key with no
+    driver history — once it has its no_oracle row, the exemption
+    expires and the slot must go back to hash-gradable keys."""
+    for key in WINDOW_ROWS_ONLY_EXEMPT:
+        assert key in specs, key
+        assert specs[key].oracle is None, f"{key} is oracle-backed"
+        assert key not in last_graded, (
+            f"{key} already has a driver row (r{last_graded.get(key)}) — "
+            f"remove it from WINDOW_ROWS_ONLY_EXEMPT and the window"
+        )
 
 
 def test_beyond_window_queries_still_registered(specs):
