@@ -344,6 +344,8 @@ HEADLINE = [
     "r_anova_oneway",
     "r_levene_brown_forsythe",
     "r_cuped_variance_reduction",
+    # round-14 additions
+    "m_jpeg_ac_stats",
 ]
 
 

@@ -395,6 +395,170 @@ def attach_jpeg_payload(
     return src.mapInPandas(run, schema=schema)
 
 
+def attach_jpeg_checker_payload(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic REAL-JPEG payload with NONZERO AC coefficients
+    (VERDICT r13 ask #5 — the constant-block contract never exercises
+    the AC entropy-decode path hex-side): a 16x16 greyscale image whose
+    four 8x8 blocks are each a 2x2 CHECKER — block b (raster order) is
+    ``mid_b + amp_b * s(x)s(y)`` with the sign vector
+    s = (+,-,-,+,+,-,-,+), ``mid_b = 64 + byte[2b] % 128`` and
+    ``amp_b = 1 + byte[2b+1] % 63`` from md5(text || '0').
+
+    Why this family is hex-exact THROUGH the AC path: s(x)s(y) is the
+    (4,4) DCT-II basis pattern scaled by 1/4, so the block's spectrum
+    is exactly two integers — DC = 8*(mid-128) and AC(4,4) = 8*amp —
+    and the unit-quant roundtrip reproduces the pixels bit-exactly
+    (verified over the full (mid, amp) grid in
+    tests/test_jpeg_checker.py). AC(4,4) sits at ZIGZAG position 39,
+    so EVERY block's entropy stream carries two ZRL codes, a run-6 AC
+    code, the amplitude bits, and an EOB — the exact T.81 F.1.2 AC
+    machinery (run-length, ZRL, magnitude/extend, EOB) the
+    constant-block fixtures never touch, now witnessed by a SQL-side
+    oracle that re-derives the decoded pixels from the text hex.
+
+    Same mapInPandas shape as attach_jpeg_payload: entropy bytes
+    depend on the pixels, so the wrap runs partition-local over Arrow
+    batches, zero shuffles."""
+    import hashlib as _hl
+
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    src = df.select(F.col(key_col), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        pat = np.outer(s, s)
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                hx = _hl.md5(str(text).encode() + b"0").digest()[:8]
+                img = np.empty((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    mid = 64 + hx[2 * b] % 128
+                    amp = 1 + hx[2 * b + 1] % 63
+                    by, bx = divmod(b, 2)
+                    img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        mid + amp * pat
+                    ).astype(np.uint8)
+                payloads.append(jpeg_codec.encode_jpeg(img.tobytes(), 16, 16))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": 16, "height": 16, "format": "jpeg-grey8"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def checker_block_stats(df: DataFrame) -> DataFrame:
+    """Per-8x8-block statistics over REAL greyscale JPEGs with checker
+    content: decode each payload (multimodal/jpeg.py), split into 8x8
+    blocks, and emit per block the pixel min / max / sum, the recovered
+    checker amplitude ``(max - min) // 2`` and midpoint
+    ``(max + min) // 2``, and ``checker_exact`` — 1 iff the decoded
+    block equals ``mid + amp * s(x)s(y)`` pixel-for-pixel. Over
+    attach_jpeg_checker_payload fixtures a decode wrong in ANY pixel
+    either moves min/max/sum or zeroes checker_exact; an AC entropy
+    path that drops the (4,4) coefficient decodes a constant block and
+    shows amp = 0.
+
+    Scale shape: one partition-local mapInPandas pass (vectorized
+    numpy over the decoded tensor), zero shuffles before the
+    presentation sort."""
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("block_idx", T.IntegerType()),
+            T.StructField("px_min", T.LongType()),
+            T.StructField("px_max", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("amp", T.LongType()),
+            T.StructField("mid", T.LongType()),
+            T.StructField("checker_exact", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        pat = np.outer(s, s)
+        for pdf in batches:
+            keys, idxs, mins, maxs, sums, amps, mids, oks = (
+                [], [], [], [], [], [], [], [],
+            )
+            for key, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, pixels = jpeg_codec.decode_jpeg(bytes(payload))
+                if channels != 1:
+                    raise ValueError(
+                        f"jpeg payload has {channels} channels; grey expected"
+                    )
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+                blocks = (
+                    img.reshape(h // 8, 8, w // 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, 8, 8)
+                    .astype(np.int64)
+                )
+                bmin = blocks.min(axis=(1, 2))
+                bmax = blocks.max(axis=(1, 2))
+                amp = (bmax - bmin) // 2
+                mid = (bmax + bmin) // 2
+                recon = mid[:, None, None] + amp[:, None, None] * pat
+                ok = (blocks == recon).all(axis=(1, 2))
+                for t in range(blocks.shape[0]):
+                    keys.append(int(key))
+                    idxs.append(t)
+                    mins.append(int(bmin[t]))
+                    maxs.append(int(bmax[t]))
+                    sums.append(int(blocks[t].sum()))
+                    amps.append(int(amp[t]))
+                    mids.append(int(mid[t]))
+                    oks.append(int(ok[t]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": keys,
+                    "block_idx": np.array(idxs, dtype=np.int32),
+                    "px_min": mins,
+                    "px_max": maxs,
+                    "px_sum": sums,
+                    "amp": amps,
+                    "mid": mids,
+                    "checker_exact": np.array(oks, dtype=np.int32),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def attach_jpeg_rgb_payload(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -867,6 +867,58 @@ def m_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.rgb_mcu_stats(payloads, mcu=16).orderBy("doc_id", "mcu_idx")
 
 
+_JPEG_AC_ORACLE = """
+    WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
+    blk AS (
+        SELECT doc_id, b.k AS block_idx,
+               64 + (CAST('0x' || substr(hx, 4 * b.k + 1, 2) AS BIGINT) % 128) AS mid,
+               1 + (CAST('0x' || substr(hx, 4 * b.k + 3, 2) AS BIGINT) % 63) AS amp
+        FROM jb CROSS JOIN range(0, 4) b(k)
+    )
+    SELECT doc_id,
+           CAST(block_idx AS INT) AS block_idx,
+           CAST(mid - amp AS BIGINT) AS px_min,
+           CAST(mid + amp AS BIGINT) AS px_max,
+           CAST(64 * mid AS BIGINT) AS px_sum,
+           CAST(amp AS BIGINT) AS amp,
+           CAST(mid AS BIGINT) AS mid,
+           CAST(1 AS INT) AS checker_exact
+    FROM blk
+    ORDER BY doc_id, block_idx
+"""
+
+
+@register("m_jpeg_ac_stats", oracle=_JPEG_AC_ORACLE)
+def m_jpeg_ac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block statistics through the REAL baseline JPEG codec over
+    fixtures with NONZERO AC coefficients (VERDICT r13 ask #5 — the
+    MCU-constant exactness contract witnesses only the DC path; this
+    key witnesses the AC entropy machinery hex-side): each document
+    carries a genuine JPEG whose four 8x8 blocks are 2x2 checkers
+    ``mid + amp * s(x)s(y)`` (multimodal.attach_jpeg_checker_payload).
+    The checker is the (4,4) DCT-II basis pattern, so every block's
+    unit-quant spectrum is exactly {DC = 8*(mid-128), AC(4,4) = 8*amp}
+    and the roundtrip is bit-exact — but decoding it REQUIRES the full
+    T.81 F.1.2 AC path: two ZRL codes (the coefficient sits at zigzag
+    position 39), a run-6 AC Huffman code, magnitude/extend of the
+    amplitude bits, and EOB, per block, per image.
+
+    Full-content witness: a decode wrong in ANY pixel moves
+    px_min/px_max/px_sum or zeroes checker_exact; an AC path that
+    drops the coefficient decodes a constant block and shows amp = 0 —
+    the oracle re-derives (mid, amp) from the text hex and demands the
+    exact checker reconstruction.
+
+    Scale shape: two partition-local mapInPandas stages (checker-JPEG
+    wrap, decode+block stats), zero shuffles before the presentation
+    sort — identical plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_checker_payload(d)
+    return multimodal.checker_block_stats(payloads).orderBy(
+        "doc_id", "block_idx"
+    )
+
+
 EDGE_T = 96
 
 _EDGE_ORACLE = f"""

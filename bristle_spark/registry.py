@@ -57,6 +57,8 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- (1) never driver-graded: round-14 additions ---
+    "m_jpeg_ac_stats",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -117,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_incremental_rollup",
     "r_market_basket",
     "r_mv_late_update",
-    "r_ols_by_group",
 )
 
 

@@ -140,6 +140,9 @@ SCALE_FAMILY = [
     "r_anova_oneway",
     "r_levene_brown_forsythe",
     "r_cuped_variance_reduction",
+    # round-14: the checker-JPEG AC codec pass is partition-local like
+    # its constant-block siblings
+    "m_jpeg_ac_stats",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
