@@ -346,6 +346,10 @@ HEADLINE = [
     "r_cuped_variance_reduction",
     # round-14 additions
     "m_jpeg_ac_stats",
+    "r_kruskal_wallis",
+    "r_benjamini_hochberg",
+    "r_bollinger_bands",
+    "r_survival_km",
 ]
 
 

@@ -3869,3 +3869,293 @@ def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     union's front — both phases are this operator."""
     ev = load_table(spark, sf_dir, "events")
     return skyline_present(skyline_front(skyline_points(ev)))
+
+
+# ---------------------------------------------------------------------------
+# r_bollinger_bands
+
+# The band expressions, assembled once for both engines over the exact
+# BIGINT rolling sums (n=7 full windows only): mean = sx/7, variance
+# via the computational identity (7*sxx - sx^2)/49 — the numerator is
+# an exact BIGINT, so mean/var/sd are each ONE IEEE double op from
+# exact integers and sqrt is correctly rounded by IEEE-754.
+_BB_MEAN_SQL = "CAST(sx AS DOUBLE) / 7.0"
+_BB_SD_SQL = "sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 49.0)"
+_BB_UP_SQL = f"({_BB_MEAN_SQL}) + 2.0 * ({_BB_SD_SQL})"
+_BB_LO_SQL = f"({_BB_MEAN_SQL}) - 2.0 * ({_BB_SD_SQL})"
+
+
+@register(
+    "r_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+        SELECT event_type, day_idx, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n_w,
+               CAST(sum(cents) OVER w AS BIGINT) AS sx,
+               CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, cents,
+           {r6_sql(_BB_MEAN_SQL)} AS mid_band,
+           {r6_sql(_BB_UP_SQL)} AS upper_band,
+           {r6_sql(_BB_LO_SQL)} AS lower_band,
+           CAST(CASE WHEN CAST(cents AS DOUBLE) > ({_BB_UP_SQL}) THEN 1 ELSE 0 END AS INT) AS breach_up,
+           CAST(CASE WHEN CAST(cents AS DOUBLE) < ({_BB_LO_SQL}) THEN 1 ELSE 0 END AS INT) AS breach_down
+    FROM rolled
+    WHERE n_w = 7
+    ORDER BY event_type, day_idx
+    """,
+)
+def r_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily spend series per event type: the
+    7-day rolling mean +/- 2 standard deviations, with breach flags —
+    the volatility-envelope anomaly screen (spend spikes, metric
+    collapses) a monitoring warehouse evaluates per series per day.
+
+    Determinism: daily totals quantize to exact BIGINT cents FIRST, so
+    the rolling sums sx / sxx over the 7-row frame are exact integer
+    window sums (no cross-row double accumulation anywhere); mean and
+    variance are each one IEEE double op from those integers
+    ((7*sxx - sx^2)/49 keeps the numerator integer), sqrt is
+    IEEE-correctly-rounded, and the band comparisons see bit-identical
+    doubles on both engines.  Full 7-day windows only (n_w = 7) — a
+    partial-window band is an undefined statistic, not a smaller one.
+
+    Int64 headroom: cents_day^2 * 7 <= 2^63 holds up to ~1.1e9 cents
+    (eleven million dollars) per series-day; past that, pre-scale to
+    whole dollars at ingest — documented, not silent.
+
+    Scale shape: ONE map-side-combined daily rollup (|types| x |days|
+    rows), then a 7-row bounded frame partitioned by event_type (never
+    global) — the window input is already the compressed daily table,
+    so the frame cost is independent of raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_w"),
+        F.sum("cents").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("sxx"),
+    )
+    up, lo = F.expr(_BB_UP_SQL), F.expr(_BB_LO_SQL)
+    return (
+        rolled.filter(F.col("n_w") == 7)
+        .select(
+            "event_type",
+            "day_idx",
+            "cents",
+            r6(F.expr(_BB_MEAN_SQL)).alias("mid_band"),
+            r6(up).alias("upper_band"),
+            r6(lo).alias("lower_band"),
+            F.when(F.col("cents").cast("double") > up, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("breach_up"),
+            F.when(F.col("cents").cast("double") < lo, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("breach_down"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_survival_km
+
+
+@register(
+    "r_survival_km",
+    oracle="""
+    WITH horizon AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS hmax FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               min(CAST(o_orderdate AS DATE)) AS fd,
+               max(CAST(o_orderdate AS DATE)) AS ld
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(date_diff('day', cu.fd, cu.ld) // 30 AS BIGINT) AS bucket,
+               CAST(CASE WHEN date_diff('day', cu.ld, h.hmax) > 365
+                    THEN 1 ELSE 0 END AS BIGINT) AS ev
+        FROM cust cu
+        JOIN customer c ON cu.o_custkey = c.c_custkey
+        CROSS JOIN horizon h
+    ),
+    steps AS (
+        SELECT seg, bucket,
+               CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(1 - ev) AS BIGINT) AS censored
+        FROM base GROUP BY seg, bucket
+    ),
+    risk AS (
+        SELECT seg, bucket, d, censored,
+               CAST(sum(d + censored) OVER (PARTITION BY seg)
+                    - COALESCE(sum(d + censored) OVER (
+                          PARTITION BY seg ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM steps
+    ),
+    fct AS (
+        SELECT seg, bucket, d, censored, n_risk,
+               CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        FROM risk
+    ),
+    km AS (
+        SELECT seg,
+               list(struct_pack(b := bucket, d := d, c := censored,
+                                n := n_risk, f := factor)
+                    ORDER BY bucket) AS lst
+        FROM fct GROUP BY seg
+    ),
+    e AS (
+        SELECT seg, lst,
+               unnest(generate_series(1, len(lst))) AS pos
+        FROM km
+    )
+    SELECT seg AS c_mktsegment,
+           lst[CAST(pos AS INT)].b AS bucket,
+           lst[CAST(pos AS INT)].n AS n_at_risk,
+           lst[CAST(pos AS INT)].d AS d_churned,
+           lst[CAST(pos AS INT)].c AS n_censored,
+           floor(lst[CAST(pos AS INT)].f * 1000000 + 0.5) / 1000000 AS step_factor,
+           floor(list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                            list_transform(lst[1:CAST(pos AS INT)], s -> s.f)),
+               (a, x) -> a * x) * 1000000 + 0.5) / 1000000 AS survival
+    FROM e
+    ORDER BY c_mktsegment, bucket
+    """,
+)
+def r_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer order lifetimes
+    per market segment — the churn/retention curve (the product-limit
+    estimator) a subscription warehouse computes per cohort: lifetime
+    = days between a customer's first and last order in 30-day
+    buckets; churn observed iff the last order predates the dataset
+    horizon by more than 365 days (otherwise right-CENSORED — still
+    active). At each bucket t: n_at_risk (everyone surviving into t,
+    censored-at-t included, the standard convention), d churn events,
+    and S(t) = PRODUCT over s <= t of (n_s - d_s)/n_s.
+
+    Determinism: every count is an exact BIGINT; each step factor is
+    ONE double division of exact integers; and the running product is
+    a LEFT FOLD over the bucket-ordered factor list on BOTH engines
+    (Spark F.aggregate over a sorted collect_list, DuckDB list_reduce
+    over list(... ORDER BY)) — identical operation order, so the IEEE
+    products agree bit-for-bit where a windowed product() would be
+    shuffle-order-dependent. The fold is O(steps^2) per group but
+    steps are bounded (~80 thirty-day buckets over the dataset span),
+    so the quadratic term is a constant.
+
+    Scale shape: one per-customer rollup (map-side-combined), a join
+    to the customer dim on the grouping key, a 1-row broadcast horizon,
+    then ALL remaining work on the bounded |segments| x |buckets|
+    frame — raw order volume only touches the first aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hmax")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd"),
+        F.max(F.col("o_orderdate").cast("date")).alias("ld"),
+    )
+    base = (
+        cust.join(c, cust.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.datediff("ld", "fd") / 30).cast("bigint").alias("bucket"),
+            F.when(F.datediff("hmax", "ld") > 365, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("ev"),
+        )
+    )
+    steps = base.groupBy("seg", "bucket").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("censored"),
+    )
+    w_all = Window.partitionBy("seg")
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exits = (F.col("d") + F.col("censored")).cast("bigint")
+    risk = steps.select(
+        "seg",
+        "bucket",
+        "d",
+        "censored",
+        (
+            F.sum(exits).over(w_all)
+            - F.coalesce(F.sum(exits).over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    fct = risk.withColumn(
+        "factor",
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    km = fct.groupBy("seg").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").alias("b"),
+                    F.col("d").alias("d"),
+                    F.col("censored").alias("c"),
+                    F.col("n_risk").alias("n"),
+                    F.col("factor").alias("f"),
+                )
+            )
+        ).alias("lst")
+    )
+    e = km.select("seg", "lst", F.posexplode("lst").alias("pos0", "s"))
+    surv = F.aggregate(
+        F.transform(
+            F.slice(F.col("lst"), 1, F.col("pos0") + 1), lambda s: s["f"]
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return e.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("s.b").alias("bucket"),
+        F.col("s.n").alias("n_at_risk"),
+        F.col("s.d").alias("d_churned"),
+        F.col("s.c").alias("n_censored"),
+        r6(F.col("s.f")).alias("step_factor"),
+        r6(surv).alias("survival"),
+    ).orderBy("c_mktsegment", "bucket")

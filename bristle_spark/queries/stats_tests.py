@@ -1831,3 +1831,313 @@ def r_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.lit(1.0) - rho2).alias("var_reduction_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r_kruskal_wallis
+
+# The H statistic in the centered-rank form: with doubled ranks
+# r2 = 2*rank + t_eq - 1 (exact BIGINT through .5 tie averages, the
+# r_mann_whitney device) and c = r2 - (N+1) (centered: E[r2] = N+1
+# exactly), the textbook H = 12/(N(N+1)) * SUM S_i^2/n_i - 3(N+1)
+# collapses to H = 3 * SUM C_i^2/n_i / (N(N+1)) because SUM C_i = 0 —
+# one fewer cross-group term and every numerator is a positive square,
+# so the ANOVA centi-divmod quantization applies verbatim.
+_KW_H_SQL = (
+    "CAST(3 * sq AS DOUBLE) / CAST(100 * nn * (nn + 1) AS DOUBLE)"
+)
+_KW_CORR_SQL = (
+    f"({_KW_H_SQL})"
+    " * (CAST(nn * nn * nn - nn AS DOUBLE)"
+    " / CAST(nn * nn * nn - nn - tie3 AS DOUBLE))"
+)
+
+
+@register(
+    "r_kruskal_wallis",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               CAST(((date_diff('day', DATE '{_MW_MONDAY}', CAST(ts AS DATE)) % 7) + 7) % 7 AS BIGINT) AS dow
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, dow,
+               CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY vc)
+                    + count(*) OVER (PARTITION BY event_type, vc) - 1 AS BIGINT) AS r2,
+               CAST(count(*) OVER (PARTITION BY event_type, vc) AS BIGINT) AS teq,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        FROM src
+    ),
+    grp AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(r2 - (nn + 1)) AS BIGINT) AS c_i,
+               CAST(max(nn) AS BIGINT) AS nn,
+               CAST(sum(teq * teq - 1) AS BIGINT) AS tie3_part
+        FROM ranked GROUP BY event_type, dow
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(max(nn) AS BIGINT) AS nn,
+               CAST(sum({_ss_centi_sql('c_i', 'n_i')}) AS BIGINT) AS sq,
+               CAST(sum(tie3_part) AS BIGINT) AS tie3
+        FROM grp GROUP BY event_type
+    )
+    SELECT event_type, nn AS n, k, tie3,
+           {r6_sql(_KW_H_SQL)} AS h_stat,
+           {r6_sql(_KW_CORR_SQL)} AS h_corrected,
+           {r6_sql(f'(({_KW_CORR_SQL}) - CAST(k - 1 AS DOUBLE)) / CAST(nn - k AS DOUBLE)')} AS epsilon_sq
+    FROM m
+    WHERE k >= 2 AND nn > k AND nn * nn * nn - nn - tie3 > 0
+    ORDER BY event_type
+    """,
+)
+def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis one-way rank test (the ClickHouse
+    `kruskalWallisTest` analog) per event type: do event values differ
+    across day-of-week groups?  The k-group generalization of
+    r_mann_whitney and the nonparametric sibling of r_anova_oneway —
+    the drift screen a data warehouse runs when value distributions
+    are too heavy-tailed to trust the F test.  Reports H, the
+    tie-corrected H, and the epsilon-squared effect size.
+
+    Determinism: doubled ranks r2 = 2*rank + t_eq - 1 are exact
+    BIGINTs (r_mann_whitney); centered ranks c = r2 - (N+1) make every
+    group term a positive square, so the per-group C_i^2/n_i terms
+    reduce with the ANOVA centi-divmod quantization (no cross-row
+    double sum anywhere) and H = 3*SUM/(N(N+1)) is a single double
+    ratio of exact integers.  Ties fold in per-row as SUM(t_eq^2 - 1)
+    = SUM(t^3 - t), the Mann-Whitney device.  Day-of-week is integer
+    arithmetic from the shared Monday anchor, never engine dayofweek.
+
+    Int64 headroom: C_i^2 <= (n_i * 2N)^2 stays inside 2^63 up to
+    N ~ 1e6 rows per event type at balanced groups; the tie-correction
+    N^3 term caps N at ~2e6 — past either, pre-bucket values to a
+    bounded histogram and rank bucket boundaries (the
+    r_percentile_disc trade), documented not silent.
+
+    Scale shape: one rank window partitioned by event_type (never
+    global), one map-side-combined rollup to |event_types| x 7 rows,
+    then a second tiny rollup to |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    dow = (
+        (F.datediff(F.col("ts").cast("date"), F.lit(_MW_MONDAY).cast("date")) % 7) + 7
+    ) % 7
+    src = ev.select(
+        "event_type", vc.alias("vc"), dow.cast("bigint").alias("dow")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("vc")
+    w_eq = Window.partitionBy("event_type", "vc")
+    w_all = Window.partitionBy("event_type")
+    ranked = src.select(
+        "event_type",
+        "dow",
+        (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_eq) - 1
+        ).cast("bigint").alias("r2"),
+        F.count(F.lit(1)).over(w_eq).cast("bigint").alias("teq"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("nn"),
+    )
+    grp = ranked.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.col("r2") - (F.col("nn") + 1)).cast("bigint").alias("c_i"),
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(F.col("teq") * F.col("teq") - 1).cast("bigint").alias("tie3_part"),
+    )
+    m = grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(_ss_centi_expr("c_i", "n_i")).cast("bigint").alias("sq"),
+        F.sum("tie3_part").cast("bigint").alias("tie3"),
+    )
+    h = F.expr(_KW_H_SQL)
+    h_corr = F.expr(_KW_CORR_SQL)
+    return (
+        m.filter(
+            (F.col("k") >= 2)
+            & (F.col("nn") > F.col("k"))
+            & (F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn") - F.col("tie3") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("nn").alias("n"),
+            "k",
+            "tie3",
+            r6(h).alias("h_stat"),
+            r6(h_corr).alias("h_corrected"),
+            r6(
+                (h_corr - (F.col("k") - 1).cast("double"))
+                / (F.col("nn") - F.col("k")).cast("double")
+            ).alias("epsilon_sq"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_benjamini_hochberg
+
+# Distribution-free per-hypothesis p-value: the two-sided Chebyshev
+# bound p = min(1, 1/z^2) with z^2 = n_h * diff^2 / s^2.  Chebyshev
+# keeps the whole pipeline inside exact-integer ratios + three IEEE
+# double ops (no normal CDF, which is transcendental and NOT
+# reproducible across engines) — conservative but a real p-value, and
+# the BH step-up procedure downstream is the operator under test.
+_BH_ALPHA = "0.05"
+_BH_Z2_SQL = (
+    "((CAST(t_h AS DOUBLE) / CAST(n_h AS DOUBLE)"
+    " - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * (CAST(t_h AS DOUBLE) / CAST(n_h AS DOUBLE)"
+    " - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)))"
+    " * CAST(n_h AS DOUBLE)"
+    " / (CAST(var_centi AS DOUBLE) / CAST(100 * (nn - 1) AS DOUBLE))"
+)
+_BH_P_SQL = f"CASE WHEN ({_BH_Z2_SQL}) > 1.0 THEN 1.0 / ({_BH_Z2_SQL}) ELSE 1.0 END"
+
+
+@register(
+    "r_benjamini_hochberg",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER} AS d
+        FROM events
+    ),
+    cell AS (
+        SELECT event_type, hr,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(d) AS BIGINT) AS t_h
+        FROM src GROUP BY event_type, hr
+    ),
+    fam AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(d) AS BIGINT) AS tt,
+               CAST(sum(d * d) AS BIGINT) AS sdd
+        FROM src GROUP BY event_type
+    ),
+    joined AS (
+        SELECT c.event_type, c.hr, c.n_h, c.t_h, f.nn, f.tt,
+               CAST(f.sdd * 100 - {_ss_centi_sql('f.tt', 'f.nn')} AS BIGINT) AS var_centi
+        FROM cell c JOIN fam f ON c.event_type = f.event_type
+        WHERE f.nn >= 2 AND c.n_h >= 2
+    ),
+    pvals AS (
+        SELECT event_type, hr, n_h,
+               {_BH_P_SQL} AS p
+        FROM joined
+        WHERE var_centi > 0
+    ),
+    bh AS (
+        SELECT event_type, hr, n_h, p,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY p, hr) AS BIGINT) AS i,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        FROM pvals
+    ),
+    verdict AS (
+        SELECT event_type, hr, n_h, p, i, m,
+               CAST(max(CASE WHEN p <= CAST(i AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE)
+                             THEN i ELSE 0 END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS k_max
+        FROM bh
+    )
+    SELECT event_type, CAST(hr AS INT) AS hr, n_h,
+           {r6_sql('p')} AS p_cheb,
+           i AS p_rank, m AS n_tests,
+           {r6_sql(f'CAST(i AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE)')} AS bh_threshold,
+           CAST(CASE WHEN i <= k_max THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM verdict
+    ORDER BY event_type, p_rank
+    """,
+)
+def r_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over per-hour mean-shift
+    tests within each event type — the multiple-testing correction an
+    experimentation warehouse applies before alerting on "hour 14
+    spends more" style findings (24 hypotheses per family, expected
+    false-positive floor without control).  For each family: rank the
+    per-hour p-values ascending, find the largest i with
+    p_(i) <= i*alpha/m (alpha = {_BH_ALPHA}), reject hypotheses 1..i.
+
+    Determinism: the per-hypothesis p is the two-sided Chebyshev bound
+    min(1, 1/z^2) — z^2 = n_h*(mean_h - mean)^2/s^2 assembled from
+    exact BIGINT sufficient statistics (cents around the shared ANOVA
+    center; family variance via the centi-divmod quantization), so p
+    is a handful of IEEE double ops written identically in both
+    engines; the BH comparisons and the (p, hour) rank order then
+    agree bit-for-bit.  Conservative by construction (Chebyshev vs
+    normal), which only strengthens the FDR guarantee.
+
+    Scale shape: two map-side-combined aggregations over the same
+    scan (per-cell and per-family sufficient stats), a broadcast-size
+    join (|event_types| rows), and windows over bounded 24-row
+    families — no global window, no per-row state."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - F.lit(
+        _ANOVA_CENTER
+    )
+    src = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        d.alias("d"),
+    )
+    cell = src.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("d").cast("bigint").alias("t_h"),
+    )
+    fam = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("d").cast("bigint").alias("tt"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    joined = (
+        cell.join(F.broadcast(fam), "event_type")
+        .filter((F.col("nn") >= 2) & (F.col("n_h") >= 2))
+        .withColumn(
+            "var_centi",
+            (F.col("sdd") * 100 - _ss_centi_expr("tt", "nn")).cast("bigint"),
+        )
+        .filter(F.col("var_centi") > 0)
+    )
+    pvals = joined.select(
+        "event_type", "hr", "n_h", F.expr(_BH_P_SQL).alias("p")
+    )
+    w_fam = Window.partitionBy("event_type")
+    bh = pvals.select(
+        "event_type",
+        "hr",
+        "n_h",
+        "p",
+        F.row_number()
+        .over(w_fam.orderBy("p", "hr"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1)).over(w_fam).cast("bigint").alias("m"),
+    )
+    thresh = F.col("i").cast("double") * F.lit(float(_BH_ALPHA)) / F.col(
+        "m"
+    ).cast("double")
+    verdict = bh.withColumn(
+        "k_max",
+        F.max(F.when(F.col("p") <= thresh, F.col("i")).otherwise(F.lit(0)))
+        .over(w_fam)
+        .cast("bigint"),
+    )
+    return verdict.select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        "n_h",
+        r6(F.col("p")).alias("p_cheb"),
+        F.col("i").alias("p_rank"),
+        F.col("m").alias("n_tests"),
+        r6(thresh).alias("bh_threshold"),
+        F.when(F.col("i") <= F.col("k_max"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rejected"),
+    ).orderBy("event_type", "p_rank")

@@ -59,6 +59,10 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = ()
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (1) never driver-graded: round-14 additions ---
     "m_jpeg_ac_stats",
+    "r_kruskal_wallis",
+    "r_benjamini_hochberg",
+    "r_bollinger_bands",
+    "r_survival_km",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -115,10 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_theil_sen",
     "r_markov_transitions",
     "r_bitmap_distinct",
-    "r_cusum_changepoint",
-    "r_incremental_rollup",
-    "r_market_basket",
-    "r_mv_late_update",
 )
 
 

@@ -1,0 +1,199 @@
+"""Round-14 statistical keys vs independent brute-force references:
+r_kruskal_wallis against the textbook rank-sum H on numpy average
+ranks, r_benjamini_hochberg against a direct step-up implementation,
+r_bollinger_bands against pandas rolling moments, r_survival_km
+against a hand-rolled product-limit estimator. Each reference is
+computed from the raw parquet rows independently of the Spark plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bristle_spark.catalog import load_table
+from bristle_spark.registry import all_specs
+
+MONDAY = np.datetime64("2020-01-06")
+
+
+def _avg_ranks(v: np.ndarray) -> np.ndarray:
+    """Average (midrank) ranks, ties included — numpy only."""
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=np.float64)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_kruskal_wallis_matches_textbook_h(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc",
+            "CAST(ts AS DATE) AS day",
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        dow = int((np.datetime64(r["day"]) - MONDAY).astype(int) % 7)
+        by_type.setdefault(r["event_type"], []).append((r["vc"], dow))
+    got = {
+        r["event_type"]: r
+        for r in all_specs()["r_kruskal_wallis"].fn(spark, sf_dir).collect()
+    }
+    assert got
+    for et, rows in by_type.items():
+        v = np.array([x[0] for x in rows], dtype=np.int64)
+        g = np.array([x[1] for x in rows], dtype=np.int64)
+        n = len(v)
+        ranks = _avg_ranks(v)
+        groups = sorted(set(g.tolist()))
+        if len(groups) < 2 or n <= len(groups):
+            assert et not in got
+            continue
+        h = 12.0 / (n * (n + 1)) * sum(
+            ranks[g == gi].sum() ** 2 / (g == gi).sum() for gi in groups
+        ) - 3 * (n + 1)
+        _, counts = np.unique(v, return_counts=True)
+        tie3 = int((counts**3 - counts).sum())
+        h_corr = h / (1 - tie3 / (n**3 - n))
+        row = got[et]
+        assert row["n"] == n and row["k"] == len(groups)
+        assert row["tie3"] == tie3
+        # centi quantization of the per-group squares bounds the H
+        # error by k quanta / (N(N+1)); 1e-4 is generous at sf0.001
+        assert abs(row["h_stat"] - h) < 1e-4, et
+        assert abs(row["h_corrected"] - h_corr) < 1e-4, et
+        eps = (h_corr - (len(groups) - 1)) / (n - len(groups))
+        assert abs(row["epsilon_sq"] - eps) < 1e-4, et
+
+
+def test_benjamini_hochberg_matches_reference_stepup(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(hour(ts) AS BIGINT) AS hr",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS d",
+        )
+        .collect()
+    )
+    fam: dict[str, list] = {}
+    for r in ev:
+        fam.setdefault(r["event_type"], []).append((r["hr"], r["d"]))
+    out = all_specs()["r_benjamini_hochberg"].fn(spark, sf_dir).collect()
+    assert out
+    by_key = {(r["event_type"], r["hr"]): r for r in out}
+    for et, rows in fam.items():
+        d = np.array([x[1] for x in rows], dtype=np.int64)
+        hrs = np.array([x[0] for x in rows], dtype=np.int64)
+        nn = len(d)
+        if nn < 2:
+            continue
+        s2 = (d.astype(float).var() * nn) / (nn - 1)
+        if s2 <= 0:
+            continue
+        ps = {}
+        for h in sorted(set(hrs.tolist())):
+            dh = d[hrs == h]
+            if len(dh) < 2:
+                continue
+            diff = dh.mean() - d.mean()
+            z2 = diff * diff * len(dh) / s2
+            ps[h] = min(1.0, 1.0 / z2) if z2 > 0 else 1.0
+        m = len(ps)
+        ranked = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+        k_max = max(
+            (i for i, (_, p) in enumerate(ranked, 1) if p <= i * 0.05 / m),
+            default=0,
+        )
+        for i, (h, p) in enumerate(ranked, 1):
+            row = by_key[(et, h)]
+            assert row["n_tests"] == m
+            assert abs(row["p_cheb"] - p) < 1e-4, (et, h)
+            assert row["p_rank"] == i, (et, h)
+            assert row["rejected"] == int(i <= k_max), (et, h)
+
+
+def test_bollinger_matches_pandas_rolling(spark, sf_dir):
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2020-01-01') AS BIGINT) AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).toPandas()
+    daily = (
+        ev.groupby(["event_type", "day_idx"])["cents"].sum().reset_index()
+    )
+    out = all_specs()["r_bollinger_bands"].fn(spark, sf_dir).toPandas()
+    assert len(out)
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day_idx").reset_index(drop=True)
+        mean = g["cents"].rolling(7).mean()
+        sd = g["cents"].rolling(7).std(ddof=0)
+        sub = out[out.event_type == et].sort_values("day_idx").reset_index(drop=True)
+        assert len(sub) == max(0, len(g) - 6)
+        got_mid = sub["mid_band"].to_numpy()
+        exp_mid = mean.dropna().to_numpy()
+        assert np.allclose(got_mid, exp_mid, atol=1e-5)
+        assert np.allclose(
+            sub["upper_band"].to_numpy(),
+            (mean + 2 * sd).dropna().to_numpy(),
+            atol=1e-5,
+        )
+        x = g["cents"].to_numpy()[6:]
+        assert (
+            sub["breach_up"].to_numpy()
+            == (x > (mean + 2 * sd).dropna().to_numpy()).astype(int)
+        ).all()
+
+
+def test_survival_km_matches_product_limit_reference(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(o_orderdate AS DATE) AS od",
+    ).toPandas()
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    import pandas as pd
+
+    o["od"] = pd.to_datetime(o["od"])
+    hmax = o["od"].max()
+    per = o.groupby("o_custkey")["od"].agg(["min", "max"]).reset_index()
+    per = per.merge(c, left_on="o_custkey", right_on="c_custkey")
+    per["bucket"] = ((per["max"] - per["min"]).dt.days // 30).astype(int)
+    per["ev"] = ((hmax - per["max"]).dt.days > 365).astype(int)
+
+    out = all_specs()["r_survival_km"].fn(spark, sf_dir).collect()
+    assert out
+    by_key = {(r["c_mktsegment"], r["bucket"]): r for r in out}
+    for seg, g in per.groupby("c_mktsegment"):
+        steps = (
+            g.groupby("bucket")["ev"]
+            .agg(d="sum", total="count")
+            .sort_index()
+        )
+        at_risk = int(steps["total"].sum())
+        surv = 1.0
+        for bucket, row in steps.iterrows():
+            d = int(row["d"])
+            surv *= (at_risk - d) / at_risk
+            got = by_key[(seg, int(bucket))]
+            assert got["n_at_risk"] == at_risk, (seg, bucket)
+            assert got["d_churned"] == d
+            assert got["n_censored"] == int(row["total"]) - d
+            assert abs(got["survival"] - surv) < 1e-6, (seg, bucket)
+            # KM is monotone non-increasing and the censored never
+            # drive it below zero
+            assert 0.0 <= got["survival"] <= 1.0
+            at_risk -= int(row["total"])

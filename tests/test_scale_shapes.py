@@ -141,8 +141,14 @@ SCALE_FAMILY = [
     "r_levene_brown_forsythe",
     "r_cuped_variance_reduction",
     # round-14: the checker-JPEG AC codec pass is partition-local like
-    # its constant-block siblings
+    # its constant-block siblings; the stats quartet reduces to bounded
+    # frames (|types| x groups, |segments| x buckets) the partition
+    # knob must not touch
     "m_jpeg_ac_stats",
+    "r_kruskal_wallis",
+    "r_benjamini_hochberg",
+    "r_bollinger_bands",
+    "r_survival_km",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -177,6 +183,9 @@ PLAN_PIN_FAMILY = [
     "r_lttb_downsample",
     "l_rank_biased_overlap",
     "r_window_funnel_strict",
+    # round-14 (VERDICT r13 ask #7): the skyline dominance window's
+    # exchange count must not depend on the partition knob
+    "r_skyline",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
@@ -454,3 +463,95 @@ def test_no_task_dominates_at_512_partitions(tmp_path):
         if worst > 10 * median:
             offenders.append((sid, median, worst, len(times)))
     assert offenders == [], f"dominating tasks: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Skyline family scale gates (VERDICT r13 ask #7): the 100 TB claim is
+# "ONE event_type-partitioned running-max window, never global, and a
+# front-of-fronts merge that equals the global front".  The docstrings
+# stated it; these pin it.
+
+
+def test_skyline_windows_partition_by_event_type(spark, sf_dir, specs):
+    """Every Window node in r_skyline's executed plan must key its
+    partition spec on event_type — a global (or differently-keyed)
+    window would funnel the corpus into one task at scale."""
+    from bristle_spark import plans
+
+    df = specs["r_skyline"].fn(spark, sf_dir)
+    assert plans.unpartitioned_windows(df) == []
+    plan = plans.plan_string(df, "simple")
+    window_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window ", "+- Window", ":- Window"))
+        or " Window [" in ln
+    ]
+    assert window_lines, "plan has no Window nodes — the operator changed shape"
+    for ln in window_lines:
+        assert "event_type" in ln, f"Window not partitioned by event_type: {ln}"
+
+
+def _front_is_dominance_free(rows) -> bool:
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["value_cents"], r["day_idx"])
+        )
+    for pts in by_type.values():
+        for i, (v1, d1) in enumerate(pts):
+            for j, (v2, d2) in enumerate(pts):
+                if i != j and v2 >= v1 and d2 >= d1 and (v2 > v1 or d2 > d1):
+                    return False
+    return True
+
+
+def test_skyline_monster_type_keeps_plan_shape(spark, sf_dir, specs, tmp_path):
+    """Skew stress: one event type inflated 50x (fresh event_ids) must
+    not change the exchange count — the dominance window absorbs a
+    monster partition without re-planning — and the output must stay
+    an actual Pareto front (no dominated survivors)."""
+    from bristle_spark import plans
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base_id = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    one_type = ev.orderBy("event_type").limit(1).collect()[0]["event_type"]
+    monster = (
+        ev.filter(F.col("event_type") == one_type)
+        .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("event_id") * 50 + F.col("rep") + base_id).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        )
+    )
+    out = str(tmp_path / "events.parquet")
+    ev.select(monster.columns).unionByName(monster).write.parquet(out)
+
+    fn = specs["r_skyline"].fn
+    baseline = plans.exchange_count(fn(spark, sf_dir))
+    skewed_df = fn(spark, str(tmp_path))
+    assert plans.exchange_count(skewed_df) == baseline
+    rows = skewed_df.collect()
+    assert rows and _front_is_dominance_free(rows)
+
+
+def test_skyline_front_of_fronts_merge_is_exact(spark, sf_dir, specs):
+    """The streaming twin's whole correctness-at-scale story:
+    front(front(A) ∪ front(B)) == front(A ∪ B), including the
+    keep-lowest-event_id representative rule, and the merge result is
+    partition-count invariant (8 vs 512)."""
+    from bristle_spark.queries.analytic import skyline_front, skyline_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = skyline_points(ev)
+    a = pts.filter(F.col("event_id") % 2 == 0)
+    b = pts.filter(F.col("event_id") % 2 == 1)
+    merged = skyline_front(skyline_front(a).unionByName(skyline_front(b)))
+    direct = skyline_front(pts)
+    key = lambda r: (r["event_type"], r["event_id"], r["vc"], r["day"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    try:
+        wide = sorted(map(key, merged.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == sorted(map(key, direct.collect()))
