@@ -350,6 +350,8 @@ HEADLINE = [
     "r_benjamini_hochberg",
     "r_bollinger_bands",
     "r_survival_km",
+    "l_sq8_quantize_error",
+    "r_srm_check",
 ]
 
 

@@ -2680,3 +2680,124 @@ def l_ann_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_skew"
         ),
     )
+
+
+# ------------------------------------------------ per-dimension SQ8 QA
+
+
+@register(
+    "l_sq8_quantize_error",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    px AS (
+        SELECT vec_id, CAST(i.i AS INT) AS dim, v[CAST(i.i AS INT)] AS x
+        FROM e CROSS JOIN range(1, 65) i(i)
+    ),
+    stats AS (
+        SELECT dim, min(x) AS mn, max(x) AS mx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM px GROUP BY dim
+    ),
+    coded AS (
+        SELECT p.dim, s.mn, s.mx, s.n,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE LEAST(255, GREATEST(0,
+                        CAST(floor((p.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5)
+                             AS BIGINT))) END AS code,
+               p.x
+        FROM px p JOIN stats s ON p.dim = s.dim
+    ),
+    err AS (
+        SELECT dim, mn, mx, n, code,
+               CASE WHEN mx = mn THEN 0.0
+                    ELSE abs(x - (mn + CAST(code AS DOUBLE) * ((mx - mn) / 255.0)))
+                    END AS ae
+        FROM coded
+    )
+    SELECT dim,
+           floor(mn * 1000000 + 0.5) / 1000000 AS dim_min,
+           floor(mx * 1000000 + 0.5) / 1000000 AS dim_max,
+           floor((mx - mn) / 255.0 * 1000000 + 0.5) / 1000000 AS scale,
+           n,
+           CAST(sum(CAST(floor(ae * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS abs_err_pico_sum,
+           CAST(max(CAST(floor(ae * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS abs_err_pico_max,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+    FROM err
+    GROUP BY dim, mn, mx, n
+    ORDER BY dim
+    """,
+)
+def l_sq8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION scalar (SQ8) quantization QA over the embedding
+    corpus — the compression report a vector store produces before
+    committing to 8-bit storage (FAISS ScalarQuantizer QT_8bit
+    semantics: affine per-dimension [min, max] grids, vs
+    l_ann_int8_rerank's per-VECTOR max-abs scaling): for each of the
+    64 dimensions, the corpus min/max, the affine scale, the exact
+    summed and maximal absolute reconstruction error, and the number
+    of distinct codes actually used (a near-constant dimension wastes
+    its 8 bits — the signal to prune or re-center).
+
+    Determinism: min/max over doubles are exact order-free aggregates;
+    code = floor((x-mn)/scale + 0.5) and the reconstruction are short
+    fixed IEEE op chains written identically in both engines; each
+    row-dim's |error| quantizes to PICO units (floor(ae*1e12 + 0.5)
+    BIGINT) BEFORE the corpus sum, so no cross-row double accumulation
+    exists (the r_cramers_v discipline). Degenerate mx = mn dimensions
+    emit code 0 / error 0 by definition rather than 0/0.
+
+    Scale shape: two passes over the corpus (per-dim min/max rollup,
+    then code+error rollup), both map-side-combined to 64-row frames;
+    the dim-stats join is a 64-row broadcast. The dimension explode
+    multiplies rows 64x but never shuffles at that width — both
+    aggregations reduce it straight back to 64 rows."""
+    e = _embeddings(spark, sf_dir)
+    px = e.select(
+        "vec_id", F.posexplode("v").alias("dim0", "x")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    stats = px.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+        )
+    )
+    coded = px.join(F.broadcast(stats), "dim").withColumn("code", code)
+    ae = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.abs(
+            F.col("x") - (F.col("mn") + F.col("code").cast("double") * scale)
+        )
+    )
+    pico = F.floor(ae * F.lit(1000000000000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        coded.withColumn("ae_pico", pico)
+        .groupBy("dim", "mn", "mx", "n")
+        .agg(
+            F.sum("ae_pico").cast("bigint").alias("abs_err_pico_sum"),
+            F.max("ae_pico").cast("bigint").alias("abs_err_pico_max"),
+            F.countDistinct("code").cast("bigint").alias("n_codes"),
+        )
+        .select(
+            "dim",
+            r6(F.col("mn")).alias("dim_min"),
+            r6(F.col("mx")).alias("dim_max"),
+            r6(scale).alias("scale"),
+            "n",
+            "abs_err_pico_sum",
+            "abs_err_pico_max",
+            "n_codes",
+        )
+        .orderBy("dim")
+    )

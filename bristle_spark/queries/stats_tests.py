@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bristle_spark.catalog import load_table
+from bristle_spark.functions.hashing import hash60, hash60_sql
 from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.registry import register
 
@@ -2141,3 +2142,103 @@ def r_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rejected"),
     ).orderBy("event_type", "p_rank")
+
+
+# ---------------------------------------------------------------------------
+# r_srm_check
+
+# 95th-percentile chi-square critical values by degrees of freedom —
+# shared literals (computed once, never per-engine): the SRM gate is
+# "chi2 exceeds the df-appropriate critical value".
+_SRM_BUCKETS = 4
+_SRM_CRIT_DF3 = "7.814728"  # chi2_{0.95, df=3}
+
+
+@register(
+    "r_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type,
+               CAST({hash60_sql("CAST(user_id AS VARCHAR)")} % {_SRM_BUCKETS} AS BIGINT) AS bucket
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS o
+        FROM assigned GROUP BY event_type, bucket
+    ),
+    fam AS (
+        SELECT event_type,
+               CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(({_SRM_BUCKETS} * o) * ({_SRM_BUCKETS} * o)) AS BIGINT) AS so2x16,
+               CAST(max(o) AS BIGINT) AS o_max,
+               CAST(min(o) AS BIGINT) AS o_min
+        FROM cells GROUP BY event_type
+    )
+    SELECT event_type, n, k, o_min, o_max,
+           {r6_sql(f'CAST(so2x16 - {_SRM_BUCKETS} * n * n AS DOUBLE) / CAST({_SRM_BUCKETS} * n AS DOUBLE)')} AS chi2,
+           CAST(CASE WHEN CAST(so2x16 - {_SRM_BUCKETS} * n * n AS DOUBLE)
+                          / CAST({_SRM_BUCKETS} * n AS DOUBLE) > {_SRM_CRIT_DF3}
+                THEN 1 ELSE 0 END AS INT) AS srm_detected
+    FROM fam
+    WHERE k = {_SRM_BUCKETS} AND n > 0
+    ORDER BY event_type
+    """,
+)
+def r_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check per event type: users hash
+    into {_SRM_BUCKETS} equal experiment buckets (the md5-based
+    hash60 assignment both engines share), and the chi-square
+    goodness-of-fit statistic against the uniform expectation flags
+    families whose realized split deviates beyond chi2_(0.95, df=3) —
+    the first gate every A/B platform runs before reading any metric,
+    because a biased assignment invalidates everything downstream.
+
+    Determinism: bucket counts are exact BIGINTs; the identity
+    chi2 = (SUM((k*O_i)^2) - k*N^2) / (k*N) keeps the numerator an
+    exact integer (expected count N/k never materializes as a double),
+    so chi2 is ONE double division and the critical-value comparison
+    is a shared 6-dp literal — no CDF evaluation anywhere.
+
+    Int64 headroom: (k*O_i)^2 <= (4N)^2 stays inside 2^63 up to
+    N ~ 7.5e8 users per family; past that, count in millions first —
+    documented, not silent.
+
+    Scale shape: ONE map-side-combined aggregation to |types| x 4
+    rows, then a tiny rollup to |types| rows — raw event volume only
+    touches the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        hash60(F.col("user_id").cast("string")) % _SRM_BUCKETS
+    ).cast("bigint")
+    cells = ev.select("event_type", bucket.alias("bucket")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    fam = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((_SRM_BUCKETS * F.col("o")) * (_SRM_BUCKETS * F.col("o")))
+        .cast("bigint")
+        .alias("so2x16"),
+        F.max("o").cast("bigint").alias("o_max"),
+        F.min("o").cast("bigint").alias("o_min"),
+    )
+    chi2 = (
+        F.col("so2x16") - _SRM_BUCKETS * F.col("n") * F.col("n")
+    ).cast("double") / (_SRM_BUCKETS * F.col("n")).cast("double")
+    return (
+        fam.filter((F.col("k") == _SRM_BUCKETS) & (F.col("n") > 0))
+        .select(
+            "event_type",
+            "n",
+            "k",
+            "o_min",
+            "o_max",
+            r6(chi2).alias("chi2"),
+            F.when(chi2 > float(_SRM_CRIT_DF3), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("srm_detected"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,6 +63,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_benjamini_hochberg",
     "r_bollinger_bands",
     "r_survival_km",
+    "l_sq8_quantize_error",
+    "r_srm_check",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -117,8 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_gini",
     "r_welch_ttest",
     "r_theil_sen",
-    "r_markov_transitions",
-    "r_bitmap_distinct",
 )
 
 

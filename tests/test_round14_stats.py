@@ -197,3 +197,67 @@ def test_survival_km_matches_product_limit_reference(spark, sf_dir):
             # drive it below zero
             assert 0.0 <= got["survival"] <= 1.0
             at_risk -= int(row["total"])
+
+
+def test_sq8_quantize_matches_numpy_reference(spark, sf_dir):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("CAST(embedding AS array<double>) AS v")
+        .collect()
+    )
+    X = np.array([r["v"] for r in emb], dtype=np.float64)
+    out = {
+        r["dim"]: r
+        for r in all_specs()["l_sq8_quantize_error"].fn(spark, sf_dir).collect()
+    }
+    assert len(out) == 64
+    for d in range(64):
+        x = X[:, d]
+        mn, mx = x.min(), x.max()
+        scale = (mx - mn) / 255.0
+        if mx == mn:
+            code = np.zeros_like(x)
+            ae = np.zeros_like(x)
+        else:
+            code = np.clip(np.floor((x - mn) / scale + 0.5), 0, 255)
+            ae = np.abs(x - (mn + code * scale))
+        pico = np.floor(ae * 1e12 + 0.5).astype(np.int64)
+        row = out[d + 1]
+        assert abs(row["dim_min"] - mn) < 1e-6
+        assert abs(row["dim_max"] - mx) < 1e-6
+        assert row["abs_err_pico_sum"] == int(pico.sum()), d
+        assert row["abs_err_pico_max"] == int(pico.max()), d
+        assert row["n_codes"] == len(np.unique(code)), d
+        # SQ8 contract: error never exceeds half a quantization step
+        assert ae.max() <= scale / 2 + 1e-12
+
+
+def test_srm_check_matches_reference_chi2(spark, sf_dir):
+    import hashlib
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(user_id AS STRING) AS uid")
+        .collect()
+    )
+    fam: dict[str, list] = {}
+    for r in ev:
+        h = int(hashlib.md5(r["uid"].encode()).hexdigest()[:15], 16)
+        fam.setdefault(r["event_type"], []).append(h % 4)
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["r_srm_check"].fn(spark, sf_dir).collect()
+    }
+    for et, buckets in fam.items():
+        counts = np.bincount(np.array(buckets), minlength=4)
+        if (counts == 0).any():
+            assert et not in out
+            continue
+        n = counts.sum()
+        exp = n / 4.0
+        chi2 = (((counts - exp) ** 2) / exp).sum()
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["chi2"] - chi2) < 1e-5, et
+        assert row["srm_detected"] == int(chi2 > 7.814728)
+        assert row["o_min"] == counts.min() and row["o_max"] == counts.max()

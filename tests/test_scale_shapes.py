@@ -149,6 +149,8 @@ SCALE_FAMILY = [
     "r_benjamini_hochberg",
     "r_bollinger_bands",
     "r_survival_km",
+    "l_sq8_quantize_error",
+    "r_srm_check",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
