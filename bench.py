@@ -352,6 +352,7 @@ HEADLINE = [
     "r_survival_km",
     "l_sq8_quantize_error",
     "r_srm_check",
+    "s_stream_srm",
 ]
 
 

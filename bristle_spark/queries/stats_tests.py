@@ -2154,9 +2154,7 @@ _SRM_BUCKETS = 4
 _SRM_CRIT_DF3 = "7.814728"  # chi2_{0.95, df=3}
 
 
-@register(
-    "r_srm_check",
-    oracle=f"""
+SRM_ORACLE_SQL = f"""
     WITH assigned AS (
         SELECT event_type,
                CAST({hash60_sql("CAST(user_id AS VARCHAR)")} % {_SRM_BUCKETS} AS BIGINT) AS bucket
@@ -2183,37 +2181,28 @@ _SRM_CRIT_DF3 = "7.814728"  # chi2_{0.95, df=3}
     FROM fam
     WHERE k = {_SRM_BUCKETS} AND n > 0
     ORDER BY event_type
-    """,
-)
-def r_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-ratio-mismatch (SRM) check per event type: users hash
-    into {_SRM_BUCKETS} equal experiment buckets (the md5-based
-    hash60 assignment both engines share), and the chi-square
-    goodness-of-fit statistic against the uniform expectation flags
-    families whose realized split deviates beyond chi2_(0.95, df=3) —
-    the first gate every A/B platform runs before reading any metric,
-    because a biased assignment invalidates everything downstream.
+"""
 
-    Determinism: bucket counts are exact BIGINTs; the identity
-    chi2 = (SUM((k*O_i)^2) - k*N^2) / (k*N) keeps the numerator an
-    exact integer (expected count N/k never materializes as a double),
-    so chi2 is ONE double division and the critical-value comparison
-    is a shared 6-dp literal — no CDF evaluation anywhere.
 
-    Int64 headroom: (k*O_i)^2 <= (4N)^2 stays inside 2^63 up to
-    N ~ 7.5e8 users per family; past that, count in millions first —
-    documented, not silent.
-
-    Scale shape: ONE map-side-combined aggregation to |types| x 4
-    rows, then a tiny rollup to |types| rows — raw event volume only
-    touches the first pass."""
-    ev = load_table(spark, sf_dir, "events")
+def srm_bucket_cells(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, o) frame — exact per-cell counts under the
+    shared md5 hash60 assignment.  Additive partials: cell counts from
+    disjoint event subsets SUM to the full-table cells, which is what
+    lets s_stream_srm land per-micro-batch partials and merge at serve
+    time."""
     bucket = (
         hash60(F.col("user_id").cast("string")) % _SRM_BUCKETS
     ).cast("bigint")
-    cells = ev.select("event_type", bucket.alias("bucket")).groupBy(
-        "event_type", "bucket"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+
+
+def srm_present(cells: DataFrame) -> DataFrame:
+    """chi-square tail over a (event_type, bucket, o) cells frame — the
+    one assembly both the batch key and its streaming twin run."""
     fam = cells.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -2242,3 +2231,30 @@ def r_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("r_srm_check", oracle=SRM_ORACLE_SQL)
+def r_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check per event type: users hash
+    into {_SRM_BUCKETS} equal experiment buckets (the md5-based
+    hash60 assignment both engines share), and the chi-square
+    goodness-of-fit statistic against the uniform expectation flags
+    families whose realized split deviates beyond chi2_(0.95, df=3) —
+    the first gate every A/B platform runs before reading any metric,
+    because a biased assignment invalidates everything downstream.
+
+    Determinism: bucket counts are exact BIGINTs; the identity
+    chi2 = (SUM((k*O_i)^2) - k*N^2) / (k*N) keeps the numerator an
+    exact integer (expected count N/k never materializes as a double),
+    so chi2 is ONE double division and the critical-value comparison
+    is a shared 6-dp literal — no CDF evaluation anywhere.
+
+    Int64 headroom: (k*O_i)^2 <= (4N)^2 stays inside 2^63 up to
+    N ~ 7.5e8 users per family; past that, count in millions first —
+    documented, not silent.
+
+    Scale shape: ONE map-side-combined aggregation to |types| x 4
+    rows, then a tiny rollup to |types| rows — raw event volume only
+    touches the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return srm_present(srm_bucket_cells(ev))

@@ -1883,3 +1883,50 @@ def s_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = spark.read.parquet(out_dir)
     return skyline_present(skyline_front(partials))
+
+
+from bristle_spark.queries.stats_tests import (  # noqa: E402
+    SRM_ORACLE_SQL,
+    srm_bucket_cells,
+    srm_present,
+)
+
+
+@register("s_stream_srm", oracle=SRM_ORACLE_SQL, group="s")
+def s_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained sample-ratio-mismatch gate: each
+    micro-batch reduces its events to per-(event_type, bucket) partial
+    counts under the shared md5 hash60 assignment (srm_bucket_cells,
+    imported verbatim from the batch key) and lands only those; the
+    served verdict re-sums the partials and runs the SAME chi-square
+    tail (srm_present). Cell counts are ADDITIVE partials — counts
+    from disjoint micro-batches sum to the full-table cells — so the
+    streamed gate must hash-match r_srm_check's batch SQL exactly,
+    which is what the shared oracle grades. The experimentation use is
+    the live version of the batch gate: assignment skew detected while
+    the experiment runs, not at readout.
+
+    Scale shape: per-batch work is ONE map-side-combined aggregation
+    to |types| x 4 rows; the landed partial table grows by that
+    bounded frame per batch, and the serve-time merge re-aggregates
+    |batches| x |types| x 4 rows — never the raw stream twice."""
+    work = _workdir(sf_dir, "srm")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        srm_bucket_cells(df).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    partials = spark.read.parquet(out_dir)
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.sum("o").cast("bigint").alias("o")
+    )
+    return srm_present(merged)

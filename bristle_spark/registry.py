@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_survival_km",
     "l_sq8_quantize_error",
     "r_srm_check",
+    "s_stream_srm",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_benford",
     "r_gini",
     "r_welch_ttest",
-    "r_theil_sen",
 )
 
 

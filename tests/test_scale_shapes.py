@@ -151,6 +151,7 @@ SCALE_FAMILY = [
     "r_survival_km",
     "l_sq8_quantize_error",
     "r_srm_check",
+    "s_stream_srm",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
