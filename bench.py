@@ -353,6 +353,8 @@ HEADLINE = [
     "l_sq8_quantize_error",
     "r_srm_check",
     "s_stream_srm",
+    "r_peak_detection",
+    "r_rolling_corr",
 ]
 
 

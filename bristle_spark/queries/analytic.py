@@ -4159,3 +4159,237 @@ def r_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("s.f")).alias("step_factor"),
         r6(surv).alias("survival"),
     ).orderBy("c_mktsegment", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# r_peak_detection
+
+_PEAK_MIN_PROM = 2000  # cents; shared literal prominence floor
+
+
+@register(
+    "r_peak_detection",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day_idx, cents,
+               lag(cents)  OVER w AS prev1,
+               lead(cents) OVER w AS next1,
+               CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS lmax,
+               CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS rmax,
+               CAST(count(*) OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS lcnt,
+               CAST(count(*) OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS rcnt
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    )
+    SELECT event_type, day_idx, cents,
+           CAST(cents - GREATEST(lmax, rmax) AS BIGINT) AS prominence
+    FROM lagged
+    WHERE prev1 IS NOT NULL AND next1 IS NOT NULL
+      AND lcnt = 3 AND rcnt = 3
+      AND cents > prev1 AND cents > next1
+      AND cents - GREATEST(lmax, rmax) >= {_PEAK_MIN_PROM}
+    ORDER BY event_type, day_idx
+    """,
+)
+def r_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor over the daily
+    spend series per event type: a day is a reported peak iff it
+    strictly exceeds both immediate neighbors AND clears the maximum
+    of its 3-day flanks by at least {_PEAK_MIN_PROM} cents — the spike
+    detector (campaign bursts, incident spikes) a monitoring pipeline
+    runs after the r_bollinger_bands envelope screen, with the
+    prominence term suppressing ripple on noisy series.
+
+    Determinism: the series is exact BIGINT daily cents BEFORE any
+    window; every comparison and the prominence difference are pure
+    integer ops — no doubles anywhere. Edge days (missing a neighbor
+    or a full flank) are excluded rather than padded: a peak verdict
+    over an incomplete flank is undefined, not smaller.
+
+    Scale shape: ONE map-side-combined daily rollup, then bounded
+    lag/lead/3-row-flank frames partitioned by event_type (never
+    global) over the compressed |types| x |days| table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.lag("cents").over(w).alias("prev1"),
+        F.lead("cents").over(w).alias("next1"),
+        F.max("cents").over(w.rowsBetween(-3, -1)).cast("bigint").alias("lmax"),
+        F.max("cents").over(w.rowsBetween(1, 3)).cast("bigint").alias("rmax"),
+        F.count(F.lit(1)).over(w.rowsBetween(-3, -1)).cast("bigint").alias("lcnt"),
+        F.count(F.lit(1)).over(w.rowsBetween(1, 3)).cast("bigint").alias("rcnt"),
+    )
+    prom = (F.col("cents") - F.greatest("lmax", "rmax")).cast("bigint")
+    return (
+        lagged.filter(
+            F.col("prev1").isNotNull()
+            & F.col("next1").isNotNull()
+            & (F.col("lcnt") == 3)
+            & (F.col("rcnt") == 3)
+            & (F.col("cents") > F.col("prev1"))
+            & (F.col("cents") > F.col("next1"))
+            & (prom >= _PEAK_MIN_PROM)
+        )
+        .select("event_type", "day_idx", "cents", prom.alias("prominence"))
+        .orderBy("event_type", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r_rolling_corr
+
+_RC_PAIR = ("click", "purchase")  # the two series to correlate
+_RC_WIN = 30  # rolling window, days
+
+
+@register(
+    "r_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+               CAST(sum(CASE WHEN event_type = '{_RC_PAIR[0]}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS xa,
+               CAST(sum(CASE WHEN event_type = '{_RC_PAIR[1]}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS xb
+        FROM events
+        WHERE event_type IN ('{_RC_PAIR[0]}', '{_RC_PAIR[1]}')
+        GROUP BY 1
+    ),
+    rolled AS (
+        SELECT day_idx, xa, xb,
+               CAST(count(*) OVER w AS BIGINT) AS n_w,
+               CAST(sum(xa) OVER w AS BIGINT) AS sa,
+               CAST(sum(xb) OVER w AS BIGINT) AS sb,
+               CAST(sum(xa * xa) OVER w AS BIGINT) AS saa,
+               CAST(sum(xb * xb) OVER w AS BIGINT) AS sbb,
+               CAST(sum(xa * xb) OVER w AS BIGINT) AS sab
+        FROM daily
+        WINDOW w AS (ORDER BY day_idx
+                     RANGE BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day_idx, sa, sb,
+           {r6_sql(f'CAST({_RC_WIN} * sab - sa * sb AS DOUBLE)'
+                   f' / (sqrt(CAST({_RC_WIN} * saa - sa * sa AS DOUBLE))'
+                   f'    * sqrt(CAST({_RC_WIN} * sbb - sb * sb AS DOUBLE)))')} AS rolling_corr
+    FROM rolled
+    WHERE n_w = {_RC_WIN}
+      AND {_RC_WIN} * saa - sa * sa > 0 AND {_RC_WIN} * sbb - sb * sb > 0
+    ORDER BY day_idx
+    """,
+)
+def r_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_RC_WIN}-day Pearson correlation between the daily
+    click-spend and purchase-spend series — the co-movement monitor
+    (does engagement still convert?) a metrics warehouse tracks as a
+    sliding statistic rather than one corpus-wide coefficient.
+
+    Determinism: both series quantize to exact BIGINT daily cents in
+    ONE conditional-aggregation pass; the five rolling sums over the
+    {_RC_WIN}-row frame are exact integer window sums; the correlation
+    is the computational identity (n*Sab - Sa*Sb) /
+    (sqrt(n*Saa - Sa^2) * sqrt(n*Sbb - Sb^2)) whose numerator and both
+    radicands are exact BIGINTs — two IEEE-exact sqrts and three fp
+    ops, written identically in both engines. Zero-variance windows
+    and partial (< {_RC_WIN}-day) windows are excluded: correlation
+    there is undefined, not zero.
+
+    Int64 headroom: n * (daily cents)^2 <= 2^63 holds to ~5.5e8 cents
+    per series-day at the 30-day window; past that, pre-scale to
+    dollars — documented, not silent.
+
+    Scale shape: ONE map-side-combined conditional rollup to |days|
+    rows, then a calendar-RANGE self-join over that compressed table
+    (anchor day joins its trailing 30 calendar days; the anchor side
+    broadcasts) reduced by an ordinary partitioned groupBy — NO global
+    window anywhere. The 30x blowup is a constant factor on a frame
+    bounded by calendar time (~365 rows/year), not data volume; at
+    multi-series scale the join gains the series key as an equality
+    term and stays co-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.filter(F.col("event_type").isin(*_RC_PAIR))
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day_idx")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == _RC_PAIR[0], cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("xa"),
+            F.sum(
+                F.when(F.col("event_type") == _RC_PAIR[1], cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("xb"),
+        )
+    )
+    # Rolling sums via a calendar-RANGE self-join over the compressed
+    # daily table instead of a single-partition global window (the
+    # no-global-windows gate): anchor day a joins contributor days b in
+    # [a-29, a], and the five sums reduce with an ordinary partitioned
+    # groupBy — exact BIGINT sums, order-free. The daily frame is
+    # bounded by calendar time (|days| rows), so the 30x join blowup is
+    # a constant factor on a tiny table and the anchor side broadcasts
+    # at any corpus size.
+    anchors = daily.select(F.col("day_idx").alias("a_day"))
+    contrib = daily.select(F.col("day_idx").alias("b_day"), "xa", "xb")
+    rolled = (
+        F.broadcast(anchors)
+        .join(
+            contrib,
+            (F.col("b_day") >= F.col("a_day") - (_RC_WIN - 1))
+            & (F.col("b_day") <= F.col("a_day")),
+        )
+        .groupBy(F.col("a_day").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_w"),
+            F.sum("xa").cast("bigint").alias("sa"),
+            F.sum("xb").cast("bigint").alias("sb"),
+            F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+            F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+            F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+        )
+    )
+    va = _RC_WIN * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = _RC_WIN * F.col("sbb") - F.col("sb") * F.col("sb")
+    corr = (_RC_WIN * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    ) / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double")))
+    return (
+        rolled.filter((F.col("n_w") == _RC_WIN) & (va > 0) & (vb > 0))
+        .select("day_idx", "sa", "sb", r6(corr).alias("rolling_corr"))
+        .orderBy("day_idx")
+    )

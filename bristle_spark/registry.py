@@ -66,6 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_sq8_quantize_error",
     "r_srm_check",
     "s_stream_srm",
+    "r_peak_detection",
+    "r_rolling_corr",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -117,8 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_cast_int_widths",
     "t_project_rename",
     "r_benford",
-    "r_gini",
-    "r_welch_ttest",
 )
 
 

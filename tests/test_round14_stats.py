@@ -261,3 +261,62 @@ def test_srm_check_matches_reference_chi2(spark, sf_dir):
         assert abs(row["chi2"] - chi2) < 1e-5, et
         assert row["srm_detected"] == int(chi2 > 7.814728)
         assert row["o_min"] == counts.min() and row["o_max"] == counts.max()
+
+
+def test_peak_detection_matches_reference(spark, sf_dir):
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2020-01-01') AS BIGINT) AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).toPandas()
+    daily = ev.groupby(["event_type", "day_idx"])["cents"].sum().reset_index()
+    out = all_specs()["r_peak_detection"].fn(spark, sf_dir).collect()
+    got = {(r["event_type"], r["day_idx"]): r["prominence"] for r in out}
+    expected = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day_idx").reset_index(drop=True)
+        x = g["cents"].to_numpy()
+        for i in range(3, len(x) - 3):
+            flank = max(x[i - 3 : i].max(), x[i + 1 : i + 4].max())
+            if x[i] > x[i - 1] and x[i] > x[i + 1] and x[i] - flank >= 2000:
+                expected[(et, int(g["day_idx"][i]))] = int(x[i] - flank)
+    assert got == expected
+    # every reported peak strictly beats both neighbors by construction
+    assert all(v >= 2000 for v in got.values())
+
+
+def test_rolling_corr_matches_pandas_reference(spark, sf_dir):
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2020-01-01') AS BIGINT) AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    daily = (
+        ev.pivot_table(
+            index="day_idx", columns="event_type", values="cents",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=["click", "purchase"], fill_value=0)
+        .reset_index()
+    )
+    out = {r["day_idx"]: r for r in all_specs()["r_rolling_corr"].fn(spark, sf_dir).collect()}
+    assert out
+    days = daily["day_idx"].to_numpy()
+    for i in range(len(days)):
+        d = days[i]
+        win = daily[(daily.day_idx >= d - 29) & (daily.day_idx <= d)]
+        if len(win) < 30:
+            assert d not in out
+            continue
+        a = win["click"].to_numpy(dtype=float)
+        b = win["purchase"].to_numpy(dtype=float)
+        if a.var() == 0 or b.var() == 0:
+            assert d not in out
+            continue
+        ref = np.corrcoef(a, b)[0, 1]
+        assert abs(out[d]["rolling_corr"] - ref) < 1e-6, d

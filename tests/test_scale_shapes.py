@@ -152,6 +152,8 @@ SCALE_FAMILY = [
     "l_sq8_quantize_error",
     "r_srm_check",
     "s_stream_srm",
+    "r_peak_detection",
+    "r_rolling_corr",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
