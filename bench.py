@@ -396,6 +396,17 @@ def is_closing_gate_run(args: argparse.Namespace, sf_dir: str | None = None) -> 
                 or args.cold or args.recycle or args.runs != 2)
 
 
+def summary_target(args: argparse.Namespace, sf_dir: str | None = None) -> str:
+    """Which file this run's record lands in — THE promote decision
+    (main() calls exactly this, and the test suite pins this function,
+    not a re-implementation; self-review r14): the tracked
+    bench_summary.json only on --promote AND gate methodology,
+    the untracked bench_scratch.json otherwise."""
+    if args.promote and is_closing_gate_run(args, sf_dir):
+        return "bench_summary.json"
+    return "bench_scratch.json"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     # the three selectors are mutually exclusive: silently preferring
@@ -502,17 +513,13 @@ def main() -> None:
     # bench_scratch.json so the full per-query map still survives the
     # driver's stdout truncation without dirtying the tree.
     repo = os.path.dirname(os.path.abspath(__file__))
-    if args.promote and not is_closing_gate_run(args, sf_dir):
+    promote_refused = args.promote and not is_closing_gate_run(args, sf_dir)
+    if promote_refused:
         print("[bench] --promote refused: not a closing-gate run "
               "(need full HEADLINE at sf0.1, warm, min-of-2, no recycle)",
               file=sys.stderr)
-    target = (
-        "bench_summary.json"
-        if args.promote and is_closing_gate_run(args, sf_dir)
-        else "bench_scratch.json"
-    )
     try:
-        with open(os.path.join(repo, target), "w") as f:
+        with open(os.path.join(repo, summary_target(args, sf_dir)), "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout already carries the record
@@ -522,6 +529,12 @@ def main() -> None:
         # read as a (better-looking) comparable total in BASELINE.md —
         # make the failure visible in the exit code (ADVICE r5)
         sys.exit(1)
+    if promote_refused:
+        # the caller asked for a promotion that did NOT happen — an
+        # automated closing script must see that in the exit code, not
+        # discover a stale tracked record later (the ADVICE r5 rule
+        # applied to promotion; self-review r14)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -3872,6 +3872,36 @@ def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shared daily-cents frame (r_bollinger_bands / r_peak_detection twins)
+
+_DAILY_CENTS_SQL = """
+    daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )"""
+
+
+def daily_cents(ev: DataFrame) -> DataFrame:
+    """(event_type, day_idx, cents) frame — exact BIGINT daily spend
+    totals, quantized BEFORE any window math.  ONE builder for every
+    monitoring-family key (the skyline_points / srm_bucket_cells
+    discipline, self-review r14): a change to the cents rule or the
+    day epoch can never drift between the Bollinger / peak twins."""
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # r_bollinger_bands
 
 # The band expressions, assembled once for both engines over the exact
@@ -3888,12 +3918,7 @@ _BB_LO_SQL = f"({_BB_MEAN_SQL}) - 2.0 * ({_BB_SD_SQL})"
 @register(
     "r_bollinger_bands",
     oracle=f"""
-    WITH daily AS (
-        SELECT event_type,
-               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
-    ),
+    WITH {_DAILY_CENTS_SQL},
     rolled AS (
         SELECT event_type, day_idx, cents,
                CAST(count(*) OVER w AS BIGINT) AS n_w,
@@ -3916,7 +3941,7 @@ _BB_LO_SQL = f"({_BB_MEAN_SQL}) - 2.0 * ({_BB_SD_SQL})"
 )
 def r_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands over the daily spend series per event type: the
-    7-day rolling mean +/- 2 standard deviations, with breach flags —
+    7-session rolling mean +/- 2 standard deviations, with breach flags —
     the volatility-envelope anomaly screen (spend spikes, metric
     collapses) a monitoring warehouse evaluates per series per day.
 
@@ -3926,8 +3951,13 @@ def r_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance are each one IEEE double op from those integers
     ((7*sxx - sx^2)/49 keeps the numerator integer), sqrt is
     IEEE-correctly-rounded, and the band comparisons see bit-identical
-    doubles on both engines.  Full 7-day windows only (n_w = 7) — a
+    doubles on both engines.  The frame is ROWS-based — the last 7
+    OBSERVED days (trading-session semantics, the convention Bollinger
+    bands are defined in), NOT 7 calendar days; on a gappy series the
+    7 sessions may span more calendar time, which is the intended
+    statistic.  Short leading frames (n_w < 7) are excluded — a
     partial-window band is an undefined statistic, not a smaller one.
+    The calendar-RANGE variant of this machinery is r_rolling_corr.
 
     Int64 headroom: cents_day^2 * 7 <= 2^63 holds up to ~1.1e9 cents
     (eleven million dollars) per series-day; past that, pre-scale to
@@ -3937,17 +3967,7 @@ def r_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), then a 7-row bounded frame partitioned by event_type (never
     global) — the window input is already the compressed daily table,
     so the frame cost is independent of raw event volume."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day_idx"),
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
-    )
+    daily = daily_cents(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -4170,12 +4190,7 @@ _PEAK_MIN_PROM = 2000  # cents; shared literal prominence floor
 @register(
     "r_peak_detection",
     oracle=f"""
-    WITH daily AS (
-        SELECT event_type,
-               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
-    ),
+    WITH {_DAILY_CENTS_SQL},
     lagged AS (
         SELECT event_type, day_idx, cents,
                lag(cents)  OVER w AS prev1,
@@ -4205,31 +4220,24 @@ def r_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-peak detection with a prominence floor over the daily
     spend series per event type: a day is a reported peak iff it
     strictly exceeds both immediate neighbors AND clears the maximum
-    of its 3-day flanks by at least {_PEAK_MIN_PROM} cents — the spike
+    of its 3-OBSERVED-day (session) flanks by at least {_PEAK_MIN_PROM}
+    cents — the spike
     detector (campaign bursts, incident spikes) a monitoring pipeline
     runs after the r_bollinger_bands envelope screen, with the
     prominence term suppressing ripple on noisy series.
 
     Determinism: the series is exact BIGINT daily cents BEFORE any
     window; every comparison and the prominence difference are pure
-    integer ops — no doubles anywhere. Edge days (missing a neighbor
-    or a full flank) are excluded rather than padded: a peak verdict
-    over an incomplete flank is undefined, not smaller.
+    integer ops — no doubles anywhere. Flanks are ROWS-based (the 3
+    observed days each side, session semantics like
+    r_bollinger_bands); edge days without a full 3-row flank on BOTH
+    sides are excluded rather than padded: a peak verdict over an
+    incomplete flank is undefined, not smaller.
 
     Scale shape: ONE map-side-combined daily rollup, then bounded
     lag/lead/3-row-flank frames partitioned by event_type (never
     global) over the compressed |types| x |days| table."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day_idx"),
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
-    )
+    daily = daily_cents(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("day_idx")
     lagged = daily.select(
         "event_type",
@@ -4301,7 +4309,7 @@ _RC_WIN = 30  # rolling window, days
     """,
 )
 def r_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {_RC_WIN}-day Pearson correlation between the daily
+    """Rolling 30-calendar-day Pearson correlation between the daily
     click-spend and purchase-spend series — the co-movement monitor
     (does engagement still convert?) a metrics warehouse tracks as a
     sliding statistic rather than one corpus-wide coefficient.

@@ -1914,11 +1914,15 @@ def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     = SUM(t^3 - t), the Mann-Whitney device.  Day-of-week is integer
     arithmetic from the shared Monday anchor, never engine dayofweek.
 
-    Int64 headroom: C_i^2 <= (n_i * 2N)^2 stays inside 2^63 up to
-    N ~ 1e6 rows per event type at balanced groups; the tie-correction
-    N^3 term caps N at ~2e6 — past either, pre-bucket values to a
-    bounded histogram and rank bucket boundaries (the
-    r_percentile_disc trade), documented not silent.
+    Int64 headroom (self-review r14 — the first-draft bound was ~10x
+    optimistic): with balanced groups n_i = N/7, the worst case
+    |C_i| <= n_i * 2N = 2N^2/7, and C_i^2 <= 2^63 therefore requires
+    N <~ 1e5 rows per event type; the tie-correction N^3 term allows
+    ~2e6, so the square is the binding bound. Past ~1e5, pre-bucket
+    values to a bounded histogram and rank bucket boundaries (the
+    r_percentile_disc trade) — the realistic |C_i| is far smaller
+    (centered ranks cancel within balanced groups), but the CONTRACT
+    is the worst case, documented not silent.
 
     Scale shape: one rank window partitioned by event_type (never
     global), one map-side-combined rollup to |event_types| x 7 rows,

@@ -63,23 +63,35 @@ def test_summary_write_requires_explicit_promote():
     methodology gate alone kept letting host-loaded runs clobber the
     committed verified-idle record (r11/r12/r13). The tracked file is
     now written only on --promote; everything else goes to the
-    untracked bench_scratch.json. Pin the decision expression
-    bench.main() uses, and that the scratch path is gitignored."""
+    untracked bench_scratch.json. Pins bench.summary_target — the REAL
+    function main() calls (self-review r14: an earlier version of this
+    test asserted on a local re-implementation, which could stay green
+    through a regression in the actual write path)."""
     import argparse
 
-    def target(promote, gate):
-        # mirrors the expression in bench.main()
-        return "bench_summary.json" if promote and gate else "bench_scratch.json"
+    def ns(**over):
+        base = dict(subset=None, family=None, queries=None,
+                    recycle=0, cold=False, runs=2, promote=False)
+        base.update(over)
+        return argparse.Namespace(**base)
 
-    assert target(promote=False, gate=True) == "bench_scratch.json"
-    assert target(promote=True, gate=False) == "bench_scratch.json"
-    assert target(promote=True, gate=True) == "bench_summary.json"
-    # the flag exists with the right default
-    ns_default = argparse.Namespace(promote=False)
-    assert ns_default.promote is False
+    # gate methodology without --promote: scratch (the driver's run)
+    assert _bench.summary_target(ns()) == "bench_scratch.json"
+    # --promote without gate methodology: scratch (refused)
+    assert _bench.summary_target(ns(promote=True, runs=3)) == "bench_scratch.json"
+    assert _bench.summary_target(ns(promote=True, cold=True)) == "bench_scratch.json"
+    assert _bench.summary_target(
+        ns(promote=True), "/root/testdata/sf0.01"
+    ) == "bench_scratch.json"
+    # both: the tracked record
+    assert _bench.summary_target(ns(promote=True)) == "bench_summary.json"
+    assert _bench.summary_target(
+        ns(promote=True), _bench.GATE_SF_DIR
+    ) == "bench_summary.json"
+    # main() must route its write through summary_target, and the
+    # scratch path must be untracked
     src = open(_spec.origin).read()
-    assert '"--promote"' in src
-    assert 'args.promote and is_closing_gate_run' in src
+    assert "summary_target(args, sf_dir)" in src
     gitignore = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), ".gitignore")
     ).read()
