@@ -49,15 +49,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # shards — staleness skews the split, never the coverage (shards are
 # built from a live glob of tests/test_*.py).
 SUITE_WEIGHTS = {
-    "test_oracle_parity.py": 114,
-    "test_canonicalizer_safety.py": 84,
-    "test_determinism.py": 78,
-    "test_empty_tables.py": 49,
-    "test_cli.py": 37,
-    "test_no_global_windows.py": 34,
-    "test_scale_shapes.py": 32,
+    # round-14 re-measurement (VERDICT r13 ask #3 — the registry grew
+    # 229 -> 292 since these were last taken and the r13 final-tree
+    # sweep's 895s suite tail was the stale-weights clump): single-file
+    # wall, idle host, 2026-08-16
+    "test_oracle_parity.py": 318,
+    "test_determinism.py": 197,
+    "test_canonicalizer_safety.py": 194,
+    "test_scale_shapes.py": 193,
+    "test_no_global_windows.py": 149,
+    "test_empty_tables.py": 118,
+    "test_cli.py": 65,
+    "test_streaming.py": 40,
     "test_ann_pq.py": 19,
-    "test_streaming.py": 17,
     "test_maintenance.py": 16,
     "test_bpe.py": 16,
     "test_plans.py": 15,

@@ -58,6 +58,25 @@ _HEAVY = {
     # round-12: triangle graph build + real-JPEG phash decode
     "l_graph_triangles": 6,
     "m_jpeg_phash_dedup": 5,
+    # round-14 refresh (VERDICT r13 ask #3): the color-JPEG decode is
+    # the heaviest key in the registry, the real-codec family and the
+    # availableNow streaming keys all cost a real stream/codec pass
+    "m_jpeg_rgb_stats": 10,
+    "m_jpeg_ac_stats": 6,
+    "m_jpeg_pixel_stats": 5,
+    "m_jpeg_resize": 5,
+    "m_png_patchify": 5,
+    "m_png_augment": 5,
+    "m_png_hist_equalize": 5,
+    "m_png_scene_cut": 5,
+    "m_png_frame_sample": 5,
+    "m_png_binary_features": 5,
+    "s_stream_counter_rate": 6,
+    "s_stream_geofence": 6,
+    "s_stream_skyline": 6,
+    "s_stream_srm": 6,
+    "l_duplicate_spans": 5,
+    "l_contamination_ngram": 7,
 }
 _FALLBACK_W = 3
 
