@@ -355,6 +355,8 @@ HEADLINE = [
     "s_stream_srm",
     "r_peak_detection",
     "r_rolling_corr",
+    "r_power_analysis",
+    "r_allen_intervals",
 ]
 
 

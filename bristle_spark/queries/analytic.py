@@ -4401,3 +4401,107 @@ def r_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day_idx", "sa", "sb", r6(corr).alias("rolling_corr"))
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_allen_intervals
+
+# The 13 Allen interval relations as ONE shared CASE chain over interval
+# pair (a1,a2) vs (b1,b2) — equality cases first (equals/starts/
+# finishes/meets and inverses), then the strict-order cases; every
+# branch is a pure integer comparison, so the chain is identical SQL in
+# both engines (spliced verbatim into the oracle and F.expr).
+_ALLEN_CASE_SQL = """CASE
+    WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+    WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+    WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+    WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+    WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+    WHEN a2 = b1 THEN 'meets'
+    WHEN b2 = a1 THEN 'met_by'
+    WHEN a2 < b1 THEN 'precedes'
+    WHEN b2 < a1 THEN 'preceded_by'
+    WHEN a1 > b1 AND a2 < b2 THEN 'during'
+    WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+    WHEN a1 < b1 AND b1 < a2 AND a2 < b2 THEN 'overlaps'
+    ELSE 'overlapped_by'
+END"""
+
+
+@register(
+    "r_allen_intervals",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS t1,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS t2
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING min(epoch_us(ts)) < max(epoch_us(ts))
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.t1 AS a1, a.t2 AS a2, b.t1 AS b1, b.t2 AS b2
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           {_ALLEN_CASE_SQL} AS relation,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY type_a, type_b, relation
+    ORDER BY type_a, type_b, relation
+    """,
+)
+def r_allen_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra relation census over per-user activity
+    spans: each (user, event_type) contributes the interval from its
+    first to its last event, and every within-user type pair is
+    classified into one of the 13 Allen relations (precedes, meets,
+    overlaps, starts, during, finishes, equals + inverses) — the
+    temporal-reasoning primitive behind "did browsing fully contain
+    purchasing?" questions that range/as-of joins cannot express,
+    aggregated to a relation census per type pair.
+
+    Determinism: interval endpoints are exact BIGINT epoch
+    microseconds; every relation branch is a pure integer comparison
+    in ONE shared CASE chain (equality branches strictly before the
+    order branches, spliced verbatim into both engines); degenerate
+    point intervals (t1 = t2) are excluded — Allen algebra is defined
+    over proper intervals.
+
+    Scale shape: one map-side-combined rollup to |users| x |types|
+    intervals, then a SELF-JOIN ON user_id co-partitioned by the join
+    key — the per-user pair blowup is bounded by |types|^2 (a
+    constant), never |events|^2 — reduced by an ordinary grouped
+    count to a |types|^2 x 13 census."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).cast("bigint").alias("t1"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("t2"),
+        )
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("t1").alias("a1"),
+        F.col("t2").alias("a2"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("t1").alias("b1"),
+        F.col("t2").alias("b2"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(
+            "type_a", "type_b", F.expr(_ALLEN_CASE_SQL).alias("relation")
+        )
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("type_a", "type_b", "relation")
+    )

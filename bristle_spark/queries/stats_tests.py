@@ -2262,3 +2262,106 @@ def r_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the first pass."""
     ev = load_table(spark, sf_dir, "events")
     return srm_present(srm_bucket_cells(ev))
+
+
+# ---------------------------------------------------------------------------
+# r_power_analysis
+
+# Shared normal-quantile literals (computed once, inlined — the Benford
+# discipline for transcendental constants): z_{0.975} for two-sided
+# alpha = 0.05, z_{0.80} for 80% power.
+_PW_Z_ALPHA = "1.959964"
+_PW_Z_POWER = "0.841621"
+_PW_LIFT = "0.01"  # target relative lift for the sample-size column
+
+_PW_S2_SQL = "CAST(var_centi AS DOUBLE) / CAST(100 * (nn - 1) AS DOUBLE)"
+_PW_MEAN_SQL = f"CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) + {_ANOVA_CENTER}"
+_PW_MDE_SQL = (
+    f"({_PW_Z_ALPHA} + {_PW_Z_POWER})"
+    f" * sqrt(4.0 * ({_PW_S2_SQL}) / CAST(nn AS DOUBLE))"
+)
+_PW_NREQ_SQL = (
+    f"ceil(4.0 * ({_PW_Z_ALPHA} + {_PW_Z_POWER}) * ({_PW_Z_ALPHA} + {_PW_Z_POWER})"
+    f" * ({_PW_S2_SQL})"
+    f" / (({_PW_LIFT} * ({_PW_MEAN_SQL})) * ({_PW_LIFT} * ({_PW_MEAN_SQL}))))"
+)
+
+
+@register(
+    "r_power_analysis",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER} AS d
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(d) AS BIGINT) AS tt,
+               CAST(sum(d * d) AS BIGINT) AS sdd
+        FROM src GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, nn, tt,
+               CAST(sdd * 100 - {_ss_centi_sql('tt', 'nn')} AS BIGINT) AS var_centi
+        FROM m WHERE nn >= 2
+    )
+    SELECT event_type, nn AS n,
+           {r6_sql(_PW_S2_SQL)} AS s2_cents,
+           {r6_sql(_PW_MEAN_SQL)} AS mean_cents,
+           {r6_sql(_PW_MDE_SQL)} AS mde_cents,
+           CAST({_PW_NREQ_SQL} AS BIGINT) AS n_required_1pct
+    FROM v
+    WHERE var_centi > 0 AND tt + nn * {_ANOVA_CENTER} > 0
+    ORDER BY event_type
+    """,
+)
+def r_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis per event type — the planning half of the
+    experimentation family (r_welch_ttest / r_conversion_wilson_ci /
+    r_cuped_variance_reduction / r_srm_check measure; this key sizes):
+    from the observed value variance, (1) the minimal detectable
+    effect in cents at 80% power / two-sided alpha = 0.05 if today's
+    traffic split 50/50, MDE = (z_a + z_b) * sqrt(4 s^2 / N), and
+    (2) the TOTAL sample size needed to detect a 1% lift of the
+    current mean, N = 4 (z_a + z_b)^2 s^2 / (0.01 mu)^2.
+
+    Determinism: sufficient statistics are the exact BIGINT ANOVA-
+    centered sums; the variance uses the centi-divmod quantization, so
+    s^2 and the mean are single double ratios of exact integers; the
+    normal quantiles are SHARED 6-dp literals (never a per-engine
+    quantile evaluation), sqrt is IEEE-correctly-rounded, and ceil of
+    an identically-computed double agrees bit-for-bit.
+
+    Scale shape: ONE map-side-combined aggregation to |event_types|
+    rows; everything downstream is row-local arithmetic on that
+    bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - F.lit(
+        _ANOVA_CENTER
+    )
+    m = ev.select("event_type", d.alias("d")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("d").cast("bigint").alias("tt"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    v = m.filter(F.col("nn") >= 2).withColumn(
+        "var_centi",
+        (F.col("sdd") * 100 - _ss_centi_expr("tt", "nn")).cast("bigint"),
+    )
+    return (
+        v.filter(
+            (F.col("var_centi") > 0)
+            & (F.col("tt") + F.col("nn") * _ANOVA_CENTER > 0)
+        )
+        .select(
+            "event_type",
+            F.col("nn").alias("n"),
+            r6(F.expr(_PW_S2_SQL)).alias("s2_cents"),
+            r6(F.expr(_PW_MEAN_SQL)).alias("mean_cents"),
+            r6(F.expr(_PW_MDE_SQL)).alias("mde_cents"),
+            F.expr(_PW_NREQ_SQL).cast("bigint").alias("n_required_1pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -68,6 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_srm",
     "r_peak_detection",
     "r_rolling_corr",
+    "r_power_analysis",
+    "r_allen_intervals",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -116,10 +118,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_set_ops",
     "r_sort_limit_topk",
     "r_tumbling_window",
-    "r_window_rank",
     "t_cast_int_widths",
     "t_project_rename",
-    "r_benford",
 )
 
 

@@ -320,3 +320,93 @@ def test_rolling_corr_matches_pandas_reference(spark, sf_dir):
             continue
         ref = np.corrcoef(a, b)[0, 1]
         assert abs(out[d]["rolling_corr"] - ref) < 1e-6, d
+
+
+def test_power_analysis_matches_closed_form(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc",
+    ).collect()
+    fam: dict[str, list] = {}
+    for r in ev:
+        fam.setdefault(r["event_type"], []).append(r["vc"])
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["r_power_analysis"].fn(spark, sf_dir).collect()
+    }
+    z = 1.959964 + 0.841621
+    for et, vals in fam.items():
+        x = np.array(vals, dtype=float)
+        n = len(x)
+        if n < 2 or x.var(ddof=1) <= 0 or x.mean() <= 0:
+            continue
+        s2 = x.var(ddof=1)
+        mde = z * np.sqrt(4 * s2 / n)
+        nreq = int(np.ceil(4 * z * z * s2 / (0.01 * x.mean()) ** 2))
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["s2_cents"] - s2) < 1e-3 * max(1.0, s2), et
+        assert abs(row["mde_cents"] - mde) < 1e-4 * max(1.0, mde), et
+        # the centi quantization can move n_required by at most a few
+        # counts at the boundary; demand near-equality
+        assert abs(row["n_required_1pct"] - nreq) <= 1, et
+
+
+ALLEN_RELATIONS = {
+    "equals", "starts", "started_by", "finishes", "finished_by",
+    "meets", "met_by", "precedes", "preceded_by", "during",
+    "contains", "overlaps", "overlapped_by",
+}
+
+
+def _allen(a1, a2, b1, b2):
+    if a1 == b1 and a2 == b2:
+        return "equals"
+    if a1 == b1:
+        return "starts" if a2 < b2 else "started_by"
+    if a2 == b2:
+        return "finishes" if a1 > b1 else "finished_by"
+    if a2 == b1:
+        return "meets"
+    if b2 == a1:
+        return "met_by"
+    if a2 < b1:
+        return "precedes"
+    if b2 < a1:
+        return "preceded_by"
+    if a1 > b1 and a2 < b2:
+        return "during"
+    if a1 < b1 and a2 > b2:
+        return "contains"
+    if a1 < b1 < a2 < b2:
+        return "overlaps"
+    return "overlapped_by"
+
+
+def test_allen_intervals_matches_pairwise_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS t"
+    ).collect()
+    iv: dict[tuple, list] = {}
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        iv.setdefault(k, [r["t"], r["t"]])
+        iv[k][0] = min(iv[k][0], r["t"])
+        iv[k][1] = max(iv[k][1], r["t"])
+    by_user: dict[int, list] = {}
+    for (u, et), (t1, t2) in iv.items():
+        if t1 < t2:
+            by_user.setdefault(u, []).append((et, t1, t2))
+    expected: dict[tuple, int] = {}
+    for u, spans in by_user.items():
+        for ea, a1, a2 in spans:
+            for eb, b1, b2 in spans:
+                if ea < eb:
+                    rel = _allen(a1, a2, b1, b2)
+                    expected[(ea, eb, rel)] = expected.get((ea, eb, rel), 0) + 1
+    out = all_specs()["r_allen_intervals"].fn(spark, sf_dir).collect()
+    got = {(r["type_a"], r["type_b"], r["relation"]): r["n_pairs"] for r in out}
+    assert got == expected
+    assert set(r for _, _, r in got) <= ALLEN_RELATIONS
+    # exhaustivity: the pairwise total equals sum over relations
+    assert sum(got.values()) == sum(expected.values())

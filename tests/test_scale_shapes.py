@@ -154,6 +154,8 @@ SCALE_FAMILY = [
     "s_stream_srm",
     "r_peak_detection",
     "r_rolling_corr",
+    "r_power_analysis",
+    "r_allen_intervals",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
