@@ -112,6 +112,14 @@ SAMPLE = [
     "r_exp_decay_avg",
     "l_hapax_ratio",
     "l_k_anonymity",
+    # round-14 newcomers with ordering-sensitive machinery: the KM
+    # left-fold product, BH (p, hour) tie ranking, SQ8 broadcast-stats
+    # join + pico sums, the Allen self-join census, the KW rank window
+    "r_survival_km",
+    "r_benjamini_hochberg",
+    "l_sq8_quantize_error",
+    "r_allen_intervals",
+    "r_kruskal_wallis",
 ]
 
 

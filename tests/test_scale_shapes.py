@@ -193,6 +193,19 @@ PLAN_PIN_FAMILY = [
     # round-14 (VERDICT r13 ask #7): the skyline dominance window's
     # exchange count must not depend on the partition knob
     "r_skyline",
+    # round-14 stats/monitoring family: all reduce to bounded frames
+    # (map-side-combined rollups, broadcast joins, |types|-row tails) —
+    # the partition knob must never add a shuffle to any of them
+    "r_kruskal_wallis",
+    "r_benjamini_hochberg",
+    "r_bollinger_bands",
+    "r_survival_km",
+    "r_srm_check",
+    "r_power_analysis",
+    "r_allen_intervals",
+    "l_sq8_quantize_error",
+    "r_peak_detection",
+    "r_rolling_corr",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
