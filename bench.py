@@ -357,6 +357,8 @@ HEADLINE = [
     "r_rolling_corr",
     "r_power_analysis",
     "r_allen_intervals",
+    "l_temperature_mix",
+    "r_winsorize",
 ]
 
 

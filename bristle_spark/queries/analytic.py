@@ -4505,3 +4505,136 @@ def r_allen_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("type_a", "type_b", "relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_winsorize
+
+_WINSOR_LO_PPM = 50_000   # p5
+_WINSOR_HI_PPM = 950_000  # p95
+
+
+@register(
+    "r_winsorize",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    vf AS (
+        SELECT event_type, vc, CAST(count(*) AS BIGINT) AS cnt
+        FROM src GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, vc, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        FROM vf
+    ),
+    tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM vf GROUP BY 1),
+    bounds AS (
+        SELECT t.event_type, t.n,
+               (SELECT min(c.vc) FROM cum c
+                WHERE c.event_type = t.event_type
+                  AND c.cum_n >= ({_WINSOR_LO_PPM} * t.n + 999999) // 1000000) AS lo,
+               (SELECT min(c.vc) FROM cum c
+                WHERE c.event_type = t.event_type
+                  AND c.cum_n >= ({_WINSOR_HI_PPM} * t.n + 999999) // 1000000) AS hi
+        FROM tot t
+    )
+    SELECT s.event_type, b.n,
+           CAST(b.lo AS BIGINT) AS lo_cents,
+           CAST(b.hi AS BIGINT) AS hi_cents,
+           CAST(sum(CASE WHEN s.vc < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN s.vc > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+           {r6_sql('CAST(sum(LEAST(GREATEST(s.vc, b.lo), b.hi)) AS DOUBLE) / CAST(b.n AS DOUBLE)')} AS winsor_mean_cents
+    FROM src s JOIN bounds b ON s.event_type = b.event_type
+    GROUP BY s.event_type, b.n, b.lo, b.hi
+    ORDER BY s.event_type
+    """,
+)
+def r_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the exact
+    [p5, p95] percentile boundaries and report the clamped mean plus
+    the clamp counts — the robust-aggregation companion to
+    r_robust_stats (median/MAD): Winsorizing keeps every observation
+    (unlike trimming) while bounding the influence of tails, the
+    standard treatment for revenue metrics with whale users.
+
+    Determinism: boundaries use the r_percentile_disc exact-rank
+    convention (smallest cents value whose cumulative frequency
+    reaches ceil(p*n), integer ppm arithmetic); the clamp is integer
+    LEAST/GREATEST on exact cents; the winsorized sum is an exact
+    BIGINT and the mean one double division.
+
+    Scale shape: a value-frequency rollup (map-side combined, bounded
+    by |distinct cents| per type), a cumulative window over that
+    compressed frame partitioned by event_type, a tiny broadcast
+    boundary table joined back to the scan, and ONE final
+    aggregation — the raw corpus is scanned twice, shuffled once per
+    rollup key, never globally sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    vf = src.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vf.select(
+        "event_type", "vc", "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum_n"),
+    )
+    tot = vf.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    bounds = (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "vc", "cum_n", "n",
+            F.floor((_WINSOR_LO_PPM * F.col("n") + 999999) / 1000000)
+            .cast("bigint")
+            .alias("r_lo"),
+            F.floor((_WINSOR_HI_PPM * F.col("n") + 999999) / 1000000)
+            .cast("bigint")
+            .alias("r_hi"),
+        )
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("cum_n") >= F.col("r_lo"), F.col("vc")))
+            .cast("bigint")
+            .alias("lo"),
+            F.min(F.when(F.col("cum_n") >= F.col("r_hi"), F.col("vc")))
+            .cast("bigint")
+            .alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("vc"), F.col("lo")), F.col("hi"))
+    return (
+        src.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("vc") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("vc") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_high"),
+            F.sum(clamped).cast("bigint").alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "n_clamped_low",
+            "n_clamped_high",
+            r6(F.col("wsum").cast("double") / F.col("n").cast("double")).alias(
+                "winsor_mean_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1839,3 +1839,80 @@ def l_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro").cast("bigint").alias("rbo_micro"),
         r6(F.sum("micro").cast("double") / F.lit(float(_RBO_SCALE))).alias("rbo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_temperature_mix
+
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
+
+
+@register(
+    "l_temperature_mix",
+    oracle="""
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM src),
+    raw AS (
+        SELECT s.source, s.n, t.nn,
+               CAST(floor(sqrt(CAST(s.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                          * 1000000000000 + 0.5) AS BIGINT) AS wq
+        FROM src s CROSS JOIN tot t
+    ),
+    norm AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM raw)
+    SELECT r.source, r.n AS n_docs,
+           floor(CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_natural,
+           floor(CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE) * 1000000 + 0.5) / 1000000 AS weight,
+           floor((CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE))
+                 / (CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS boost
+    FROM raw r CROSS JOIN norm m
+    ORDER BY r.source
+    """,
+)
+def l_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source — the standard
+    multilingual/multi-source rebalancing rule for LLM training
+    mixtures (w_i proportional to p_i^alpha, here alpha = 0.5): small
+    sources are upsampled toward uniform, large sources downweighted,
+    and the emitted boost = w_i / p_i is the per-source repetition
+    factor a sampler applies. Complements l_domain_mix (observed
+    shares) and l_mixture_sampler (applying given weights): this key
+    COMPUTES the weights.
+
+    Determinism: sqrt(p_i) is one exact division + one IEEE-correctly-
+    rounded sqrt per source; each raw weight quantizes to PICO units
+    (floor(sqrt(p)*1e12 + 0.5) BIGINT) BEFORE the cross-source
+    normalizing sum, so the only multi-row reduction is an exact
+    integer sum (the r_cramers_v discipline) and the normalized weight
+    is one double ratio of exact integers.
+
+    Scale shape: ONE map-side-combined count to |sources| rows; the
+    total and the normalizer are 1-row broadcasts; everything else is
+    row-local arithmetic on the bounded source frame."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = src.agg(F.sum("n").cast("bigint").alias("nn"))
+    raw = src.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("n").cast("double") / F.col("nn").cast("double"))
+            * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    norm = raw.agg(F.sum("wq").cast("bigint").alias("wsum"))
+    p = F.col("n").cast("double") / F.col("nn").cast("double")
+    w = F.col("wq").cast("double") / F.col("wsum").cast("double")
+    return (
+        raw.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            r6(p).alias("p_natural"),
+            r6(w).alias("weight"),
+            r6(w / p).alias("boost"),
+        )
+        .orderBy("source")
+    )

@@ -70,6 +70,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_rolling_corr",
     "r_power_analysis",
     "r_allen_intervals",
+    "l_temperature_mix",
+    "r_winsorize",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -116,8 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_join_inner",
     "r_rollup",
     "r_set_ops",
-    "r_sort_limit_topk",
-    "r_tumbling_window",
     "t_cast_int_widths",
     "t_project_rename",
 )

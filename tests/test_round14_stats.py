@@ -410,3 +410,57 @@ def test_allen_intervals_matches_pairwise_reference(spark, sf_dir):
     assert set(r for _, _, r in got) <= ALLEN_RELATIONS
     # exhaustivity: the pairwise total equals sum over relations
     assert sum(got.values()) == sum(expected.values())
+
+
+def test_temperature_mix_matches_closed_form(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").selectExpr("source").collect()
+    from collections import Counter
+
+    counts = Counter(r["source"] for r in docs)
+    n_total = sum(counts.values())
+    wq = {s: np.floor(np.sqrt(n / n_total) * 1e12 + 0.5) for s, n in counts.items()}
+    wsum = sum(wq.values())
+    out = {
+        r["source"]: r
+        for r in all_specs()["l_temperature_mix"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(counts)
+    for s, n in counts.items():
+        row = out[s]
+        assert row["n_docs"] == n
+        assert abs(row["p_natural"] - n / n_total) < 1e-6
+        assert abs(row["weight"] - wq[s] / wsum) < 1e-6
+        assert abs(row["boost"] - (wq[s] / wsum) / (n / n_total)) < 1e-5
+    # temperature 0.5 compresses: every boost ordering is inverse to size
+    ordered = sorted(counts, key=counts.get)
+    boosts = [out[s]["boost"] for s in ordered]
+    assert all(b1 >= b2 - 1e-9 for b1, b2 in zip(boosts, boosts[1:]))
+    # weights sum to 1 up to rounding
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4
+
+
+def test_winsorize_matches_numpy_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc"
+    ).collect()
+    fam: dict[str, list] = {}
+    for r in ev:
+        fam.setdefault(r["event_type"], []).append(r["vc"])
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["r_winsorize"].fn(spark, sf_dir).collect()
+    }
+    for et, vals in fam.items():
+        x = np.sort(np.array(vals, dtype=np.int64))
+        n = len(x)
+        r_lo = -(-50_000 * n // 1_000_000)   # ceil(p*n) in ppm
+        r_hi = -(-950_000 * n // 1_000_000)
+        lo, hi = int(x[r_lo - 1]), int(x[r_hi - 1])
+        clamped = np.clip(x, lo, hi)
+        row = out[et]
+        assert (row["lo_cents"], row["hi_cents"]) == (lo, hi), et
+        assert row["n_clamped_low"] == int((x < lo).sum())
+        assert row["n_clamped_high"] == int((x > hi).sum())
+        assert abs(row["winsor_mean_cents"] - clamped.mean()) < 1e-4, et
+        # winsorized mean is bounded by the clamp interval
+        assert lo <= row["winsor_mean_cents"] <= hi

@@ -156,6 +156,8 @@ SCALE_FAMILY = [
     "r_rolling_corr",
     "r_power_analysis",
     "r_allen_intervals",
+    "l_temperature_mix",
+    "r_winsorize",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -206,6 +208,8 @@ PLAN_PIN_FAMILY = [
     "l_sq8_quantize_error",
     "r_peak_detection",
     "r_rolling_corr",
+    "l_temperature_mix",
+    "r_winsorize",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
