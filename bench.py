@@ -359,6 +359,7 @@ HEADLINE = [
     "r_allen_intervals",
     "l_temperature_mix",
     "r_winsorize",
+    "m_wav_silence_trim",
 ]
 
 

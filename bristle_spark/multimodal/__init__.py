@@ -1474,3 +1474,122 @@ def hist_equalize(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=HIST_EQ_SCHEMA)
+
+
+def attach_wav_padded(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-WAV payload with PLANTED silence padding: the
+    128 iterated-md5 int16 samples of attach_wav_audio, preceded by
+    ``16 + byte0 % 64`` and followed by ``16 + byte1 % 64`` zero
+    samples (bytes from md5(text || 'pad')) — the shape voice-activity
+    trimming actually runs on. The PCM length now VARIES per document,
+    so the RIFF/WAVE header's chunk-size fields vary too and the wrap
+    runs through the real ``wave`` encoder per row (mapInPandas, the
+    codec-wrap shape) instead of the constant-header JVM concat —
+    which also makes any decoder that ignores the declared data size
+    fail the oracle."""
+    import hashlib as _hl
+
+    src = df.select(F.col(key_col), F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("sample_rate", T.IntegerType()),
+                        T.StructField("channels", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                t = str(text)
+                pad = _hl.md5((t + "pad").encode()).digest()
+                lead, trail = 16 + pad[0] % 64, 16 + pad[1] % 64
+                pcm = b"".join(
+                    _hl.md5((t + str(i)).encode()).digest() for i in range(16)
+                )
+                payloads.append(
+                    wav_container(b"\x00\x00" * lead + pcm + b"\x00\x00" * trail)
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"sample_rate": 16000, "channels": 1,
+                         "format": "wav_pcm_s16le"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def wav_trim_stats(df: DataFrame) -> DataFrame:
+    """Silence-trim statistics over REAL WAV payloads: decode the
+    container (stdlib ``wave``), find the longest all-zero sample
+    prefix and suffix, and report the trimmed span's length, RMS, and
+    peak — the VAD-style preprocessing step an audio curation pipeline
+    runs before feature extraction (leading/trailing silence carries
+    no signal but dominates storage). Zero-sample silence is the
+    hex-derivable contract; a threshold variant is the same kernel
+    with ``abs(x) <= t``.
+
+    Scale shape: one partition-local mapInPandas pass (numpy argmax
+    over the nonzero mask), zero shuffles before the presentation
+    sort."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+            T.StructField("lead_zeros", T.LongType()),
+            T.StructField("trail_zeros", T.LongType()),
+            T.StructField("n_trimmed", T.LongType()),
+            T.StructField("rms_trimmed", T.DoubleType()),
+            T.StructField("peak_trimmed", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_total", "lead_zeros",
+                                    "trail_zeros", "n_trimmed",
+                                    "rms_trimmed", "peak_trimmed")}
+            for key, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = _wav_decode(bytes(payload))
+                v = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                nz = v != 0
+                if nz.any():
+                    lead = int(nz.argmax())
+                    trail = int(nz[::-1].argmax())
+                else:
+                    lead, trail = len(v), 0
+                w = v[lead : len(v) - trail]
+                rows["doc_id"].append(int(key))
+                rows["n_total"].append(len(v))
+                rows["lead_zeros"].append(lead)
+                rows["trail_zeros"].append(trail)
+                rows["n_trimmed"].append(len(w))
+                rows["rms_trimmed"].append(
+                    float(np.floor(np.sqrt((w * w).sum() / len(w)) * 1e6 + 0.5) / 1e6)
+                    if len(w) else 0.0
+                )
+                rows["peak_trimmed"].append(
+                    int(np.abs(w).max()) if len(w) else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)

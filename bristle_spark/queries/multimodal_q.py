@@ -1033,3 +1033,79 @@ def m_png_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eq_max",
         "eq_sum",
     ).orderBy("doc_id")
+
+
+_WAV_TRIM_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    pads AS (
+        SELECT doc_id, bytes,
+               16 + CAST('0x' || substr(md5_pad, 1, 2) AS BIGINT) % 64 AS lead_pad,
+               16 + CAST('0x' || substr(md5_pad, 3, 2) AS BIGINT) % 64 AS trail_pad
+        FROM (SELECT doc_id, bytes, md5(text || 'pad') AS md5_pad
+              FROM f JOIN documents USING (doc_id))
+    ),
+    sig AS (
+        SELECT doc_id, lead_pad, trail_pad,
+               list_concat(
+                   list_transform(range(0, CAST(lead_pad AS INT)), x -> CAST(0 AS BIGINT)),
+                   list_concat(
+                       list_transform(range(1, 129), j ->
+                           CAST(CASE WHEN bytes[2*j - 1] + 256 * bytes[2*j] >= 32768
+                                THEN bytes[2*j - 1] + 256 * bytes[2*j] - 65536
+                                ELSE bytes[2*j - 1] + 256 * bytes[2*j] END AS BIGINT)),
+                       list_transform(range(0, CAST(trail_pad AS INT)), x -> CAST(0 AS BIGINT))))
+               AS v
+        FROM pads
+    ),
+    runs AS (
+        SELECT doc_id, v,
+               COALESCE(list_position(list_transform(v, x -> x <> 0), true) - 1,
+                        len(v)) AS lead,
+               COALESCE(list_position(list_transform(list_reverse(v), x -> x <> 0), true) - 1,
+                        0) AS trail
+        FROM sig
+    ),
+    trimmed AS (
+        SELECT doc_id, v, lead, trail,
+               v[CAST(lead + 1 AS INT):CAST(len(v) - trail AS INT)] AS w
+        FROM runs
+    )
+    SELECT doc_id,
+           CAST(len(v) AS BIGINT) AS n_total,
+           CAST(lead AS BIGINT) AS lead_zeros,
+           CAST(trail AS BIGINT) AS trail_zeros,
+           CAST(len(w) AS BIGINT) AS n_trimmed,
+           floor(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * x))
+                      / CAST(len(w) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rms_trimmed,
+           CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT) AS peak_trimmed
+    FROM trimmed
+    ORDER BY doc_id
+"""
+
+
+@register("m_wav_silence_trim", oracle=_WAV_TRIM_ORACLE)
+def m_wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming through the REAL WAV codec over VARIABLE-length
+    containers: each document's payload plants 16-79 leading and
+    trailing zero samples around the 128 md5-derived int16 samples
+    (multimodal.attach_wav_padded — per-row ``wave`` encode, so the
+    RIFF chunk-size fields actually vary), and the kernel decodes the
+    container and reports the longest all-zero prefix/suffix plus the
+    trimmed span's length, RMS, and peak — the VAD-style preprocessing
+    an audio curation pipeline runs before feature extraction.
+
+    Full-content witness: the oracle re-derives the padded sample list
+    hex-side and computes the TRUE zero runs over the whole list, so a
+    decoder that mis-parses the varying data size, drops frames, or
+    mis-aligns the int16 stride hash-mismatches; signal samples that
+    happen to be zero adjacent to the planted pad extend the run
+    identically on both sides. The trimmed RMS rounds half-up at 6dp
+    from an exact integer sum of squares (one division + one
+    IEEE-exact sqrt).
+
+    Scale shape: two partition-local mapInPandas stages (variable-
+    length wav wrap, decode+trim), zero shuffles before the
+    presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    audio = multimodal.attach_wav_padded(d)
+    return multimodal.wav_trim_stats(audio).orderBy("doc_id")

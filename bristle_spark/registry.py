@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_allen_intervals",
     "l_temperature_mix",
     "r_winsorize",
+    "m_wav_silence_trim",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_filter_predicates",
     "r_join_inner",
     "r_rollup",
-    "r_set_ops",
     "t_cast_int_widths",
     "t_project_rename",
 )

@@ -77,6 +77,7 @@ _HEAVY = {
     "s_stream_srm": 6,
     "l_duplicate_spans": 5,
     "l_contamination_ngram": 7,
+    "m_wav_silence_trim": 5,
 }
 _FALLBACK_W = 3
 

@@ -464,3 +464,40 @@ def test_winsorize_matches_numpy_reference(spark, sf_dir):
         assert abs(row["winsor_mean_cents"] - clamped.mean()) < 1e-4, et
         # winsorized mean is bounded by the clamp interval
         assert lo <= row["winsor_mean_cents"] <= hi
+
+
+def test_wav_silence_trim_matches_reference(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text"
+    ).collect()
+    out = {
+        r["doc_id"]: r
+        for r in all_specs()["m_wav_silence_trim"].fn(spark, sf_dir).collect()
+    }
+    assert len(out) == len(docs)
+    for r in docs:
+        t = r["text"]
+        pad = hashlib.md5((t + "pad").encode()).digest()
+        lead_pad, trail_pad = 16 + pad[0] % 64, 16 + pad[1] % 64
+        pcm = b"".join(
+            hashlib.md5((t + str(i)).encode()).digest() for i in range(16)
+        )
+        sig = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        v = np.concatenate(
+            [np.zeros(lead_pad, np.int64), sig, np.zeros(trail_pad, np.int64)]
+        )
+        nz = v != 0
+        lead = int(nz.argmax()) if nz.any() else len(v)
+        trail = int(nz[::-1].argmax()) if nz.any() else 0
+        w = v[lead : len(v) - trail]
+        row = out[r["doc_id"]]
+        assert row["n_total"] == len(v)
+        assert (row["lead_zeros"], row["trail_zeros"]) == (lead, trail)
+        assert row["n_trimmed"] == len(w)
+        assert row["peak_trimmed"] == int(np.abs(w).max())
+        rms = np.floor(np.sqrt((w * w).sum() / len(w)) * 1e6 + 0.5) / 1e6
+        assert abs(row["rms_trimmed"] - rms) < 1e-9
+        # the planted pad is always at least covered by the zero run
+        assert lead >= lead_pad and trail >= trail_pad

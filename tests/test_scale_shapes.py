@@ -158,6 +158,7 @@ SCALE_FAMILY = [
     "r_allen_intervals",
     "l_temperature_mix",
     "r_winsorize",
+    "m_wav_silence_trim",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
