@@ -360,6 +360,7 @@ HEADLINE = [
     "l_temperature_mix",
     "r_winsorize",
     "m_wav_silence_trim",
+    "r_did_estimator",
 ]
 
 

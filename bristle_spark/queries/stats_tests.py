@@ -2365,3 +2365,166 @@ def r_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_did_estimator
+
+# Four (treat, post) cells pivoted into ONE row per event type, so the
+# cross-cell combination (the DiD double difference and the 4-term
+# variance sum) is a row-local FIXED-ORDER expression chain — never a
+# cross-row double aggregation.  Cell means/variances come from the
+# exact ANOVA-centered BIGINT sums + centi-divmod variance.
+_DID_CELLS = ("c_pre", "c_post", "t_pre", "t_post")
+
+
+def _did_mean_sql(cell: str) -> str:
+    return f"CAST(t_{cell} AS DOUBLE) / CAST(n_{cell} AS DOUBLE)"
+
+
+def _did_vterm_sql(cell: str) -> str:
+    """s^2_cell / n_cell from the centi-quantized variance."""
+    return (
+        f"CAST(v_{cell} AS DOUBLE)"
+        f" / CAST(100 * (n_{cell} - 1) * n_{cell} AS DOUBLE)"
+    )
+
+
+_DID_SQL = (
+    f"(({_did_mean_sql('t_post')}) - ({_did_mean_sql('t_pre')}))"
+    f" - (({_did_mean_sql('c_post')}) - ({_did_mean_sql('c_pre')}))"
+)
+_DID_SE_SQL = (
+    f"sqrt((({_did_vterm_sql('t_post')}) + ({_did_vterm_sql('t_pre')}))"
+    f" + (({_did_vterm_sql('c_post')}) + ({_did_vterm_sql('c_pre')})))"
+)
+
+
+def _did_cell_sums_sql(cell: str, cond: str) -> str:
+    """The three conditional BIGINT sums for one (treat, post) cell."""
+    return (
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{cell},\n"
+        f"               CAST(sum(CASE WHEN {cond} THEN d ELSE 0 END) AS BIGINT) AS t_{cell},\n"
+        f"               CAST(sum(CASE WHEN {cond} THEN d * d ELSE 0 END) AS BIGINT) AS sdd_{cell}"
+    )
+
+
+@register(
+    "r_did_estimator",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) - {_ANOVA_CENTER} AS d,
+               CAST({hash60_sql("CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS treat,
+               CAST(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                    THEN 1 ELSE 0 END AS BIGINT) AS post
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type,
+               {_did_cell_sums_sql('c_pre', 'treat = 0 AND post = 0')},
+               {_did_cell_sums_sql('c_post', 'treat = 0 AND post = 1')},
+               {_did_cell_sums_sql('t_pre', 'treat = 1 AND post = 0')},
+               {_did_cell_sums_sql('t_post', 'treat = 1 AND post = 1')}
+        FROM src GROUP BY event_type
+    ),
+    vc AS (
+        SELECT *,
+               CAST(sdd_c_pre * 100 - {_ss_centi_sql('t_c_pre', 'n_c_pre')} AS BIGINT) AS v_c_pre,
+               CAST(sdd_c_post * 100 - {_ss_centi_sql('t_c_post', 'n_c_post')} AS BIGINT) AS v_c_post,
+               CAST(sdd_t_pre * 100 - {_ss_centi_sql('t_t_pre', 'n_t_pre')} AS BIGINT) AS v_t_pre,
+               CAST(sdd_t_post * 100 - {_ss_centi_sql('t_t_post', 'n_t_post')} AS BIGINT) AS v_t_post
+        FROM cells
+        WHERE n_c_pre >= 2 AND n_c_post >= 2 AND n_t_pre >= 2 AND n_t_post >= 2
+    )
+    SELECT event_type,
+           n_c_pre, n_c_post, n_t_pre, n_t_post,
+           {r6_sql(_DID_SQL)} AS did_cents,
+           {r6_sql(_DID_SE_SQL)} AS se_cents,
+           {r6_sql(f'({_DID_SQL}) / ({_DID_SE_SQL})')} AS t_stat,
+           CAST(CASE WHEN abs(({_DID_SQL}) / ({_DID_SE_SQL})) > {_PW_Z_ALPHA}
+                THEN 1 ELSE 0 END AS INT) AS significant
+    FROM vc
+    WHERE v_c_pre > 0 AND v_c_post > 0 AND v_t_pre > 0 AND v_t_post > 0
+    ORDER BY event_type
+    """,
+)
+def r_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event type — the causal
+    readout completing the experimentation family (r_srm_check gates
+    the assignment, r_power_analysis sizes, r_cuped_variance_reduction
+    tightens, this key estimates): users hash into treat/control (the
+    shared md5 hash60 split), days split pre/post at the shared CUPED
+    date literal, and the effect is the classic double difference
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) with the
+    4-cell unpooled variance and a z-gate at the shared 1.959964.
+
+    Determinism: ONE conditional aggregation pivots all four cells'
+    exact BIGINT sufficient statistics into a single row per type, so
+    the double difference and the 4-term variance sum are row-local
+    FIXED-ORDER IEEE chains (never a cross-row double sum); cell
+    variances use the ANOVA centi-divmod quantization; sqrt is
+    IEEE-exact; the expression text is generated once and spliced into
+    both engines.
+
+    Scale shape: ONE map-side-combined aggregation to |event_types|
+    rows (12 conditional sums in the same pass); everything after is
+    row-local arithmetic on that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - F.lit(
+        _ANOVA_CENTER
+    )
+    treat = (hash60(F.col("user_id").cast("string")) % 2).cast("bigint")
+    post = F.when(
+        F.col("ts").cast("date") >= F.lit(_CUPED_SPLIT).cast("date"), 1
+    ).otherwise(0).cast("bigint")
+    src = ev.select(
+        "event_type", d.alias("d"), treat.alias("treat"), post.alias("post")
+    )
+    conds = {
+        "c_pre": (F.col("treat") == 0) & (F.col("post") == 0),
+        "c_post": (F.col("treat") == 0) & (F.col("post") == 1),
+        "t_pre": (F.col("treat") == 1) & (F.col("post") == 0),
+        "t_post": (F.col("treat") == 1) & (F.col("post") == 1),
+    }
+    aggs = []
+    for cell, cond in conds.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{cell}"),
+            F.sum(F.when(cond, F.col("d")).otherwise(0)).cast("bigint").alias(f"t_{cell}"),
+            F.sum(F.when(cond, F.col("d") * F.col("d")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sdd_{cell}"),
+        ]
+    cells = src.groupBy("event_type").agg(*aggs)
+    vc = cells.filter(
+        (F.col("n_c_pre") >= 2) & (F.col("n_c_post") >= 2)
+        & (F.col("n_t_pre") >= 2) & (F.col("n_t_post") >= 2)
+    )
+    for cell in _DID_CELLS:
+        vc = vc.withColumn(
+            f"v_{cell}",
+            (
+                F.col(f"sdd_{cell}") * 100
+                - _ss_centi_expr(f"t_{cell}", f"n_{cell}")
+            ).cast("bigint"),
+        )
+    did, se = F.expr(_DID_SQL), F.expr(_DID_SE_SQL)
+    return (
+        vc.filter(
+            (F.col("v_c_pre") > 0) & (F.col("v_c_post") > 0)
+            & (F.col("v_t_pre") > 0) & (F.col("v_t_post") > 0)
+        )
+        .select(
+            "event_type",
+            "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+            r6(did).alias("did_cents"),
+            r6(se).alias("se_cents"),
+            r6(did / se).alias("t_stat"),
+            F.when(F.abs(did / se) > float(_PW_Z_ALPHA), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("event_type")
+    )

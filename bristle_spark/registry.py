@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_temperature_mix",
     "r_winsorize",
     "m_wav_silence_trim",
+    "r_did_estimator",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # this round's 10 never-graded additions took the other slots) ---
     "r_filter_predicates",
     "r_join_inner",
-    "r_rollup",
     "t_cast_int_widths",
     "t_project_rename",
 )

@@ -501,3 +501,45 @@ def test_wav_silence_trim_matches_reference(spark, sf_dir):
         assert abs(row["rms_trimmed"] - rms) < 1e-9
         # the planted pad is always at least covered by the zero run
         assert lead >= lead_pad and trail >= trail_pad
+
+
+def test_did_estimator_matches_reference(spark, sf_dir):
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(user_id AS STRING) AS uid",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS d",
+        "CAST(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS INT) AS post",
+    ).collect()
+    cells: dict[tuple, list] = {}
+    for r in ev:
+        treat = int(hashlib.md5(r["uid"].encode()).hexdigest()[:15], 16) % 2
+        cells.setdefault((r["event_type"], treat, r["post"]), []).append(r["d"])
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["r_did_estimator"].fn(spark, sf_dir).collect()
+    }
+    types = {k[0] for k in cells}
+    for et in types:
+        arr = {}
+        ok = True
+        for treat in (0, 1):
+            for post in (0, 1):
+                v = np.array(cells.get((et, treat, post), []), dtype=float)
+                if len(v) < 2 or v.var(ddof=1) <= 0:
+                    ok = False
+                arr[(treat, post)] = v
+        if not ok:
+            assert et not in out
+            continue
+        did = (arr[(1, 1)].mean() - arr[(1, 0)].mean()) - (
+            arr[(0, 1)].mean() - arr[(0, 0)].mean()
+        )
+        se = np.sqrt(sum(a.var(ddof=1) / len(a) for a in arr.values()))
+        row = out[et]
+        assert row["n_t_post"] == len(arr[(1, 1)])
+        assert abs(row["did_cents"] - did) < 1e-3, et
+        assert abs(row["se_cents"] - se) < 1e-3, et
+        assert abs(row["t_stat"] - did / se) < 1e-3, et
+        assert row["significant"] == int(abs(did / se) > 1.959964)

@@ -159,6 +159,7 @@ SCALE_FAMILY = [
     "l_temperature_mix",
     "r_winsorize",
     "m_wav_silence_trim",
+    "r_did_estimator",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -211,6 +212,7 @@ PLAN_PIN_FAMILY = [
     "r_rolling_corr",
     "l_temperature_mix",
     "r_winsorize",
+    "r_did_estimator",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
