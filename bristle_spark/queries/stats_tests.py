@@ -2313,7 +2313,7 @@ _PW_NREQ_SQL = (
            {r6_sql(_PW_MDE_SQL)} AS mde_cents,
            CAST({_PW_NREQ_SQL} AS BIGINT) AS n_required_1pct
     FROM v
-    WHERE var_centi > 0 AND tt + nn * {_ANOVA_CENTER} > 0
+    WHERE var_centi > 0 AND tt + nn * {_ANOVA_CENTER} >= nn
     ORDER BY event_type
     """,
 )
@@ -2353,7 +2353,12 @@ def r_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.filter(
             (F.col("var_centi") > 0)
-            & (F.col("tt") + F.col("nn") * _ANOVA_CENTER > 0)
+            # mean >= 1 cent (not just > 0): n_required scales as
+            # 1/mean^2, and a near-zero mean pushes the ceil past
+            # 2^63 where DuckDB CAST errors but Spark's cast NULLs —
+            # a data-dependent parity break (review r14). Below one
+            # cent the "1% of the mean" target is meaningless anyway.
+            & (F.col("tt") + F.col("nn") * _ANOVA_CENTER >= F.col("nn"))
         )
         .select(
             "event_type",

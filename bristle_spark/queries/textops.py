@@ -1847,9 +1847,7 @@ def l_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
 
 
-@register(
-    "l_temperature_mix",
-    oracle="""
+_TEMP_MIX_ORACLE = """
     WITH src AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY source
@@ -1863,14 +1861,22 @@ _TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
     ),
     norm AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM raw)
     SELECT r.source, r.n AS n_docs,
-           floor(CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_natural,
-           floor(CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE) * 1000000 + 0.5) / 1000000 AS weight,
-           floor((CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE))
-                 / (CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS boost
+           {p_natural} AS p_natural,
+           {weight} AS weight,
+           {boost} AS boost
     FROM raw r CROSS JOIN norm m
     ORDER BY r.source
-    """,
+""".format(
+    p_natural=r6_sql("CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE)"),
+    weight=r6_sql("CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE)"),
+    boost=r6_sql(
+        "(CAST(r.wq AS DOUBLE) / CAST(m.wsum AS DOUBLE))"
+        " / (CAST(r.n AS DOUBLE) / CAST(r.nn AS DOUBLE))"
+    ),
 )
+
+
+@register("l_temperature_mix", oracle=_TEMP_MIX_ORACLE)
 def l_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled sampling weights per source — the standard
     multilingual/multi-source rebalancing rule for LLM training

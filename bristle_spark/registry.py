@@ -113,9 +113,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_anomaly",
     "s_stream_cdc",
     "s_stream_topk",
-    # --- (3) cont.: 10 of the 46-key r9 cohort (ties within a cohort
-    # may drain in any order; the remaining 36 wait for round 15 —
-    # this round's 10 never-graded additions took the other slots) ---
+    # --- (3) cont.: 4 of the 46-key r9 cohort (ties within a cohort
+    # may drain in any order; the remaining 42 wait for round 15 —
+    # this round's 16 never-graded additions took the other slots) ---
     "r_filter_predicates",
     "r_join_inner",
     "t_cast_int_widths",

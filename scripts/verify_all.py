@@ -61,6 +61,7 @@ SUITE_WEIGHTS = {
     "test_empty_tables.py": 118,
     "test_cli.py": 65,
     "test_streaming.py": 40,
+    "test_round14_stats.py": 60,
     "test_ann_pq.py": 19,
     "test_maintenance.py": 16,
     "test_bpe.py": 16,
