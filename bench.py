@@ -361,6 +361,7 @@ HEADLINE = [
     "r_winsorize",
     "m_wav_silence_trim",
     "r_did_estimator",
+    "r_did_pretrend",
 ]
 
 

@@ -2533,3 +2533,137 @@ def r_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_did_pretrend
+
+_PRETREND_SLOPE = (
+    "CAST(n{a} * sdc{a} - sd{a} * sc{a} AS DOUBLE)"
+    " / CAST(n{a} * sdd{a} - sd{a} * sd{a} AS DOUBLE)"
+)
+_PRETREND_T = _PRETREND_SLOPE.format(a="_t")
+_PRETREND_C = _PRETREND_SLOPE.format(a="_c")
+
+
+@register(
+    "r_did_pretrend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST({hash60_sql("CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS treat,
+               CAST(date_diff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        FROM events
+        WHERE CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}'
+        GROUP BY 1, 2, 3
+    ),
+    arm AS (
+        SELECT event_type, treat,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d * d) AS BIGINT) AS sdd,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(d * c) AS BIGINT) AS sdc
+        FROM daily GROUP BY event_type, treat
+    ),
+    wide AS (
+        SELECT event_type,
+               CAST(max(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n_t,
+               CAST(max(CASE WHEN treat = 1 THEN sd END) AS BIGINT) AS sd_t,
+               CAST(max(CASE WHEN treat = 1 THEN sdd END) AS BIGINT) AS sdd_t,
+               CAST(max(CASE WHEN treat = 1 THEN sc END) AS BIGINT) AS sc_t,
+               CAST(max(CASE WHEN treat = 1 THEN sdc END) AS BIGINT) AS sdc_t,
+               CAST(max(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n_c,
+               CAST(max(CASE WHEN treat = 0 THEN sd END) AS BIGINT) AS sd_c,
+               CAST(max(CASE WHEN treat = 0 THEN sdd END) AS BIGINT) AS sdd_c,
+               CAST(max(CASE WHEN treat = 0 THEN sc END) AS BIGINT) AS sc_c,
+               CAST(max(CASE WHEN treat = 0 THEN sdc END) AS BIGINT) AS sdc_c
+        FROM arm GROUP BY event_type
+    )
+    SELECT event_type,
+           n_t AS n_days_treat, n_c AS n_days_ctrl,
+           {r6_sql(_PRETREND_T)} AS slope_treat,
+           {r6_sql(_PRETREND_C)} AS slope_ctrl,
+           {r6_sql(f'({_PRETREND_T}) - ({_PRETREND_C})')} AS pretrend_gap
+    FROM wide
+    WHERE n_t IS NOT NULL AND n_c IS NOT NULL
+      AND n_t * sdd_t - sd_t * sd_t > 0
+      AND n_c * sdd_c - sd_c * sd_c > 0
+    ORDER BY event_type
+    """,
+)
+def r_did_pretrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-trends diagnostic for r_did_estimator — the validity
+    check every difference-in-differences readout requires: over the
+    PRE-period only, fit the per-arm OLS slope of daily spend vs
+    calendar day (the r_ols_by_group closed form, same epoch) for the
+    treat and control arms under the same hash60 split, and report the
+    slope gap. A nonzero pre-trend gap means the arms were already
+    diverging before treatment and the DiD estimate is confounded.
+
+    Determinism: arm-level daily totals are exact BIGINT cents; the
+    five OLS moments per (type, arm) reduce in one map-side-combined
+    pass; a conditional MAX pivots both arms into ONE row per type, so
+    both slopes and their difference are row-local fixed-order IEEE
+    ratios of exact integers (never a cross-row double sum); all
+    epoch/split/assignment constants are the shared literals of the
+    OLS / CUPED / SRM keys.
+
+    Scale shape: one rollup to |types| x 2 x |days| rows, one to
+    |types| x 2, one conditional pivot to |types| — raw event volume
+    touches only the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").cast("date") < F.lit(_CUPED_SPLIT).cast("date"))
+        .groupBy(
+            "event_type",
+            (hash60(F.col("user_id").cast("string")) % 2)
+            .cast("bigint")
+            .alias("treat"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    arm = daily.groupBy("event_type", "treat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("sdc"),
+    )
+    wide = arm.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("treat") == tv, F.col(col)))
+            .cast("bigint")
+            .alias(f"{col}_{suf}")
+            for tv, suf in ((1, "t"), (0, "c"))
+            for col in ("n", "sd", "sdd", "sc", "sdc")
+        ]
+    )
+    st, sc_ = F.expr(_PRETREND_T), F.expr(_PRETREND_C)
+    return (
+        wide.filter(
+            F.col("n_t").isNotNull()
+            & F.col("n_c").isNotNull()
+            & (F.col("n_t") * F.col("sdd_t") - F.col("sd_t") * F.col("sd_t") > 0)
+            & (F.col("n_c") * F.col("sdd_c") - F.col("sd_c") * F.col("sd_c") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n_t").alias("n_days_treat"),
+            F.col("n_c").alias("n_days_ctrl"),
+            r6(st).alias("slope_treat"),
+            r6(sc_).alias("slope_ctrl"),
+            r6(st - sc_).alias("pretrend_gap"),
+        )
+        .orderBy("event_type")
+    )

@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_winsorize",
     "m_wav_silence_trim",
     "r_did_estimator",
+    "r_did_pretrend",
     # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
     # r_geo_distance is the only registered key with zero driver
     # history; rows-only keys are window-exempt by policy, so this is
@@ -113,12 +114,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_anomaly",
     "s_stream_cdc",
     "s_stream_topk",
-    # --- (3) cont.: 4 of the 46-key r9 cohort (ties within a cohort
-    # may drain in any order; the remaining 42 wait for round 15 —
-    # this round's 16 never-graded additions took the other slots) ---
+    # --- (3) cont.: 3 of the 46-key r9 cohort (ties within a cohort
+    # may drain in any order; the remaining 43 wait for round 15 —
+    # this round's 17 never-graded additions took the other slots) ---
     "r_filter_predicates",
     "r_join_inner",
-    "t_cast_int_widths",
     "t_project_rename",
 )
 

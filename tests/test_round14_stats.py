@@ -543,3 +543,45 @@ def test_did_estimator_matches_reference(spark, sf_dir):
         assert abs(row["se_cents"] - se) < 1e-3, et
         assert abs(row["t_stat"] - did / se) < 1e-3, et
         assert row["significant"] == int(abs(did / se) > 1.959964)
+
+
+def test_did_pretrend_matches_reference_ols(spark, sf_dir):
+    import hashlib
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(user_id AS STRING) AS uid",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2020-01-01') AS BIGINT) AS d",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        "CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END AS INT) AS pre",
+    ).toPandas()
+    ev = ev[ev.pre == 1].copy()
+    ev["treat"] = ev["uid"].map(
+        lambda u: int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 2
+    )
+    daily = (
+        ev.groupby(["event_type", "treat", "d"])["cents"].sum().reset_index()
+    )
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["r_did_pretrend"].fn(spark, sf_dir).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        slopes = {}
+        ok = True
+        for treat in (1, 0):
+            a = g[g.treat == treat]
+            if len(a) < 2 or a["d"].var() == 0:
+                ok = False
+                break
+            slopes[treat] = np.polyfit(
+                a["d"].to_numpy(float), a["cents"].to_numpy(float), 1
+            )[0]
+        if not ok:
+            assert et not in out
+            continue
+        row = out[et]
+        assert abs(row["slope_treat"] - slopes[1]) < 1e-3, et
+        assert abs(row["slope_ctrl"] - slopes[0]) < 1e-3, et
+        assert abs(row["pretrend_gap"] - (slopes[1] - slopes[0])) < 1e-3, et

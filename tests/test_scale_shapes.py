@@ -160,6 +160,7 @@ SCALE_FAMILY = [
     "r_winsorize",
     "m_wav_silence_trim",
     "r_did_estimator",
+    "r_did_pretrend",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
@@ -213,6 +214,7 @@ PLAN_PIN_FAMILY = [
     "l_temperature_mix",
     "r_winsorize",
     "r_did_estimator",
+    "r_did_pretrend",
 ]
 
 # Absolute shuffle-count pins for the sparse-similarity family
