@@ -14,6 +14,7 @@ from bristle_spark.catalog import load_table, register_views
 from bristle_spark.functions.hashing import hash60, hash60_sql
 from bristle_spark.functions.rounding import r6, r6_sql, rN, rN_sql
 from bristle_spark.functions.skew import salted_agg
+from bristle_spark.functions.timebase import DAY_EPOCH
 from bristle_spark.registry import register
 
 
@@ -3212,7 +3213,7 @@ LTTB_BUCKETS = 16
     "r_lttb_downsample",
     oracle=f"""
     WITH daily AS (
-        SELECT date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+        SELECT date_diff('day', DATE '{DAY_EPOCH}', CAST(ts AS DATE)) AS d,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
         FROM events GROUP BY 1
     ),
@@ -3288,7 +3289,7 @@ def r_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d")
+        F.datediff(F.col("ts").cast("date"), F.lit(DAY_EPOCH).cast("date")).alias("d")
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
@@ -3710,7 +3711,7 @@ UNIQ_UP_TO_N = 5
     oracle=f"""
     WITH daily AS (
         SELECT event_type,
-               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               date_diff('day', DATE '{DAY_EPOCH}', CAST(ts AS DATE)) AS d,
                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_u
         FROM events GROUP BY 1, 2
     )
@@ -3742,7 +3743,7 @@ def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias(
+        F.datediff(F.col("ts").cast("date"), F.lit(DAY_EPOCH).cast("date")).alias(
             "day_idx"
         ),
     ).agg(F.countDistinct("user_id").cast("bigint").alias("exact_u"))
@@ -3763,11 +3764,11 @@ def r_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared with s_stream_skyline: the streamed front-of-fronts merge
 # must land the SAME final state this batch SQL defines.
-SKYLINE_ORACLE_SQL = """
+SKYLINE_ORACLE_SQL = f"""
     WITH src AS (
         SELECT event_type, event_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
-               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+               CAST(date_diff('day', DATE '{DAY_EPOCH}', CAST(ts AS DATE))
                     AS BIGINT) AS day
         FROM events
     ),
@@ -3800,7 +3801,7 @@ def skyline_points(ev: DataFrame) -> DataFrame:
         "event_type",
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        F.datediff(F.col("ts").cast("date"), F.lit(DAY_EPOCH).cast("date"))
         .cast("bigint")
         .alias("day"),
     )
@@ -3874,10 +3875,10 @@ def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # shared daily-cents frame (r_bollinger_bands / r_peak_detection twins)
 
-_DAILY_CENTS_SQL = """
+_DAILY_CENTS_SQL = f"""
     daily AS (
         SELECT event_type,
-               CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+               CAST(date_diff('day', DATE '{DAY_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     )"""
@@ -3891,7 +3892,7 @@ def daily_cents(ev: DataFrame) -> DataFrame:
     day epoch can never drift between the Bollinger / peak twins."""
     return ev.groupBy(
         "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        F.datediff(F.col("ts").cast("date"), F.lit(DAY_EPOCH).cast("date"))
         .cast("bigint")
         .alias("day_idx"),
     ).agg(
@@ -4277,7 +4278,7 @@ _RC_WIN = 30  # rolling window, days
     "r_rolling_corr",
     oracle=f"""
     WITH daily AS (
-        SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+        SELECT CAST(date_diff('day', DATE '{DAY_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
                CAST(sum(CASE WHEN event_type = '{_RC_PAIR[0]}'
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS xa,
                CAST(sum(CASE WHEN event_type = '{_RC_PAIR[1]}'
@@ -4342,7 +4343,7 @@ def r_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type").isin(*_RC_PAIR))
         .groupBy(
             F.datediff(
-                F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")
+                F.col("ts").cast("date"), F.lit(DAY_EPOCH).cast("date")
             )
             .cast("bigint")
             .alias("day_idx")
@@ -4514,6 +4515,18 @@ _WINSOR_LO_PPM = 50_000   # p5
 _WINSOR_HI_PPM = 950_000  # p95
 
 
+def _exact_ceil_rank(ppm: int):
+    """ceil(ppm*n/1e6) as exact DECIMAL(38,0) arithmetic over column
+    ``n`` — the r_percentile_disc rank convention (analytic.py:2307).
+    A double division here silently loses exactness once ppm*n nears
+    2^53 (n ≳ 1e10 at p95); the oracle uses BIGINT ``//``, so both
+    sides must stay integer-exact (ADVICE r14)."""
+    return F.expr(
+        f"CAST(floor((CAST({ppm} AS DECIMAL(38,0)) * n + 999999) / 1000000)"
+        " AS BIGINT)"
+    )
+
+
 @register(
     "r_winsorize",
     oracle=f"""
@@ -4595,12 +4608,8 @@ def r_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(F.broadcast(tot), "event_type")
         .select(
             "event_type", "vc", "cum_n", "n",
-            F.floor((_WINSOR_LO_PPM * F.col("n") + 999999) / 1000000)
-            .cast("bigint")
-            .alias("r_lo"),
-            F.floor((_WINSOR_HI_PPM * F.col("n") + 999999) / 1000000)
-            .cast("bigint")
-            .alias("r_hi"),
+            _exact_ceil_rank(_WINSOR_LO_PPM).alias("r_lo"),
+            _exact_ceil_rank(_WINSOR_HI_PPM).alias("r_hi"),
         )
         .groupBy("event_type", "n")
         .agg(

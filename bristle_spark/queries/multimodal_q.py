@@ -1075,9 +1075,14 @@ _WAV_TRIM_ORACLE = f"""
            CAST(lead AS BIGINT) AS lead_zeros,
            CAST(trail AS BIGINT) AS trail_zeros,
            CAST(len(w) AS BIGINT) AS n_trimmed,
-           floor(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * x))
-                      / CAST(len(w) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rms_trimmed,
-           CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT) AS peak_trimmed
+           COALESCE(floor(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * x))
+                      / CAST(len(w) AS DOUBLE)) * 1000000 + 0.5) / 1000000,
+                    0.0) AS rms_trimmed,
+           -- COALESCE to 0 on an all-zero signal (len(w)=0): the
+           -- kernel emits rms=0.0/peak=0 there, and the edge case must
+           -- be defined identically on both sides (ADVICE r14)
+           COALESCE(CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS peak_trimmed
     FROM trimmed
     ORDER BY doc_id
 """

@@ -43,7 +43,7 @@ from bristle_spark.registry import register
 # orders of magnitude inside int64 even at large SF, and pins the
 # intercept's meaning ("daily cents at 2020-01-01") identically in both
 # engines.
-_OLS_EPOCH = "2020-01-01"
+from bristle_spark.functions.timebase import DAY_EPOCH as _OLS_EPOCH  # noqa: E402
 
 
 @register(
@@ -991,7 +991,7 @@ def r_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type,
-               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               date_diff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE)) AS d,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
     ),
@@ -1046,7 +1046,7 @@ def r_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date")).alias("d"),
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
@@ -1118,7 +1118,7 @@ def r_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type,
-               date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+               date_diff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE)) AS d,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
     ),
@@ -1181,7 +1181,7 @@ def r_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date")).alias("d"),
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
@@ -1853,6 +1853,16 @@ _KW_CORR_SQL = (
     " / CAST(nn * nn * nn - nn - tie3 AS DOUBLE))"
 )
 
+# Int64 headroom guards, ENFORCED in the plan (ADVICE r14 — the bound
+# was documented but unenforced; past it Spark silently wraps the
+# BIGINT square while DuckDB errors, a data-dependent parity break).
+# Applied as a WHERE conjunct in BOTH engines (the r_power_analysis
+# mean-floor convention), ordered FIRST so the cubic tie term is never
+# evaluated on an oversize N: an over-headroom event type drops from
+# the readout instead of carrying a wrapped statistic.
+_KW_C_MAX = 3_037_000_499  # floor(sqrt(2^63 - 1)): C_i^2 must not wrap
+_KW_N_MAX = 2_097_151      # floor(cbrt(2^63 - 1)): the N^3 tie term
+
 
 @register(
     "r_kruskal_wallis",
@@ -1879,13 +1889,21 @@ _KW_CORR_SQL = (
                CAST(sum(teq * teq - 1) AS BIGINT) AS tie3_part
         FROM ranked GROUP BY event_type, dow
     ),
+    guarded AS (
+        SELECT * FROM (
+            SELECT g.*,
+                   max(abs(c_i)) OVER (PARTITION BY event_type) AS max_abs_c
+            FROM grp g
+        )
+        WHERE max_abs_c <= {_KW_C_MAX} AND nn <= {_KW_N_MAX}
+    ),
     m AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS k,
                CAST(max(nn) AS BIGINT) AS nn,
                CAST(sum({_ss_centi_sql('c_i', 'n_i')}) AS BIGINT) AS sq,
                CAST(sum(tie3_part) AS BIGINT) AS tie3
-        FROM grp GROUP BY event_type
+        FROM guarded GROUP BY event_type
     )
     SELECT event_type, nn AS n, k, tie3,
            {r6_sql(_KW_H_SQL)} AS h_stat,
@@ -1921,8 +1939,12 @@ def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2e6, so the square is the binding bound. Past ~1e5, pre-bucket
     values to a bounded histogram and rank bucket boundaries (the
     r_percentile_disc trade) — the realistic |C_i| is far smaller
-    (centered ranks cancel within balanced groups), but the CONTRACT
-    is the worst case, documented not silent.
+    (centered ranks cancel within balanced groups). The contract is
+    ENFORCED, not just documented (ADVICE r14): both engines filter
+    max|C_i| <= floor(sqrt(2^63-1)) and N <= floor(cbrt(2^63-1))
+    BEFORE the square, so an over-headroom type drops from the
+    readout identically on both sides instead of Spark wrapping
+    where DuckDB errors.
 
     Scale shape: one rank window partitioned by event_type (never
     global), one map-side-combined rollup to |event_types| x 7 rows,
@@ -1952,6 +1974,13 @@ def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r2") - (F.col("nn") + 1)).cast("bigint").alias("c_i"),
         F.max("nn").cast("bigint").alias("nn"),
         F.sum(F.col("teq") * F.col("teq") - 1).cast("bigint").alias("tie3_part"),
+    )
+    # headroom guard BEFORE the square (ADVICE r14): an over-headroom
+    # event type drops loudly instead of wrapping C_i^2 in int64; the
+    # window reuses grp's event_type partitioning (no extra exchange)
+    w_type = Window.partitionBy("event_type")
+    grp = grp.withColumn("max_abs_c", F.max(F.abs(F.col("c_i"))).over(w_type)).filter(
+        (F.col("max_abs_c") <= _KW_C_MAX) & (F.col("nn") <= _KW_N_MAX)
     )
     m = grp.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),

@@ -100,6 +100,28 @@ def _run_available_now(writer, checkpoint: str) -> None:
     q.awaitTermination()
 
 
+def _land_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent micro-batch landing for duplicate-SENSITIVE partials.
+
+    foreachBatch is at-least-once: a crash between the parquet write
+    and the checkpoint commit replays the batch on restart.  Additive
+    cell counts double under a plain ``mode('append')`` re-landing
+    (unlike the duplicate-insensitive skyline/bloom merges), so each
+    batch lands under its own batch_id-keyed subdirectory with
+    ``mode('overwrite')`` — a replayed batch clobbers its previous
+    landing instead of double-counting (ADVICE r14).  Read back with
+    ``_landed()``."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"b{batch_id:06d}")
+    )
+
+
+def _landed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read every batch partial landed by ``_land_idempotent`` (plain
+    subdir names, not ``key=value`` — no phantom partition column)."""
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
+
+
 @register("s_microbatch_flush", oracle=None)
 def s_microbatch_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 timed-flush analog: the stream lands in micro-batches of at most
@@ -1130,7 +1152,9 @@ def s_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        _cms_partials(df).write.mode("append").parquet(out_dir)
+        # additive cells double under an at-least-once re-landing —
+        # land idempotently per batch_id (ADVICE r14, as s_stream_srm)
+        _land_idempotent(_cms_partials(df), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
@@ -1141,7 +1165,7 @@ def s_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bristle_spark.queries.corpus import CMS_D, CMS_W
 
     merged = (
-        spark.read.parquet(out_dir)
+        _landed(spark, out_dir)
         .groupBy("i", "bucket")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
@@ -1906,6 +1930,12 @@ def s_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the live version of the batch gate: assignment skew detected while
     the experiment runs, not at readout.
 
+    Unlike the duplicate-absorbing skyline merge, these additive cells
+    DOUBLE under an at-least-once re-landing, so each batch lands
+    idempotently (batch_id-keyed subdir, overwrite — _land_idempotent):
+    a crash between the parquet write and the checkpoint commit replays
+    the batch into the same slot instead of double-counting it.
+
     Scale shape: per-batch work is ONE map-side-combined aggregation
     to |types| x 4 rows; the landed partial table grows by that
     bounded frame per batch, and the serve-time merge re-aggregates
@@ -1918,14 +1948,14 @@ def s_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        srm_bucket_cells(df).write.mode("append").parquet(out_dir)
+        _land_idempotent(srm_bucket_cells(df), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
             stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
         )
 
-    partials = spark.read.parquet(out_dir)
+    partials = _landed(spark, out_dir)
     merged = partials.groupBy("event_type", "bucket").agg(
         F.sum("o").cast("bigint").alias("o")
     )
