@@ -29,6 +29,26 @@ per-query comparisons):
                           BASELINE.md records cold figures separately
 
 Defaults (no flags) are exactly what the per-round driver records.
+
+HEADLINE wall-growth policy (VERDICT r14 ask #7, decided r15): at
++15-17 keys/round the full min-of-2 HEADLINE record crosses 5 minutes
+around r17, so the cutover is decided HERE, before the wall forces it:
+
+  * while the latest closing-gate record is under 300 s, every round
+    (driver and closing) runs full HEADLINE min-of-2 — unchanged, the
+    cross-round record stays maximally comparable;
+  * the first round whose closing gate exceeds 300 s flips the
+    DRIVER-round default to min-of-1 for keys whose query function is
+    unchanged since their last green grade, keeping min-of-2 for
+    changed keys plus a 20-key hash-rotated sample (seeded by round
+    number, so every key is re-min-of-2'd within ~14 rounds);
+  * CLOSING gates always run full HEADLINE min-of-2 regardless — the
+    per-round BENCH_r{N}.json totals that BASELINE.md compares are
+    closing-gate records, so the comparable series never degrades.
+
+Status r15: gate wall 219 s < 300 s — policy written, flip not yet
+triggered; the trigger is the recorded closing-gate total, not a
+projection.
 """
 
 from __future__ import annotations
