@@ -419,11 +419,36 @@ def test_ivfpq_prunes_cells_before_pq_and_broadcasts_tables(spark, sf_dir):
 def test_audio_fingerprint_single_hash_shuffle(spark, sf_dir):
     """Fingerprinting is partition-local mapInPandas; the keep-first
     group step is ONE map-side-combinable aggregation on the 8-byte
-    fingerprint key (the l_prefix_dedup discipline)."""
+    fingerprint key (the l_prefix_dedup discipline).  A narrow bench
+    scan additionally gets the kernel rebalance (r15): at most one
+    RoundRobin exchange before the compute, none at corpus scale."""
     df = SPECS["m_audio_fingerprint"].fn(spark, sf_dir)
-    assert plans.exchange_count(df) == 1
+    assert plans.exchange_count(df) <= 2
+    assert plans.exchange_count(df) - plans.node_count(df, "RoundRobinPartitioning") == 1
     assert plans.node_count(df, "HashAggregate") >= 2
     assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_kernel_rebalance_widens_narrow_scan(spark, sf_dir):
+    """The codec kernels are CPU-bound per row, so a one-split bench
+    scan must be rebalanced to the session's core count BEFORE the
+    mapInPandas stages — otherwise the whole m_* chain serializes on
+    one Python worker (the r14 gate's 6.4 s m_jpeg_rgb_stats line
+    item; VERDICT r14 ask #2).  The rebalance is conditional: it only
+    appears when the scan is narrower than defaultParallelism, so at
+    corpus scale (thousands of splits) the plan keeps zero compute
+    shuffles — both branches are asserted here."""
+    from bristle_spark.catalog import load_table
+    from bristle_spark.multimodal import _rebalance_for_kernel
+
+    df = SPECS["m_jpeg_rgb_stats"].fn(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, sf_dir, "documents")
+    if narrow.rdd.getNumPartitions() < target:
+        assert plans.has_node(df, "RoundRobinPartitioning")
+    # wide input: the rebalance must vanish (metadata-only branch)
+    wide = narrow.repartition(target)
+    assert _rebalance_for_kernel(wide) is wide
 
 
 def test_scene_cut_is_partition_local(spark, sf_dir):
@@ -431,7 +456,9 @@ def test_scene_cut_is_partition_local(spark, sf_dir):
     ONLY exchange is the presentation orderBy's range partitioning
     (shared with every m_* query; the compute itself is narrow)."""
     df = SPECS["m_png_scene_cut"].fn(spark, sf_dir)
-    assert plans.exchange_count(df) <= 1
+    # <=1 compute exchange (presentation orderBy) + at most one narrow-
+    # scan kernel rebalance (RoundRobin, r15 — absent at corpus scale)
+    assert plans.exchange_count(df) - plans.node_count(df, "RoundRobinPartitioning") <= 1
     assert not plans.has_node(df, "HashAggregate")
     assert not plans.has_node(df, "SortMergeJoin")
 
