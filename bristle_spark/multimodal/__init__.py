@@ -726,6 +726,147 @@ def rgb_mcu_stats(df: DataFrame, mcu: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def attach_jpeg_ycc_checker_payload(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic 4:2:0 COLOR JPEG with NONZERO AC in EVERY
+    component (VERDICT r14 ask #3 — m_jpeg_rgb_stats rides the
+    MCU-constant contract, so a chroma AC decode bug was invisible
+    hex-side): one 16x16 MCU whose four LUMA blocks and BOTH chroma
+    blocks are each a 2x2 checker ``mid + amp * s(x)s(y)`` (the
+    attach_jpeg_checker_payload basis pattern, per plane).
+
+    Built directly in YCbCr space via encode_jpeg_ycbcr420 — driving
+    the encoder through RGB couples the channels via the rounded color
+    transform, so a chroma-domain checker is unreachable from RGB
+    space. Parameters from md5(text || '0'): Y block b takes
+    ``mid = 64 + byte[2b] % 128, amp = 1 + byte[2b+1] % 63`` (bytes
+    0-7, the grey-checker rule), Cb takes bytes 8-9, Cr bytes 10-11.
+    Each plane's unit-quant checker roundtrips bit-exactly (the
+    test_jpeg_checker grid proof, per plane), chroma upsampling is
+    sample replication, and ycbcr_to_rgb is pure integer — so decoded
+    RGB is hex-derivable pixel-exactly while every block's entropy
+    stream carries the full T.81 AC machinery (two ZRLs, a run-6 code,
+    magnitude/extend, EOB) through BOTH the luma and the CHROMA AC
+    Huffman tables, interleaved in one scan with three DC predictors.
+
+    Same mapInPandas shape as attach_jpeg_payload: partition-local
+    over Arrow batches (narrow scans rebalanced), zero compute
+    shuffles."""
+    import hashlib as _hl
+
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    src = _rebalance_for_kernel(df).select(
+        F.col(key_col), F.col(text_col).alias("__text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        pat = np.outer(s, s)
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                hx = _hl.md5(str(text).encode() + b"0").digest()[:12]
+                y = np.empty((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    mid, amp = 64 + hx[2 * b] % 128, 1 + hx[2 * b + 1] % 63
+                    y[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        mid + amp * pat
+                    ).astype(np.uint8)
+                cb = (64 + hx[8] % 128 + (1 + hx[9] % 63) * pat).astype(np.uint8)
+                cr = (64 + hx[10] % 128 + (1 + hx[11] % 63) * pat).astype(np.uint8)
+                payloads.append(jpeg_codec.encode_jpeg_ycbcr420(y, cb, cr))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": 16, "height": 16, "format": "jpeg-ycc420"}
+                    ] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def rgb_block_stats(df: DataFrame) -> DataFrame:
+    """Per-8x8-luma-block RGB statistics over decoded color JPEGs: one
+    row per (doc, block) with min/max/sum of each channel over the 64
+    pixels — the full-content witness shape for the YCbCr-checker
+    fixtures (any pixel wrong in any channel moves a sum; min/max pin
+    the checker extremes).
+
+    Scale shape: one partition-local mapInPandas pass (whole-tensor
+    numpy per image), zero compute shuffles."""
+    from bristle_spark.multimodal import jpeg as jpeg_codec
+
+    fields = [T.StructField("doc_id", T.LongType()),
+              T.StructField("block_idx", T.IntegerType())]
+    for ch in ("r", "g", "b"):
+        fields += [
+            T.StructField(f"{ch}_min", T.LongType()),
+            T.StructField(f"{ch}_max", T.LongType()),
+            T.StructField(f"{ch}_sum", T.LongType()),
+        ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for key, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, pixels = jpeg_codec.decode_jpeg(bytes(payload))
+                if channels != 3:
+                    raise ValueError(
+                        f"jpeg payload has {channels} channels; RGB expected"
+                    )
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                nby, nbx = h // 8, w // 8
+                blocks = (
+                    img.reshape(nby, 8, nbx, 8, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(nby * nbx, 64, 3)
+                    .astype(np.int64)
+                )
+                mins = blocks.min(axis=1)
+                maxs = blocks.max(axis=1)
+                sums = blocks.sum(axis=1)
+                for t in range(blocks.shape[0]):
+                    out["doc_id"].append(int(key))
+                    out["block_idx"].append(t)
+                    for ci, ch in enumerate(("r", "g", "b")):
+                        out[f"{ch}_min"].append(int(mins[t, ci]))
+                        out[f"{ch}_max"].append(int(maxs[t, ci]))
+                        out[f"{ch}_sum"].append(int(sums[t, ci]))
+            out["block_idx"] = np.array(out["block_idx"], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def attach_gzip_payload(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -424,12 +424,66 @@ def encode_jpeg_color(
         ) // 4
         cb_plane = sub[..., 0].astype(np.uint8)
         cr_plane = sub[..., 1].astype(np.uint8)
-        y_samp, c_samp = 0x22, 0x11
     else:
         cb_plane = ycc[..., 1]
         cr_plane = ycc[..., 2]
-        y_samp, c_samp = 0x11, 0x11
+    return _assemble_color_jpeg(
+        y_plane, cb_plane, cr_plane, width, height, quant, subsampling
+    )
 
+
+def encode_jpeg_ycbcr420(
+    y_plane: "np.ndarray",
+    cb_plane: "np.ndarray",
+    cr_plane: "np.ndarray",
+    *,
+    quant: int = 1,
+) -> bytes:
+    """Encode pre-built YCbCr planes as a baseline 4:2:0 color JPEG —
+    the raw-plane entry point (the shape of libjpeg's
+    ``jpeg_write_raw_data``): Y is (H, W) uint8, Cb/Cr are the already-
+    subsampled (H/2, W/2) uint8 planes, H and W multiples of 16.
+
+    Exists so fixtures can plant exact per-PLANE spectra: driving the
+    encoder through RGB couples the channels via the rounded color
+    transform, so a chroma-domain checker is unreachable from RGB
+    space, while here each plane's 8x8 blocks are encoded exactly as
+    given (unit quant) and the decode side replays
+    ``ycbcr_to_rgb(Y, upsample(Cb), upsample(Cr))`` hex-exactly."""
+    y_plane = np.ascontiguousarray(y_plane, dtype=np.uint8)
+    cb_plane = np.ascontiguousarray(cb_plane, dtype=np.uint8)
+    cr_plane = np.ascontiguousarray(cr_plane, dtype=np.uint8)
+    height, width = y_plane.shape
+    if width % 16 or height % 16 or width == 0 or height == 0:
+        raise ValueError(
+            f"dimensions {width}x{height} not multiples of 16 (4:2:0 MCUs)"
+        )
+    if cb_plane.shape != (height // 2, width // 2) or cr_plane.shape != (
+        height // 2,
+        width // 2,
+    ):
+        raise ValueError("chroma planes must be (H/2, W/2)")
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant {quant} outside [1, 255]")
+    return _assemble_color_jpeg(
+        y_plane, cb_plane, cr_plane, width, height, quant, "420"
+    )
+
+
+def _assemble_color_jpeg(
+    y_plane: "np.ndarray",
+    cb_plane: "np.ndarray",
+    cr_plane: "np.ndarray",
+    width: int,
+    height: int,
+    quant: int,
+    subsampling: str,
+) -> bytes:
+    """Shared tail of the two color entry points: per-plane FDCT +
+    quantization, interleaved-MCU entropy coding with per-component
+    predictors and the Annex-K luma/chroma tables, segment assembly."""
+    mcu = 16 if subsampling == "420" else 8
+    y_samp, c_samp = (0x22, 0x11) if subsampling == "420" else (0x11, 0x11)
     y_zz = _fdct_quant_zz(_blocks_of(y_plane), quant)
     cb_zz = _fdct_quant_zz(_blocks_of(cb_plane), quant)
     cr_zz = _fdct_quant_zz(_blocks_of(cr_plane), quant)

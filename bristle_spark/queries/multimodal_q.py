@@ -867,6 +867,100 @@ def m_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.rgb_mcu_stats(payloads, mcu=16).orderBy("doc_id", "mcu_idx")
 
 
+def _sgn_sql(e: str) -> str:
+    """The checker sign vector s = (+,-,-,+,+,-,-,+) as SQL over an
+    index expression in 0..7 — the (4,4) DCT-II basis sign pattern
+    shared with attach_jpeg_checker_payload."""
+    return f"(CASE WHEN ({e}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)"
+
+
+_JPEG_CHROMA_AC_ORACLE = f"""
+    WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
+    par AS (
+        SELECT doc_id,
+               list_transform(range(0, 4), b ->
+                   64 + CAST('0x' || substr(hx, 4 * b + 1, 2) AS BIGINT) % 128) AS ymid,
+               list_transform(range(0, 4), b ->
+                   1 + CAST('0x' || substr(hx, 4 * b + 3, 2) AS BIGINT) % 63) AS yamp,
+               64 + CAST('0x' || substr(hx, 17, 2) AS BIGINT) % 128 AS cbmid,
+               1 + CAST('0x' || substr(hx, 19, 2) AS BIGINT) % 63 AS cbamp,
+               64 + CAST('0x' || substr(hx, 21, 2) AS BIGINT) % 128 AS crmid,
+               1 + CAST('0x' || substr(hx, 23, 2) AS BIGINT) % 63 AS cramp
+        FROM jb
+    ),
+    -- pixel (x, y) of luma block k (raster order, k = 2*by + bx):
+    -- Y from the block's own checker; chroma sampled at the 2x2-
+    -- subsampled grid (u = 4*(k%2) + x//2, v = 4*(k//2) + y//2) —
+    -- decode upsamples by replication, so this IS the decoded chroma
+    px AS (
+        SELECT doc_id, b.k AS block_idx,
+               ymid[b.k + 1] + yamp[b.k + 1]
+                   * {_sgn_sql('p.x')} * {_sgn_sql('q.y')} AS yv,
+               cbmid + cbamp * {_sgn_sql('4 * (b.k % 2) + p.x // 2')}
+                             * {_sgn_sql('4 * (b.k // 2) + q.y // 2')} AS cbv,
+               crmid + cramp * {_sgn_sql('4 * (b.k % 2) + p.x // 2')}
+                             * {_sgn_sql('4 * (b.k // 2) + q.y // 2')} AS crv
+        FROM par CROSS JOIN range(0, 4) b(k)
+                 CROSS JOIN range(0, 8) p(x)
+                 CROSS JOIN range(0, 8) q(y)
+    ),
+    -- inverse integer color chain (jpeg.YCC_INV_*, spliced — one
+    -- source with the kernel); per-plane checker roundtrip is exact,
+    -- so decoded YCbCr == planted YCbCr
+    rgb AS (
+        SELECT doc_id, block_idx,
+               LEAST(255, GREATEST(0, yv
+                   + ({YCC_INV_R[0]} * (crv - 128) + 32768 + {YCC_INV_R[1]}) // 65536
+                   - {YCC_INV_R[2]})) AS r,
+               LEAST(255, GREATEST(0, yv
+                   - (({YCC_INV_G[0]} * (cbv - 128) + {YCC_INV_G[1]} * (crv - 128)
+                       + 32768 + {YCC_INV_G[2]}) // 65536 - {YCC_INV_G[3]}))) AS g,
+               LEAST(255, GREATEST(0, yv
+                   + ({YCC_INV_B[0]} * (cbv - 128) + 32768 + {YCC_INV_B[1]}) // 65536
+                   - {YCC_INV_B[2]})) AS b
+        FROM px
+    )
+    SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+           CAST(min(r) AS BIGINT) AS r_min, CAST(max(r) AS BIGINT) AS r_max,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(min(g) AS BIGINT) AS g_min, CAST(max(g) AS BIGINT) AS g_max,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
+           CAST(sum(b) AS BIGINT) AS b_sum
+    FROM rgb
+    GROUP BY doc_id, block_idx
+    ORDER BY doc_id, block_idx
+"""
+
+
+@register("m_jpeg_chroma_ac", oracle=_JPEG_CHROMA_AC_ORACLE)
+def m_jpeg_chroma_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color JPEG decode with NONZERO AC in EVERY component (VERDICT
+    r14 ask #3 — composes the m_jpeg_ac_stats checker with the
+    m_jpeg_rgb_stats 4:2:0 color path): each document carries a 16x16
+    one-MCU baseline JPEG built directly in YCbCr space
+    (multimodal.attach_jpeg_ycc_checker_payload) whose four luma
+    blocks AND both chroma blocks are 2x2 checkers, so the interleaved
+    scan decodes six AC-bearing blocks per MCU — ZRL runs,
+    magnitude/extend and EOB through BOTH the Annex-K luma and CHROMA
+    AC Huffman tables, with all three DC predictors advancing.  A
+    chroma AC decode bug was previously invisible hex-side (the rgb
+    key's chroma is DC-only); here it moves a channel sum.
+
+    The kernel (multimodal.rgb_block_stats) emits per-(doc, luma
+    block) min/max/sum of each RGB channel; the oracle re-derives
+    every one of the 256 decoded pixels from the text hex — planted
+    checker YCbCr, replicated-upsample chroma, exact integer
+    ycbcr_to_rgb — and aggregates the same stats.
+
+    Scale shape: two partition-local mapInPandas stages (YCbCr wrap,
+    decode+stats), zero compute shuffles before the presentation
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_ycc_checker_payload(d)
+    return multimodal.rgb_block_stats(payloads).orderBy("doc_id", "block_idx")
+
+
 _JPEG_AC_ORACLE = """
     WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
     blk AS (

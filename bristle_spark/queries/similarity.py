@@ -1216,36 +1216,28 @@ def l_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3  # fixed rounds -> deterministic trajectory
 
 
-@register("l_ivf_train_kmeans", oracle=None)
-def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means for the IVF coarse codebook — the trainer behind
-    the pinned first-{IVF_CENTROIDS}-vectors convention the ANN queries
-    use (l_ann_ivf's docstring promises "at scale the codebook comes
-    from k-means"; this is that k-means). Deterministic: init = the
-    pinned donor vectors, {KMEANS_ITERS} fixed Lloyd rounds, squared-L2
-    assignment rounded to 6 decimals before each argmin (ties -> lowest
-    cid), empty clusters keep their previous centroid.
-
-    Spark-first iteration: centroids live in a broadcast {IVF_CENTROIDS}-row
-    frame; each round assigns map-side (crossJoin + partitioned-window
-    argmin, the l_ann_ivf shape), re-centers via posexplode +
-    (cid, pos) aggregation — the shuffle output is k x dim rows — and
-    localCheckpoint truncates lineage. Rows-only (iterative); pinned to
-    a numpy Lloyd reference in tests/test_kmeans.py. Output is the long
-    (cid, pos, centroid) form plus member counts."""
-    e = _embeddings(spark, sf_dir)
-    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    ).localCheckpoint()
-
-    d2 = F.round(
+def _kmeans_d2(v: str = "v", cv: str = "cv"):
+    """Squared L2 rounded to 6 decimals — the trainer's argmin metric
+    (strict left fold over dimensions, same fp order as the oracle's
+    list_sum)."""
+    return F.round(
         F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
         6,
     )
+
+
+def _kmeans_trained_centroids(e: DataFrame) -> DataFrame:
+    """The Lloyd loop (init = pinned donors, {KMEANS_ITERS} fixed
+    rounds) — shared by the contract key and the numpy-pinned
+    long-form view."""
+    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).localCheckpoint()
+    d2 = _kmeans_d2()
     for _ in range(KMEANS_ITERS):
         aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
         assign = (
@@ -1272,14 +1264,153 @@ def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint()
         )
+    return cent
 
+
+def _kmeans_min_d2(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, d2) of each vector's nearest centroid under the
+    trainer's rounded-argmin rule (ties -> lowest cid)."""
     aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    final_assign = (
+    return (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", d2.alias("d2"))
+        .select("vec_id", "cid", _kmeans_d2().alias("d2"))
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
+        .drop("rn")
     )
+
+
+def _d2_micro():
+    """Per-vector nearest-centroid d2 quantized to exact integer
+    micro-units before any cross-row sum (the r_cramers_v discipline:
+    cross-row double sums are shuffle-order-dependent; integer sums
+    are not)."""
+    return F.floor(F.col("d2") * 1000000 + F.lit(0.5)).cast("bigint")
+
+_KMEANS_CONTRACT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    donors AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, d.cid,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> (e.v[i] - d.cv[i]) * (e.v[i] - d.cv[i]))), 6) AS d2
+        FROM e CROSS JOIN donors d
+    ),
+    nearest AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    per_cid AS (
+        SELECT cid,
+               CAST(count(*) AS BIGINT) AS n_members_init,
+               CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS inertia_init_micro
+        FROM nearest GROUP BY cid
+    )
+    SELECT d.cid,
+           COALESCE(p.n_members_init, 0) AS n_members_init,
+           COALESCE(p.inertia_init_micro, 0) AS inertia_init_micro,
+           CAST(1 AS INT) AS counts_complete,
+           CAST(1 AS INT) AS improved
+    FROM (SELECT cid FROM donors) d LEFT JOIN per_cid p USING (cid)
+    ORDER BY d.cid
+"""
+
+
+@register("l_ivf_train_kmeans", oracle=_KMEANS_CONTRACT_ORACLE)
+def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse codebook, graded by CONTRACT
+    (VERDICT r14 ask #4 — the r_approx_distinct pattern promotes the
+    most promotable of the pinned trainers to a hash-checked driver
+    row): the trainer itself (init = pinned donor vectors,
+    {KMEANS_ITERS} fixed Lloyd rounds, squared-L2 rounded to 6
+    decimals before each argmin, ties -> lowest cid, empty clusters
+    keep their centroid) is unchanged and stays numpy-pinned in
+    tests/test_kmeans.py via kmeans_centroid_frame; what the driver
+    hashes is the DuckDB-derivable half plus the trained half's
+    contract:
+
+    - per cid: the INIT-assignment member count and exact micro-unit
+      inertia share (every vector argmin'd against the pinned donors —
+      the oracle replays the full 64-dim vector math, tie rule
+      included);
+    - ``counts_complete``: the trained final assignment covers every
+      vector exactly once (sum of member counts == |vectors|);
+    - ``improved``: micro-quantized total inertia under the TRAINED
+      centroids <= inertia under the init donors — Lloyd's
+      monotonicity, the property that makes the training worth the
+      {KMEANS_ITERS} rounds; a broken re-center or assignment step
+      flips it to 0 and breaks the hash.
+
+    Spark-first iteration: broadcast centroid frame, map-side argmin
+    via crossJoin + per-vector window, posexplode re-centering (k x
+    dim shuffle rows), localCheckpoint truncating lineage; per-vector
+    distances quantized to integer micro-units BEFORE the cross-row
+    inertia sums (shuffle-order-proof)."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    donors = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    trained = _kmeans_trained_centroids(e)
+
+    init_near = _kmeans_min_d2(e, donors)
+    per_cid = init_near.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members_init"),
+        F.sum(_d2_micro()).cast("bigint").alias("inertia_init_micro"),
+    )
+    final_near = _kmeans_min_d2(e, trained)
+    totals = final_near.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum(_d2_micro()).cast("bigint").alias("inertia_final_micro"),
+    )
+    n_vec = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    init_tot = per_cid.agg(
+        F.sum("inertia_init_micro").cast("bigint").alias("inertia_init_total")
+    )
+    flags = (
+        totals.crossJoin(F.broadcast(n_vec))
+        .crossJoin(F.broadcast(init_tot))
+        .select(
+            (F.col("n_assigned") == F.col("n_vectors"))
+            .cast("int")
+            .alias("counts_complete"),
+            (F.col("inertia_final_micro") <= F.col("inertia_init_total"))
+            .cast("int")
+            .alias("improved"),
+        )
+    )
+    return (
+        donors.select("cid")
+        .join(per_cid, "cid", "left")
+        .crossJoin(F.broadcast(flags))
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.coalesce("n_members_init", F.lit(0))
+            .cast("bigint")
+            .alias("n_members_init"),
+            F.coalesce("inertia_init_micro", F.lit(0))
+            .cast("bigint")
+            .alias("inertia_init_micro"),
+            "counts_complete",
+            "improved",
+        )
+        .orderBy("cid")
+    )
+
+
+def kmeans_centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained codebook in long (cid, pos, centroid, n_members)
+    form — the pre-r15 l_ivf_train_kmeans output, kept as the numpy
+    pin surface (tests/test_kmeans.py) and the consumable codebook."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    cent = _kmeans_trained_centroids(e)
+    final_assign = _kmeans_min_d2(e, cent)
     sizes = final_assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
     )

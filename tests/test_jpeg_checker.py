@@ -132,3 +132,88 @@ def test_stats_kernel_flags_non_checker_content(spark):
     )
     rows2 = checker_block_stats(pdf2).collect()
     assert all(r.checker_exact == 1 and r.amp == 0 for r in rows2)
+
+
+# ---------------------------------------------------------------------
+# Color composition (VERDICT r14 ask #3): checkers in EVERY plane of a
+# 4:2:0 interleaved scan — the chroma AC Huffman path, witnessed.
+
+
+def _planes(yparams, cb, cr):
+    y = np.empty((16, 16), dtype=np.uint8)
+    for b, (mid, amp) in enumerate(yparams):
+        by, bx = divmod(b, 2)
+        y[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (mid + amp * PAT).astype(
+            np.uint8
+        )
+    mk = lambda p: (p[0] + p[1] * PAT).astype(np.uint8)  # noqa: E731
+    return y, mk(cb), mk(cr)
+
+
+def test_ycc_checker_grid_roundtrips_bit_exact():
+    """Per-plane checkers through the COLOR codec: decoded RGB equals
+    ycbcr_to_rgb(planted Y, replicated Cb/Cr) for a grid of plane
+    parameters including the extremes — the exactness contract behind
+    m_jpeg_chroma_ac."""
+    from bristle_spark.multimodal.jpeg import encode_jpeg_ycbcr420, ycbcr_to_rgb
+
+    for mid, amp in [(64, 1), (64, 63), (191, 63), (128, 32), (100, 17)]:
+        for cmid, camp in [(64, 63), (191, 1), (128, 40)]:
+            y, cb, cr = _planes([(mid, amp)] * 4, (cmid, camp), (cmid, camp))
+            w, h, c, out = decode_jpeg(encode_jpeg_ycbcr420(y, cb, cr))
+            assert (w, h, c) == (16, 16, 3)
+            cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+            cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+            exp = ycbcr_to_rgb(np.stack([y, cbu, cru], axis=-1))
+            assert out == exp.tobytes(), (mid, amp, cmid, camp)
+
+
+def test_ycc_checker_entropy_carries_chroma_ac():
+    """The chroma AC machinery must be IN the stream: a chroma-checker
+    encode is strictly longer than the same-mid chroma-constant encode
+    (the luma planes held identical), so a decoder that silently
+    ignored chroma AC codes would desynchronize, not coast."""
+    from bristle_spark.multimodal.jpeg import encode_jpeg_ycbcr420
+
+    yp = [(128, 32)] * 4
+    y, cb1, cr1 = _planes(yp, (100, 40), (150, 20))
+    checker = encode_jpeg_ycbcr420(y, cb1, cr1)
+    flat_cb = np.full((8, 8), 100, dtype=np.uint8)
+    flat_cr = np.full((8, 8), 150, dtype=np.uint8)
+    constant = encode_jpeg_ycbcr420(y, flat_cb, flat_cr)
+    assert len(checker) > len(constant)
+
+
+def test_spark_ycc_pipeline_end_to_end(spark):
+    """attach_jpeg_ycc_checker_payload -> rgb_block_stats equals a
+    numpy re-derivation of the planted planes for real texts."""
+    import hashlib as _hl
+
+    from bristle_spark import multimodal
+    from bristle_spark.multimodal.jpeg import ycbcr_to_rgb
+
+    texts = ["alpha", "beta", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    payloads = multimodal.attach_jpeg_ycc_checker_payload(df)
+    rows = (
+        multimodal.rgb_block_stats(payloads)
+        .orderBy("doc_id", "block_idx")
+        .collect()
+    )
+    assert len(rows) == 12
+    for r in rows:
+        hx = _hl.md5((texts[r.doc_id] + "0").encode()).digest()[:12]
+        y, cb, cr = _planes(
+            [(64 + hx[2 * b] % 128, 1 + hx[2 * b + 1] % 63) for b in range(4)],
+            (64 + hx[8] % 128, 1 + hx[9] % 63),
+            (64 + hx[10] % 128, 1 + hx[11] % 63),
+        )
+        cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+        rgb = ycbcr_to_rgb(np.stack([y, cbu, cru], axis=-1)).astype(np.int64)
+        by, bx = divmod(r.block_idx, 2)
+        blk = rgb[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+        for ci, ch in enumerate(("r", "g", "b")):
+            assert getattr(r, f"{ch}_min") == int(blk[..., ci].min())
+            assert getattr(r, f"{ch}_max") == int(blk[..., ci].max())
+            assert getattr(r, f"{ch}_sum") == int(blk[..., ci].sum())
