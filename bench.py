@@ -382,6 +382,11 @@ HEADLINE = [
     "m_wav_silence_trim",
     "r_did_estimator",
     "r_did_pretrend",
+    # round-15 additions
+    "m_jpeg_chroma_ac",
+    "r_holt_trend",
+    "s_stream_holt_trend",
+    "l_graph_assortativity",
 ]
 
 

@@ -4268,6 +4268,149 @@ def r_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r_holt_trend — Holt's linear (double-exponential) smoothing
+
+# Smoothing constants spliced as TEXT so both engines parse the exact
+# same double literals; (1.0 - a) is then the same IEEE op both sides.
+_HOLT_ALPHA = "0.2"
+_HOLT_BETA = "0.1"
+
+
+def _holt_fold_sql(el, ys: str, wrap3: str, body: str) -> str:
+    """The Holt recursion as ONE generator for both engines (the
+    div-token discipline): ``el(name, i)`` renders the engine's
+    1-based element accessor, ``ys`` the day-ordered double list,
+    ``wrap3`` the engine's 3-element list constructor spelling, and
+    ``body`` the engine's fold call with ``{{init}}``/``{{step}}``
+    holes.  State = [level, trend, sse]; observations are wrapped as
+    [y, 0, 0] triples so the fold list is homogeneous; init is
+    (l0 = y1, b0 = y2 - y1, sse = 0) and the recursion
+
+        l' = a*y + (1-a)*(l + b)
+        b' = b*(l' - l) + (1-b)*b_prev
+        sse' = sse + (y - (l + b))^2
+
+    runs in identical operation order on both sides, so the IEEE
+    doubles agree bit-for-bit (the r_survival_km left-fold device,
+    extended from products to a 3-value recursion)."""
+    l, b, s = el("acc", 1), el("acc", 2), el("acc", 3)
+    y = el("e", 1)
+    fc = f"({l} + {b})"
+    new_l = f"({_HOLT_ALPHA} * {y} + (1.0 - {_HOLT_ALPHA}) * {fc})"
+    new_b = (
+        f"({_HOLT_BETA} * ({new_l} - {l}) + (1.0 - {_HOLT_BETA}) * {b})"
+    )
+    new_s = f"({s} + ({y} - {fc}) * ({y} - {fc}))"
+    init = wrap3.format(
+        a=el(ys, 1), b=f"{el(ys, 2)} - {el(ys, 1)}", c="CAST(0.0 AS DOUBLE)"
+    )
+    step = wrap3.format(a=new_l, b=new_b, c=new_s)
+    return body.format(init=init, step=step)
+
+
+_HOLT_SPARK_FOLD = _holt_fold_sql(
+    el=lambda a, i: f"element_at({a}, {i})",
+    ys="ys",
+    wrap3="array({a}, {b}, {c})",
+    body=(
+        "aggregate("
+        "transform(slice(ys, 3, size(ys) - 2), y -> array(y, 0.0D, 0.0D)), "
+        "{init}, (acc, e) -> {step})"
+    ),
+)
+
+_HOLT_DUCK_FOLD = _holt_fold_sql(
+    el=lambda a, i: f"{a}[{i}]",
+    ys="ys",
+    wrap3="[{a}, {b}, {c}]",
+    body=(
+        "list_reduce(list_prepend({init}, "
+        "list_transform(ys[3:], y -> [y, CAST(0.0 AS DOUBLE), "
+        "CAST(0.0 AS DOUBLE)])), (acc, e) -> {step})"
+    ),
+)
+
+
+HOLT_ORACLE_SQL = f"""
+    WITH {_DAILY_CENTS_SQL},
+    series AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               list(CAST(cents AS DOUBLE) ORDER BY day_idx) AS ys
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, n_days, {_HOLT_DUCK_FOLD} AS st
+        FROM series WHERE n_days >= 3
+    )
+    SELECT event_type, n_days,
+           {r6_sql('st[1]')} AS level,
+           {r6_sql('st[2]')} AS trend,
+           {r6_sql('st[1] + st[2]')} AS forecast_next,
+           {r6_sql('sqrt(st[3] / CAST(n_days - 2 AS DOUBLE))')} AS rmse
+    FROM folded
+    ORDER BY event_type
+    """
+
+
+def holt_present(daily: DataFrame) -> DataFrame:
+    """Fold + presentation over a (event_type, day_idx, cents) daily
+    frame — ONE builder for the batch key and its streaming twin (the
+    srm_bucket_cells discipline), so the recursion can never drift
+    between them."""
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_idx, cents))),"
+            " s -> CAST(s.cents AS DOUBLE))"
+        ).alias("ys"),
+    )
+    folded = series.filter(F.col("n_days") >= 3).withColumn(
+        "st", F.expr(_HOLT_SPARK_FOLD)
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        r6(F.expr("element_at(st, 1)")).alias("level"),
+        r6(F.expr("element_at(st, 2)")).alias("trend"),
+        r6(F.expr("element_at(st, 1) + element_at(st, 2)")).alias(
+            "forecast_next"
+        ),
+        r6(
+            F.expr("sqrt(element_at(st, 3) / CAST(n_days - 2 AS DOUBLE))")
+        ).alias("rmse"),
+    ).orderBy("event_type")
+
+
+@register("r_holt_trend", oracle=HOLT_ORACLE_SQL)
+def r_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the daily
+    spend series per event type — the level + trend state a monitoring
+    warehouse keeps per metric for short-horizon forecasting and
+    drift-aware alert thresholds (the recursive-state sibling of the
+    window statistics r_bollinger_bands / r_peak_detection: those see
+    a bounded trailing frame, this folds the WHOLE history into two
+    numbers). Reports the final level/trend, the one-step-ahead
+    forecast, and the in-sample one-step RMSE.
+
+    Determinism: daily totals quantize to exact BIGINT cents first;
+    the recursion runs as a LEFT FOLD over the day-ordered series with
+    the smoothing constants spliced as shared double literals, both
+    engines executing the identical operation sequence (generator
+    _holt_fold_sql — the r_survival_km device extended to a 3-value
+    state), so level/trend/SSE agree bit-for-bit; sqrt is
+    IEEE-correctly-rounded.  Observations fold in OBSERVED-day order
+    (sessions, not calendar gaps) — the Bollinger convention.
+
+    Scale shape: ONE map-side-combined daily rollup compresses raw
+    events to |types| x |days| rows; the per-type fold then runs on a
+    bounded list (dataset span in days), one row out per type — raw
+    volume touches only the first aggregation, and the fold is O(days)
+    per type on a |types|-row frame."""
+    return holt_present(daily_cents(load_table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
 # r_rolling_corr
 
 _RC_PAIR = ("click", "purchase")  # the two series to correlate

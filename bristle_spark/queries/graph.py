@@ -307,3 +307,136 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "doc_id")
         .limit(TRI_TOP)
     )
+
+
+# ------------------------------------------------- degree assortativity
+
+
+@register(
+    "l_graph_assortativity",
+    oracle=f"""
+    WITH {_TRI_EDGE_CTES},
+    ends AS (
+        SELECT du.deg AS dx, dv.deg AS dy
+        FROM half h
+        JOIN deg du ON du.node = h.u
+        JOIN deg dv ON dv.node = h.v
+    ),
+    -- symmetrize: each undirected edge contributes BOTH (dx, dy) and
+    -- (dy, dx), so Sx = Sy and Sxx = Syy exactly and Newman's r is
+    -- the plain Pearson over the 2E endpoint pairs
+    sym AS (
+        SELECT dx, dy FROM ends UNION ALL SELECT dy AS dx, dx AS dy FROM ends
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy
+        FROM sym
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, m.m2 // 2 AS n_edges,
+           m.sx, m.sxx, m.sxy,
+           CASE WHEN m.m2 * m.sxx - m.sx * m.sx > 0 THEN
+               round(CAST(m.m2 * m.sxy - m.sx * m.sx AS DOUBLE)
+                     / CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM m CROSS JOIN nn
+    """,
+)
+def l_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the 4-gram rare-shingle
+    similarity graph — does near-duplicate content attach to equally-
+    duplicated content (r > 0: template families clumping into dense
+    same-degree cores) or to hubs (r < 0: a few canonical documents
+    echoed by many one-off copies)?  The single number a curator reads
+    before choosing between component-level and hub-level dedup
+    policy; complements l_graph_triangles (local clustering) and
+    l_pagerank (centrality) on the same graph.
+
+    Determinism: degrees are exact BIGINTs; the edge list is
+    symmetrized so Sx = Sy / Sxx = Syy hold EXACTLY and Pearson's r
+    reduces to (M*Sxy - Sx^2) / (M*Sxx - Sx^2) — every moment an
+    exact integer sum, the statistic ONE double division, rounded r6.
+    A degree-regular graph (zero variance) yields NULL identically on
+    both engines.  Int64 headroom: sum over 2E endpoint pairs of
+    dx*dy <= 2E * dmax^2; with the df-cap bounding dmax <=
+    {MAX_SHINGLE_DF}^2-ish neighborhoods the moments sit orders of
+    magnitude inside 2^63 — wraps would need ~1e9 edges at dmax ~ 1e3.
+
+    Scale shape: the df-capped inverted-index edge build (the
+    l_dedup_ngram_jaccard bound: a shingle in d docs emits <= d^2/2
+    pairs, d <= {MAX_SHINGLE_DF}), one id-keyed degree rollup, two
+    broadcast-able degree joins onto the edge list, then ONE
+    map-side-combined moment aggregation to a single row — no window,
+    no global sort, nothing driver-side."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= TRI_SHINGLE_WORDS)
+    )
+    sh = _shingle_rows(d, k=TRI_SHINGLE_WORDS).select(
+        "doc_id", hash60(F.col("s")).alias("hs")
+    )
+    rare = (
+        sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("hs")
+    )
+    shr = sh.join(rare, "hs")
+    ea, eb = shr.alias("ea"), shr.alias("eb")
+    half = (
+        ea.join(
+            eb,
+            (F.col("ea.hs") == F.col("eb.hs"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select(F.col("ea.doc_id").alias("u"), F.col("eb.doc_id").alias("v"))
+        .distinct()
+        # feeds deg AND the endpoint join: persist so the df-capped
+        # inverted-index self-join runs once (the triangle discipline)
+        .persist()
+    )
+    deg = (
+        half.select(F.col("u").alias("node"))
+        .union(half.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("un"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("deg").alias("dy"))
+    ends = (
+        half.join(du, F.col("u") == F.col("un"))
+        .join(dv, F.col("v") == F.col("vn"))
+        .select("dx", "dy")
+    )
+    sym = ends.union(ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    denom = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            F.expr("m2 DIV 2").cast("bigint").alias("n_edges"),
+            "sx",
+            "sxx",
+            "sxy",
+            F.when(
+                denom > 0,
+                F.round(
+                    (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                    / denom.cast("double"),
+                    6,
+                ),
+            ).alias("assortativity"),
+        )
+    )

@@ -1960,3 +1960,58 @@ def s_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("bigint").alias("o")
     )
     return srm_present(merged)
+
+
+from bristle_spark.queries.analytic import (  # noqa: E402
+    HOLT_ORACLE_SQL,
+    daily_cents,
+    holt_present,
+)
+
+
+@register("s_stream_holt_trend", oracle=HOLT_ORACLE_SQL, group="s")
+def s_stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Holt level/trend state: each micro-batch
+    reduces its events to per-(event_type, day_idx) partial cent sums
+    (daily_cents, imported verbatim from the batch key) and lands only
+    those; the served readout re-sums the partials into the full daily
+    frame and runs the SAME fold + presentation (holt_present).  Daily
+    cents are ADDITIVE partials — sums from disjoint micro-batches add
+    to the full-table daily totals — so the streamed state must
+    hash-match r_holt_trend's batch SQL exactly, which is what the
+    shared oracle grades.  The monitoring use is the live version of
+    the batch forecast: level/trend current to the last landed batch,
+    not the last nightly job.
+
+    Additive cells DOUBLE under an at-least-once re-landing, so each
+    batch lands idempotently (_land_idempotent, the s_stream_srm
+    discipline): a crash between the parquet write and the checkpoint
+    commit replays the batch into its own batch_id slot instead of
+    double-counting it.
+
+    Scale shape: per-batch work is ONE map-side-combined aggregation
+    to at most |types| x |days-in-batch| rows; the landed partial
+    table grows by that bounded frame per batch, the serve-time merge
+    re-aggregates |batches| x |types| x |days| rows, and the fold runs
+    on |types| bounded lists — never the raw stream twice."""
+    work = _workdir(sf_dir, "holt")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _land_idempotent(daily_cents(df), out_dir, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    daily = (
+        _landed(spark, out_dir)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return holt_present(daily)

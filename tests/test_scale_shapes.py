@@ -161,6 +161,16 @@ SCALE_FAMILY = [
     "m_wav_silence_trim",
     "r_did_estimator",
     "r_did_pretrend",
+    # round-15: the all-component checker JPEG is partition-local like
+    # every codec key; the k-means contract reduces to k + 1 bounded
+    # frames the partition knob must not touch
+    "m_jpeg_chroma_ac",
+    "l_ivf_train_kmeans",
+    # round-15 cont.: the Holt fold runs on |types| bounded lists and
+    # the assortativity moments are one single-row aggregation — the
+    # partition knob must not touch either
+    "r_holt_trend",
+    "l_graph_assortativity",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale

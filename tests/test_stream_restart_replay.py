@@ -47,6 +47,7 @@ STATEFUL_KEYS = [
     "s_stream_enrich",
     "s_stream_geofence",
     "s_stream_histogram_quantiles",
+    "s_stream_holt_trend",
     "s_stream_join",
     "s_stream_rollup",
     "s_stream_skyline",
