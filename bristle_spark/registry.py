@@ -53,73 +53,96 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 14: none yet.
-PLAN_CHANGED_KEYS: tuple[str, ...] = ()
+# Round 15: the five ADVICE fixes (exact winsorize ranks, idempotent
+# srm/count-min landings, KW headroom guard), the k-means contract
+# promotion (output changed from the long centroid form to the
+# contract frame), and every m_* key (the narrow-scan kernel rebalance
+# added a conditional RoundRobin exchange to each codec plan).  The
+# shared-epoch refactor (functions/timebase.py) is NOT plan-changed:
+# the spliced SQL text and Spark plans are byte-identical.
+PLAN_CHANGED_KEYS: tuple[str, ...] = (
+    "r_winsorize",
+    "s_stream_srm",
+    "s_stream_count_min",
+    "r_kruskal_wallis",
+    "l_ivf_train_kmeans",
+    "m_jpeg_ac_stats",
+    "m_wav_silence_trim",
+    "m_audio_fingerprint",
+    "m_audio_features",
+    "m_wav_audio_features",
+    "m_png_binary_features",
+    "m_png_frame_sample",
+    "m_png_resize",
+    "m_png_phash_dedup",
+    "m_png_scene_cut",
+    "m_png_patchify",
+    "m_png_pixel_stats",
+    "m_png_augment",
+    "m_png_edge_density",
+    "m_png_hist_equalize",
+    "m_jpeg_pixel_stats",
+    "m_jpeg_resize",
+    "m_jpeg_phash_dedup",
+    "m_jpeg_rgb_stats",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: round-14 additions ---
-    "m_jpeg_ac_stats",
-    "r_kruskal_wallis",
-    "r_benjamini_hochberg",
-    "r_bollinger_bands",
-    "r_survival_km",
-    "l_sq8_quantize_error",
-    "r_srm_check",
-    "s_stream_srm",
-    "r_peak_detection",
-    "r_rolling_corr",
-    "r_power_analysis",
-    "r_allen_intervals",
-    "l_temperature_mix",
+    # --- (1) never driver-graded: round-15 additions ---
+    "m_jpeg_chroma_ac",
+    "r_holt_trend",
+    "s_stream_holt_trend",
+    "l_graph_assortativity",
+    # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
     "r_winsorize",
+    "s_stream_srm",
+    "s_stream_count_min",
+    "r_kruskal_wallis",
+    "l_ivf_train_kmeans",
+    "m_jpeg_ac_stats",
     "m_wav_silence_trim",
-    "r_did_estimator",
-    "r_did_pretrend",
-    # --- (1a) deliberate rows-only slot (VERDICT r13 ask #4):
-    # r_geo_distance is the only registered key with zero driver
-    # history; rows-only keys are window-exempt by policy, so this is
-    # its one deliberate driver run (records a no_oracle row, proving
-    # the key runs under the driver like the 12 other rows-only keys
-    # did in r7–r9). Carve-out documented in
-    # tests/test_driver_window.py::test_every_window_key_is_oracle_backed.
-    "r_geo_distance",
-    # --- (3) oldest-first drain: the full r8 cohort (29 keys — incl.
-    # the §2.D contract key r_approx_distinct, VERDICT r13 ask #1) ---
-    "r_approx_distinct",
-    "l_lang_confusion",
-    "l_lang_id_eval",
-    "l_matryoshka_eval",
-    "l_mips_topk",
-    "l_mixture_sampler",
-    "l_mmr_diversify",
-    "l_ngram_novelty",
-    "l_oov_rate",
-    "l_perplexity_filter",
-    "l_prefix_dedup",
-    "l_score_calibration",
-    "l_weighted_sample",
-    "l_winnow_fingerprint",
     "m_audio_fingerprint",
-    "r_approx_percentiles",
-    "r_bloom_prune",
-    "r_gap_fill",
-    "r_hll_merge",
-    "r_interval_coverage",
-    "r_islands",
-    "r_mode_per_group",
-    "r_ntile",
-    "r_scd2",
-    "r_skew_salted_join",
-    "r_snapshot_diff",
-    "s_stream_anomaly",
-    "s_stream_cdc",
-    "s_stream_topk",
-    # --- (3) cont.: 3 of the 46-key r9 cohort (ties within a cohort
-    # may drain in any order; the remaining 43 wait for round 15 —
-    # this round's 17 never-graded additions took the other slots) ---
-    "r_filter_predicates",
-    "r_join_inner",
-    "t_project_rename",
+    "m_audio_features",
+    "m_wav_audio_features",
+    "m_png_binary_features",
+    "m_png_frame_sample",
+    "m_png_resize",
+    "m_png_phash_dedup",
+    "m_png_scene_cut",
+    "m_png_patchify",
+    "m_png_pixel_stats",
+    "m_png_augment",
+    "m_png_edge_density",
+    "m_png_hist_equalize",
+    "m_jpeg_pixel_stats",
+    "m_jpeg_resize",
+    "m_jpeg_phash_dedup",
+    "m_jpeg_rgb_stats",
+    # --- (3) oldest-first drain: 22 of the 42 remaining r9-cohort
+    # oracle-backed keys (ties within a cohort may drain in any order;
+    # the remaining 20 wait for round 16) ---
+    "l_chi2_terms",
+    "l_count_min",
+    "l_dedup_exact",
+    "l_sparse_cosine_topk",
+    "l_edit_distance_dedup",
+    "l_ks_test",
+    "l_minhash_error",
+    "l_poisson_bootstrap",
+    "l_rank_fusion",
+    "l_source_overlap",
+    "l_text_stats",
+    "l_uncertainty_sample",
+    "l_vocab_growth",
+    "l_cluster_size_histogram",
+    "l_dedup_sorted_neighborhood",
+    "r_benford",
+    "r_bitmap_distinct",
+    "r_cusum_changepoint",
+    "r_gini",
+    "r_hash_agg",
+    "r_incremental_rollup",
+    "r_join_broadcast",
 )
 
 

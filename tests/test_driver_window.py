@@ -132,7 +132,9 @@ def test_window_drains_oldest_first(specs, last_graded):
 # r13 ask #4): each rides ONE window to get its no_oracle driver row
 # (proving the key runs under the driver), then rotates out for good.
 # Every other rows-only key already has such a row from r7–r9.
-WINDOW_ROWS_ONLY_EXEMPT: frozenset[str] = frozenset({"r_geo_distance"})
+# (r15: r_geo_distance got its one no_oracle row in CORRECTNESS_r14 and
+# left the window for good — the exemption set is empty again.)
+WINDOW_ROWS_ONLY_EXEMPT: frozenset[str] = frozenset()
 
 
 def test_every_window_key_is_oracle_backed(specs):
@@ -165,8 +167,7 @@ def test_beyond_window_queries_still_registered(specs):
     """Rotated-out queries stay registered (just past the driver
     window) — spot-checks the r10 window plus a spread of older keys."""
     ordered = list(specs)
-    for key in ("m_png_binary_features", "m_png_frame_sample", "m_png_resize",
-                "m_audio_features", "s_session_window", "s_stateful_totals",
+    for key in ("s_session_window", "s_stateful_totals",
                 "s_stream_dedup", "s_stream_dedup_watermark", "s_stream_join",
                 "r_string_funcs", "r_date_funcs", "r_percentile_disc",
                 "r_window_funnel", "l_dedup_band_stats", "l_domain_cap",
@@ -174,12 +175,17 @@ def test_beyond_window_queries_still_registered(specs):
                 "l_skipgram_cooccurrence", "r_rfm_segments",
                 "r_seasonality_index", "r_time_to_convert",
                 "l_vocab_coverage", "l_js_divergence", "l_ndcg_eval",
-                "s_stream_histogram_quantiles", "m_wav_audio_features",
+                "s_stream_histogram_quantiles",
                 "l_sessionize", "r_agg_collect", "r_arg_max", "r_asof_join",
                 "r_cube", "r_funnel", "r_grouping_sets", "r_pivot",
                 "r_range_join", "r_skew_salted_agg", "r_window_lag",
-                "l_fingerprint", "r_hash_agg", "r_join_broadcast",
-                "l_dedup_exact", "l_text_stats", "l_count_min",
-                "l_pagerank", "m_png_patchify", "r_weighted_median"):
+                "l_fingerprint", "l_pagerank", "r_weighted_median",
+                # r14-window keys rotated out this round
+                "r_benjamini_hochberg", "r_bollinger_bands", "r_survival_km",
+                "l_sq8_quantize_error", "r_srm_check", "r_peak_detection",
+                "r_rolling_corr", "r_power_analysis", "r_allen_intervals",
+                "l_temperature_mix", "r_did_estimator", "r_did_pretrend",
+                "r_geo_distance", "r_approx_distinct", "r_filter_predicates",
+                "r_join_inner", "t_project_rename"):
         assert key in specs
         assert ordered.index(key) >= 50, key
