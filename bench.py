@@ -387,6 +387,7 @@ HEADLINE = [
     "r_holt_trend",
     "s_stream_holt_trend",
     "l_graph_assortativity",
+    "m_jpeg_region_count",
 ]
 
 

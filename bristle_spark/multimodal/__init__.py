@@ -1760,3 +1760,72 @@ def wav_trim_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def region_count(df: DataFrame, decode_backend: str = "jpeg") -> DataFrame:
+    """4-connectivity connected-component count over decoded greyscale
+    images — the region/blob counter of a document-layout or figure-
+    detection front end (how many disjoint same-intensity regions does
+    the page carry?).  One row per doc: n_regions, n_distinct_values,
+    largest_region_px.  Distinct VALUES and connected REGIONS are
+    different statistics — equal-valued areas touching only at a
+    corner are separate regions (4-connectivity has no diagonals), the
+    case a distinct-count shortcut gets wrong.
+
+    Kernel: batched min-label propagation, vectorized ACROSS the whole
+    Arrow batch — labels start as the pixel index and repeatedly take
+    the minimum over equal-valued 4-neighbors until a fixpoint, so
+    each component collapses to its minimum label; the loop count is
+    the largest component's graph diameter, while per-iteration work
+    is whole-tensor numpy over (batch, H, W).  No per-pixel Python, no
+    shuffles; partition-local mapInPandas like every codec kernel."""
+    decode = _DECODERS[decode_backend]
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_regions", T.LongType()),
+            T.StructField("n_distinct_values", T.LongType()),
+            T.StructField("largest_region_px", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys = pdf["doc_id"].to_numpy()
+            out_keys, out_reg, out_vals, out_big = [], [], [], []
+            for w, h, idx, v in _dims_stacks(pdf, decode):
+                n, hh, ww = v.shape
+                lab = np.arange(hh * ww, dtype=np.int64).reshape(1, hh, ww)
+                lab = np.broadcast_to(lab, v.shape).copy()
+                eq_r = v[:, :, 1:] == v[:, :, :-1]   # left-right equal pairs
+                eq_d = v[:, 1:, :] == v[:, :-1, :]   # up-down equal pairs
+                while True:
+                    prev = lab
+                    m = lab.copy()
+                    np.minimum(m[:, :, 1:], np.where(eq_r, lab[:, :, :-1], m[:, :, 1:]), out=m[:, :, 1:])
+                    np.minimum(m[:, :, :-1], np.where(eq_r, lab[:, :, 1:], m[:, :, :-1]), out=m[:, :, :-1])
+                    np.minimum(m[:, 1:, :], np.where(eq_d, lab[:, :-1, :], m[:, 1:, :]), out=m[:, 1:, :])
+                    np.minimum(m[:, :-1, :], np.where(eq_d, lab[:, 1:, :], m[:, :-1, :]), out=m[:, :-1, :])
+                    lab = m
+                    if np.array_equal(lab, prev):
+                        break
+                flat = lab.reshape(n, hh * ww)
+                for j in range(n):
+                    _, counts = np.unique(flat[j], return_counts=True)
+                    out_keys.append(int(keys[idx[j]]))
+                    out_reg.append(int(counts.size))
+                    out_big.append(int(counts.max()))
+                    out_vals.append(int(np.unique(v[j]).size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(out_keys, dtype=np.int64),
+                    "n_regions": np.array(out_reg, dtype=np.int64),
+                    "n_distinct_values": np.array(out_vals, dtype=np.int64),
+                    "largest_region_px": np.array(out_big, dtype=np.int64),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)

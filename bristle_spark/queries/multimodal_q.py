@@ -1208,3 +1208,71 @@ def m_wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     audio = multimodal.attach_wav_padded(d)
     return multimodal.wav_trim_stats(audio).orderBy("doc_id")
+
+
+_JPEG_REGION_ORACLE = """
+    WITH jb AS (SELECT doc_id, md5(text || '0') AS hx FROM documents),
+    b AS (
+        SELECT doc_id,
+               CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS b0,
+               CAST('0x' || substr(hx, 3, 2) AS BIGINT) AS b1,
+               CAST('0x' || substr(hx, 5, 2) AS BIGINT) AS b2,
+               CAST('0x' || substr(hx, 7, 2) AS BIGINT) AS b3
+        FROM jb
+    ),
+    -- block adjacency graph of the 2x2 constant-block grid (raster
+    -- order: 0 1 / 2 3; no diagonal edges under 4-connectivity).
+    -- Equality is transitive, so the only reachable edge counts are
+    -- 0, 1, 2 and 4 — and regions = blocks - edges + cycles, where
+    -- the lone possible cycle is the full square (all four equal).
+    e AS (
+        SELECT doc_id, b0, b1, b2, b3,
+               CAST(b0 = b1 AS INT) + CAST(b0 = b2 AS INT)
+                   + CAST(b1 = b3 AS INT) + CAST(b2 = b3 AS INT) AS edges,
+               (b0 = b1 AND b2 = b3) OR (b0 = b2 AND b1 = b3) AS two_pairs
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(4 - edges + CASE WHEN edges = 4 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_regions,
+           CAST(len(list_distinct([b0, b1, b2, b3])) AS BIGINT)
+               AS n_distinct_values,
+           CAST(64 * CASE WHEN edges = 4 THEN 4
+                          WHEN edges = 2 AND two_pairs THEN 2
+                          WHEN edges = 2 THEN 3
+                          WHEN edges = 1 THEN 2
+                          ELSE 1 END AS BIGINT) AS largest_region_px
+    FROM e
+    ORDER BY doc_id
+"""
+
+
+@register("m_jpeg_region_count", oracle=_JPEG_REGION_ORACLE)
+def m_jpeg_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-region statistics through the REAL baseline JPEG
+    codec: decode each block-constant 16x16 payload and run TRUE
+    per-pixel 4-connectivity connected components
+    (multimodal.region_count — batched min-label propagation, no
+    diagonals), emitting region count, distinct intensity count, and
+    the largest region's pixel area — the blob/region counter of a
+    document-layout front end.
+
+    The fixture family makes the kernel hex-witnessable: constant
+    blocks reduce per-pixel CC to the 2x2 block adjacency graph, whose
+    regions the oracle derives in closed form (regions = 4 - edges +
+    the full-square cycle; equality transitivity makes edge count 3
+    unreachable).  Distinct VALUES vs connected REGIONS diverge
+    exactly when equal blocks touch only diagonally — md5 byte
+    collisions plant those cases (~1/256 per adjacent pair), so a
+    kernel that shortcut counted distinct colors, or merged diagonal
+    neighbors (8-connectivity), hash-mismatches on real rows.
+
+    Scale shape: two partition-local mapInPandas stages (JPEG wrap,
+    decode+CC over whole-batch tensors), zero compute shuffles before
+    the presentation sort; the propagation loop runs
+    O(component diameter) whole-tensor numpy ops per batch."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_payload(d)
+    return multimodal.region_count(payloads, decode_backend="jpeg").orderBy(
+        "doc_id"
+    )

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_holt_trend",
     "s_stream_holt_trend",
     "l_graph_assortativity",
+    "m_jpeg_region_count",
     # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
     "r_winsorize",
     "s_stream_srm",
@@ -118,9 +119,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_jpeg_resize",
     "m_jpeg_phash_dedup",
     "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 22 of the 42 remaining r9-cohort
+    # --- (3) oldest-first drain: 21 of the 42 remaining r9-cohort
     # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 20 wait for round 16) ---
+    # the remaining 21 wait for round 16) ---
     "l_chi2_terms",
     "l_count_min",
     "l_dedup_exact",
@@ -142,7 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_gini",
     "r_hash_agg",
     "r_incremental_rollup",
-    "r_join_broadcast",
 )
 
 

@@ -171,6 +171,7 @@ SCALE_FAMILY = [
     # partition knob must not touch either
     "r_holt_trend",
     "l_graph_assortativity",
+    "m_jpeg_region_count",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
