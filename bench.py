@@ -388,6 +388,7 @@ HEADLINE = [
     "s_stream_holt_trend",
     "l_graph_assortativity",
     "m_jpeg_region_count",
+    "r_slo_burn_rate",
 ]
 
 

@@ -4790,3 +4790,155 @@ def r_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r_slo_burn_rate — multiwindow error-budget burn (SRE workbook ch.5)
+
+_SLO_BUDGET_INV = 5     # SLO 80%: error budget = 1/5 of traffic
+                        # (fixture error share ~20% -> burn hovers at 1.0,
+                        #  so the threshold comparisons are data-live)
+_SLO_SHORT_H = 6        # short confirmation window, hours
+_SLO_LONG_H = 24        # long materiality window, hours
+
+
+@register(
+    "r_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    first_h AS (SELECT min(hour_idx) AS h0 FROM hourly),
+    win AS (
+        SELECT a.hour_idx,
+               CAST(sum(CASE WHEN b.hour_idx >= a.hour_idx - {_SLO_SHORT_H - 1}
+                        THEN b.n_total ELSE 0 END) AS BIGINT) AS total_s,
+               CAST(sum(CASE WHEN b.hour_idx >= a.hour_idx - {_SLO_SHORT_H - 1}
+                        THEN b.n_err ELSE 0 END) AS BIGINT) AS err_s,
+               CAST(sum(b.n_total) AS BIGINT) AS total_l,
+               CAST(sum(b.n_err) AS BIGINT) AS err_l
+        FROM hourly a
+        JOIN hourly b
+          ON b.hour_idx BETWEEN a.hour_idx - {_SLO_LONG_H - 1} AND a.hour_idx
+        GROUP BY a.hour_idx
+    )
+    SELECT w.hour_idx,
+           total_s, err_s, total_l, err_l,
+           round(CAST({_SLO_BUDGET_INV} * err_s AS DOUBLE)
+                 / CAST(total_s AS DOUBLE), 6) AS burn_short,
+           round(CAST({_SLO_BUDGET_INV} * err_l AS DOUBLE)
+                 / CAST(total_l AS DOUBLE), 6) AS burn_long,
+           CAST(CASE WHEN 2 * {_SLO_BUDGET_INV} * err_s >= 4 * total_s
+                      AND 2 * {_SLO_BUDGET_INV} * err_l >= 3 * total_l
+                THEN 1 ELSE 0 END AS INT) AS page,
+           CAST(CASE WHEN 10 * {_SLO_BUDGET_INV} * err_s >= 12 * total_s
+                      AND {_SLO_BUDGET_INV} * err_l >= total_l
+                THEN 1 ELSE 0 END AS INT) AS ticket
+    FROM win w CROSS JOIN first_h f
+    WHERE w.hour_idx >= f.h0 + {_SLO_LONG_H - 1} AND total_s > 0
+    ORDER BY w.hour_idx
+    """,
+)
+def r_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerting (the SRE-workbook
+    multiwindow multi-burn-rate policy): per hour, the trailing
+    {_SLO_SHORT_H}h and {_SLO_LONG_H}h error shares against a
+    1/{_SLO_BUDGET_INV} error budget, with PAGE (short >= 2x AND long
+    >= 1.5x budget burn) and TICKET (short >= 1.2x AND long >= 1x)
+    verdicts — the short window confirms the problem is ongoing, the
+    long window that it is material, the AND suppressing both blips
+    and stale alerts.  The operational-monitoring sibling of
+    r_srm_check / r_cusum_changepoint on the shared events stream
+    ('error' is a first-class event type in the fixture schema).
+
+    Determinism: hour buckets are exact integer epoch-microsecond
+    division; every window sum is an exact BIGINT; burn rates are one
+    double division each (emitted r6) while BOTH alert flags compare
+    integer cross-products only — no float ever gates a verdict.
+    Hours before the first full long window are excluded (a partial
+    burn window is an undefined policy input, the Bollinger rule).
+
+    Scale shape: ONE map-side-combined hourly rollup compresses raw
+    events to |hours| rows; the trailing windows come from a
+    BROADCAST range self-join of that bounded frame against itself
+    (calendar-RANGE semantics on a gappy series — the r_rolling_corr
+    device, and no global window), then one {_SLO_LONG_H}-row-deep
+    aggregation per hour — raw volume touches only the first
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    first_h = hourly.agg(F.min("hour_idx").alias("h0"))
+    a = hourly.select(F.col("hour_idx").alias("h"))
+    b = hourly.select(
+        F.col("hour_idx").alias("bh"),
+        F.col("n_total").alias("bt"),
+        F.col("n_err").alias("be"),
+    )
+    in_short = F.col("bh") >= F.col("h") - (_SLO_SHORT_H - 1)
+    win = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bh") >= F.col("h") - (_SLO_LONG_H - 1))
+            & (F.col("bh") <= F.col("h")),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(in_short, F.col("bt")).otherwise(0))
+            .cast("bigint")
+            .alias("total_s"),
+            F.sum(F.when(in_short, F.col("be")).otherwise(0))
+            .cast("bigint")
+            .alias("err_s"),
+            F.sum("bt").cast("bigint").alias("total_l"),
+            F.sum("be").cast("bigint").alias("err_l"),
+        )
+    )
+    k = _SLO_BUDGET_INV
+    return (
+        win.crossJoin(F.broadcast(first_h))
+        .filter(
+            (F.col("h") >= F.col("h0") + (_SLO_LONG_H - 1))
+            & (F.col("total_s") > 0)
+        )
+        .select(
+            F.col("h").alias("hour_idx"),
+            "total_s",
+            "err_s",
+            "total_l",
+            "err_l",
+            F.round(
+                (k * F.col("err_s")).cast("double")
+                / F.col("total_s").cast("double"),
+                6,
+            ).alias("burn_short"),
+            F.round(
+                (k * F.col("err_l")).cast("double")
+                / F.col("total_l").cast("double"),
+                6,
+            ).alias("burn_long"),
+            (
+                (2 * k * F.col("err_s") >= 4 * F.col("total_s"))
+                & (2 * k * F.col("err_l") >= 3 * F.col("total_l"))
+            )
+            .cast("int")
+            .alias("page"),
+            (
+                (10 * k * F.col("err_s") >= 12 * F.col("total_s"))
+                & (k * F.col("err_l") >= F.col("total_l"))
+            )
+            .cast("int")
+            .alias("ticket"),
+        )
+        .orderBy("hour_idx")
+    )

@@ -94,6 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_stream_holt_trend",
     "l_graph_assortativity",
     "m_jpeg_region_count",
+    "r_slo_burn_rate",
     # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
     "r_winsorize",
     "s_stream_srm",
@@ -119,9 +120,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_jpeg_resize",
     "m_jpeg_phash_dedup",
     "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 21 of the 42 remaining r9-cohort
+    # --- (3) oldest-first drain: 20 of the 42 remaining r9-cohort
     # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 21 wait for round 16) ---
+    # the remaining 22 wait for round 16) ---
     "l_chi2_terms",
     "l_count_min",
     "l_dedup_exact",
@@ -142,7 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_cusum_changepoint",
     "r_gini",
     "r_hash_agg",
-    "r_incremental_rollup",
 )
 
 

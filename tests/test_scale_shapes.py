@@ -172,6 +172,9 @@ SCALE_FAMILY = [
     "r_holt_trend",
     "l_graph_assortativity",
     "m_jpeg_region_count",
+    # round-15 cont.: the burn-rate windows are a broadcast range
+    # self-join of the bounded hourly frame — partition-knob-invariant
+    "r_slo_burn_rate",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
