@@ -4828,10 +4828,8 @@ _SLO_LONG_H = 24        # long materiality window, hours
     )
     SELECT w.hour_idx,
            total_s, err_s, total_l, err_l,
-           round(CAST({_SLO_BUDGET_INV} * err_s AS DOUBLE)
-                 / CAST(total_s AS DOUBLE), 6) AS burn_short,
-           round(CAST({_SLO_BUDGET_INV} * err_l AS DOUBLE)
-                 / CAST(total_l AS DOUBLE), 6) AS burn_long,
+           {r6_sql(f'CAST({_SLO_BUDGET_INV} * err_s AS DOUBLE) / CAST(total_s AS DOUBLE)')} AS burn_short,
+           {r6_sql(f'CAST({_SLO_BUDGET_INV} * err_l AS DOUBLE) / CAST(total_l AS DOUBLE)')} AS burn_long,
            CAST(CASE WHEN 2 * {_SLO_BUDGET_INV} * err_s >= 4 * total_s
                       AND 2 * {_SLO_BUDGET_INV} * err_l >= 3 * total_l
                 THEN 1 ELSE 0 END AS INT) AS page,
@@ -4917,15 +4915,13 @@ def r_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_s",
             "total_l",
             "err_l",
-            F.round(
+            r6(
                 (k * F.col("err_s")).cast("double")
-                / F.col("total_s").cast("double"),
-                6,
+                / F.col("total_s").cast("double")
             ).alias("burn_short"),
-            F.round(
+            r6(
                 (k * F.col("err_l")).cast("double")
-                / F.col("total_l").cast("double"),
-                6,
+                / F.col("total_l").cast("double")
             ).alias("burn_long"),
             (
                 (2 * k * F.col("err_s") >= 4 * F.col("total_s"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from bristle_spark.catalog import load_table
 from bristle_spark.functions.hashing import hash60, hash60_sql
+from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.queries.dedup import (
     MAX_SHINGLE_DF,
     _shingle_rows,
@@ -339,8 +340,7 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nn.n_nodes, m.m2 // 2 AS n_edges,
            m.sx, m.sxx, m.sxy,
            CASE WHEN m.m2 * m.sxx - m.sx * m.sx > 0 THEN
-               round(CAST(m.m2 * m.sxy - m.sx * m.sx AS DOUBLE)
-                     / CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+               {r6_sql('CAST(m.m2 * m.sxy - m.sx * m.sx AS DOUBLE) / CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE)')}
            END AS assortativity
     FROM m CROSS JOIN nn
     """,
@@ -431,11 +431,10 @@ def l_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sxy",
             F.when(
                 denom > 0,
-                F.round(
+                r6(
                     (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx"))
                     .cast("double")
-                    / denom.cast("double"),
-                    6,
+                    / denom.cast("double")
                 ),
             ).alias("assortativity"),
         )

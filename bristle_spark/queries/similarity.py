@@ -1343,10 +1343,12 @@ def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``counts_complete``: the trained final assignment covers every
       vector exactly once (sum of member counts == |vectors|);
     - ``improved``: micro-quantized total inertia under the TRAINED
-      centroids <= inertia under the init donors — Lloyd's
+      centroids <= inertia under the init donors + one micro-unit per
+      vector (the quantization slop of the two rounded sums) — Lloyd's
       monotonicity, the property that makes the training worth the
       {KMEANS_ITERS} rounds; a broken re-center or assignment step
-      flips it to 0 and breaks the hash.
+      flips it to 0 and breaks the hash, while rounding noise at a
+      fixpoint cannot.
 
     Spark-first iteration: broadcast centroid frame, map-side argmin
     via crossJoin + per-vector window, posexplode re-centering (k x
@@ -1380,7 +1382,16 @@ def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_assigned") == F.col("n_vectors"))
             .cast("int")
             .alias("counts_complete"),
-            (F.col("inertia_final_micro") <= F.col("inertia_init_total"))
+            # one micro-unit-per-vector slack: Lloyd monotonicity is a
+            # theorem for EXACT argmin/means, while both inertias here
+            # are sums of floor(d2*1e6+0.5) over 6-dp-rounded distances
+            # — near a fixpoint the true (tiny) decrease can sit below
+            # the quantization slop, and the contract must not flake on
+            # rounding noise it introduced itself (self-review r15)
+            (
+                F.col("inertia_final_micro")
+                <= F.col("inertia_init_total") + F.col("n_vectors")
+            )
             .cast("int")
             .alias("improved"),
         )

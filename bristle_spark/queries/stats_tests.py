@@ -1887,7 +1887,9 @@ _KW_N_MAX = 2_097_151      # floor(cbrt(2^63 - 1)): the N^3 tie term
                CAST(sum(r2 - (nn + 1)) AS BIGINT) AS c_i,
                CAST(max(nn) AS BIGINT) AS nn,
                CAST(sum(teq * teq - 1) AS BIGINT) AS tie3_part
-        FROM ranked GROUP BY event_type, dow
+        FROM ranked
+        WHERE nn <= {_KW_N_MAX}
+        GROUP BY event_type, dow
     ),
     guarded AS (
         SELECT * FROM (
@@ -1895,7 +1897,7 @@ _KW_N_MAX = 2_097_151      # floor(cbrt(2^63 - 1)): the N^3 tie term
                    max(abs(c_i)) OVER (PARTITION BY event_type) AS max_abs_c
             FROM grp g
         )
-        WHERE max_abs_c <= {_KW_C_MAX} AND nn <= {_KW_N_MAX}
+        WHERE max_abs_c <= {_KW_C_MAX}
     ),
     m AS (
         SELECT event_type,
@@ -1969,7 +1971,13 @@ def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_eq).cast("bigint").alias("teq"),
         F.count(F.lit(1)).over(w_all).cast("bigint").alias("nn"),
     )
-    grp = ranked.groupBy("event_type", "dow").agg(
+    # nn cap BEFORE the grouped products (self-review r15): with the cap
+    # enforced here, sum(teq^2) <= nn^3 < 2^63 and |c_i| <= 2*nn^2 < 2^44
+    # can't wrap inside grp on either engine; without it DuckDB would
+    # overflow-ERROR inside the grp aggregation while Spark wrapped —
+    # the guard must precede the arithmetic it guards, as with the
+    # square below
+    grp = ranked.filter(F.col("nn") <= _KW_N_MAX).groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
         F.sum(F.col("r2") - (F.col("nn") + 1)).cast("bigint").alias("c_i"),
         F.max("nn").cast("bigint").alias("nn"),
@@ -1980,7 +1988,7 @@ def r_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window reuses grp's event_type partitioning (no extra exchange)
     w_type = Window.partitionBy("event_type")
     grp = grp.withColumn("max_abs_c", F.max(F.abs(F.col("c_i"))).over(w_type)).filter(
-        (F.col("max_abs_c") <= _KW_C_MAX) & (F.col("nn") <= _KW_N_MAX)
+        F.col("max_abs_c") <= _KW_C_MAX
     )
     m = grp.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),

@@ -226,16 +226,18 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"windows_{os.getpid()}"))  # re-runs must not append to stale windows
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        # distributed parquet append — finalized windows never cross to
-        # the driver (at 100 TB the window stream is unbounded)
-        df.write.mode("append").parquet(out_dir)
+        # distributed per-batch landing — finalized windows never cross
+        # to the driver (at 100 TB the window stream is unbounded);
+        # batch_id-keyed overwrite so an at-least-once replay re-lands
+        # instead of duplicating (self-review r15)
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(agg.writeStream.outputMode("append").foreachBatch(sink), ckpt)
 
     if not os.path.exists(out_dir):
         return spark.createDataFrame([], schema="hour_start timestamp, n_events bigint")
-    return spark.read.parquet(out_dir).orderBy("hour_start")
+    return _landed(spark, out_dir).orderBy("hour_start")
 
 
 @register(
@@ -298,9 +300,9 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"sessions_{os.getpid()}"))  # re-runs must not append to stale sessions
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        # distributed parquet append — session-cardinality data stays off
-        # the driver (the finalized-session stream is unbounded at scale)
-        df.write.mode("append").parquet(out_dir)
+        # distributed per-batch landing — session-cardinality data stays
+        # off the driver; idempotent under at-least-once replay
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(agg.writeStream.outputMode("append").foreachBatch(sink), ckpt)
@@ -311,7 +313,7 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, session_start timestamp, session_end timestamp, n_events bigint",
         )
     return (
-        spark.read.parquet(out_dir)
+        _landed(spark, out_dir)
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
@@ -357,7 +359,7 @@ def _run_dedup_stream(spark: SparkSession, sf_dir: str, tag: str, dedup) -> Data
     out_dir = _fresh_dir(os.path.join(work, f"kept_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(stream.writeStream.outputMode("update").foreachBatch(sink), ckpt)
@@ -369,7 +371,7 @@ def _run_dedup_stream(spark: SparkSession, sf_dir: str, tag: str, dedup) -> Data
             "event_type string, value double, props string",
         )
     return (
-        spark.read.parquet(out_dir)
+        _landed(spark, out_dir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
     )
@@ -422,7 +424,7 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distributed parquet append of (batch_id, user_id, ...) — the
         # per-user update stream stays off the driver; "latest emission
         # per user" is a batch max_by over the sink afterwards
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        _land_idempotent(df.withColumn("batch_id", F.lit(batch_id)), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(totals.writeStream.outputMode("update").foreachBatch(sink), ckpt)
@@ -432,7 +434,7 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], schema="user_id bigint, n_events bigint, total_value double"
         )
     # one emission per (batch_id, user_id): the update-mode state emission
-    emitted = spark.read.parquet(out_dir)
+    emitted = _landed(spark, out_dir)
     return (
         emitted.groupBy("user_id")
         .agg(
@@ -560,7 +562,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(df: DataFrame, batch_id: int) -> None:
         # distributed parquet append — zero rows cross to the driver
-        df.select("purchase_id", "user_id", "click_id").write.mode("append").parquet(pair_dir)
+        _land_idempotent(df.select("purchase_id", "user_id", "click_id"), pair_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(joined.writeStream.outputMode("append").foreachBatch(sink), ckpt)
@@ -569,7 +571,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], schema="purchase_id bigint, user_id bigint, n_clicks_10m bigint"
         )
-    pairs = spark.read.parquet(pair_dir)
+    pairs = _landed(spark, pair_dir)
     return (
         pairs.groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_10m"))
@@ -627,11 +629,10 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"enrich_agg_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        (
-            df.groupBy("c_nationkey")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(out_dir)
+        _land_idempotent(
+            df.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")),
+            out_dir,
+            batch_id,
         )
 
     with tempfile.TemporaryDirectory() as ckpt:
@@ -644,7 +645,7 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], schema="c_nationkey int, n_events bigint"
         )
     return (
-        spark.read.parquet(out_dir)
+        _landed(spark, out_dir)
         .groupBy("c_nationkey")
         .agg(F.sum("n").cast("bigint").alias("n_events"))
         .orderBy("c_nationkey")
@@ -719,7 +720,7 @@ def s_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"hourly_{os.getpid()}"))  # re-runs must not append to a stale rollup
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
@@ -732,7 +733,7 @@ def s_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="granularity string, bucket_start timestamp, "
             "event_type string, n_events bigint, total_value double",
         )
-    hour_tbl = spark.read.parquet(out_dir).filter(
+    hour_tbl = _landed(spark, out_dir).filter(
         F.col("event_type") != FLUSH_EVENT_TYPE
     )
     day_tbl = (
@@ -874,7 +875,7 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"hourly_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
@@ -888,7 +889,7 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from pyspark.sql.window import Window as W
 
-    tbl = spark.read.parquet(out_dir).filter(
+    tbl = _landed(spark, out_dir).filter(
         F.col("event_type") != FLUSH_EVENT_TYPE
     )
     w = W.partitionBy("bucket_start").orderBy(
@@ -967,7 +968,7 @@ def s_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"anomaly_out_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+        _land_idempotent(df, out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
@@ -978,7 +979,7 @@ def s_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], schema="event_id bigint, event_type string, value double, z double"
         )
-    return spark.read.parquet(out_dir).orderBy("event_id")
+    return _landed(spark, out_dir).orderBy("event_id")
 
 
 CDC_DELETE_TYPE = "error"  # events of this type are CDC delete markers
@@ -1485,7 +1486,7 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        _hq_partials(df).write.mode("append").parquet(out_dir)
+        _land_idempotent(_hq_partials(df), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
@@ -1493,7 +1494,7 @@ def s_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     merged = (
-        spark.read.parquet(out_dir)
+        _landed(spark, out_dir)
         .groupBy("bucket")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
@@ -1618,14 +1619,14 @@ def s_stream_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        _ltv_partials(df).write.mode("append").parquet(out_dir)
+        _land_idempotent(_ltv_partials(df), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
             stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
         )
 
-    merged = spark.read.parquet(out_dir).groupBy("user_id").agg(
+    merged = _landed(spark, out_dir).groupBy("user_id").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("sw").alias("sw"),
         F.sum("scw").alias("scw"),
@@ -1719,14 +1720,14 @@ def s_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        _counter_partials(df).write.mode("append").parquet(out_dir)
+        _land_idempotent(_counter_partials(df), out_dir, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         _run_available_now(
             stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
         )
 
-    p = spark.read.parquet(out_dir)
+    p = _landed(spark, out_dir)
     w = Window.partitionBy("user_id").orderBy("first_ts", "first_eid")
     bridged = p.select(
         "user_id",
@@ -1814,7 +1815,7 @@ def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside = F.expr(f"CAST(({_ray_terms('px', 'py')}) % 2 AS BIGINT)")
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        (
+        _land_idempotent(
             df.select(
                 "event_type",
                 _lat_col().alias("py"),
@@ -1825,9 +1826,9 @@ def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum("inside").cast("bigint").alias("n_in"),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
+            ),
+            out_dir,
+            batch_id,
         )
 
     with tempfile.TemporaryDirectory() as ckpt:
@@ -1835,7 +1836,7 @@ def s_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
         )
 
-    merged = spark.read.parquet(out_dir).groupBy("event_type").agg(
+    merged = _landed(spark, out_dir).groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n_points"),
         F.sum("n_in").cast("bigint").alias("n_inside"),
     )

@@ -56,14 +56,31 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 # Round 15: the five ADVICE fixes (exact winsorize ranks, idempotent
 # srm/count-min landings, KW headroom guard), the k-means contract
 # promotion (output changed from the long centroid form to the
-# contract frame), and every m_* key (the narrow-scan kernel rebalance
-# added a conditional RoundRobin exchange to each codec plan).  The
+# contract frame), every m_* key (the narrow-scan kernel rebalance
+# added a conditional RoundRobin exchange to each codec plan), and —
+# from the self-review sweep — the REST of the foreachBatch streaming
+# family, whose sinks all moved to the batch_id-keyed idempotent
+# landing (only the OR-merge bloom and the dominance-absorbing skyline
+# keep plain appends: duplicates are absorbed by their merges).  The
 # shared-epoch refactor (functions/timebase.py) is NOT plan-changed:
 # the spliced SQL text and Spark plans are byte-identical.
 PLAN_CHANGED_KEYS: tuple[str, ...] = (
     "r_winsorize",
     "s_stream_srm",
     "s_stream_count_min",
+    "s_session_window",
+    "s_stream_dedup",
+    "s_stream_dedup_watermark",
+    "s_stateful_totals",
+    "s_stream_join",
+    "s_stream_enrich",
+    "s_stream_rollup",
+    "s_stream_topk",
+    "s_stream_anomaly",
+    "s_stream_histogram_quantiles",
+    "s_stream_decayed_ltv",
+    "s_stream_counter_rate",
+    "s_stream_geofence",
     "r_kruskal_wallis",
     "l_ivf_train_kmeans",
     "m_jpeg_ac_stats",
@@ -99,6 +116,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_winsorize",
     "s_stream_srm",
     "s_stream_count_min",
+    "s_session_window",
+    "s_stream_dedup",
+    "s_stream_dedup_watermark",
+    "s_stateful_totals",
+    "s_stream_join",
+    "s_stream_enrich",
+    "s_stream_rollup",
+    "s_stream_topk",
+    "s_stream_anomaly",
+    "s_stream_histogram_quantiles",
+    "s_stream_decayed_ltv",
+    "s_stream_counter_rate",
+    "s_stream_geofence",
     "r_kruskal_wallis",
     "l_ivf_train_kmeans",
     "m_jpeg_ac_stats",
@@ -120,9 +150,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_jpeg_resize",
     "m_jpeg_phash_dedup",
     "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 20 of the 42 remaining r9-cohort
+    # --- (3) oldest-first drain: 7 of the 42 remaining r9-cohort
     # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 22 wait for round 16) ---
+    # the remaining 35 wait for round 16 — the self-review's streaming
+    # idempotency sweep took 13 slots as mandatory re-grades) ---
     "l_chi2_terms",
     "l_count_min",
     "l_dedup_exact",
@@ -130,19 +161,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_edit_distance_dedup",
     "l_ks_test",
     "l_minhash_error",
-    "l_poisson_bootstrap",
-    "l_rank_fusion",
-    "l_source_overlap",
-    "l_text_stats",
-    "l_uncertainty_sample",
-    "l_vocab_growth",
-    "l_cluster_size_histogram",
-    "l_dedup_sorted_neighborhood",
-    "r_benford",
-    "r_bitmap_distinct",
-    "r_cusum_changepoint",
-    "r_gini",
-    "r_hash_agg",
 )
 
 

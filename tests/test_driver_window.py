@@ -167,15 +167,12 @@ def test_beyond_window_queries_still_registered(specs):
     """Rotated-out queries stay registered (just past the driver
     window) — spot-checks the r10 window plus a spread of older keys."""
     ordered = list(specs)
-    for key in ("s_session_window", "s_stateful_totals",
-                "s_stream_dedup", "s_stream_dedup_watermark", "s_stream_join",
-                "r_string_funcs", "r_date_funcs", "r_percentile_disc",
+    for key in ("r_string_funcs", "r_date_funcs", "r_percentile_disc",
                 "r_window_funnel", "l_dedup_band_stats", "l_domain_cap",
                 "r_year_over_year", "r_cohort_ltv", "l_tokenizer_fertility",
                 "l_skipgram_cooccurrence", "r_rfm_segments",
                 "r_seasonality_index", "r_time_to_convert",
                 "l_vocab_coverage", "l_js_divergence", "l_ndcg_eval",
-                "s_stream_histogram_quantiles",
                 "l_sessionize", "r_agg_collect", "r_arg_max", "r_asof_join",
                 "r_cube", "r_funnel", "r_grouping_sets", "r_pivot",
                 "r_range_join", "r_skew_salted_agg", "r_window_lag",
