@@ -389,6 +389,7 @@ HEADLINE = [
     "l_graph_assortativity",
     "m_jpeg_region_count",
     "r_slo_burn_rate",
+    "l_snippet_extract",
 ]
 
 

@@ -1922,3 +1922,123 @@ def l_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_snippet_extract — best query-term window per document
+
+SNIPPET_W = 10       # snippet width, tokens
+SNIPPET_TERMS = 3    # query = top-k corpus tokens by count (tie: token asc)
+
+
+@register(
+    "l_snippet_extract",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS tok,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    q AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tok GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT {SNIPPET_TERMS}
+        )
+    ),
+    hits AS (
+        SELECT h.doc_id, h.pos, h.n_tokens FROM tok h JOIN q USING (tok)
+    ),
+    scored AS (
+        SELECT doc_id, pos, n_tokens,
+               CAST(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                    RANGE BETWEEN CURRENT ROW AND {SNIPPET_W - 1} FOLLOWING)
+                    AS BIGINT) AS n_hits
+        FROM hits
+    ),
+    best AS (
+        SELECT doc_id, pos, n_tokens, n_hits FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n_hits DESC, pos ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS best_start,
+           CAST(LEAST(pos + {SNIPPET_W - 1}, n_tokens - 1) AS BIGINT) AS best_end,
+           n_hits,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM best
+    ORDER BY doc_id
+    """,
+)
+def l_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet selection: for each document, the
+    {SNIPPET_W}-token window carrying the most query-term hits (query
+    = the corpus's top-{SNIPPET_TERMS} tokens by frequency, ties by
+    token — self-contained and deterministic), reported as (start,
+    end, hit count) — the passage-selection primitive behind RAG
+    context extraction, keyword-in-context review UIs, and snippet
+    generation, over the shared documents table.
+
+    The candidate reduction IS the scale story: the densest window can
+    always be anchored AT a hit, so only hit positions are scored —
+    per doc that is O(hits), not O(tokens) windows — and the scoring
+    frame is a doc-partitioned integer-RANGE window (current row +
+    {SNIPPET_W}-1 following over pos), never a global window.  Ties
+    break to the earliest start on both engines (row_number over
+    n_hits DESC, pos ASC).  Documents with zero query hits carry no
+    snippet and are excluded identically on both sides.
+
+    Scale shape: one narrow posexplode, one map-side-combined token
+    count to derive the bounded query set, a {SNIPPET_TERMS}-row
+    broadcast join filtering the exploded stream down to hits, then
+    two doc-partitioned windows over the compressed hit frame — raw
+    text is scanned once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    tok = d.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("pos", "tok"),
+    )
+    q = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(SNIPPET_TERMS)
+        .select("tok")
+    )
+    hits = tok.join(F.broadcast(q), "tok").select("doc_id", "pos", "n_tokens")
+    w_range = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(0, SNIPPET_W - 1)
+    )
+    scored = hits.select(
+        "doc_id",
+        "pos",
+        "n_tokens",
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("n_hits"),
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("pos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("best_start"),
+            F.least(
+                F.col("pos") + (SNIPPET_W - 1), F.col("n_tokens") - 1
+            )
+            .cast("bigint")
+            .alias("best_end"),
+            "n_hits",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

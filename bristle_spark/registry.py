@@ -112,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_graph_assortativity",
     "m_jpeg_region_count",
     "r_slo_burn_rate",
+    "l_snippet_extract",
     # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
     "r_winsorize",
     "s_stream_srm",
@@ -150,9 +151,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_jpeg_resize",
     "m_jpeg_phash_dedup",
     "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 7 of the 42 remaining r9-cohort
+    # --- (3) oldest-first drain: 6 of the 42 remaining r9-cohort
     # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 35 wait for round 16 — the self-review's streaming
+    # the remaining 36 wait for round 16 — the self-review's streaming
     # idempotency sweep took 13 slots as mandatory re-grades) ---
     "l_chi2_terms",
     "l_count_min",
@@ -160,7 +161,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_sparse_cosine_topk",
     "l_edit_distance_dedup",
     "l_ks_test",
-    "l_minhash_error",
 )
 
 

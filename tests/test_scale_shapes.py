@@ -175,6 +175,9 @@ SCALE_FAMILY = [
     # round-15 cont.: the burn-rate windows are a broadcast range
     # self-join of the bounded hourly frame — partition-knob-invariant
     "r_slo_burn_rate",
+    # round-15 cont.: snippet windows are doc-partitioned over the
+    # broadcast-filtered hit frame — partition-knob-invariant
+    "l_snippet_extract",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
