@@ -390,6 +390,7 @@ HEADLINE = [
     "m_jpeg_region_count",
     "r_slo_burn_rate",
     "l_snippet_extract",
+    "m_wav_resample",
 ]
 
 

@@ -1276,3 +1276,72 @@ def m_jpeg_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.region_count(payloads, decode_backend="jpeg").orderBy(
         "doc_id"
     )
+
+
+_WAV_RESAMPLE_ORACLE = f"""
+    WITH {_BYTES_CTES},
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(1, 129), j ->
+                   CAST(CASE WHEN bytes[2*j - 1] + 256 * bytes[2*j] >= 32768
+                        THEN bytes[2*j - 1] + 256 * bytes[2*j] - 65536
+                        ELSE bytes[2*j - 1] + 256 * bytes[2*j] END AS BIGINT)) AS v
+        FROM f
+    ),
+    res AS (
+        SELECT doc_id,
+               -- round-half-up pair mean in FLOOR semantics: numpy //
+               -- floors but DuckDB // TRUNCATES on negatives, so the
+               -- numerator is pre-biased positive by one divisor
+               -- multiple (the YCbCr fixed-point device): a+b+1 >=
+               -- -65535, +65536 makes it > 0, -32768 restores
+               list_transform(range(0, 64), i ->
+                   (v[2*i + 1] + v[2*i + 2] + 1 + 65536) // 2 - 32768) AS o
+        FROM sig
+    ),
+    le AS (
+        SELECT doc_id, o,
+               list_transform(o, x -> ((x % 65536) + 65536) % 65536) AS u
+        FROM res
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(u, x ->
+               printf('%02x%02x', x % 256, x // 256)), '') AS pcm_hex,
+           CAST(128 AS BIGINT) AS n_in,
+           CAST(64 AS BIGINT) AS n_out,
+           floor(sqrt(list_sum(list_transform(o, x -> CAST(x AS DOUBLE) * x))
+                      / 64.0) * 1000000 + 0.5) / 1000000 AS rms_out
+    FROM le
+    ORDER BY doc_id
+"""
+
+
+@register("m_wav_resample", oracle=_WAV_RESAMPLE_ORACLE)
+def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate halving through the REAL WAV codec
+    (multimodal.wav_resample_half): decode the genuine RIFF/WAVE
+    payload, average adjacent PCM16 pairs with round-half-up integer
+    math, re-wrap at 8 kHz — the normalization step an audio corpus
+    runs before features/fingerprinting, completing the WAV family
+    (decode -> features -> fingerprint -> silence trim -> resample).
+
+    Full-content witness: the oracle re-derives EVERY output sample
+    from the text hex (little-endian int16 decode, (a+b+1)//2 floor
+    mean — DuckDB // floors exactly like numpy integer division on
+    negatives — then back to LE bytes) and compares the whole
+    resampled PCM buffer hex-exactly, plus the r6 RMS.
+
+    Scale shape: two partition-local mapInPandas stages (WAV wrap,
+    decode+decimate over whole-batch tensors), zero compute shuffles
+    before the presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.attach_wav_audio(d)
+    res = multimodal.wav_resample_half(wavs)
+    return res.select(
+        "doc_id",
+        # hex of the resampled PCM (container stripped: bytes 44+)
+        F.lower(F.hex(F.expr("substring(payload, 45, 128)"))).alias("pcm_hex"),
+        "n_in",
+        "n_out",
+        "rms_out",
+    ).orderBy("doc_id")

@@ -178,6 +178,7 @@ SCALE_FAMILY = [
     # round-15 cont.: snippet windows are doc-partitioned over the
     # broadcast-filtered hit frame — partition-knob-invariant
     "l_snippet_extract",
+    "m_wav_resample",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale
