@@ -391,6 +391,7 @@ HEADLINE = [
     "r_slo_burn_rate",
     "l_snippet_extract",
     "m_wav_resample",
+    "s_stream_slo_burn",
 ]
 
 

@@ -4802,9 +4802,7 @@ _SLO_SHORT_H = 6        # short confirmation window, hours
 _SLO_LONG_H = 24        # long materiality window, hours
 
 
-@register(
-    "r_slo_burn_rate",
-    oracle=f"""
+SLO_BURN_ORACLE_SQL = f"""
     WITH hourly AS (
         SELECT epoch_us(ts) // 3600000000 AS hour_idx,
                CAST(count(*) AS BIGINT) AS n_total,
@@ -4839,8 +4837,10 @@ _SLO_LONG_H = 24        # long materiality window, hours
     FROM win w CROSS JOIN first_h f
     WHERE w.hour_idx >= f.h0 + {_SLO_LONG_H - 1} AND total_s > 0
     ORDER BY w.hour_idx
-    """,
-)
+    """
+
+
+@register("r_slo_burn_rate", oracle=SLO_BURN_ORACLE_SQL)
 def r_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow error-budget burn-rate alerting (the SRE-workbook
     multiwindow multi-burn-rate policy): per hour, the trailing
@@ -4867,8 +4867,17 @@ def r_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     device, and no global window), then one {_SLO_LONG_H}-row-deep
     aggregation per hour — raw volume touches only the first
     rollup."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    return slo_burn_present(
+        slo_hourly_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+def slo_hourly_cells(ev: DataFrame) -> DataFrame:
+    """(hour_idx, n_total, n_err) hourly cells — ONE builder for the
+    batch key and its streaming twin (the srm_bucket_cells/daily_cents
+    discipline); the cells are ADDITIVE, so per-micro-batch partials
+    sum to the full-table frame."""
+    return ev.groupBy(
         F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
@@ -4876,6 +4885,11 @@ def r_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_err"),
     )
+
+
+def slo_burn_present(hourly: DataFrame) -> DataFrame:
+    """Window + verdict presentation over the hourly cells (shared by
+    r_slo_burn_rate and s_stream_slo_burn)."""
     first_h = hourly.agg(F.min("hour_idx").alias("h0"))
     a = hourly.select(F.col("hour_idx").alias("h"))
     b = hourly.select(

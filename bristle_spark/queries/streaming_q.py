@@ -2016,3 +2016,56 @@ def s_stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
     return holt_present(daily)
+
+
+from bristle_spark.queries.analytic import (  # noqa: E402
+    SLO_BURN_ORACLE_SQL,
+    slo_burn_present,
+    slo_hourly_cells,
+)
+
+
+@register("s_stream_slo_burn", oracle=SLO_BURN_ORACLE_SQL, group="s")
+def s_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained error-budget burn alerting — the USE
+    CASE of r_slo_burn_rate is inherently live (a page that fires at
+    the nightly batch is an outage report, not an alert): each
+    micro-batch reduces its events to per-hour (n_total, n_err)
+    partial cells (slo_hourly_cells, imported verbatim from the batch
+    key) and lands them idempotently per batch_id; the served verdict
+    re-sums the partials into the full hourly frame and runs the SAME
+    multiwindow policy (slo_burn_present).  Hourly cells are ADDITIVE
+    partials, so the streamed readout must hash-match the batch SQL
+    exactly — the shared oracle grades precisely that, including
+    across crash/restart replay (the s_stream_srm discipline).
+
+    Scale shape: per-batch work is ONE map-side-combined aggregation
+    to |hours-in-batch| rows; the landed table grows by that bounded
+    frame per batch, the serve-time merge re-aggregates |batches| x
+    |hours| rows, and the burn windows run on the bounded hourly
+    frame via the broadcast range self-join — never the raw stream
+    twice."""
+    work = _workdir(sf_dir, "slo")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    data_dir = split_events_files(spark, sf_dir, work, n_chunks=4)
+    stream = events_file_stream(spark, data_dir, ev_schema)
+
+    out_dir = _fresh_dir(os.path.join(work, f"partials_{os.getpid()}"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        _land_idempotent(slo_hourly_cells(df), out_dir, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        _run_available_now(
+            stream.writeStream.outputMode("update").foreachBatch(sink), ckpt
+        )
+
+    hourly = (
+        _landed(spark, out_dir)
+        .groupBy("hour_idx")
+        .agg(
+            F.sum("n_total").cast("bigint").alias("n_total"),
+            F.sum("n_err").cast("bigint").alias("n_err"),
+        )
+    )
+    return slo_burn_present(hourly)

@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_slo_burn_rate",
     "l_snippet_extract",
     "m_wav_resample",
+    "s_stream_slo_burn",
     # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
     "r_winsorize",
     "s_stream_srm",
@@ -152,15 +153,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_jpeg_resize",
     "m_jpeg_phash_dedup",
     "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 5 of the 42 remaining r9-cohort
+    # --- (3) oldest-first drain: 4 of the 42 remaining r9-cohort
     # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 37 wait for round 16 — the self-review's streaming
+    # the remaining 38 wait for round 16 — the self-review's streaming
     # idempotency sweep took 13 slots as mandatory re-grades) ---
     "l_chi2_terms",
     "l_count_min",
     "l_dedup_exact",
     "l_sparse_cosine_topk",
-    "l_edit_distance_dedup",
 )
 
 

@@ -179,6 +179,7 @@ SCALE_FAMILY = [
     # broadcast-filtered hit frame — partition-knob-invariant
     "l_snippet_extract",
     "m_wav_resample",
+    "s_stream_slo_burn",
 ]
 
 # The r8/r9 heavy hitters whose bucketing contract is the whole scale

@@ -51,6 +51,7 @@ STATEFUL_KEYS = [
     "s_stream_join",
     "s_stream_rollup",
     "s_stream_skyline",
+    "s_stream_slo_burn",
     "s_stream_srm",
     "s_stream_topk",
     "s_stream_upsert",
