@@ -2759,11 +2759,16 @@ def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, so every window partition is bounded by one document's
     length at any corpus size.
 
-    Scale shape: the sliding-window explode is a Catalyst generator;
-    duplicated-window detection is ONE map-side-combined aggregation on
-    8-byte hashes (HAVING >= 2 distinct docs); the join back shuffles
-    only (doc_id, position, h) ids; span merging never leaves the
-    per-document partition."""
+    Scale shape (r15 optimization, guide §2.4): the sliding-window
+    explode is a Catalyst generator; duplicated-window detection is a
+    min/max window over the 8-byte hash partition (>= 2 distinct docs
+    iff min(doc_id) != max(doc_id)) — ONE shuffle of the position
+    rows and ONE evaluation of the md5 shingle frame, where the old
+    groupBy + join-back shuffled the corpus twice and computed the
+    hash frame twice; no per-hash state materializes (min/max, not
+    collect_set), so a boilerplate span shared by millions of docs
+    costs O(1) memory; span merging never leaves the per-document
+    partition."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     docs = d.select("doc_id", t.alias("t")).filter(F.size("t") >= SPAN_WORDS)
@@ -2779,13 +2784,13 @@ def l_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), SPAN_WORDS)))
         .alias("h"),
     )
-    dup_h = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    wh = Window.partitionBy("h")
+    dup = (
+        pos.withColumn("dmin", F.min("doc_id").over(wh))
+        .withColumn("dmax", F.max("doc_id").over(wh))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "i")
     )
-    dup = pos.join(dup_h, "h").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     flagged = dup.select(
         "doc_id",

@@ -107,6 +107,25 @@ def _shingle_rows(d: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     )
 
 
+def _rare_shingle_hashes(
+    d: DataFrame, k: int = SHINGLE_WORDS, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Df-capped (doc_id, hs) posting rows in ONE corpus pass.
+
+    The df cap is a count window over the hs partition instead of the
+    old groupBy+self-join, which re-evaluated the whole tokenize/
+    shingle subtree once per consumer branch (guide §2.4: the shuffle
+    by hs is needed anyway for the downstream inverted-index self-join,
+    so the window adds no exchange while removing a full corpus pass).
+    Callers that feed the result to 2+ plan branches persist it."""
+    sh = _shingle_rows(d, k).select("doc_id", hash60(F.col("s")).alias("hs"))
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("hs")))
+        .filter(F.col("df") <= max_df)
+        .select("doc_id", "hs")
+    )
+
+
 def _shingles_sql(k: int = SHINGLE_WORDS) -> str:
     terms = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
     return f"list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {terms}))"
@@ -418,10 +437,13 @@ def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both candidate sides, both verify sides) — persist it once
     sh = _shingle_rows(d).select("doc_id", hash60(F.col("s")).alias("hs")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
-    ).select("hs")
-    sh_rare = sh.join(rare, "hs")
+    # df cap via count window over the cached postings (r15: one hs
+    # shuffle instead of the groupBy + join-back pair)
+    sh_rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("hs")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "hs")
+    )
     a, b = sh_rare.alias("a"), sh_rare.alias("b")
     cand = (
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -736,13 +758,13 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds sizes, df-filter, candidate + verify branches
     )
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
-        shd.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df cap via count window over the cached postings (r15: one hs
+    # shuffle instead of the groupBy + join-back pair)
+    shr = (
+        shd.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("hs")))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("hs")
+        .select("doc_id", "hs")
     )
-    shr = shd.join(rare, "hs")
     a, b = shr.alias("a"), shr.alias("b")
     cand = (
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1138,16 +1160,25 @@ def l_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with S distinct shingle hashes and k sources the join emits at most
     S * k(k-1)/2 pair-partials; the corpus's fixed k (single digits
     here, rarely >100 in practice) makes the candidate volume LINEAR in
-    S at any sf. The plan holds exactly 13 hash-partitioning exchanges
-    at any shuffle-partition setting.
+    S at any sf.
+
+    r15 optimization (guide §2.3/§2.4): shingles come from the
+    row-local array transform CARRYING source, so the per-doc distinct,
+    the doc_id-keyed corpus join back to `documents`, and the doc_id
+    window shuffle are all gone — the first exchange in the plan is
+    already the source-level distinct of 8-byte hashes (map-side
+    combined). The distinct frame is persisted because THREE branches
+    consume it (sizes + both self-join sides); before, the corpus
+    subtree executed three times.
     """
-    d = _tokens(load_table(spark, sf_dir, "documents"))
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _tokens(load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ))
     ss = (
-        _shingle_rows(d)
-        .join(src, "doc_id")
+        d.select("source", F.explode(_shingles_col()).alias("s"))
         .select("source", hash60(F.col("s")).alias("hs"))
         .distinct()
+        .persist()
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = ss.alias("a"), ss.alias("b")
@@ -1374,11 +1405,18 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio with IEEE-exact sqrt, so the ORDER BY ... LIMIT cut (ties →
     doc ids) lands identically in both engines.
 
-    Scale shape: one shuffle to (doc, shingle, tf); the df-capped
-    self-join shuffles only pruned postings (each rare shingle
-    contributes <= df² pairs); per-pair partial products reduce with
-    map-side combine; the two norm joins key on doc ids of the
-    already-small pair frame; the final cut is a
+    Scale shape (optimization r15, guide §2.4/§5): one shuffle to
+    (doc, shingle, tf); the df cap is a COUNT WINDOW over the hs
+    partition (one exchange) instead of the old groupBy+self-join,
+    which re-evaluated the whole tokenize/shingle subtree; the pruned
+    postings are persisted because THREE plan branches consume them
+    (norms + both self-join sides) — before, the corpus scan appeared
+    SIX times in the physical plan (six full passes at 100 TB), after
+    it appears once. The df-capped self-join shuffles only pruned
+    postings (each rare shingle contributes <= df² pairs) and reuses
+    the hs partitioning established by the window; per-pair partial
+    products reduce with map-side combine; the two norm joins key on
+    doc ids of the already-small pair frame; the final cut is a
     TakeOrderedAndProject.
 
     Blowup bound (pinned by test_scale_shapes.py exchange-count gates):
@@ -1388,8 +1426,9 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 (~50k docs, ~10M shingle occurrences) that is <= ~2e9 partials
     streamed through a map-side-combined agg, vs the ~1.25e9 raw doc
     PAIRS an uncapped all-pairs join would materialize per shared
-    shingle. The plan holds exactly 12 hash-partitioning exchanges at
-    any shuffle-partition setting.
+    shingle. The plan holds exactly 4 hash-partitioning exchanges at
+    any shuffle-partition setting (was 12 before the r15 optimization
+    removed the duplicated subtrees).
     """
     docs = load_table(spark, sf_dir, "documents")
     d = _tokens(docs.select("doc_id", "text"))
@@ -1410,10 +1449,14 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", hash60(F.col("s")).alias("hs"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    rare = shn.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
+    tfr = (
+        shn.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("hs"))
+        )
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "hs", "tf")
+        .persist()
     )
-    tfr = shn.join(rare.select("hs"), "hs")
     norms = tfr.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
     )

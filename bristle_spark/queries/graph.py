@@ -26,7 +26,7 @@ from bristle_spark.functions.hashing import hash60, hash60_sql
 from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.queries.dedup import (
     MAX_SHINGLE_DF,
-    _shingle_rows,
+    _rare_shingle_hashes,
     _shingles_sql,
     _tokens,
 )
@@ -43,14 +43,9 @@ def doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the 8-byte shingle hash (id-only shuffle), distinct'd
     on the (src, dst) pair."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
-    sh = _shingle_rows(d).select("doc_id", hash60(F.col("s")).alias("hs"))
-    rare = (
-        sh.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("hs")
-    )
-    sh_rare = sh.join(rare, "hs")
+    # df cap via count window (one corpus pass, r15 optimization) and
+    # persist: the self-join consumes the pruned postings on BOTH sides
+    sh_rare = _rare_shingle_hashes(d).persist()
     a, b = sh_rare.alias("a"), sh_rare.alias("b")
     half = (
         a.join(
@@ -235,16 +230,9 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.split("text", " "))
         .filter(F.size("t") >= TRI_SHINGLE_WORDS)
     )
-    sh = _shingle_rows(d, k=TRI_SHINGLE_WORDS).select(
-        "doc_id", hash60(F.col("s")).alias("hs")
-    )
-    rare = (
-        sh.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("hs")
-    )
-    shr = sh.join(rare, "hs")
+    # df cap via count window (one corpus pass, r15 optimization);
+    # persisted because the self-join consumes it on both sides
+    shr = _rare_shingle_hashes(d, k=TRI_SHINGLE_WORDS).persist()
     ea, eb = shr.alias("ea"), shr.alias("eb")
     half = (
         ea.join(
@@ -376,16 +364,9 @@ def l_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.split("text", " "))
         .filter(F.size("t") >= TRI_SHINGLE_WORDS)
     )
-    sh = _shingle_rows(d, k=TRI_SHINGLE_WORDS).select(
-        "doc_id", hash60(F.col("s")).alias("hs")
-    )
-    rare = (
-        sh.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("hs")
-    )
-    shr = sh.join(rare, "hs")
+    # df cap via count window (one corpus pass, r15 optimization);
+    # persisted because the self-join consumes it on both sides
+    shr = _rare_shingle_hashes(d, k=TRI_SHINGLE_WORDS).persist()
     ea, eb = shr.alias("ea"), shr.alias("eb")
     half = (
         ea.join(

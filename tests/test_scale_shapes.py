@@ -243,8 +243,17 @@ PLAN_PIN_FAMILY = [
 # that contract — a regression that adds (or re-plans away) a shuffle
 # must fail loudly, not just stay partition-invariant.
 SPARSE_SIMILARITY_SHUFFLE_PINS = {
-    "l_sparse_cosine_topk": 12,
-    "l_source_overlap": 13,
+    # r15 optimization: the df cap became a count window over the hs
+    # partition and the pruned postings are persisted, so the
+    # tokenize/shingle subtree (2 exchanges) executes ONCE and the plan
+    # string shows it nested under each InMemoryTableScan reprint.
+    # Executed exchanges: 2 (cached subtree) + 1 dots agg + 2 norm aggs;
+    # the string count below includes the cached-plan reprints.
+    "l_sparse_cosine_topk": 11,
+    # r15: row-local array shingles carrying source (no per-doc
+    # distinct, no doc_id join, no doc_id window) + persisted
+    # source-level distinct; was 13.
+    "l_source_overlap": 7,
 }
 
 # Absolute single-exchange pins (round-12 session-3): each of these
