@@ -910,7 +910,10 @@ def l_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine and returns the top-{TOPK}. The oracle mirrors all three
     stages, so the gate checks the encoding and the ADC math, not just
     the final answer."""
-    e = _embeddings(spark, sf_dir)
+    # four branches read the vector table (codebook slice, encode pass,
+    # probe row, exact re-rank); persist so the corpus is scanned once
+    # (r15; the encode pass materializes the cache anyway)
+    e = _embeddings(spark, sf_dir).persist()
     cent = e.filter(F.col("vec_id").between(1, PQ_K)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -1355,7 +1358,11 @@ def l_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim shuffle rows), localCheckpoint truncating lineage; per-vector
     distances quantized to integer micro-units BEFORE the cross-row
     inertia sums (shuffle-order-proof)."""
-    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    # cache the point set once: the Lloyd loop re-reads it every round
+    # and the init/final assignment passes read it again (guide §5 -
+    # the textbook distributed-kmeans persist; before, the plan scanned
+    # the embeddings parquet 14 times)
+    e = _embeddings(spark, sf_dir).select("vec_id", "v").persist()
     donors = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -1419,7 +1426,7 @@ def kmeans_centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained codebook in long (cid, pos, centroid, n_members)
     form — the pre-r15 l_ivf_train_kmeans output, kept as the numpy
     pin surface (tests/test_kmeans.py) and the consumable codebook."""
-    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    e = _embeddings(spark, sf_dir).select("vec_id", "v").persist()
     cent = _kmeans_trained_centroids(e)
     final_assign = _kmeans_min_d2(e, cent)
     sizes = final_assign.groupBy("cid").agg(
@@ -1789,11 +1796,17 @@ def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     aw = Window.partitionBy("vec_id").orderBy(
         F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("ccid")
     )
+    # the cell-assigned corpus is the materialized IVF index: TWO
+    # branches consume it (the probed-cell encode pass and the exact
+    # re-rank join), and each re-evaluation repays the 16x coarse
+    # crossJoin + per-vector argmin window — persist it (r15; the plan
+    # scanned the embeddings parquet 28 times before)
     assign = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "v", "ccid", F.row_number().over(aw).alias("arn"))
         .filter(F.col("arn") == 1)
         .drop("arn")
+        .persist()
     )
     probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
     pcells = (

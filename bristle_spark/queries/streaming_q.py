@@ -110,8 +110,17 @@ def _land_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
     batch lands under its own batch_id-keyed subdirectory with
     ``mode('overwrite')`` — a replayed batch clobbers its previous
     landing instead of double-counting (ADVICE r14).  Read back with
-    ``_landed()``."""
-    df.write.mode("overwrite").parquet(
+    ``_landed()``.
+
+    coalesce(1) (r15, guide §6): the partials are one row per key per
+    batch — orders of magnitude smaller than the batch — and the
+    default shuffle partitioning was landing ~32 KB-sized files per
+    micro-batch, paying 32 write tasks and a 32-files-per-batch listing
+    on every serve-time read-back.  One right-sized file per batch
+    partial is the correct layout at any scale (a deployment whose
+    per-batch partial frame approaches file-size limits raises the
+    count with its batch size)."""
+    df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, f"b{batch_id:06d}")
     )
 
