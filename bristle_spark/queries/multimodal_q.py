@@ -24,6 +24,31 @@ from bristle_spark.catalog import load_table
 from bristle_spark.registry import register
 
 
+def _present(df: DataFrame, *cols: str) -> DataFrame:
+    """Presentation sort with a shuffle shield for Python pipelines
+    (r15, guide §2.4/§7.2).
+
+    Every m_* feature frame used to end with a bare ``orderBy``: a
+    global Sort requires range partitioning, and the range exchange
+    first runs a SAMPLING job over its child to pick partition bounds,
+    then runs the child AGAIN to write the shuffle files.  When the
+    child is the zero-shuffle codec chain (scan -> mapInPandas x2),
+    both executions pay the full decode — the entire Python kernel ran
+    TWICE per query (measured: +0.75 s on a ~0.95 s pipeline at sf0.1;
+    the phash/fingerprint keys are unaffected because their final
+    aggregation exchange already shields the sort).
+
+    The fix is one hash exchange of the NARROW feature frame between
+    the kernels and the sort: the sampling job materializes that
+    shuffle's map output once, and the range exchange's own map stage
+    reuses the same shuffle files instead of re-running the codec.
+    Honest at any scale — no cache, the extra exchange carries only the
+    per-doc feature rows (a few hundred bytes each, orders of magnitude
+    lighter than re-decoding payloads), and partition counts stay
+    AQE-governed."""
+    return df.repartition(*[F.col(c) for c in cols]).orderBy(*cols)
+
+
 # Shared SQL: the fake payload's 256 bytes, recomputed hex-side (the
 # payload is 16 chained md5 digests of the text, so DuckDB re-derives
 # every byte independently of the Arrow binary path).
@@ -80,7 +105,7 @@ def m_png_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("byte_hist", lambda x: x.cast("string")), ","
             ).alias("byte_hist"),
         )
-        .orderBy("doc_id")
+        .transform(_present, "doc_id")
     )
 
 
@@ -116,7 +141,7 @@ def m_png_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sampled_frames").cast("bigint").alias("n_frames"),
         F.lower(F.hex(F.col("sampled_frames").getItem(0))).alias("first_frame_hex"),
         F.lower(F.hex(F.col("sampled_frames").getItem(2))).alias("third_frame_hex"),
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 _RESIZE_ORACLE = f"""
@@ -338,7 +363,7 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
         F.round("zcr", 6).alias("zcr"),
-    ).orderBy("doc_id", "chunk_idx")
+    ).transform(_present, "doc_id", "chunk_idx")
 
 
 _AUDIO_FP_ORACLE = f"""
@@ -440,7 +465,7 @@ def m_png_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stages (PNG wrap, decode+diff), zero shuffles."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_png_payload(d)
-    return multimodal.scene_cuts(payloads, decode_backend="png").orderBy("doc_id")
+    return multimodal.scene_cuts(payloads, decode_backend="png").transform(_present, "doc_id")
 
 
 _PATCHIFY_ORACLE = f"""
@@ -480,7 +505,7 @@ def m_png_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "patch_id",
         F.lower(F.hex("patch")).alias("patch_hex"),
         "patch_mean",
-    ).orderBy("doc_id", "patch_id")
+    ).transform(_present, "doc_id", "patch_id")
 
 
 @register("m_wav_audio_features", oracle=_AUDIO_ORACLE)
@@ -508,7 +533,7 @@ def m_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
         F.round("zcr", 6).alias("zcr"),
-    ).orderBy("doc_id", "chunk_idx")
+    ).transform(_present, "doc_id", "chunk_idx")
 
 
 _PNG_PIXEL_STATS_ORACLE = f"""
@@ -544,7 +569,7 @@ def m_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan at any scale."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_png_payload(d)
-    return multimodal.pixel_stats(payloads, decode_backend="png").orderBy("doc_id")
+    return multimodal.pixel_stats(payloads, decode_backend="png").transform(_present, "doc_id")
 
 
 @register("m_png_resize", oracle=_RESIZE_ORACLE)
@@ -569,7 +594,7 @@ def m_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.length("resized").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("resized")).alias("resized_hex"),
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 @register(
@@ -600,7 +625,7 @@ def l_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan at any scale."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_gzip_payload(d)
-    return multimodal.gzip_text_stats(payloads).orderBy("doc_id")
+    return multimodal.gzip_text_stats(payloads).transform(_present, "doc_id")
 
 
 _AUGMENT_ORACLE = f"""
@@ -643,7 +668,7 @@ def m_png_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.length("augmented").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("augmented")).alias("augmented_hex"),
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 # The JPEG payload's hex-side derivation: four 8x8 constant blocks,
@@ -697,7 +722,7 @@ def m_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_jpeg_payload(d)
-    return multimodal.pixel_stats(payloads, decode_backend="jpeg").orderBy("doc_id")
+    return multimodal.pixel_stats(payloads, decode_backend="jpeg").transform(_present, "doc_id")
 
 
 _JPEG_RESIZE_ORACLE = """
@@ -739,7 +764,7 @@ def m_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.length("resized").cast("bigint").alias("n_bytes"),
         F.lower(F.hex("resized")).alias("resized_hex"),
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 _JPEG_PHASH_ORACLE = """
@@ -864,7 +889,7 @@ def m_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrap, decode+stats), zero shuffles before the presentation sort."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_jpeg_rgb_payload(d)
-    return multimodal.rgb_mcu_stats(payloads, mcu=16).orderBy("doc_id", "mcu_idx")
+    return multimodal.rgb_mcu_stats(payloads, mcu=16).transform(_present, "doc_id", "mcu_idx")
 
 
 def _sgn_sql(e: str) -> str:
@@ -958,7 +983,7 @@ def m_jpeg_chroma_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_jpeg_ycc_checker_payload(d)
-    return multimodal.rgb_block_stats(payloads).orderBy("doc_id", "block_idx")
+    return multimodal.rgb_block_stats(payloads).transform(_present, "doc_id", "block_idx")
 
 
 _JPEG_AC_ORACLE = """
@@ -1008,8 +1033,8 @@ def m_jpeg_ac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — identical plan at any scale."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_jpeg_checker_payload(d)
-    return multimodal.checker_block_stats(payloads).orderBy(
-        "doc_id", "block_idx"
+    return multimodal.checker_block_stats(payloads).transform(
+        _present, "doc_id", "block_idx"
     )
 
 
@@ -1064,7 +1089,7 @@ def m_png_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_png_payload(d)
     return multimodal.edge_stats(
         payloads, threshold=EDGE_T, decode_backend="png"
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 _HIST_EQ_ORACLE = f"""
@@ -1126,7 +1151,7 @@ def m_png_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eq_min",
         "eq_max",
         "eq_sum",
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")
 
 
 _WAV_TRIM_ORACLE = f"""
@@ -1207,7 +1232,7 @@ def m_wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation sort."""
     d = load_table(spark, sf_dir, "documents")
     audio = multimodal.attach_wav_padded(d)
-    return multimodal.wav_trim_stats(audio).orderBy("doc_id")
+    return multimodal.wav_trim_stats(audio).transform(_present, "doc_id")
 
 
 _JPEG_REGION_ORACLE = """
@@ -1273,8 +1298,8 @@ def m_jpeg_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(component diameter) whole-tensor numpy ops per batch."""
     d = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_jpeg_payload(d)
-    return multimodal.region_count(payloads, decode_backend="jpeg").orderBy(
-        "doc_id"
+    return multimodal.region_count(payloads, decode_backend="jpeg").transform(
+        _present, "doc_id"
     )
 
 
@@ -1344,4 +1369,4 @@ def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in",
         "n_out",
         "rms_out",
-    ).orderBy("doc_id")
+    ).transform(_present, "doc_id")

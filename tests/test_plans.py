@@ -453,14 +453,42 @@ def test_kernel_rebalance_widens_narrow_scan(spark, sf_dir):
 
 def test_scene_cut_is_partition_local(spark, sf_dir):
     """Shot-boundary detection is pure mapInPandas over the scan: the
-    ONLY exchange is the presentation orderBy's range partitioning
-    (shared with every m_* query; the compute itself is narrow)."""
+    only exchanges are the presentation sort's range partitioning and
+    its r15 sampling shield (the hash exchange of the narrow feature
+    frame that stops the range-partitioner's sample job from re-running
+    the codec chain — multimodal_q._present); the compute itself stays
+    narrow."""
     df = SPECS["m_png_scene_cut"].fn(spark, sf_dir)
-    # <=1 compute exchange (presentation orderBy) + at most one narrow-
-    # scan kernel rebalance (RoundRobin, r15 — absent at corpus scale)
-    assert plans.exchange_count(df) - plans.node_count(df, "RoundRobinPartitioning") <= 1
+    # <=2 presentation exchanges (hash shield + range sort) + at most
+    # one narrow-scan kernel rebalance (RoundRobin — absent at corpus
+    # scale), and still no compute shuffle (no aggregate, no join)
+    assert plans.exchange_count(df) - plans.node_count(df, "RoundRobinPartitioning") <= 2
     assert not plans.has_node(df, "HashAggregate")
     assert not plans.has_node(df, "SortMergeJoin")
+
+
+def test_codec_presentation_sort_is_shielded(spark, sf_dir):
+    """r15: every zero-shuffle codec pipeline ends with _present — a
+    hash exchange of the narrow feature frame BETWEEN the mapInPandas
+    kernels and the presentation sort's range exchange.  Without it the
+    range partitioner's bounds-sampling job re-executes the whole
+    Python codec chain a second time (measured ~+80% per key at sf0.1);
+    with it the sample job materializes the hash shuffle once and the
+    sort's map stage reuses those shuffle files.  Keys whose final
+    frame already sits above an aggregation exchange (phash dedup,
+    audio fingerprint) don't carry the extra exchange."""
+    from bristle_spark.plans import plan_string
+
+    for key in ("m_jpeg_pixel_stats", "m_png_scene_cut", "m_wav_silence_trim"):
+        df = SPECS[key].fn(spark, sf_dir)
+        s = plan_string(df, "formatted")
+        i_range = s.index("rangepartitioning")
+        i_hash = s.index("hashpartitioning")
+        i_py = s.index("MapInPandas")
+        # formatted output lists operators bottom-up in the tree header,
+        # but the Arguments blocks appear in node-id order: the hash
+        # shield's exchange node sits between the kernels and the sort
+        assert i_py < i_hash < i_range, key
 
 
 def test_hard_negatives_broadcast_probes(spark, sf_dir):
