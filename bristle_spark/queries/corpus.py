@@ -1793,7 +1793,7 @@ def l_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = tf.select(bkt.alias("bkt")).groupBy("bkt").agg(
         F.count(F.lit(1)).cast("bigint").alias("nv")
     )
-    grid = spark.range(1, HEAPS_DECILES + 1).select(
+    grid = spark.range(1, HEAPS_DECILES + 1, 1, 1).select(
         F.col("id").cast("bigint").alias("decile")
     )
     cum = (
@@ -1980,14 +1980,14 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     n_docs = feats.count()  # action on the checkpointed frame; reused below
     if n_docs == 0:  # empty corpus: report the zero-init weights
-        return spark.range(LOGREG_DIM).select(
+        return spark.range(0, LOGREG_DIM, 1, 1).select(
             (F.col("id") + 1).cast("bigint").alias("pos"),
             F.lit(0.0).alias("weight"),
             F.lit(None).cast("double").alias("train_acc"),
             F.lit(None).cast("double").alias("pos_rate"),
         )
 
-    w_frame = spark.range(LOGREG_DIM).select(
+    w_frame = spark.range(0, LOGREG_DIM, 1, 1).select(
         F.col("id").cast("int").alias("pos"), F.lit(0.0).alias("w")
     ).localCheckpoint()
 

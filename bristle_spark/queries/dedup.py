@@ -1046,6 +1046,12 @@ def l_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("bigint").alias("edit_dist"),
         )
+        # r15 sampling shield (the multimodal_q._present pattern): the
+        # broadcast prefix-join + Levenshtein chain is exchange-free, so
+        # a bare orderBy's range-bounds sampling job would re-run the
+        # whole verifier a second time; one hash exchange of the narrow
+        # (doc_a, doc_b, dist) pairs lets the sort reuse shuffle files
+        .repartition("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1627,7 +1633,7 @@ def l_bloom_fpp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_bloom_prune scan shape, evaluated instead of assumed.
     """
     orders = load_table(spark, sf_dir, "orders")
-    hrange = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    hrange = spark.range(0, BLOOM_K, 1, 1).select(F.col("id").cast("int").alias("i"))
     members = orders.select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct()
@@ -1643,7 +1649,7 @@ def l_bloom_fpp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probes = spark.range(BLOOM_N_PROBES).select(
+    probes = spark.range(0, BLOOM_N_PROBES, 1, 1).select(
         F.concat(F.lit("probe:"), F.col("id").cast("string")).alias("key")
     )
     ppos = probes.crossJoin(F.broadcast(hrange)).select(

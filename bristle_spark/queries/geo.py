@@ -386,8 +386,8 @@ def r_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x0") + 60_000_000).alias("x1"),
         (F.col("y0") + 30_000_000).alias("y1"),
     )
-    gys = spark.range(6).select(F.col("id").cast("bigint").alias("gy"))
-    gxs = spark.range(12).select(F.col("id").cast("bigint").alias("gx"))
+    gys = spark.range(0, 6, 1, 1).select(F.col("id").cast("bigint").alias("gy"))
+    gxs = spark.range(0, 12, 1, 1).select(F.col("id").cast("bigint").alias("gx"))
     box_cells = (
         boxes.crossJoin(F.broadcast(gys))
         .crossJoin(F.broadcast(gxs))

@@ -522,6 +522,12 @@ def l_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
         .select("vec_id", "label", "v", "pv", ascore.alias("ascore"))
+        # r15 sampling shield (the multimodal_q._present pattern): the
+        # quantize + integer-dot chain below this global top-M sort is
+        # exchange-free, so the range-bounds sampling job would re-run
+        # it a second time; one hash exchange lets the sort's map stage
+        # reuse the shuffle files instead
+        .repartition("vec_id")
         .orderBy(F.desc_nulls_last("ascore"), F.col("vec_id"))
         .limit(INT8_CAND_M)
     )
@@ -1096,7 +1102,7 @@ def _top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         del _POWER_CACHE[stale]
     e = _embeddings(spark, sf_dir)
     dim = 64
-    v = spark.range(1).select(
+    v = spark.range(0, 1, 1, 1).select(
         F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("v")
     ).localCheckpoint()
     for _ in range(POWER_ITERS):
@@ -2112,7 +2118,7 @@ def _deflated_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic init orthogonal-ish to the uniform vector: alternate
     # signs so the start never collapses onto v1's init
     init = [((-1.0) ** i) / dim**0.5 for i in range(dim)]
-    w = spark.range(1).select(
+    w = spark.range(0, 1, 1, 1).select(
         F.array(*[F.lit(x) for x in init]).alias("w")
     ).localCheckpoint()
     for _ in range(POWER_ITERS):

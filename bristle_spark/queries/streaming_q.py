@@ -1337,7 +1337,7 @@ def s_stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").distinct()
     mx = ev.agg(F.max("user_id").alias("mu"))
     absent = (
-        spark.range(1, SBLOOM_ABSENT + 1)
+        spark.range(1, SBLOOM_ABSENT + 1, 1, 1)
         .crossJoin(F.broadcast(mx))
         .select((F.col("mu") + F.col("id")).alias("uid"), F.lit(0).alias("present"))
     )

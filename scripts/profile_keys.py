@@ -76,6 +76,7 @@ def main() -> None:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
         spark.sparkContext.setJobDescription(None)
+        spark.catalog.clearCache()  # same per-key isolation as bench.py
         print(f"{out[name]:7.3f}  {name}", flush=True)
     print(json.dumps(out))
     spark.stop()
