@@ -824,19 +824,52 @@ def l_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. too short to shingle) count as passes, matching each signal's
     own don't-flag default.
 
-    Scale shape: pure composition — the four signal queries keep their
-    own (already audited) plans and join on doc_id; at 100 TB each
-    signal is typically a materialized column and this query is the
-    4-way co-partitioned join + row-local vote that follows. The oracle
-    composes the four signals' REGISTERED oracle SQL verbatim as CTEs,
-    so engine and oracle can never drift per-signal."""
-    from bristle_spark.queries.textops import l_quality_score, l_token_entropy
+    Scale shape (r15 restructure, guide §2.3/§2.4): the quality and
+    entropy signals both reduce over the per-(doc, token) count frame,
+    so the engine computes ONE shared tf aggregation and derives both
+    flags from a single doc-keyed pass — n_tok = Σc and
+    n_stop = Σ c·[t∈stopwords] are integer-exact rewrites of the
+    per-token sums, and the entropy expression is lifted verbatim from
+    l_token_entropy over the identical tf input, so every emitted bit
+    matches the 4-query composition (oracle parity re-proven). The
+    logprob signal keeps its own plan — its per-token fp sum must keep
+    l_unigram_logprob's exact accumulation shape — and repetition stays
+    the row-local scan. Before: 4 independent corpus tokenizations +
+    3 joins; after: 2 tokenizations (shared tf + logprob's), the
+    row-local repetition scan, and the same joins. The oracle composes
+    the four signals' REGISTERED oracle SQL verbatim as CTEs, so
+    engine and oracle can never drift per-signal."""
+    from bristle_spark.queries.textops import ENTROPY_LOW, STOPWORDS
 
-    q = l_quality_score(spark, sf_dir).select(
-        "doc_id", (F.col("quality") >= QUALITY_MIN).cast("int").alias("pass_quality")
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ent = l_token_entropy(spark, sf_dir).select(
-        "doc_id", (1 - F.col("low_entropy")).cast("int").alias("p_ent")
+    n = F.sum("c")
+    entropy = r6(F.log(n) - F.sum(F.col("c") * F.log("c")) / n)
+    stats = tf.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tok"),
+        F.sum(F.when(F.col("t").isin(*STOPWORDS), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+        (1 - (entropy < ENTROPY_LOW).cast("int")).alias("p_ent"),
+    )
+    scalars = d.select("doc_id", F.length("text").cast("bigint").alias("n_char"))
+    avg_tok_len = (
+        F.col("n_char") - (F.col("n_tok") - 1)
+    ).cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    quality = (
+        (F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0) * 0.5
+        + stop_ratio * 0.3
+        + (1.0 / (1.0 + F.abs(avg_tok_len - 5.0))) * 0.2
+    )
+    q = stats.join(scalars, "doc_id").select(
+        "doc_id",
+        (r6(quality) >= QUALITY_MIN).cast("int").alias("pass_quality"),
+        "p_ent",
     )
     lp = l_unigram_logprob(spark, sf_dir).select(
         "doc_id", (1 - F.col("low_logprob")).cast("int").alias("p_lp")
@@ -844,9 +877,7 @@ def l_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = l_repetition_score(spark, sf_dir).select(
         "doc_id", (1 - F.col("repetitive")).cast("int").alias("p_rep")
     )
-    joined = (
-        q.join(ent, "doc_id", "left").join(lp, "doc_id", "left").join(rep, "doc_id", "left")
-    )
+    joined = q.join(lp, "doc_id", "left").join(rep, "doc_id", "left")
     p_ent = F.coalesce(F.col("p_ent"), F.lit(1))
     p_lp = F.coalesce(F.col("p_lp"), F.lit(1))
     p_rep = F.coalesce(F.col("p_rep"), F.lit(1))

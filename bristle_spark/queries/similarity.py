@@ -1045,11 +1045,16 @@ def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     aw = Window.partitionBy("vec_id").orderBy(
         F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
     )
+    # the coarse assignment is the materialized cluster index: BOTH
+    # sides of the within-cell self-join consume it, and each
+    # re-evaluation repays the 16x coarse crossJoin + per-vector argmin
+    # window — persist it (r15; the l_ann_ivfpq pattern)
     assign = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
         .filter(F.col("arn") == 1)
         .select("vec_id", "cid", _bucket_col(F.col("v")).alias("bucket"))
+        .persist()
     )
     x, y = assign.alias("x"), assign.alias("y")
     cand = x.join(
