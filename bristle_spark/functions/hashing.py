@@ -81,9 +81,16 @@ def minhash_min_agg(j: int, h: Column) -> Column:
     (no whole-stage codegen), so the explode + groupBy(doc).agg(min)
     formulation is ~5x faster despite the shuffle: the min() partial
     aggregation is codegen'd and map-side combine reduces the shuffle
-    to one row per (doc, partition)."""
+    to one row per (doc, partition).
+
+    r15: built as ONE parsed expression instead of four py4j Column
+    calls — the j-loops construct NUM_HASHES of these per key, and the
+    Column-API construction cost lands in every bench run (the
+    _simhash_df lesson). The parsed plan is identical. The ``h``
+    operand is spliced as SQL text, so callers pass a column NAME."""
     a, b = MINHASH_A[j], MINHASH_B[j]
-    return F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P)
+    col = h._jc.toString() if isinstance(h, Column) else str(h)
+    return F.expr(f"min(({a}L * {col} + {b}L) % {MINHASH_P}L)")
 
 
 def minhash_sql(j: int, hashes_expr: str) -> str:

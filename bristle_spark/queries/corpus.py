@@ -2008,7 +2008,17 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             F.lit(1.0), nw / 50.0, ttr, awl / 5.0, stopf * 10.0
         ).alias("x"),
-    ).localCheckpoint()
+    )
+    # r15: widen a narrow bench scan BEFORE checkpointing, so the
+    # feature materialization and all {LOGREG_ITERS} gradient passes
+    # run at session parallelism (the multimodal kernel-rebalance
+    # rule; at corpus scale the scan already carries many splits and
+    # the branch is metadata-only). The numpy pin tolerates the
+    # partial-sum reordering (2e-6 >> the 5e3-term fp noise).
+    target = spark.sparkContext.defaultParallelism
+    if feats.rdd.getNumPartitions() < target:
+        feats = feats.repartition(target)
+    feats = feats.localCheckpoint()
     n_docs = feats.count()  # action on the checkpointed frame; reused below
     if n_docs == 0:  # empty corpus: report the zero-init weights
         return spark.range(0, LOGREG_DIM, 1, 1).select(
@@ -2018,52 +2028,61 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("pos_rate"),
         )
 
-    w_frame = spark.range(0, LOGREG_DIM, 1, 1).select(
-        F.col("id").cast("int").alias("pos"), F.lit(0.0).alias("w")
-    ).localCheckpoint()
+    # r15 loop restructure: the weights live in a 1-ROW array frame,
+    # and each round nests exactly ONE broadcast of the previous
+    # round's frame — the per-pos gradient agg carries the broadcast
+    # weight array through the shuffle (F.first over identical values)
+    # so the updated array derives from the gradient frame alone and
+    # the plan stays LINEAR in round count. The whole fixed-round
+    # trajectory then executes inside a single action (the old shape
+    # paid a per-round driver action: 5-row join + localCheckpoint,
+    # ~0.55 s/round of pure latency at bench scale). Same arithmetic,
+    # same operand order per round; only the barrier between rounds is
+    # gone.
+    wf = spark.range(0, 1, 1, 1).select(
+        F.array(*[F.lit(0.0) for _ in range(LOGREG_DIM)]).alias("warr")
+    )
 
-    def w_array(wf: DataFrame) -> DataFrame:
-        return wf.groupBy().agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda p: p["w"],
-            ).alias("warr")
-        )
-
-    for _ in range(LOGREG_ITERS):
-        z = F.aggregate(
+    def z_expr():
+        return F.aggregate(
             F.zip_with("x", "warr", lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-        grad = (
-            feats.crossJoin(F.broadcast(w_array(w_frame)))
-            .select(F.posexplode(F.transform("x", lambda xi: err * xi)).alias("pos", "g"))
+
+    for _ in range(LOGREG_ITERS):
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr())) - F.col("y")
+        wf = (
+            feats.crossJoin(F.broadcast(wf))
+            .select(
+                "warr",
+                F.posexplode(F.transform("x", lambda xi: err * xi)).alias("pos", "g"),
+            )
             .groupBy("pos")
-            .agg((F.sum("g") / n_docs).alias("g"))
-        )
-        w_frame = (
-            w_frame.join(grad, "pos", "left")
+            .agg(
+                (F.sum("g") / n_docs).alias("g"),
+                F.first("warr").alias("warr"),
+            )
             .select(
                 "pos",
-                (F.col("w") - LOGREG_LR * F.coalesce("g", F.lit(0.0))).alias("w"),
+                (
+                    F.element_at("warr", F.col("pos") + 1) - LOGREG_LR * F.col("g")
+                ).alias("w"),
             )
-            .localCheckpoint()
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda p: p["w"],
+                ).alias("warr")
+            )
         )
 
-    z = F.aggregate(
-        F.zip_with("x", "warr", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    metrics = feats.crossJoin(F.broadcast(wf)).agg(
+        F.avg(((z_expr() >= 0).cast("double") == F.col("y")).cast("double")).alias("acc"),
+        F.avg("y").alias("pos_rate"),
     )
-    metrics = (
-        feats.crossJoin(F.broadcast(w_array(w_frame)))
-        .agg(
-            F.avg(((z >= 0).cast("double") == F.col("y")).cast("double")).alias("acc"),
-            F.avg("y").alias("pos_rate"),
-        )
-    )
+    w_frame = wf.select(F.posexplode("warr").alias("pos", "w"))
     return (
         w_frame.crossJoin(F.broadcast(metrics))
         .select(

@@ -295,19 +295,22 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk")).select(
         "doc_id", hash60(F.col("tk")).alias("h")
     )
+    # r15: build the 60 per-bit aggregates as ONE parsed expression
+    # each instead of five py4j Column calls each — the Column-API loop
+    # cost ~1s of driver-side plan construction PER RUN (measured
+    # 2.6s -> 1.3-1.9s full-key; results bit-identical, the generated
+    # CASE WHEN plan is the same)
     weights = th.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"w{i}")
+            F.expr(f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS w{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
-    simhash = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return weights.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    sim = " + ".join(
+        f"(CASE WHEN w{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return weights.selectExpr("doc_id", f"CAST({sim} AS BIGINT) AS simhash")
 
 
 @register(
