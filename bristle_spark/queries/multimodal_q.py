@@ -253,6 +253,13 @@ def _phash_band_pairs(hashes: DataFrame) -> DataFrame:
     """4x16-bit LSH banding + bit_count(xor) verify over a phash frame
     (doc_id, phash) — shared by the fake-backend and real-PNG dedup
     keys; pigeonhole-exact for Hamming <= PHASH_MAX_HAMMING."""
+    # r15: BOTH self-join sides consume the banded frame, and each
+    # re-evaluation re-ran the entire upstream codec decode (the plan
+    # carried two full attach->decode mapInPandas chains). Persist the
+    # narrow (doc_id, phash) frame so the images decode ONCE — the
+    # l_ann_ivfpq / l_dedup_semantic discipline applied to the codec
+    # family's only multi-branch consumer.
+    hashes = hashes.persist()
     bands = hashes.select(
         "doc_id",
         "phash",
