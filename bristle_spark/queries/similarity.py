@@ -2826,9 +2826,12 @@ def l_ann_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", F.row_number().over(aw).alias("arn"))
         .filter(F.col("arn") == 1)
     )
+    # r15: the 16-row lists frame feeds both the corpus-total aggregate
+    # and the final crossJoin — without a persist each branch re-ran the
+    # full assignment (16x coarse crossJoin + per-vector argmin window)
     lists = assign.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
-    )
+    ).persist()
     tot = lists.agg(
         F.sum("n_vectors").cast("bigint").alias("n"),
         F.sum(F.col("n_vectors") * F.col("n_vectors")).cast("bigint").alias("sq"),
