@@ -252,6 +252,10 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(half.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        # three consumers (both orientation sides + the final degree
+        # join), and the alias-renamed subtrees defeat runtime exchange
+        # reuse — persist so the degree rollup runs once (r15)
+        .persist()
     )
     du = deg.select(F.col("node").alias("un"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("vn"), F.col("deg").alias("dv"))
@@ -385,6 +389,10 @@ def l_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(half.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        # three consumers (both endpoint joins + the node count), and
+        # the alias-renamed subtrees defeat runtime exchange reuse —
+        # persist so the degree rollup runs once (r15)
+        .persist()
     )
     du = deg.select(F.col("node").alias("un"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("node").alias("vn"), F.col("deg").alias("dy"))

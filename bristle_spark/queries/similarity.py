@@ -59,6 +59,41 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_nearest_cell(
+    e: DataFrame, cent: DataFrame, cid: str = "cid", extra: tuple = ()
+) -> DataFrame:
+    """Max-cosine coarse-cell assignment (round-6dp cosine DESC, ties ->
+    lowest centroid id) as ONE map-side-combinable aggregation instead
+    of the crossJoin + per-vector rank window (r15, guide §2.3/§2.4):
+    the window form shuffled all {IVF_CENTROIDS} scored copies of every
+    vector — payload columns included — through a sort; here the
+    candidate rows a task generates for each vector collapse to one row
+    in the partial HashAggregate BEFORE the exchange, so the exchange
+    carries one narrow row per vector and no sort runs.  ``max`` over
+    ``struct(cos_sim, -cid, ...)`` replays exactly the window's
+    (cos_sim DESC, cid ASC) tie rule — the negated id is a unique
+    tiebreak, so the ``extra`` payload fields ride along untouched and
+    no new arithmetic enters the plan (the cosine UDF + round(…, 6)
+    expressions are byte-for-byte the window form's)."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.struct(
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+            (-F.col(cid)).alias("ncid"),
+            *[F.col(c).alias(c) for c in extra],
+        ).alias("_cand"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("_cand").alias("_best"))
+        .select(
+            "vec_id",
+            (-F.col("_best.ncid")).alias(cid),
+            *[F.col(f"_best.{c}").alias(c) for c in extra],
+        )
+    )
+
+
 def _scored_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vectors scored against the probe (vec_id = 0), cos rounded to 6."""
     e = _embeddings(spark, sf_dir)
@@ -223,15 +258,7 @@ def l_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "v", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-        .drop("arn")
-    )
+    assign = _assign_nearest_cell(e, cent, "cid", ("label", "v"))
     probe = assign.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("pv"), F.col("cid").alias("pcid")
     )
@@ -407,15 +434,7 @@ def l_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "v", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-        .drop("arn")
-    )
+    assign = _assign_nearest_cell(e, cent, "cid", ("label", "v"))
     probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
     # rank ALL centroids against the probe and keep the top-nprobe cells:
     # orderBy().limit() over the 16-row frame plans TakeOrderedAndProject
@@ -765,15 +784,7 @@ def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-        .drop("arn")
-    )
+    assign = _assign_nearest_cell(e, cent, "cid", ("v",))
     probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
@@ -1042,17 +1053,12 @@ def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
     # the coarse assignment is the materialized cluster index: BOTH
     # sides of the within-cell self-join consume it, and each
-    # re-evaluation repays the 16x coarse crossJoin + per-vector argmin
-    # window — persist it (r15; the l_ann_ivfpq pattern)
+    # re-evaluation repays the 16x coarse cross join + argmin — persist
+    # it (r15; the l_ann_ivfpq pattern)
     assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
+        _assign_nearest_cell(e, cent, "cid", ("v",))
         .select("vec_id", "cid", _bucket_col(F.col("v")).alias("bucket"))
         .persist()
     )
@@ -1230,17 +1236,52 @@ def l_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3  # fixed rounds -> deterministic trajectory
 
 
-def _kmeans_d2(v: str = "v", cv: str = "cv"):
-    """Squared L2 rounded to 6 decimals — the trainer's argmin metric
-    (strict left fold over dimensions, same fp order as the oracle's
-    list_sum)."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+def _kmeans_nearest_local(
+    e: DataFrame, cent: DataFrame, keep_v: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment under the trainer's rounded-d2 rule
+    (d2 ASC, ties -> lowest cid) as ONE map-side-combinable aggregation
+    instead of the crossJoin + per-vector rank window (r15, guide
+    §2.3/§2.4): the {IVF_CENTROIDS} candidate rows a task generates per
+    vector collapse to one row in the partial HashAggregate BEFORE the
+    exchange, so the exchange carries one narrow row per vector instead
+    of {IVF_CENTROIDS} payload-bearing copies, and no sort runs.  The
+    d2 metric is the trainer's squared L2 rounded to 6 decimals — a
+    strict left fold over dimensions, the same fp order as the oracle's
+    list_sum — evaluated in the same crossJoin projection as the
+    pre-r15 window form, so the d2 doubles are bit-identical, and
+    ``min`` over ``struct(d2, cid, v)`` replays the window's (d2, cid)
+    tie rule with the unique cid shielding the payload field.  (A fully
+    row-local array_min-over-transform variant was measured 19% SLOWER
+    at sf0.1 — nested-lambda interpretation overhead exceeds the
+    exchange saving locally — while this form matches the window's
+    local time exactly; interleaved A/B min-of-5.)  Returns
+    (vec_id[, v], cid, d2); ``keep_v`` rides the vector along for the
+    re-center pass, the pure-scoring passes shuffle only the triple."""
+    fields = [
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+        F.col("cid").alias("cid"),
+    ]
+    if keep_v:
+        fields.append(F.col("v").alias("v"))
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.struct(*fields).alias("_cand")
+    )
+    out_cols = ["vec_id"]
+    if keep_v:
+        out_cols.append(F.col("_best.v").alias("v"))
+    out_cols += [F.col("_best.cid").alias("cid"), F.col("_best.d2").alias("d2")]
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("_cand").alias("_best"))
+        .select(*out_cols)
     )
 
 
@@ -1251,15 +1292,8 @@ def _kmeans_trained_centroids(e: DataFrame) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     ).localCheckpoint()
-    d2 = _kmeans_d2()
     for _ in range(KMEANS_ITERS):
-        aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        assign = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
-        )
+        assign = _kmeans_nearest_local(e, cent, keep_v=True)
         new_cent = (
             assign.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -1284,14 +1318,7 @@ def _kmeans_trained_centroids(e: DataFrame) -> DataFrame:
 def _kmeans_min_d2(e: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cid, d2) of each vector's nearest centroid under the
     trainer's rounded-argmin rule (ties -> lowest cid)."""
-    aw = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", _kmeans_d2().alias("d2"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _kmeans_nearest_local(e, cent).select("vec_id", "cid", "d2")
 
 
 def _d2_micro():
@@ -1804,21 +1831,12 @@ def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = e.filter(F.col("vec_id").between(1, PQ_K)).select(
         F.col("vec_id").alias("bcid"), F.col("v").alias("bv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("ccid")
-    )
     # the cell-assigned corpus is the materialized IVF index: TWO
     # branches consume it (the probed-cell encode pass and the exact
     # re-rank join), and each re-evaluation repays the 16x coarse
-    # crossJoin + per-vector argmin window — persist it (r15; the plan
-    # scanned the embeddings parquet 28 times before)
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "v", "ccid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-        .drop("arn")
-        .persist()
-    )
+    # cross join + argmin — persist it (r15; the plan scanned the
+    # embeddings parquet 28 times before)
+    assign = _assign_nearest_cell(e, cent, "ccid", ("label", "v")).persist()
     probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
     pcells = (
         cent.crossJoin(F.broadcast(probe))
@@ -2310,15 +2328,7 @@ def l_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-        .drop("arn")
-    )
+    assign = _assign_nearest_cell(e, cent, "cid", ("v",))
     probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
@@ -2818,14 +2828,7 @@ def l_ann_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", F.row_number().over(aw).alias("arn"))
-        .filter(F.col("arn") == 1)
-    )
+    assign = _assign_nearest_cell(e, cent, "cid")
     # r15: the 16-row lists frame feeds both the corpus-total aggregate
     # and the final crossJoin — without a persist each branch re-ran the
     # full assignment (16x coarse crossJoin + per-vector argmin window)
