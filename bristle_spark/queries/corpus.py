@@ -1919,17 +1919,29 @@ def l_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
-    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # the vocab-sized exact counts feed THREE branches (total, the CMS
+    # build below, probes) — persist them; the corpus is tokenized ONCE
+    # (r15, guide §2.3/§5; before, the sketch build re-tokenized and
+    # re-exploded the whole corpus a second time)
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
     total = exact.agg(F.sum("n").cast("bigint").alias("total"))
 
     def bucket(i: int, col: F.Column) -> F.Column:
         return hash60(F.concat(F.lit(str(i)), F.lit(":"), col)) % CMS_W
 
     buckets = F.array(*[bucket(i, F.col("t")) for i in range(CMS_D)])
+    # each (i, bucket) counter is the count of token OCCURRENCES that
+    # hash there == the sum of the exact per-token counts whose token
+    # hashes there — an exact integer identity, so the sketch is built
+    # from the vocab-sized frame instead of the corpus-sized stream
     cms = (
-        tok.select(F.posexplode(buckets).alias("i", "bucket"))
+        exact.select("n", F.posexplode(buckets).alias("i", "bucket"))
         .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("n").cast("bigint").alias("c"))
     )
     probes = exact.orderBy(F.desc("n"), "t").limit(CMS_TOP)
     probe_cells = probes.select(

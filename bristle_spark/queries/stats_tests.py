@@ -307,7 +307,10 @@ def l_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("n"),
-    )
+        # both sides of the pair join consume this grid-sized frame and
+        # the alias rename defeats runtime exchange reuse — persist so
+        # the corpus-sized (source, length) count runs once (r15)
+    ).persist()
     a = ecdf.alias("a")
     b = ecdf.alias("b")
     diff = F.abs(F.col("b.n") * F.col("a.cum") - F.col("a.n") * F.col("b.cum"))
@@ -407,7 +410,14 @@ def l_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     ).distinct()
-    tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    # the vocab x langs rollup feeds TWO branches (the top-term funnel
+    # via tf and the cell join) — persist it so the corpus-sized
+    # explode + distinct runs once (r15, guide §5)
+    tl = (
+        dt.groupBy("term", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .persist()
+    )
     tf = tl.groupBy("term").agg(F.sum("a").cast("bigint").alias("df_term"))
     tot = docs.agg(F.countDistinct("doc_id").cast("bigint").alias("n_total"))
     # Langs covering EVERY doc zero the (n_total - n_lang) margin — Spark's
