@@ -957,13 +957,24 @@ def l_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", F.posexplode(d2s).alias("m", "d2"))
     )
-    # argmin per (vec, subspace): min of (d2, cid) structs == the
-    # oracle's row_number ORDER BY d2, cid — map-side combinable, and
-    # the one corpus-sized shuffle of the query
+    # argmin per (vec, subspace) == the oracle's row_number ORDER BY
+    # d2, cid.  The (d2, cid) pair is packed into ONE BIGINT so the
+    # argmin is a HashAggregate over a primitive min instead of a
+    # SortAggregate over struct buffers (r15; struct min/max cannot
+    # hash-aggregate, which forced a map-side sort of all K x M
+    # candidate rows): d2 = round(…, 6) >= 0, so
+    # floor(d2 * 1e6 + 0.5) is its exact micro integer and
+    # micro * PQ_K + (cid - 1) orders lexicographically by (d2, cid) —
+    # the identical tie rule, distinct 6-dp values map to distinct
+    # integers.  Map-side combinable, the one corpus-sized shuffle.
+    pk = F.floor(F.col("d2") * 1_000_000 + F.lit(0.5)).cast("bigint") * F.lit(
+        PQ_K
+    ) + (F.col("cid") - 1)
     codes = (
-        sub.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cid")).alias("best"))
-        .select("vec_id", "m", F.col("best.cid").alias("code"))
+        sub.select("vec_id", "m", pk.alias("pk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("pk").alias("pk"))
+        .select("vec_id", "m", (F.col("pk") % PQ_K + 1).alias("code"))
     )
     probe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
     dt = (
@@ -1871,10 +1882,17 @@ def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.crossJoin(F.broadcast(cb))
         .select("vec_id", "ccid", "bcid", F.posexplode(d2s).alias("m", "d2"))
     )
+    # packed-BIGINT argmin (the l_ann_pq r15 form): HashAggregate over a
+    # primitive min instead of a SortAggregate over (d2, bcid) structs;
+    # identical (d2 ASC, bcid ASC) ordering by exact integer arithmetic
+    pk = F.floor(F.col("d2") * 1_000_000 + F.lit(0.5)).cast("bigint") * F.lit(
+        PQ_K
+    ) + (F.col("bcid") - 1)
     codes = (
-        sub.groupBy("vec_id", "ccid", "m")
-        .agg(F.min(F.struct("d2", "bcid")).alias("best"))
-        .select("vec_id", "ccid", "m", F.col("best.bcid").alias("code"))
+        sub.select("vec_id", "ccid", "m", pk.alias("pk"))
+        .groupBy("vec_id", "ccid", "m")
+        .agg(F.min("pk").alias("pk"))
+        .select("vec_id", "ccid", "m", (F.col("pk") % PQ_K + 1).alias("code"))
     )
     dt = (
         pcells.join(F.broadcast(cent), "ccid")
@@ -2483,6 +2501,12 @@ def l_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "clabel",
         F.round(F.lit(1.0) - cosine(F.col("v"), F.col("cv")), 6).alias("d"),
+        # NOTE (r15, measured): although two branches consume this
+        # N x L frame, a persist showed NO reproducible win (persist
+        # 1.48 s vs 1.18/1.56 s without across three min-of-5 runs —
+        # inside session noise) — the byte-identical subtrees already
+        # get runtime exchange/stage reuse (the r_market_basket
+        # finding).  Leave unpersisted.
     )
     own = dists.filter(F.col("label") == F.col("clabel")).select(
         "vec_id", "label", F.col("d").alias("a")
