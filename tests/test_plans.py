@@ -416,6 +416,30 @@ def test_ivfpq_prunes_cells_before_pq_and_broadcasts_tables(spark, sf_dir):
     assert plans.has_node(df, "BroadcastHashJoin")
 
 
+def test_ivf_assignment_is_aggregated_not_windowed(spark, sf_dir):
+    """r15: the coarse-assignment argmin is a map-side-combinable
+    min/max-of-struct aggregation — the candidate rows collapse to one
+    per vector BEFORE the exchange (16x fewer shuffled bytes, no rank
+    window). A Window reappearing in these keys means the argmin
+    regressed to the crossJoin + row_number form that shuffles every
+    scored copy of every vector."""
+    for name in ("l_ann_ivf", "l_ann_ivf_nprobe", "l_ann_list_balance",
+                 "l_ivf_train_kmeans", "l_dedup_semantic"):
+        df = SPECS[name].fn(spark, sf_dir)
+        simple = plans.plan_string(df, "simple")
+        assert "Window" not in simple, name
+
+
+def test_pq_encode_argmin_hash_aggregates(spark, sf_dir):
+    """r15: the per-(vec, subspace) PQ code argmin is a packed-BIGINT
+    primitive min — a SortAggregate reappearing means the argmin
+    regressed to the struct form that map-side-sorts all K x M
+    candidate rows per vector."""
+    df = SPECS["l_ann_pq"].fn(spark, sf_dir)
+    assert not plans.has_node(df, "SortAggregate")
+    assert not plans.has_node(df, "Window")
+
+
 def test_audio_fingerprint_single_hash_shuffle(spark, sf_dir):
     """Fingerprinting is partition-local mapInPandas; the keep-first
     group step is ONE map-side-combinable aggregation on the 8-byte
