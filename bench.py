@@ -54,9 +54,16 @@ Measurement fix (r15): the session cache is dropped BETWEEN keys
 (spark.catalog.clearCache() after each key's min-of-N). The r15
 persist optimizations left CacheManager entries that inflated every
 LATER key's planning time (canonicalized plan-match per cached entry;
-2-5x observed on untouched keys in-suite vs isolated). Within-key
-min-of-N semantics are unchanged from every previous round's record;
-every key still computes from the parquet inputs alone.
+2-5x observed on untouched keys in-suite vs isolated).
+
+Measurement fix (r16, VERDICT r15 #1): the cache is now ALSO dropped
+between the N timed runs of one key. Previously run 2 of a key whose
+query fn persist()s a subtree hit run 1's CacheManager entries
+(canonicalized plan match) and skipped recomputing every persisted
+subtree, so the recorded min was partially cache-assisted for the ~30
+persist-site keys added in r15. With the fix, every timed run computes
+from the parquet inputs alone; the min now reflects warm-JVM/cold-cache
+execution for every key.
 """
 
 from __future__ import annotations
@@ -521,6 +528,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                # Measurement fix (r16, VERDICT r15 "What's wrong" #1):
+                # drop the session cache BETWEEN the N timed runs of one
+                # key, not only between keys. Spark's CacheManager
+                # matches canonicalized plans, so run 2 of a key whose
+                # query fn persist()s a subtree was silently reading
+                # run 1's cached partitions and the recorded min was
+                # partially cache-assisted. Clearing here makes every
+                # timed run compute from the parquet inputs alone.
+                spark.catalog.clearCache()
         except Exception as exc:  # one broken query must not zero the suite
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
