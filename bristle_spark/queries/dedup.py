@@ -126,6 +126,40 @@ def _rare_shingle_hashes(
     )
 
 
+# Unordered (u < v) pairs from a df-capped posting-list array, row-local:
+# every 2-combination of the group's doc_ids, normalized via least/
+# greatest so the pair set is independent of collect_list order.
+_PAIR_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), "
+    "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+)
+
+
+def _capped_pair_candidates(
+    shr: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Distinct candidate pairs from df-capped postings (r16, guide
+    §2.4): collapse the postings to one array per shingle hash (a
+    HashAggregate that reuses the df window's hash partitioning — no
+    extra exchange) and expand the <= C(max_df, 2) pairs per group
+    row-locally, replacing the alias-renamed inverted-index self-join
+    (which defeated runtime exchange reuse and paid two SMJ sorts).
+    ONLY safe downstream of a df cap: the cap bounds collect_list, so
+    no group materializes an unbounded array.  Measured identical pair
+    sets on every consumer; see OPTIMIZATION_r16.md."""
+    grp = (
+        shr.groupBy("hs")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    return (
+        grp.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.src").alias(a), F.col("p.dst").alias(b))
+        .distinct()
+    )
+
+
 def _shingles_sql(k: int = SHINGLE_WORDS) -> str:
     terms = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
     return f"list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {terms}))"
@@ -447,12 +481,7 @@ def l_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("doc_id", "hs")
     )
-    a, b = sh_rare.alias("a"), sh_rare.alias("b")
-    cand = (
-        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_pair_candidates(sh_rare)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     common = (
@@ -768,12 +797,7 @@ def l_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("doc_id", "hs")
     )
-    a, b = shr.alias("a"), shr.alias("b")
-    cand = (
-        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_pair_candidates(shr)
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     common = (

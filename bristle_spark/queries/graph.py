@@ -26,6 +26,7 @@ from bristle_spark.functions.hashing import hash60, hash60_sql
 from bristle_spark.functions.rounding import r6, r6_sql
 from bristle_spark.queries.dedup import (
     MAX_SHINGLE_DF,
+    _capped_pair_candidates,
     _rare_shingle_hashes,
     _shingles_sql,
     _tokens,
@@ -39,25 +40,24 @@ PAGERANK_TOP = 20
 
 def doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge list (src, dst) of the rare-shingle co-occurrence
-    graph, BOTH directions per undirected pair. One inverted-index
-    self-join on the 8-byte shingle hash (id-only shuffle), distinct'd
-    on the (src, dst) pair."""
+    graph, BOTH directions per undirected pair.
+
+    Pair generation (r16, guide §2.4): the df-capped postings expand to
+    pairs row-locally (_capped_pair_candidates; skew-safety argument in
+    its docstring), replacing the alias-renamed inverted-index
+    self-join.  Measured identical edge sets; 2.03 -> 1.86 s for the
+    edge build at sf0.1 (the filter-after-collect variant measures
+    1.25 s but is an OOM hazard on hot shingles; the extra 0.6 s is the
+    price of the skew guard)."""
     d = _tokens(load_table(spark, sf_dir, "documents"))
-    # df cap via count window (one corpus pass, r15 optimization) and
-    # persist: the self-join consumes the pruned postings on BOTH sides
-    sh_rare = _rare_shingle_hashes(d).persist()
-    a, b = sh_rare.alias("a"), sh_rare.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.hs") == F.col("b.hs"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-        .distinct()
+    half = _capped_pair_candidates(
+        _rare_shingle_hashes(d), a="src", b="dst"
     )
+    # NOT persisted (r16, measured): the two union branches are
+    # byte-identical up to the final projection, so runtime exchange
+    # reuse already dedups the pair expansion + distinct (the
+    # r_market_basket finding); an explicit persist measured
+    # 8.0 -> 9.4 s on l_pagerank.
     return half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -74,15 +74,30 @@ def l_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first iteration (the l_dedup_clusters / l_ivf_train_kmeans
     shape): the edge list and out-degrees are computed ONCE and
-    persisted; each round is (1) a corpus-keyed join of ranks to edges
-    + a dst-keyed map-side-combined sum — the only two shuffles, both
-    on doc_id, both reusing the same partitioning round over round —
-    and (2) a 1-row dangling-mass aggregate broadcast back; ranks are
-    localCheckpoint'd so lineage stays O(1). At 100 TB the edge list
-    is the big table and every shuffle is keyed on doc ids — no
-    vertex-count-squared term anywhere. Rows-only (iterative float
+    persisted; each round is a corpus-keyed join of ranks to edges +
+    a dst-keyed map-side-combined sum — the only shuffles, all on doc
+    ids, reusing the same partitioning round over round. At 100 TB the
+    edge list is the big table and every shuffle is keyed on doc ids —
+    no vertex-count-squared term anywhere. Rows-only (iterative float
     trajectory has no SQL oracle); pinned to a numpy power-iteration
-    reference in tests/test_pagerank.py."""
+    reference in tests/test_pagerank.py.
+
+    Dangling mass analytically (r16, guide §1.2 "the distributed
+    algorithm" / §2.4): the edge list is SYMMETRIC (both directions of
+    every undirected pair), so a deg-0 vertex has no in-edges either —
+    its inflow is always 0 and its rank follows the scalar recurrence
+    prI_{{k+1}} = (1-d)/n + d·dm_k/n with dm_k = n0·prI_k (n0 = number
+    of isolated vertices, constant).  The old per-round 1-row
+    dangling-mass AGGREGATE + broadcast — which forced an eager
+    localCheckpoint barrier every round (2 jobs/round, 10 jobs of pure
+    scheduling overhead at sf0.1) — is replaced by a driver-side float
+    recurrence feeding a literal, and all {PAGERANK_ITERS} rounds fuse
+    into ONE lazy plan whose stages AQE sizes adaptively (measured
+    9.8 s → see OPTIMIZATION_r16.md).  Numerics: dm as n0·prI differs
+    from the old distributed sum of n0 identical doubles by at most an
+    ulp-level association difference; the trajectory pin
+    (tests/test_pagerank.py, abs=2e-6 on 6-dp outputs) and the
+    rows-only driver contract both hold."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = doc_graph_edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -96,38 +111,54 @@ def l_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deg").cast("bigint").alias("degree"),
             F.lit(0.0).alias("pagerank"),
         )
+    n0 = verts.filter(F.col("deg") == 0).count()  # isolated vertices
 
-    pr = verts.select("doc_id", "deg", F.lit(1.0 / n_docs).alias("pr"))
+    # Iterate over the CONNECTED subgraph only (r16): isolated vertices
+    # never send or receive edge mass, so the per-round joins carry just
+    # the vertices that have edges — at 100 TB a dedup-similarity graph
+    # is mostly isolated docs, so this shrinks every round's shuffle to
+    # the live subgraph. The update expression for connected vertices is
+    # byte-identical to the all-vertices form; isolated vertices get the
+    # literal their own update would compute (inflow = 0 every round).
+    verts_c = verts.filter(F.col("deg") > 0)
+    # Per-round shape (r16): the edge list is symmetric, so every
+    # connected vertex receives inflow every round — contrib itself
+    # covers the whole live vertex set, and riding deg_dst along on the
+    # (broadcast, round-invariant, exchange-reused) edge frame removes
+    # the old per-round verts-join entirely.  One join + one dst-keyed
+    # map-side-combined aggregation per round, all lazily fused.
+    edges_d = edges.join(
+        verts_c.select(F.col("doc_id").alias("dst"), F.col("deg").alias("deg_dst")),
+        "dst",
+    )
+    pr = verts_c.select("doc_id", "deg", F.lit(1.0 / n_docs).alias("pr"))
+    pr_isolated = 1.0 / n_docs  # every deg-0 vertex carries this rank
     for _ in range(PAGERANK_ITERS):
-        dangling = pr.filter(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
-        )
-        contrib = (
-            pr.filter(F.col("deg") > 0)
-            .join(edges, pr.doc_id == edges.src)
-            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
+        dm = n0 * pr_isolated
         pr = (
-            verts.join(contrib, verts.doc_id == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
+            pr.join(edges_d, pr.doc_id == edges_d.src)
+            .select("dst", "deg_dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst", "deg_dst")
+            .agg(F.sum("c").alias("inflow"))
             .select(
-                "doc_id",
-                "deg",
+                F.col("dst").alias("doc_id"),
+                F.col("deg_dst").alias("deg"),
                 (
                     F.lit((1.0 - PAGERANK_D) / n_docs)
                     + PAGERANK_D
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("dm") / n_docs
-                    )
+                    * (F.col("inflow") + F.lit(dm) / n_docs)
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        # the same update applied to an isolated vertex (inflow = 0)
+        pr_isolated = (1.0 - PAGERANK_D) / n_docs + PAGERANK_D * (dm / n_docs)
+    final = pr.unionByName(
+        verts.filter(F.col("deg") == 0).select(
+            "doc_id", "deg", F.lit(pr_isolated).alias("pr")
+        )
+    )
     return (
-        pr.select(
+        final.select(
             "doc_id",
             F.col("deg").cast("bigint").alias("degree"),
             F.round("pr", 6).alias("pagerank"),
@@ -169,6 +200,23 @@ _TRI_EDGE_CTES = f"""
         GROUP BY node
     )
 """
+
+
+def _tri_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u < v) edge list of the 4-gram rare-shingle graph —
+    the doc_graph_edges pair generation (df-cap window, then a grouped
+    row-local 2-combination expansion; see that docstring for the
+    skew-safety argument) at TRI_SHINGLE_WORDS. Shared by
+    l_graph_triangles and l_graph_assortativity; callers persist (it
+    feeds 2-3 plan branches each)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= TRI_SHINGLE_WORDS)
+    )
+    return _capped_pair_candidates(
+        _rare_shingle_hashes(d, k=TRI_SHINGLE_WORDS), a="u", b="v"
+    )
 
 
 @register(
@@ -225,28 +273,11 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index discipline (a shingle in d docs emits <= d^2/2
     pairs, d <= {MAX_SHINGLE_DF}), so the graph build is the
     l_dedup_ngram_jaccard shape."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("t", F.split("text", " "))
-        .filter(F.size("t") >= TRI_SHINGLE_WORDS)
-    )
-    # df cap via count window (one corpus pass, r15 optimization);
-    # persisted because the self-join consumes it on both sides
-    shr = _rare_shingle_hashes(d, k=TRI_SHINGLE_WORDS).persist()
-    ea, eb = shr.alias("ea"), shr.alias("eb")
-    half = (
-        ea.join(
-            eb,
-            (F.col("ea.hs") == F.col("eb.hs"))
-            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
-        )
-        .select(F.col("ea.doc_id").alias("u"), F.col("eb.doc_id").alias("v"))
-        .distinct()
-        # the edge list feeds deg AND the orientation join; without the
-        # persist the df-capped inverted-index self-join re-runs once
-        # per downstream scan (measured 5.9s -> 2s at sf0.1)
-        .persist()
-    )
+    # the edge list feeds deg AND the orientation join; without the
+    # persist the df-capped pair expansion re-runs once per downstream
+    # scan (measured 5.9s -> 2s at sf0.1, r15; generation itself moved
+    # to the grouped row-local expansion in r16 — see _tri_half_edges)
+    half = _tri_half_edges(spark, sf_dir).persist()
     deg = (
         half.select(F.col("u").alias("node"))
         .union(half.select(F.col("v").alias("node")))
@@ -363,27 +394,9 @@ def l_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able degree joins onto the edge list, then ONE
     map-side-combined moment aggregation to a single row — no window,
     no global sort, nothing driver-side."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("t", F.split("text", " "))
-        .filter(F.size("t") >= TRI_SHINGLE_WORDS)
-    )
-    # df cap via count window (one corpus pass, r15 optimization);
-    # persisted because the self-join consumes it on both sides
-    shr = _rare_shingle_hashes(d, k=TRI_SHINGLE_WORDS).persist()
-    ea, eb = shr.alias("ea"), shr.alias("eb")
-    half = (
-        ea.join(
-            eb,
-            (F.col("ea.hs") == F.col("eb.hs"))
-            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
-        )
-        .select(F.col("ea.doc_id").alias("u"), F.col("eb.doc_id").alias("v"))
-        .distinct()
-        # feeds deg AND the endpoint join: persist so the df-capped
-        # inverted-index self-join runs once (the triangle discipline)
-        .persist()
-    )
+    # feeds deg AND the endpoint join: persist so the df-capped pair
+    # expansion runs once (the triangle discipline)
+    half = _tri_half_edges(spark, sf_dir).persist()
     deg = (
         half.select(F.col("u").alias("node"))
         .union(half.select(F.col("v").alias("node")))

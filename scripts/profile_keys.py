@@ -67,6 +67,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # r16: between-RUN isolation, like bench.py
         out[name] = round(best, 3)
         if not args.no_plans:
             df = spec.fn(spark, sf_dir)
