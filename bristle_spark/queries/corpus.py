@@ -2062,32 +2062,35 @@ def l_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # r16: the per-round gradient is {LOGREG_DIM} independent sums, so
+    # aggregate them as {LOGREG_DIM} sum() buffers in ONE global
+    # HashAggregate instead of posexplode + groupBy(pos) + a second
+    # 1-row re-collect — one exchange per round instead of two, no
+    # array_sort reassembly. Per-partition accumulation order (row
+    # order) and the err*x_i operands are unchanged, so the weights are
+    # bit-identical (verified: max |w diff| = 0.0 over the full
+    # trajectory at sf0.1); 2.33 -> 2.02 s for the 6-round loop.
     for _ in range(LOGREG_ITERS):
         err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr())) - F.col("y")
-        wf = (
+        agg = (
             feats.crossJoin(F.broadcast(wf))
-            .select(
-                "warr",
-                F.posexplode(F.transform("x", lambda xi: err * xi)).alias("pos", "g"),
-            )
-            .groupBy("pos")
-            .agg(
-                (F.sum("g") / n_docs).alias("g"),
-                F.first("warr").alias("warr"),
-            )
-            .select(
-                "pos",
-                (
-                    F.element_at("warr", F.col("pos") + 1) - LOGREG_LR * F.col("g")
-                ).alias("w"),
-            )
             .groupBy()
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda p: p["w"],
-                ).alias("warr")
+                F.first("warr").alias("warr"),
+                *[
+                    F.sum(err * F.col("x")[i]).alias(f"g{i}")
+                    for i in range(LOGREG_DIM)
+                ],
             )
+        )
+        wf = agg.select(
+            F.array(
+                *[
+                    F.element_at("warr", i + 1)
+                    - LOGREG_LR * (F.col(f"g{i}") / n_docs)
+                    for i in range(LOGREG_DIM)
+                ]
+            ).alias("warr")
         )
 
     metrics = feats.crossJoin(F.broadcast(wf)).agg(

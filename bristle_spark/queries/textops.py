@@ -1007,19 +1007,32 @@ def l_char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct happens inside countDistinct's map-side partial dedup —
     # no standalone corpus-sized .distinct() exchange (measured: the
     # separate-distinct and array_distinct formulations cost 3.8s and
-    # 5.2s at sf0.1; this one ~1.4s)
+    # 5.2s at sf0.1; this one ~1.4s; an r16 row-local
+    # array_intersect-vs-profile-arrays variant measured 1.6s — the
+    # per-row hash-set build loses to the codegen'd join+agg)
     overlaps = (
         grams.join(F.broadcast(profiles), "gram")
         .groupBy("doc_id", "lang", "cand_lang")
         .agg(F.countDistinct("gram").alias("n_overlap"))
     )
-    dw = Window.partitionBy("doc_id").orderBy(
-        F.col("n_overlap").desc(), "cand_lang"
+    # per-doc argmax as a map-side-combinable struct-min instead of the
+    # old rank window (r16, the _assign_nearest_cell pattern): one
+    # exchange of one narrow row per doc, no sort; min(struct(-overlap,
+    # cand_lang)) replays the window's (overlap DESC, cand_lang ASC)
+    # tie rule exactly.
+    best = overlaps.groupBy("doc_id", "lang").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_overlap")).alias("no"),
+                F.col("cand_lang").alias("cl"),
+            )
+        ).alias("_b")
     )
-    return (
-        overlaps.withColumn("rn", F.row_number().over(dw))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_overlap")
+    return best.select(
+        "doc_id",
+        "lang",
+        F.col("_b.cl").alias("pred_lang"),
+        (-F.col("_b.no")).alias("n_overlap"),
     )
 
 
