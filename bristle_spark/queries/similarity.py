@@ -94,6 +94,92 @@ def _assign_nearest_cell(
     )
 
 
+def _probe_scores_arrow(
+    e: DataFrame,
+    sf_dir: str,
+    n_probes: int,
+    with_label: bool = False,
+    lo: int = 0,
+) -> DataFrame:
+    """Raw (unrounded) cosine of every corpus vector against EVERY
+    bounded probe (lo <= vec_id < n_probes), as one mapInArrow kernel
+    (r16, guide §4.1/§8).  lo=1, n_probes=IVF_CENTROIDS+1 selects the
+    pinned IVF donor centroids.
+
+    The old shape — crossJoin(broadcast(probes)) + the pairwise pandas
+    UDF — shipped BOTH 64-dim arrays across the Python boundary once
+    per (vector, probe) PAIR: n_probes+1 copies of every corpus row's
+    payload.  Here each corpus row crosses ONCE; the kernel holds the
+    probe matrix (rows with vec_id < n_probes, a pure function of the
+    input table, read per task straight from the parquet — the guide §8
+    'task reads its own slice of the plan from storage' attach) and
+    emits the narrow (vec_id[, label], probe_id, cos_raw) long form.
+
+    Bit parity: the accumulation is ``acc += V[:, i] * P[:, i]`` in
+    dimension order — elementwise the SAME IEEE sequence as the
+    per-pair sequential fold in functions/vectors.py — and the
+    norm-product denominator keeps the (corpus, probe) operand order,
+    so every cos_raw is bit-identical to the pairwise UDF (verified: 0
+    mismatches over all pairs at sf0.1/0.01/0.001).  Rounding stays in
+    the JVM (F.round on an identical double), so downstream ranking is
+    unchanged."""
+    path = f"{sf_dir}/embeddings.parquet"
+    out_schema = "vec_id long" + (", label int" if with_label else "") + \
+        ", probe_id long, cos_raw double"
+
+    def kern(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        t = t.filter(pc.less(t["vec_id"], n_probes))
+        if lo:
+            t = t.filter(pc.greater_equal(t["vec_id"], lo))
+        pids = t["vec_id"].to_numpy()
+        order = np.argsort(pids, kind="stable")
+        pids = pids[order]
+        P = np.array(
+            [list(x) for x in t["embedding"].to_pylist()], dtype=np.float64
+        )[order]
+        npb, dim = P.shape if len(P) else (0, 0)
+        accp = np.zeros(npb)
+        for i in range(dim):
+            accp += P[:, i] * P[:, i]
+        pnorm = np.sqrt(accp)
+        fields = [pa.field("vec_id", pa.int64())]
+        if with_label:
+            fields.append(pa.field("label", pa.int32()))
+        fields += [pa.field("probe_id", pa.int64()),
+                   pa.field("cos_raw", pa.float64())]
+        schema = pa.schema(fields)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0 or npb == 0:
+                continue
+            varr = batch.column("v")
+            V = np.asarray(varr.flatten(), dtype=np.float64).reshape(n, dim)
+            dot_m = np.zeros((n, npb))
+            accv = np.zeros(n)
+            for i in range(dim):
+                vi = V[:, i]
+                dot_m += np.multiply.outer(vi, P[:, i])
+                accv += vi * vi
+            cos = dot_m / (np.sqrt(accv)[:, None] * pnorm[None, :])
+            vid = batch.column("vec_id").to_numpy()
+            cols = [pa.array(np.repeat(vid, npb), pa.int64())]
+            if with_label:
+                lab = batch.column("label").to_numpy()
+                cols.append(pa.array(np.repeat(lab, npb), pa.int32()))
+            cols += [pa.array(np.tile(pids, n), pa.int64()),
+                     pa.array(cos.ravel(), pa.float64())]
+            yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+    cols = ["vec_id"] + (["label"] if with_label else []) + ["v"]
+    return e.select(*cols).mapInArrow(kern, out_schema)
+
+
 def _scored_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vectors scored against the probe (vec_id = 0), cos rounded to 6."""
     e = _embeddings(spark, sf_dir)
@@ -653,20 +739,23 @@ def l_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+    probes_meta = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("true_label"),
-        F.col("v").alias("pv"),
     )
+    # r16: probe scoring via the mapInArrow kernel (each corpus row
+    # crosses the Python boundary once instead of once per probe);
+    # rounding stays JVM-side so ranking bits are unchanged.
     scored = (
-        e.crossJoin(F.broadcast(probes))
+        _probe_scores_arrow(e, sf_dir, KNN_EVAL_PROBES, with_label=True)
         .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(probes_meta), "probe_id")
         .select(
             "probe_id",
             "true_label",
             "vec_id",
             "label",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
     )
     w_top = Window.partitionBy("probe_id").orderBy(
@@ -692,6 +781,75 @@ def l_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+def _ivf_eval_frames(e: DataFrame, sf_dir: str):
+    """Shared skeleton of the IVF eval harnesses (l_ann_recall_eval /
+    l_ndcg_eval), rebuilt on the _probe_scores_arrow kernel (r16, guide
+    §4): ONE Python pass scores every vector against the bounded probe
+    set (persisted: the exact branch and the approx join both read it)
+    and ONE scores every vector against the {IVF_CENTROIDS} pinned
+    donors (persisted: feeds the cell assignment AND the probe-cell
+    ranking).  The old shape ran three pairwise pandas-UDF passes, each
+    shipping both 64-dim arrays per pair.  Cell assignment replays
+    _assign_nearest_cell's max(struct(rounded cos, -cid)) tie rule on
+    bit-identical rounded values; the approx branch no longer recomputes
+    cosines at all — it joins the candidate (vec, probe) pairs back to
+    the persisted probe scores.
+
+    Returns (raw probe scores, exact top-k frame, approx candidate
+    pairs, probe-id frame)."""
+    raw = _probe_scores_arrow(e, sf_dir, KNN_EVAL_PROBES).persist()
+    cent_scores = _probe_scores_arrow(
+        e, sf_dir, IVF_CENTROIDS + 1, lo=1
+    ).persist()
+    assign = (
+        cent_scores.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("cos_raw"), 6).alias("cs"),
+                    (-F.col("probe_id")).alias("ncid"),
+                )
+            ).alias("_best")
+        )
+        .select("vec_id", (-F.col("_best.ncid")).alias("cid"))
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.col("cs").desc(), F.col("cid")
+    )
+    probe_cells = (
+        cent_scores.filter(F.col("vec_id") < KNN_EVAL_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("probe_id").alias("cid"),
+            F.round(F.col("cos_raw"), 6).alias("cs"),
+        )
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= NPROBE)
+        .select("probe_id", "cid")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        raw.filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_EVAL_K)
+        .select("probe_id", "vec_id")
+    )
+    approx_pairs = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("vec_id", "probe_id")
+    )
+    probe_ids = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    return raw, exact, approx_pairs, probe_ids
 
 
 @register(
@@ -781,44 +939,14 @@ def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    assign = _assign_nearest_cell(e, cent, "cid", ("v",))
-    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
-    cw = Window.partitionBy("probe_id").orderBy(
-        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    probe_cells = (
-        probes.crossJoin(F.broadcast(cent))
-        .select("probe_id", "pv", "cid", F.row_number().over(cw).alias("crn"))
-        .filter(F.col("crn") <= NPROBE)
-        .drop("crn")
-    )
+    raw, exact, approx_pairs, probe_ids = _ivf_eval_frames(e, sf_dir)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
-    exact = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_EVAL_K)
-        .select("probe_id", "vec_id")
-    )
     approx = (
-        assign.join(F.broadcast(probe_cells), "cid")
-        .filter(F.col("vec_id") != F.col("probe_id"))
+        raw.join(F.broadcast(approx_pairs), ["vec_id", "probe_id"])
         .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+            "probe_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_EVAL_K)
@@ -828,7 +956,7 @@ def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hit")
     )
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return probes.select("probe_id").join(hits, "probe_id", "left").select(
+    return probe_ids.join(hits, "probe_id", "left").select(
         F.col("probe_id").alias("vec_id"),
         F.lit(KNN_EVAL_K).cast("bigint").alias("k"),
         n_hit.cast("bigint").alias("n_hit"),
@@ -2343,44 +2471,14 @@ def l_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    assign = _assign_nearest_cell(e, cent, "cid", ("v",))
-    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
-    cw = Window.partitionBy("probe_id").orderBy(
-        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cid")
-    )
-    probe_cells = (
-        probes.crossJoin(F.broadcast(cent))
-        .select("probe_id", "pv", "cid", F.row_number().over(cw).alias("crn"))
-        .filter(F.col("crn") <= NPROBE)
-        .drop("crn")
-    )
+    raw, exact, approx_pairs, probe_ids = _ivf_eval_frames(e, sf_dir)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
-    exact = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_EVAL_K)
-        .select("probe_id", "vec_id")
-    )
     approx = (
-        assign.join(F.broadcast(probe_cells), "cid")
-        .filter(F.col("vec_id") != F.col("probe_id"))
+        raw.join(F.broadcast(approx_pairs), ["vec_id", "probe_id"])
         .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+            "probe_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_EVAL_K)
@@ -2394,7 +2492,7 @@ def l_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1.0) / F.log2(F.col("rn") + 1)).alias("dcg"),
         )
     )
-    return probes.select("probe_id").join(dcg, "probe_id", "left").select(
+    return probe_ids.join(dcg, "probe_id", "left").select(
         F.col("probe_id").alias("vec_id"),
         F.lit(KNN_EVAL_K).cast("bigint").alias("k"),
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
