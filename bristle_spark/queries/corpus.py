@@ -140,22 +140,34 @@ def l_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.col("s")).alias("sh"),
         (hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
     ).persist()
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # r16 (guide §2.4, the _capped_pair_candidates shape): df cap as a
+    # count window over the cached postings (one hs exchange instead of
+    # the groupBy + join-back pair), then the train x eval overlap
+    # expands ROW-LOCALLY per shingle group — collect_list skips the
+    # NULLs the split conditions produce, each list is bounded by the
+    # df cap, and the exploded (train, eval) pairs are exactly the old
+    # sh-keyed join's output rows. Saves the join-back and both
+    # re-shuffles of the ev/tr sides.
+    shr = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .filter(F.col("df") <= CONTAM_MAX_DF)
-        .select("sh")
     )
-    sh = sh.join(rare, "sh")
-    ev = sh.filter(F.col("bucket") >= 100 - CONTAM_EVAL_PCT).select(
-        F.col("doc_id").alias("eval_doc"), F.col("sh")
+    is_eval = F.col("bucket") >= 100 - CONTAM_EVAL_PCT
+    grp = (
+        shr.groupBy("sh")
+        .agg(
+            F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("evs"),
+            F.collect_list(F.when(~is_eval, F.col("doc_id"))).alias("trs"),
+        )
+        .filter((F.size("evs") > 0) & (F.size("trs") > 0))
     )
-    tr = sh.filter(F.col("bucket") < 100 - CONTAM_EVAL_PCT).select(
-        F.col("doc_id").alias("train_doc"), F.col("sh")
-    )
+    pairs = grp.select(
+        "sh",
+        F.explode("trs").alias("train_doc"),
+        "evs",
+    ).select("sh", "train_doc", F.explode("evs").alias("eval_doc"))
     return (
-        tr.join(ev, "sh")
-        .groupBy("train_doc")
+        pairs.groupBy("train_doc")
         .agg(
             F.countDistinct("sh").alias("n_shared_shingles"),
             F.countDistinct("eval_doc").alias("n_eval_docs"),

@@ -1214,16 +1214,21 @@ def l_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a, b = ss.alias("a"), ss.alias("b")
+    # r16: the hs self-join -> grouped row-local pair expansion (the
+    # _capped_pair_candidates shape, guide §2.4) — one hs aggregation
+    # instead of sorting/joining both aliased sides. No df cap needed:
+    # a group collects at most |sources| entries (single digits), the
+    # blowup bound in the docstring, so collect_list is bounded by
+    # construction. Pair multiplicities are counted, not distinct'd —
+    # one pair row per (hs, source pair), exactly the join's output.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.hs") == F.col("b.hs"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        ss.groupBy("hs")
+        .agg(F.collect_list("source").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.src").alias("source_a"),
+            F.col("p.dst").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )

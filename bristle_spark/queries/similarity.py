@@ -1095,11 +1095,8 @@ def l_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro * PQ_K + (cid - 1) orders lexicographically by (d2, cid) —
     # the identical tie rule, distinct 6-dp values map to distinct
     # integers.  Map-side combinable, the one corpus-sized shuffle.
-    pk = F.floor(F.col("d2") * 1_000_000 + F.lit(0.5)).cast("bigint") * F.lit(
-        PQ_K
-    ) + (F.col("cid") - 1)
     codes = (
-        sub.select("vec_id", "m", pk.alias("pk"))
+        sub.select("vec_id", "m", _pq_packed_key().alias("pk"))
         .groupBy("vec_id", "m")
         .agg(F.min("pk").alias("pk"))
         .select("vec_id", "m", (F.col("pk") % PQ_K + 1).alias("code"))
@@ -1466,6 +1463,21 @@ def _d2_micro():
     cross-row double sums are shuffle-order-dependent; integer sums
     are not)."""
     return F.floor(F.col("d2") * 1000000 + F.lit(0.5)).cast("bigint")
+
+
+def _pq_packed_key(cid_col: str = "cid"):
+    """(d2, cid) packed into ONE BIGINT for the PQ-encode argmin
+    (l_ann_pq / l_ann_ivfpq): micro(d2) * PQ_K + (cid - 1) orders
+    lexicographically by (d2 ASC, cid ASC) — the window tie rule as a
+    primitive-min HashAggregate.  The micro conversion is _d2_micro(),
+    the one place the rounding-to-micro rule lives (ADVICE r15).
+
+    Precondition (ADVICE r15): d2 must be FINITE and >= 0 — it is
+    round(sum of squares, 6) here by construction.  A NaN d2 would
+    cast to a minimal BIGINT and silently WIN the min (the old struct
+    ordering sorted NaN last); if NaN could ever enter the distance,
+    guard with nanvl before packing."""
+    return _d2_micro() * F.lit(PQ_K) + (F.col(cid_col) - 1)
 
 _KMEANS_CONTRACT_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2013,11 +2025,8 @@ def l_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # packed-BIGINT argmin (the l_ann_pq r15 form): HashAggregate over a
     # primitive min instead of a SortAggregate over (d2, bcid) structs;
     # identical (d2 ASC, bcid ASC) ordering by exact integer arithmetic
-    pk = F.floor(F.col("d2") * 1_000_000 + F.lit(0.5)).cast("bigint") * F.lit(
-        PQ_K
-    ) + (F.col("bcid") - 1)
     codes = (
-        sub.select("vec_id", "ccid", "m", pk.alias("pk"))
+        sub.select("vec_id", "ccid", "m", _pq_packed_key("bcid").alias("pk"))
         .groupBy("vec_id", "ccid", "m")
         .agg(F.min("pk").alias("pk"))
         .select("vec_id", "ccid", "m", (F.col("pk") % PQ_K + 1).alias("code"))

@@ -575,17 +575,24 @@ def t_ipv6_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, 9)
     ]
     g = ev.select("event_id", hx.alias("hx"), zmask.alias("zmask")).select(
-        "event_id", F.array(*groups).alias("gs")
+        "event_id", *[gc.alias(f"g{i}") for i, gc in enumerate(groups, 1)]
     )
+    # r16 (guide §4.1 "prefer built-ins"): the transform(...) lambdas
+    # ran this projection INTERPRETED (higher-order functions have no
+    # codegen), re-evaluating each lambda tree per element; unrolling
+    # the 8 per-group expressions keeps the whole chain inside
+    # WholeStageCodegen with subexpression elimination. Same values:
+    # lower(hex(g_i)) per element, '0'/'1' map per element.
     built = g.select(
         "event_id",
-        F.transform(F.col("gs"), lambda x: F.lower(F.hex(x))).alias("hxg"),
-        F.array_join(
-            F.transform(
-                F.col("gs"),
-                lambda x: F.when(x == 0, F.lit("0")).otherwise(F.lit("1")),
-            ),
-            "",
+        F.array(*[F.lower(F.hex(F.col(f"g{i}"))) for i in range(1, 9)]).alias(
+            "hxg"
+        ),
+        F.concat(
+            *[
+                F.when(F.col(f"g{i}") == 0, F.lit("0")).otherwise(F.lit("1"))
+                for i in range(1, 9)
+            ]
         ).alias("zmap"),
     )
     l_col = (
@@ -636,21 +643,49 @@ def t_ipv6_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("full_txt"))
         .alias("ip6"),
     )
+    # r16: the re-parse used filter(...) higher-order lambdas — an
+    # interpreted projection re-evaluating split(ip6, '::') once per
+    # lambda tree. String-only rewrite, fully codegen'd: the '::' halves
+    # never contain empty inner tokens (they are ':'-joined non-empty
+    # hex groups by construction), so the filtered-token counts are
+    # plain size(split(...)) with an empty-string guard, the elided
+    # zeros render as a repeat('0:', k) slice, and concat_ws skips the
+    # NULLed-out empty halves exactly as array concat dropped the empty
+    # lists. Byte-identical output (oracle re-verified at all 3 SFs).
     parts = F.split(F.col("ip6"), "::")
-    lft = F.filter(F.split(F.element_at(parts, 1), ":"), lambda x: x != "")
-    rgt = F.filter(F.split(F.element_at(parts, 2), ":"), lambda x: x != "")
+    halves = txt.select(
+        "event_id",
+        "full_txt",
+        "l",
+        "zero_groups",
+        "ip6",
+        F.size(parts).alias("_np"),
+        F.element_at(parts, 1).alias("_lft"),
+        F.element_at(parts, 2).alias("_rgt"),
+    )
+    nl = (
+        F.when(F.col("_lft") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_lft"), ":")))
+    )
+    nr = (
+        F.when(F.col("_rgt") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_rgt"), ":")))
+    )
+    parsed = halves.select(
+        "event_id", "full_txt", "l", "zero_groups", "ip6", "_np",
+        "_lft", "_rgt", (F.lit(8) - nl - nr).alias("_k"),
+    )
+    zeros = F.expr("substring(repeat('0:', _k), 1, 2 * _k - 1)")
     rebuilt = F.when(
-        F.size(parts) == 2,
-        F.array_join(
-            F.concat(
-                lft,
-                F.array_repeat(F.lit("0"), (8 - F.size(lft) - F.size(rgt))),
-                rgt,
-            ),
+        F.col("_np") == 2,
+        F.concat_ws(
             ":",
+            F.when(F.col("_lft") == "", F.lit(None)).otherwise(F.col("_lft")),
+            F.when(F.col("_k") > 0, zeros),
+            F.when(F.col("_rgt") == "", F.lit(None)).otherwise(F.col("_rgt")),
         ),
     ).otherwise(F.col("ip6"))
-    return txt.select(
+    return parsed.select(
         "event_id",
         F.col("full_txt").alias("ip6_full"),
         "ip6",
