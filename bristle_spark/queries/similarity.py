@@ -100,6 +100,7 @@ def _probe_scores_arrow(
     n_probes: int,
     with_label: bool = False,
     lo: int = 0,
+    trunc_dim: int | None = None,
 ) -> DataFrame:
     """Raw (unrounded) cosine of every corpus vector against EVERY
     bounded probe (lo <= vec_id < n_probes), as one mapInArrow kernel
@@ -125,7 +126,8 @@ def _probe_scores_arrow(
     unchanged."""
     path = f"{sf_dir}/embeddings.parquet"
     out_schema = "vec_id long" + (", label int" if with_label else "") + \
-        ", probe_id long, cos_raw double"
+        ", probe_id long, cos_raw double" + \
+        (", cos_trunc_raw double" if trunc_dim else "")
 
     def kern(it):
         import numpy as np
@@ -145,14 +147,19 @@ def _probe_scores_arrow(
         )[order]
         npb, dim = P.shape if len(P) else (0, 0)
         accp = np.zeros(npb)
+        pnorm_t = None
         for i in range(dim):
             accp += P[:, i] * P[:, i]
+            if trunc_dim and i == trunc_dim - 1:
+                pnorm_t = np.sqrt(accp.copy())
         pnorm = np.sqrt(accp)
         fields = [pa.field("vec_id", pa.int64())]
         if with_label:
             fields.append(pa.field("label", pa.int32()))
         fields += [pa.field("probe_id", pa.int64()),
                    pa.field("cos_raw", pa.float64())]
+        if trunc_dim:
+            fields.append(pa.field("cos_trunc_raw", pa.float64()))
         schema = pa.schema(fields)
         for batch in it:
             n = batch.num_rows
@@ -162,10 +169,17 @@ def _probe_scores_arrow(
             V = np.asarray(varr.flatten(), dtype=np.float64).reshape(n, dim)
             dot_m = np.zeros((n, npb))
             accv = np.zeros(n)
+            cos_t = None
             for i in range(dim):
                 vi = V[:, i]
                 dot_m += np.multiply.outer(vi, P[:, i])
                 accv += vi * vi
+                if trunc_dim and i == trunc_dim - 1:
+                    # prefix snapshot: the first trunc_dim terms in the
+                    # same order == the fold over the sliced arrays
+                    cos_t = dot_m.copy() / (
+                        np.sqrt(accv.copy())[:, None] * pnorm_t[None, :]
+                    )
             cos = dot_m / (np.sqrt(accv)[:, None] * pnorm[None, :])
             vid = batch.column("vec_id").to_numpy()
             cols = [pa.array(np.repeat(vid, npb), pa.int64())]
@@ -174,6 +188,8 @@ def _probe_scores_arrow(
                 cols.append(pa.array(np.repeat(lab, npb), pa.int32()))
             cols += [pa.array(np.tile(pids, n), pa.int64()),
                      pa.array(cos.ravel(), pa.float64())]
+            if trunc_dim:
+                cols.append(pa.array(cos_t.ravel(), pa.float64()))
             yield pa.RecordBatch.from_arrays(cols, schema=schema)
 
     cols = ["vec_id"] + (["label"] if with_label else []) + ["v"]
@@ -1817,19 +1833,19 @@ def l_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp-rounded similarity so both engines cut identical
     neighborhoods."""
     e = _embeddings(spark, sf_dir).select("vec_id", "v")
-    probes = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
+    # r16: both similarities come out of ONE _probe_scores_arrow pass —
+    # the truncated cosine is the dimension-ordered accumulator's
+    # prefix snapshot, bit-identical to the fold over the sliced arrays
+    # — instead of two pairwise pandas-UDF passes each shipping both
+    # arrays per (vector, probe) pair.
     scored = (
-        e.crossJoin(F.broadcast(probes))
+        _probe_scores_arrow(e, sf_dir, KNN_EVAL_PROBES, trunc_dim=MAT_DIM)
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_full"),
-            F.round(
-                cosine(F.slice("v", 1, MAT_DIM), F.slice("pv", 1, MAT_DIM)), 6
-            ).alias("cos_trunc"),
+            F.round(F.col("cos_raw"), 6).alias("cos_full"),
+            F.round(F.col("cos_trunc_raw"), 6).alias("cos_trunc"),
         )
     )
     w_full = Window.partitionBy("probe_id").orderBy(
@@ -2842,20 +2858,22 @@ def l_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    probes = e.filter(F.col("vec_id") < MRR_PROBES).select(
+    probes_meta = e.filter(F.col("vec_id") < MRR_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("true_label"),
-        F.col("v").alias("pv"),
     )
+    # r16: probe scoring via the mapInArrow kernel (the l_knn_eval
+    # shape — one boundary crossing per corpus row).
     scored = (
-        e.crossJoin(F.broadcast(probes))
+        _probe_scores_arrow(e, sf_dir, MRR_PROBES, with_label=True)
         .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(probes_meta), "probe_id")
         .select(
             "probe_id",
             "true_label",
             "vec_id",
             "label",
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -2956,10 +2974,23 @@ def l_ann_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-key count rollup, which map-side combines); the balance math
     runs on the 16-row lists frame."""
     e = _embeddings(spark, sf_dir).select("vec_id", "v")
-    cent = e.filter(F.col("vec_id").between(1, IVF_CENTROIDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # r16: payload-free assignment via the _probe_scores_arrow kernel
+    # (lo=1 selects the pinned donors) + the same max(struct(rounded
+    # cos, -cid)) tie rule — one boundary crossing per corpus row
+    # instead of the 16-way pair fan-out through the pandas UDF.
+    assign = (
+        _probe_scores_arrow(e, sf_dir, IVF_CENTROIDS + 1, lo=1)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("cos_raw"), 6).alias("cs"),
+                    (-F.col("probe_id")).alias("ncid"),
+                )
+            ).alias("_best")
+        )
+        .select("vec_id", (-F.col("_best.ncid")).alias("cid"))
     )
-    assign = _assign_nearest_cell(e, cent, "cid")
     # r15: the 16-row lists frame feeds both the corpus-total aggregate
     # and the final crossJoin — without a persist each branch re-ran the
     # full assignment (16x coarse crossJoin + per-vector argmin window)
