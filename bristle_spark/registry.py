@@ -53,114 +53,93 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 # keys whose query function was touched in THIS round after their last
 # driver grade — the rotation policy forces them into the next window.
-# Round 15: the five ADVICE fixes (exact winsorize ranks, idempotent
-# srm/count-min landings, KW headroom guard), the k-means contract
-# promotion (output changed from the long centroid form to the
-# contract frame), every m_* key (the narrow-scan kernel rebalance
-# added a conditional RoundRobin exchange to each codec plan), and —
-# from the self-review sweep — the REST of the foreachBatch streaming
-# family, whose sinks all moved to the batch_id-keyed idempotent
-# landing (only the OR-merge bloom and the dominance-absorbing skyline
-# keep plain appends: duplicates are absorbed by their merges).  The
-# shared-epoch refactor (functions/timebase.py) is NOT plan-changed:
-# the spliced SQL text and Spark plans are byte-identical.
+# Round 16 (optimization round): every ORACLE-BACKED key whose QUERY
+# PLAN changed this round (the rows-only l_pagerank and
+# l_quality_classifier_train also changed, but rows-only keys never
+# hold window slots — their trajectories are pinned by
+# tests/test_pagerank.py and tests/test_logreg.py) —
+# the pair-expansion consumers (graph and
+# dedup overlap families), the _probe_scores_arrow kernel consumers
+# (ANN eval harnesses, matryoshka, MRR, list balance), the one-exchange
+# logreg rounds, the trigram classifier's struct-min argmax (and its
+# two oracle composites), and the codegen ipv6 re-parse.  The
+# _pq_packed_key refactor is NOT plan-changed (byte-identical
+# expression trees, the r15 shared-epoch precedent).
 PLAN_CHANGED_KEYS: tuple[str, ...] = (
-    "r_winsorize",
-    "s_stream_srm",
-    "s_stream_count_min",
-    "s_session_window",
-    "s_stream_dedup",
-    "s_stream_dedup_watermark",
-    "s_stateful_totals",
-    "s_stream_join",
-    "s_stream_enrich",
-    "s_stream_rollup",
-    "s_stream_topk",
-    "s_stream_anomaly",
-    "s_stream_histogram_quantiles",
-    "s_stream_decayed_ltv",
-    "s_stream_counter_rate",
-    "s_stream_geofence",
-    "r_kruskal_wallis",
-    "l_ivf_train_kmeans",
-    "m_jpeg_ac_stats",
-    "m_wav_silence_trim",
-    "m_audio_fingerprint",
-    "m_audio_features",
-    "m_wav_audio_features",
-    "m_png_binary_features",
-    "m_png_frame_sample",
-    "m_png_resize",
-    "m_png_phash_dedup",
-    "m_png_scene_cut",
-    "m_png_patchify",
-    "m_png_pixel_stats",
-    "m_png_augment",
-    "m_png_edge_density",
-    "m_png_hist_equalize",
-    "m_jpeg_pixel_stats",
-    "m_jpeg_resize",
-    "m_jpeg_phash_dedup",
-    "m_jpeg_rgb_stats",
+    "l_graph_triangles",
+    "l_graph_assortativity",
+    "l_dedup_ngram_jaccard",
+    "l_dedup_containment",
+    "l_source_overlap",
+    "l_contamination_ngram",
+    "l_char_ngram_lang_id",
+    "l_lang_confusion",
+    "l_lang_id_eval",
+    "l_knn_eval",
+    "l_ann_recall_eval",
+    "l_ndcg_eval",
+    "l_matryoshka_eval",
+    "l_retrieval_mrr",
+    "l_ann_list_balance",
+    "t_ipv6_codec",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (1) never driver-graded: round-15 additions ---
-    "m_jpeg_chroma_ac",
-    "r_holt_trend",
-    "s_stream_holt_trend",
-    "l_graph_assortativity",
-    "m_jpeg_region_count",
-    "r_slo_burn_rate",
-    "l_snippet_extract",
-    "m_wav_resample",
-    "s_stream_slo_burn",
+    # --- (1) never driver-graded: none (the r15 additions were all
+    # graded in CORRECTNESS_r15) ---
     # --- (2) plan-changed after their last grade (PLAN_CHANGED_KEYS) ---
-    "r_winsorize",
-    "s_stream_srm",
-    "s_stream_count_min",
-    "s_session_window",
-    "s_stream_dedup",
-    "s_stream_dedup_watermark",
-    "s_stateful_totals",
-    "s_stream_join",
-    "s_stream_enrich",
-    "s_stream_rollup",
-    "s_stream_topk",
-    "s_stream_anomaly",
-    "s_stream_histogram_quantiles",
-    "s_stream_decayed_ltv",
-    "s_stream_counter_rate",
-    "s_stream_geofence",
-    "r_kruskal_wallis",
-    "l_ivf_train_kmeans",
-    "m_jpeg_ac_stats",
-    "m_wav_silence_trim",
-    "m_audio_fingerprint",
-    "m_audio_features",
-    "m_wav_audio_features",
-    "m_png_binary_features",
-    "m_png_frame_sample",
-    "m_png_resize",
-    "m_png_phash_dedup",
-    "m_png_scene_cut",
-    "m_png_patchify",
-    "m_png_pixel_stats",
-    "m_png_augment",
-    "m_png_edge_density",
-    "m_png_hist_equalize",
-    "m_jpeg_pixel_stats",
-    "m_jpeg_resize",
-    "m_jpeg_phash_dedup",
-    "m_jpeg_rgb_stats",
-    # --- (3) oldest-first drain: 4 of the 42 remaining r9-cohort
-    # oracle-backed keys (ties within a cohort may drain in any order;
-    # the remaining 38 wait for round 16 — the self-review's streaming
-    # idempotency sweep took 13 slots as mandatory re-grades) ---
-    "l_chi2_terms",
-    "l_count_min",
-    "l_dedup_exact",
-    "l_sparse_cosine_topk",
+    "l_graph_triangles",
+    "l_graph_assortativity",
+    "l_dedup_ngram_jaccard",
+    "l_dedup_containment",
+    "l_source_overlap",
+    "l_contamination_ngram",
+    "l_char_ngram_lang_id",
+    "l_lang_confusion",
+    "l_lang_id_eval",
+    "l_knn_eval",
+    "l_ann_recall_eval",
+    "l_ndcg_eval",
+    "l_matryoshka_eval",
+    "l_retrieval_mrr",
+    "l_ann_list_balance",
+    "t_ipv6_codec",
+    # --- (3) oldest-first drain: 34 of the r9-cohort oracle-backed
+    # keys (ties within a cohort may drain in any order) ---
+    "l_cluster_size_histogram",
+    "l_dedup_sorted_neighborhood",
+    "l_edit_distance_dedup",
+    "l_ks_test",
+    "l_minhash_error",
+    "l_poisson_bootstrap",
+    "l_rank_fusion",
+    "l_text_stats",
+    "l_uncertainty_sample",
+    "l_vocab_growth",
+    "r_benford",
+    "r_bitmap_distinct",
+    "r_cusum_changepoint",
+    "r_gini",
+    "r_hash_agg",
+    "r_incremental_rollup",
+    "r_join_broadcast",
+    "r_market_basket",
+    "r_markov_transitions",
+    "r_mv_late_update",
+    "r_ols_by_group",
+    "r_pareto_share",
+    "r_rollup",
+    "r_sequence_match",
+    "r_set_ops",
+    "r_sliding_distinct",
+    "r_sort_limit_topk",
+    "r_theil_sen",
+    "r_time_weighted_avg",
+    "r_top_paths",
+    "r_ttl_rollup",
+    "r_tumbling_window",
+    "r_weighted_median",
+    "r_welch_ttest",
 )
 
 

@@ -26,6 +26,9 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session")
 def spark():
+    # cpus=8 re-measured in r16: 16 task slots made the fast gate
+    # SLOWER (6:23 vs 5:36) — the ~0.4 s/test long tail is per-query
+    # planning/scheduling, not task throughput.
     spark = get_spark(app_name="bristle-spark-tests", cpus=8, shuffle_partitions=8)
     yield spark
     spark.stop()
@@ -104,3 +107,67 @@ def assert_frames_match(spark_pdf, oracle_pdf, name: str):
     )
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
         assert sr == orow, f"{name}: first differing row #{i}:\n spark={sr}\noracle={orow}"
+
+
+# --- fast-gate tiering (VERDICT r15 ask #2) --------------------------------
+# The default run is the fast deterministic gate (pytest.ini deselects
+# `slow`); these modules / param families form the heavyweight
+# end-to-end tier that still gates every closing round via `-m ""`.
+# Module-level: real Structured Streaming jobs (multi-second
+# availableNow micro-batch floors per test), transport/server
+# end-to-ends, event-log balance probes, and the iterative-trainer
+# numpy pins. Param-level: the s_* streaming keys inside otherwise-fast
+# parametrized suites (each runs a full micro-batch stream).
+SLOW_MODULES = {
+    "test_streaming.py",
+    "test_stream_restart_replay.py",
+    "test_stream_ingest.py",
+    "test_stateful_and_skew.py",
+    "test_determinism.py",
+    "test_canonicalizer_safety.py",
+    "test_scale_shapes.py",
+    "test_cli.py",
+    "test_grpc_transport.py",
+    "test_grpc_tls.py",
+    "test_socket_service.py",
+    "test_server_reload.py",
+    "test_maintenance.py",
+    "test_pca_project.py",
+    "test_ingest_pipeline.py",
+    "test_ingest_wire.py",
+    "test_jdbc_sink.py",
+    "test_clickhouse_sink.py",
+    "test_forwarder.py",
+    "test_h2.py",
+    "test_h2_priority.py",
+    "test_metrics.py",
+    "test_backoff.py",
+    "test_socket_service.py",
+    # registry-wide SWEEPS (one plan/robustness probe per key, ~300
+    # params each): valuable, but the per-key pins in test_plans.py and
+    # the full batch oracle parity already gate the fast tier
+    "test_no_global_windows.py",
+    "test_empty_tables.py",
+}
+
+
+# individually heavyweight tests inside otherwise-fast modules
+SLOW_TESTS = (
+    "test_pq_recall_against_exact",
+    "test_matches_reference_python_bpe",
+    "test_train_once_memo_shared",
+    "test_chained_merge_respects_symbol_boundaries",
+    "test_funnel_runs_propagation_once",
+    "test_winnowing_guarantee_shared_run_shares_fingerprint",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.basename(item.nodeid.split("::")[0])
+        if (
+            mod in SLOW_MODULES
+            or "[s_" in item.nodeid
+            or any(t in item.nodeid for t in SLOW_TESTS)
+        ):
+            item.add_marker(pytest.mark.slow)

@@ -172,11 +172,11 @@ def test_beyond_window_queries_still_registered(specs):
                 "r_year_over_year", "r_cohort_ltv", "l_tokenizer_fertility",
                 "l_skipgram_cooccurrence", "r_rfm_segments",
                 "r_seasonality_index", "r_time_to_convert",
-                "l_vocab_coverage", "l_js_divergence", "l_ndcg_eval",
+                "l_vocab_coverage", "l_js_divergence",
                 "l_sessionize", "r_agg_collect", "r_arg_max", "r_asof_join",
                 "r_cube", "r_funnel", "r_grouping_sets", "r_pivot",
                 "r_range_join", "r_skew_salted_agg", "r_window_lag",
-                "l_fingerprint", "l_pagerank", "r_weighted_median",
+                "l_fingerprint", "l_pagerank",
                 # r14-window keys rotated out this round
                 "r_benjamini_hochberg", "r_bollinger_bands", "r_survival_km",
                 "l_sq8_quantize_error", "r_srm_check", "r_peak_detection",

@@ -393,13 +393,16 @@ def test_mips_candidates_broadcast_probe_and_norm(spark, sf_dir):
 
 def test_matryoshka_eval_is_join_free(spark, sf_dir):
     """Overlap is decided row-locally (both ranks on the same scored
-    row), so the plan has NO join at all past the broadcast probe
-    cross, and both rankings share one partitionBy(probe_id) window
-    stage over a single corpus scan."""
+    row), so the plan has NO join at all, and both rankings share one
+    partitionBy(probe_id) window stage over a single corpus scan.
+    r16: scoring runs in the _probe_scores_arrow kernel — ONE corpus
+    FileScan and a MapInArrow node (the probe slice is read inside the
+    task, not as a second scan + broadcast cross)."""
     df = SPECS["l_matryoshka_eval"].fn(spark, sf_dir)
     assert not plans.has_node(df, "SortMergeJoin")
     assert not plans.has_node(df, "BroadcastHashJoin")
-    assert plans.node_count(df, "FileScan") == 2  # corpus + probe slice
+    assert plans.has_node(df, "MapInArrow")
+    assert plans.node_count(df, "FileScan") == 1  # corpus only
     assert plans.node_count(df, "Window") == 2
     assert plans.exchange_count(df) <= 2  # probe_id partition (+ final agg)
 
