@@ -1498,32 +1498,20 @@ def l_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = tfr.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
     )
-    # r16: per-shingle pair products expand ROW-LOCALLY (the
-    # _capped_pair_candidates shape with a tf payload): collect the
-    # df-capped postings into one doc_id-SORTED struct array per
-    # shingle hash — the HashAggregate reuses the df window's hs
-    # partitioning, and sort_array makes every 2-combination already
-    # (doc_a < doc_b)-ordered — instead of the alias-renamed self-join
-    # that re-sorted both cached sides. Bounded by the df cap
-    # (<= C(20,2) pairs per group); exact BIGINT products unchanged.
-    grp = tfr.groupBy("hs").agg(
-        F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf"))
-        ).alias("ds")
-    ).filter(F.size("ds") >= 2)
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x.doc_id AS a, y.doc_id AS b, x.tf * y.tf AS p))))"
-    )
+    a = tfr.alias("a")
+    b = tfr.alias("b")
     dots = (
-        grp.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
-            F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared"),
-            F.sum("pr.p").cast("bigint").alias("dot"),
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"),
         )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))

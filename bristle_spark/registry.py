@@ -82,7 +82,6 @@ PLAN_CHANGED_KEYS: tuple[str, ...] = (
     "l_retrieval_mrr",
     "l_ann_list_balance",
     "t_ipv6_codec",
-    "l_sparse_cosine_topk",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -105,8 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_retrieval_mrr",
     "l_ann_list_balance",
     "t_ipv6_codec",
-    "l_sparse_cosine_topk",
-    # --- (3) oldest-first drain: 33 of the r9-cohort oracle-backed
+    # --- (3) oldest-first drain: 34 of the r9-cohort oracle-backed
     # keys (ties within a cohort may drain in any order) ---
     "l_cluster_size_histogram",
     "l_dedup_sorted_neighborhood",
@@ -141,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_ttl_rollup",
     "r_tumbling_window",
     "r_weighted_median",
+    "r_welch_ttest",
 )
 
 

@@ -247,15 +247,12 @@ SPARSE_SIMILARITY_SHUFFLE_PINS = {
     # partition and the pruned postings are persisted, so the
     # tokenize/shingle subtree (2 exchanges) executes ONCE and the plan
     # string shows it nested under each InMemoryTableScan reprint.
-    # r16: the per-shingle pair products expand row-locally from one
-    # sorted struct array per hs (the grouped pair-expansion shape), so
-    # the alias-renamed self-join's second cached-subtree reprint and
-    # its sort are gone; was 11 in r15, 12+ before that (the
-    # count includes cached-subtree reprints under InMemoryTableScan).
-    "l_sparse_cosine_topk": 10,
-    # r16: the source pair counts also expand row-locally per hs
-    # (groups bounded by |sources|); string count unchanged at 7
-    # (one fewer executed exchange, one more reprint), was 13 pre-r15.
+    # Executed exchanges: 2 (cached subtree) + 1 dots agg + 2 norm aggs;
+    # the string count below includes the cached-plan reprints.
+    "l_sparse_cosine_topk": 11,
+    # r15: row-local array shingles carrying source (no per-doc
+    # distinct, no doc_id join, no doc_id window) + persisted
+    # source-level distinct; was 13.
     "l_source_overlap": 7,
 }
 
